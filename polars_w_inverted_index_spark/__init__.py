@@ -1,0 +1,19 @@
+"""PySpark-native analytics engine with inverted-index query capabilities.
+
+A from-scratch Spark-first reimplementation of the query/data-processing
+surface of savannahar68/polars-w-inverted-index (see SURVEY.md), extended
+with LLM-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) designed for 100 TB scale.
+"""
+
+from .engine import Engine, FieldValueResult, NumericStats
+from .session import get_session
+from .stats import QueryStats
+
+__all__ = [
+    "Engine",
+    "FieldValueResult",
+    "NumericStats",
+    "QueryStats",
+    "get_session",
+]

@@ -1,0 +1,136 @@
+"""Query registry: named engine queries + DuckDB oracle SQL.
+
+Single source of truth consumed by ``__spark_entry__.py`` (the driver
+contract).  Every entry pairs a PySpark query ``(spark, sf_dir) ->
+DataFrame`` with an equivalent ANSI-SQL string DuckDB runs on the same
+parquet; the driver hash-compares results order-insensitively at sf0.01.
+
+Conventions for oracle stability:
+- every computed column aliased identically on both sides;
+- postings arrays sorted on both sides (reference postings order is
+  unspecified, SURVEY.md §1.4.4);
+- floating aggregates that sum many doubles are rounded to a fixed number of
+  decimals on BOTH sides (summation order differs between engines; the
+  underlying engine API is unrounded — rounding is comparison discipline,
+  SURVEY.md §7 hard part #3).
+
+``lineitem`` plays the reference's ``logs`` role (FIXTURES.md):
+``l_orderkey`` ≈ doc_id, ``l_returnflag``/``l_linestatus`` ≈ categorical
+fields, ``l_extendedprice``/``l_quantity`` ≈ numeric fields.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import Engine
+from .operators.inverted_index import postings
+from .operators.stats import numeric_stats
+from .plans.rewrite import filter_by_doc_ids
+from .sources.tables import load_table
+
+# Canonical id set for *_by_doc_ids queries — the reference uses
+# ``[i * (N/100) for i in 0..100]`` (main.rs:731); lineitem orderkeys start
+# at 0 and are dense-ish, so stepping by 15 keeps all 100 ids in-range at
+# every sf (sf0.001 max orderkey = 1499).
+DOC_IDS: list[int] = list(range(0, 1500, 15))
+
+_IDS_SQL = "SELECT UNNEST([" + ",".join(map(str, DOC_IDS)) + "]) AS doc_id"
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+# --------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2.10)
+# --------------------------------------------------------------------------
+
+def q_field_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table postings on l_returnflag (≈ get_field_values, main.rs:398)."""
+    eng = Engine(spark, df=_lineitem(spark, sf_dir), doc_id_col="l_orderkey")
+    return eng.get_field_values("l_returnflag")
+
+
+SQL_FIELD_VALUES = """
+SELECT CAST(l_returnflag AS VARCHAR) AS value,
+       list_sort(list(l_orderkey)) AS doc_ids
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_field_values_by_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-set postings on l_linestatus (≈ main.rs:271-395)."""
+    eng = Engine(spark, df=_lineitem(spark, sf_dir), doc_id_col="l_orderkey")
+    return eng.get_field_values_by_doc_ids("l_linestatus", DOC_IDS)
+
+
+SQL_FIELD_VALUES_BY_DOC_IDS = f"""
+SELECT CAST(l_linestatus AS VARCHAR) AS value,
+       list_sort(list(l_orderkey)) AS doc_ids
+FROM lineitem JOIN ({_IDS_SQL}) ids ON l_orderkey = ids.doc_id
+WHERE l_linestatus IS NOT NULL AND l_orderkey IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table min/max/avg on l_extendedprice (≈ main.rs:611-689).
+    avg rounded on both sides for cross-engine float stability."""
+    eng = Engine(spark, df=_lineitem(spark, sf_dir), doc_id_col="l_orderkey")
+    df = eng.get_numeric_stats("l_extendedprice")
+    return df.select("min", "max", F.round("avg", 4).alias("avg"))
+
+
+SQL_NUMERIC_STATS = """
+SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS min,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max,
+       ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 4) AS avg
+FROM lineitem
+"""
+
+
+def q_numeric_stats_by_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-set min/max/avg on l_quantity (≈ main.rs:510-608)."""
+    eng = Engine(spark, df=_lineitem(spark, sf_dir), doc_id_col="l_orderkey")
+    df = eng.get_numeric_stats_by_doc_ids("l_quantity", DOC_IDS)
+    return df.select("min", "max", F.round("avg", 4).alias("avg"))
+
+
+SQL_NUMERIC_STATS_BY_DOC_IDS = f"""
+SELECT CAST(MIN(l_quantity) AS DOUBLE) AS min,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max,
+       ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4) AS avg
+FROM lineitem JOIN ({_IDS_SQL}) ids ON l_orderkey = ids.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry assembly
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "field_values": q_field_values,
+    "field_values_by_doc_ids": q_field_values_by_doc_ids,
+    "numeric_stats": q_numeric_stats,
+    "numeric_stats_by_doc_ids": q_numeric_stats_by_doc_ids,
+}
+
+ORACLES: dict[str, str] = {
+    "field_values": SQL_FIELD_VALUES,
+    "field_values_by_doc_ids": SQL_FIELD_VALUES_BY_DOC_IDS,
+    "numeric_stats": SQL_NUMERIC_STATS,
+    "numeric_stats_by_doc_ids": SQL_NUMERIC_STATS_BY_DOC_IDS,
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke query: id-set postings at sf0.001."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    return q_field_values_by_doc_ids(spark, sf_dir)
