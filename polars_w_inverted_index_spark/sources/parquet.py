@@ -1,0 +1,72 @@
+"""Optimized parquet layout writer + scan helpers.
+
+Reference behavior (main.rs:197-257): single file, zstd, full column
+statistics, 512 Ki-row row groups, pre-sorted by ``doc_id`` — the sorted
+layout IS the physical index (row-group stats let id-range predicates skip
+row groups).
+
+Spark-first translation: ``repartitionByRange(doc_id)`` then
+``sortWithinPartitions(doc_id)`` gives a globally range-partitioned, locally
+sorted layout — every output file covers a disjoint doc_id range with
+min/max stats, which is what scan pruning needs.  A single ``coalesce(1)``
+file (the reference's literal layout) is a scale anti-pattern: at 100 TB you
+want many range-partitioned files so 1000 executors can scan in parallel;
+``target_partitions`` controls that and defaults to the session's shuffle
+parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_ROW_GROUP_ROWS = 512 * 1024  # main.rs:698
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_col: str = "doc_id",
+    compression: str = "zstd",
+    target_partitions: int | None = None,
+    single_file: bool = False,
+    row_group_rows: int = DEFAULT_ROW_GROUP_ROWS,
+) -> None:
+    """Write a range-partitioned, sorted, zstd parquet dataset.
+
+    ``single_file=True`` reproduces the reference's one-file layout
+    (main.rs:241-245) for small fixtures; leave False at scale.
+    """
+    if single_file:
+        out = df.coalesce(1).sortWithinPartitions(sort_col)
+    else:
+        n = target_partitions or df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        out = df.repartitionByRange(int(n), sort_col).sortWithinPartitions(
+            sort_col
+        )
+    (
+        out.write.mode("overwrite")
+        .option("compression", compression)
+        # parquet-mr writes column statistics always; row-group sizing is
+        # byte-based in Spark — approximate the reference's 512 Ki rows via
+        # block size (stats granularity, main.rs:698).
+        .option("parquet.block.size", str(128 * 1024 * 1024))
+        .parquet(path)
+    )
+
+
+def scan_parquet(
+    spark: SparkSession, path: str, low_memory: bool = False
+) -> DataFrame:
+    """Lazy parquet scan (≈ LazyFrame::scan_parquet, main.rs:291-297).
+
+    ``low_memory`` shrinks per-task input splits (the Spark analogue of the
+    reference's low_memory flag, main.rs:292) — session-level conf, applied
+    here for per-scan convenience.
+    """
+    if low_memory:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024)
+        )
+    return spark.read.parquet(path)
