@@ -1,0 +1,168 @@
+"""Text-analysis expression builders: tokenize, shingles, quality metrics,
+language-ID heuristic, fingerprinting.
+
+All built-in-expression (JVM, whole-stage codegen) — no Python UDFs in any
+hot path; these run as-is over 100 TB of documents.  Each builder has a
+matching DuckDB-SQL generator (same logic, same constants), suffix ``_sql``,
+used by the oracle suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal stopword inventories for the lang-id heuristic. Deliberately tiny
+# and frozen: the heuristic is a deterministic scoring rule, not a model.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "fur"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour"],
+    "es": ["el", "los", "las", "y", "es", "no", "un", "una", "para"],
+}
+
+_PUNCT_RE = r"[^\.,;:!\?]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties dropped."""
+    return F.filter(
+        F.split(F.lower(F.trim(_c(col))), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'),"
+        " t -> t <> '')"
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(length({tokens_sql(expr)}) AS BIGINT)"
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingle strings (space-joined).  Shorter-than-k
+    documents contribute their whole text as one shingle."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, F.lit(k))),
+        )
+    )
+
+
+def word_shingles_sql(expr: str, k: int = 3) -> str:
+    t = tokens_sql(expr)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length({t}) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({t}, i, i + {k - 1}), ' ')))"
+    )
+
+
+def fingerprint(col: Column | str, n: int = 5, keep: int = 16) -> Column:
+    """Document fingerprint: the ``keep`` smallest 60-bit hashes over the
+    text's character n-grams (a min-k sketch — winnowing-style containment
+    fingerprint), distinct, sorted ascending.  Documents sharing most text
+    share most fingerprint entries."""
+    expr = col if isinstance(col, str) else None
+    if expr is None:
+        raise ValueError("fingerprint needs a column name (uses SQL expr)")
+    return F.expr(
+        f"slice(array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length({expr}) - {n - 1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring({expr}, i, {n})), 1, 15),"
+        f" 16, 10) as bigint)))), 1, {keep})"
+    )
+
+
+def fingerprint_sql(expr: str, n: int = 5, keep: int = 16) -> str:
+    return (
+        f"list_slice(list_sort(list_distinct(list_transform("
+        f"range(1, greatest(length({expr}) - {n - 1}, 1) + 1),"
+        f" i -> ('0x'||substr(md5(substr({expr}, i, {n})),1,15))::BIGINT"
+        f"))), 1, {keep})"
+    )
+
+
+def quality_metrics(col: Column | str) -> list[Column]:
+    """Length / punctuation / stopword-ratio / mean-token-length quality
+    signals, aliased for direct use in a select."""
+    c = _c(col)
+    t = tokens(c)
+    n_chars = F.length(c).cast("long")
+    n_tokens = F.size(t).cast("long")
+    punct = (F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))).cast(
+        "long"
+    )
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(STOPWORDS["en"])))
+    mean_tok = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(n_tokens, F.lit(1))
+    return [
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+    ]
+
+
+def quality_metrics_sql(expr: str) -> list[str]:
+    t = tokens_sql(expr)
+    stop = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    return [
+        f"CAST(length({expr}) AS BIGINT) AS n_chars",
+        f"CAST(length({t}) AS BIGINT) AS n_tokens",
+        f"ROUND(CAST(length({expr}) - length(regexp_replace({expr},"
+        f" '[.,;:!?]', '', 'g')) AS BIGINT)"
+        f" / greatest(length({expr}), 1), 6) AS punct_ratio",
+        f"ROUND(length(list_filter({t}, x -> x IN ({stop})))"
+        f" / greatest(length({t}), 1), 6) AS stopword_ratio",
+        f"ROUND(list_sum(list_transform({t}, x -> length(x)))"
+        f" / greatest(length({t}), 1), 6) AS mean_token_len",
+    ]
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: argmax of per-language stopword hit counts.
+    Tie rule: highest score wins; among equal scores the lexicographically
+    LAST language code wins (struct max) — mirrored exactly in SQL."""
+    t = tokens(col)
+
+    def _hits(words: list[str]) -> Column:
+        # NB: the filter lambda must be unary — PySpark passes (element,
+        # index) to binary lambdas, so a `ws=words` default arg would
+        # silently receive the array index.
+        return F.size(F.filter(t, lambda x: x.isin(words)))
+
+    scores = [
+        F.struct(_hits(words).alias("score"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    return F.array_max(F.array(*scores))["lang"]
+
+
+def lang_id_sql(expr: str) -> str:
+    t = tokens_sql(expr)
+    structs = []
+    for lang, words in sorted(STOPWORDS.items()):
+        ws = ",".join(f"'{w}'" for w in words)
+        structs.append(
+            f"{{'score': length(list_filter({t}, x -> x IN ({ws}))),"
+            f" 'lang': '{lang}'}}"
+        )
+    return f"list_max([{', '.join(structs)}]).lang"

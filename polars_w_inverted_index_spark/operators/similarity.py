@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns.
+
+Two tiers (SURVEY.md scope directive):
+
+- :func:`brute_force_topk` — exact cosine top-k: query set × corpus, built
+  entirely from ``zip_with``/``aggregate`` expressions + a ranking window.
+  Correct at any scale but O(|Q|·|C|); the baseline and the verifier for
+  the approximate path.
+- :func:`lsh_bucketed_topk` — random-hyperplane LSH (sign sketch): each
+  vector gets a ``n_planes``-bit signature; candidates are vectors sharing
+  a signature prefix bucket; exact cosine re-ranks within buckets.  The
+  hyperplanes are deterministic pseudo-random (hash of (plane, dim)), so
+  signatures are reproducible across engines and runs — no RNG state.
+
+Scale shape: brute force is a broadcast of the (small) query set against a
+map-side cosine + per-partition top-k (the window does partial top-k before
+the final shuffle since Spark pushes rank filters into sort-based partial
+aggregation via TakeOrdered); LSH replaces the full corpus scan per query
+with a bucket-equi-join — the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: ``[query_id, neighbor_id, cos_sim, rank]``.
+
+    Self-matches (same id) are excluded.  Ranking is deterministic:
+    (rounded sim DESC, neighbor_id ASC) — rounding before ranking keeps
+    tie order identical across engines whose float sums differ in ulps.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(c) if _is_small(c) else c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qv", "cv"), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _is_small(df: DataFrame) -> bool:
+    # Corpus side of the cross join: broadcast only when we know it's tiny.
+    # Callers at scale pass queries as the broadcast side instead.
+    return False
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``[vec_id, sig: long, embedding]`` — bit p of sig = sign of
+    <v, H_p> where H_p[d] = deterministic pseudo-random ±1 derived from
+    md5(p, d).  A ±1 hyperplane family is distribution-free and needs no
+    stored model; signature computation is a narrow map."""
+    v = F.col(vec_col)
+
+    def _plane_weights(p: int):
+        # H_p[d] in {-1, +1} from the parity of a 60-bit hash of (p, d).
+        # Unary lambda only: PySpark passes the array index as a second
+        # lambda argument, which would shadow the plane number.
+        def _w(d):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"plane{p}:"), d.cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .bitwiseAND(1)
+                * 2
+                - 1
+            ).cast("double")
+
+        return F.transform(F.sequence(F.lit(0), F.size(v) - 1), _w)
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(v, _plane_weights(p), lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return df.select(
+        F.col(id_col).alias("vec_id"), sig.alias("sig"), v.alias(vec_col)
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    prefix_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share a ``prefix_bits`` LSH
+    bucket, exact cosine re-ranks.  Returns the same shape as
+    :func:`brute_force_topk` (ranks may differ — it's approximate).
+
+    The bucket join key has ~2^prefix_bits values; at 100 TB increase
+    n_planes/prefix_bits so per-bucket candidate counts stay bounded
+    (bucket size scales as corpus / 2^prefix_bits for near-uniform data).
+    """
+    mask = (1 << prefix_bits) - 1
+    cs = hyperplane_signature(corpus, n_planes, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("sig").bitwiseAND(mask)).alias("bucket"),
+        F.col(vec_col).alias("cv"),
+    )
+    qs = hyperplane_signature(queries, n_planes, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("sig").bitwiseAND(mask)).alias("bucket"),
+        F.col(vec_col).alias("qv"),
+    )
+    scored = (
+        qs.join(cs, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qv", "cv"), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

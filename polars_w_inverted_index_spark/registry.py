@@ -129,6 +129,12 @@ ORACLES: dict[str, str] = {
     "numeric_stats_by_doc_ids": SQL_NUMERIC_STATS_BY_DOC_IDS,
 }
 
+# Extension operators (dedup / similarity / text analysis / SQL breadth)
+from . import registry_ext as _ext  # noqa: E402
+
+QUERIES.update(_ext.QUERIES)
+ORACLES.update(_ext.ORACLES)
+
 
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke query: id-set postings at sf0.001."""

@@ -1,0 +1,536 @@
+"""Extension-operator registry: dedup, similarity, text analysis, SQL
+breadth (joins/windows/set-ops/JSON), each with a DuckDB oracle twin.
+
+Design rule: every oracle reproduces the Spark pipeline's EXACT logic with
+the shared 60-bit md5 hash family (functions/hashing.py), so hash-compare
+passes bit-for-bit — not just "similar results".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .functions.hashing import md5_long_sql
+from .functions.vectors import cosine_sql
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators.inverted_index import postings
+from .sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable, sql: str | None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "dedup_exact_groups",
+    q_exact_dedup,
+    """
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_sql() -> list[str]:
+    sh = TX.word_shingles_sql("text")
+    return [
+        f"list_min(list_transform({sh}, s -> {md5_long_sql('s', j)}))"
+        for j in range(DD.NUM_HASHES)
+    ]
+
+
+_register(
+    "dedup_minhash_signatures",
+    q_minhash_sigs,
+    f"""
+    SELECT doc_id, [{', '.join(_minhash_sig_sql())}] AS sig
+    FROM documents
+    """,
+)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh_sql() -> str:
+    r = DD.NUM_HASHES // DD.NUM_BANDS
+    sig_cols = ", ".join(
+        f"{expr} AS s{j}" for j, expr in enumerate(_minhash_sig_sql())
+    )
+    band_selects = []
+    for b in range(DD.NUM_BANDS):
+        cat = "||','||".join(
+            f"s{b * r + i}::VARCHAR" for i in range(r)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+    bands AS ({bands})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+_register("dedup_minhash_lsh_pairs", q_minhash_lsh, _minhash_lsh_sql())
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TX.tokens_sql('text')}) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, {md5_long_sql('tok')} AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes
+    """
+
+
+_register("dedup_simhash", q_simhash, _simhash_sql())
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+def _jaccard_sql(threshold: float = 0.2) -> str:
+    sh = TX.word_shingles_sql("text")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, md5(unnest({sh})) AS sh FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+    """
+
+
+_register("dedup_ngram_jaccard_pairs", q_jaccard, _jaccard_sql())
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+N_QUERY_VECS = 10
+TOPK = 5
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < N_QUERY_VECS), k=TOPK
+    )
+
+
+_register(
+    "similarity_bruteforce_topk",
+    q_ann_brute,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND({cosine_sql('qv', 'cv')}, 5) AS cos_sim
+      FROM q, c WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(
+        emb, emb.where(F.col("vec_id") < N_QUERY_VECS), k=TOPK
+    )
+
+
+def _hyperplane_sig_sql(vec: str, n_planes: int = 16) -> str:
+    """sig as a sum of per-plane sign bits (mirrors hyperplane_signature)."""
+    terms = []
+    for p in range(n_planes):
+        h = md5_long_sql("(i-1)::VARCHAR", None).replace(
+            "md5(", f"md5('plane{p}:'||", 1
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, length({vec}) + 1),"
+            f" i -> {vec}[i]::DOUBLE * ((({h} & 1) * 2 - 1))::DOUBLE))"
+        )
+        terms.append(
+            f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        )
+    return " + ".join(terms)
+
+
+def _ann_lsh_sql(n_planes: int = 16, prefix_bits: int = 8) -> str:
+    mask = (1 << prefix_bits) - 1
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id,
+             ({_hyperplane_sig_sql('embedding', n_planes)}) & {mask} AS bucket,
+             embedding AS cv
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             ({_hyperplane_sig_sql('embedding', n_planes)}) & {mask} AS bucket,
+             embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND({cosine_sql('qv', 'cv')}, 5) AS cos_sim
+      FROM q JOIN c USING (bucket)
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOPK}
+    """
+
+
+_register("similarity_lsh_topk", q_ann_lsh, _ann_lsh_sql())
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tok"),
+        TX.lang_id("text").alias("pred_lang"),
+        *TX.quality_metrics("text"),
+    )
+
+
+_register(
+    "text_profile",
+    q_text_profile,
+    f"""
+    SELECT doc_id,
+           {TX.token_count_sql('text')} AS n_tok,
+           {TX.lang_id_sql('text')} AS pred_lang,
+           {', '.join(TX.quality_metrics_sql('text'))}
+    FROM documents
+    """,
+)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+_register(
+    "text_fingerprint",
+    q_text_fingerprint,
+    f"SELECT doc_id, {TX.fingerprint_sql('text')} AS fingerprint"
+    " FROM documents",
+)
+
+
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's inverted-index semantic applied to text terms:
+    term → sorted list of docs containing it (SURVEY.md §7 Phase 5)."""
+    doc = load_table(spark, sf_dir, "documents")
+    exploded = doc.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens("text"))).alias("term"),
+    )
+    return postings(exploded, "term").withColumnRenamed("value", "term")
+
+
+_register(
+    "text_term_postings",
+    q_term_postings,
+    f"""
+    SELECT term, list_sort(list(doc_id)) AS doc_ids
+    FROM (
+      SELECT doc_id, unnest(list_distinct({TX.tokens_sql('text')})) AS term
+      FROM documents
+    )
+    WHERE term IS NOT NULL AND doc_id IS NOT NULL
+    GROUP BY term
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SQL breadth: aggregation / join / window / set / JSON (TPC-H-ish + events)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (grouped agg with derived exprs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_register(
+    "sql_pricing_summary",
+    q_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ 3 dims — dims broadcast (they're tiny at any SF:
+    region=5, nation=25 rows; customer scales but stays ≪ orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_register(
+    "sql_region_revenue",
+    q_region_revenue,
+    """
+    SELECT r_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer, deterministic tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_register(
+    "sql_window_topk_orders",
+    q_topk_orders,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+
+
+def q_open_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers with open orders EXCEPT customers with 'F' orders."""
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.subtract(f_c)
+
+
+_register(
+    "sql_set_except",
+    q_open_only_customers,
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events stream table."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_register(
+    "sql_events_hourly",
+    q_events_hourly,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag window: a session starts after a >30 min gap."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("is_start", starts)
+        .groupBy("user_id")
+        .agg(F.sum("is_start").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+_register(
+    "sql_events_sessionize",
+    q_events_sessions,
+    """
+    SELECT user_id, SUM(is_start) AS n_sessions, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  )) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract props.k, aggregate per event type."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_register(
+    "sql_events_json_extract",
+    q_events_json,
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)

@@ -1,0 +1,110 @@
+"""Behavioral tests for dedup + similarity operators: known duplicates are
+found, near-dups rank close, disjoint docs don't pair."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from polars_w_inverted_index_spark.operators import dedup as DD
+from polars_w_inverted_index_spark.operators import similarity as SIM
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the fence and the birds sing in the tall green trees near the "
+    "old stone bridge by the quiet river where children play every day"
+)
+DOCS = [
+    # 0/1: identical; 2: near-dup of 0 (one word changed → high Jaccard);
+    # 3: disjoint
+    (0, _BASE),
+    (1, _BASE),
+    (2, _BASE.replace("jumps", "leaps")),
+    (3, "completely different content about spark partitions and shuffles"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark, docs):
+    groups = DD.exact_dedup_groups(docs).collect()
+    assert len(groups) == 3  # 0/1 collapse
+    by_canon = {r["canonical_doc_id"]: r["n_docs"] for r in groups}
+    assert by_canon[0] == 2 and by_canon[2] == 1 and by_canon[3] == 1
+    kept = sorted(r["doc_id"] for r in DD.exact_dedup(docs).collect())
+    assert kept == [0, 2, 3]
+
+
+def test_minhash_identical_docs_share_all_bands(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in DD.minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs[(0, 1)] == DD.NUM_BANDS  # identical → all bands agree
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # disjoint never pair
+    # near-dup 2 shares at least one band with 0 (probabilistic but
+    # deterministic given the fixed hash family — pinned by construction)
+    assert (0, 2) in pairs
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    h = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert h[0] == h[1]
+    near = bin(h[0] ^ h[2]).count("1")
+    far = bin(h[0] ^ h[3]).count("1")
+    assert near < far  # one-word change flips far fewer bits
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.1 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.99, 0.1, 0.0]),   # near 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),    # orthogonal to 0
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),   # opposite of 0
+        Row(vec_id=4, embedding=[0.0, 0.0, 0.0]),    # zero vector
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_brute_force_topk(spark, vectors):
+    out = SIM.brute_force_topk(
+        vectors, vectors.where(F.col("vec_id") == 0), k=4
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1          # closest
+    assert ranked[-1] == 3         # opposite direction ranks last
+    sims = {r["neighbor_id"]: r["cos_sim"] for r in out}
+    assert sims[4] == 0.0          # zero vector → 0 by convention
+    assert sims[2] == 0.0
+
+
+def test_lsh_topk_agrees_on_identicalish(spark, vectors):
+    out = SIM.lsh_bucketed_topk(
+        vectors, vectors.where(F.col("vec_id") == 0), k=4, prefix_bits=2
+    ).collect()
+    # LSH is approximate: assert the near-identical vector is found when
+    # any candidates share the bucket, and results are well-formed
+    for r in out:
+        assert r["query_id"] == 0 and r["neighbor_id"] != 0
+    if out:
+        best = min(out, key=lambda r: r["rank"])
+        assert best["neighbor_id"] in (1, 2, 4)
