@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
 from ..functions.text import tokens, word_shingles
+from ..functions.vectors import cosine
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -252,4 +253,54 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    prefix_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Near-dup pairs ``[doc_a, doc_b, cos_sim]`` by embedding cosine.
+
+    Scale shape mirrors MinHash-LSH: a random-hyperplane signature buckets
+    vectors (narrow map), candidates are generated by a bucket self-join
+    (never a cross join), and exact cosine filters within buckets.  Bucket
+    count is 2^prefix_bits — raise it with corpus size so per-bucket
+    candidate pair counts stay bounded.  Pairs whose vectors land in
+    different buckets are missed: that is the LSH recall trade-off, same as
+    banding in :func:`minhash_lsh_pairs`.
+    """
+    from .similarity import hyperplane_signature
+
+    mask = (1 << prefix_bits) - 1
+    sig = hyperplane_signature(df, n_planes, id_col, vec_col).select(
+        F.col("vec_id"),
+        F.col("sig").bitwiseAND(mask).alias("bucket"),
+        F.col(vec_col),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = F.round(
+        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
     )

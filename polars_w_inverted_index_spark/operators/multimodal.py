@@ -1,0 +1,272 @@
+"""Multimodal (image/audio/video) column operators.
+
+The reference has no media path at all; this is part of the LLM-pipeline
+extension surface (scope directive, SURVEY.md preamble).  Design for a
+100 TB media lake:
+
+- Media are **opaque ``binary`` columns with typed metadata** — a struct
+  column carrying (kind, format, width, height, sample_rate, n_frames).
+  Nothing ever assumes the payload fits in driver memory; all per-item work
+  runs inside Arrow-batched ``mapInPandas`` so bytes move executor-side in
+  columnar batches, never through the driver.
+- Decode is **pluggable and import-gated**: real decoders (PIL / soundfile /
+  av) are looked up at runtime; this container has none of them, so the
+  shipped decoder understands only the deterministic FAKE container format
+  below (used by tests) and raises ``NotImplementedError`` for real formats.
+  The Spark-side plumbing — schema, batch iteration, UDF signatures, output
+  chunking — is the real deliverable and is fully exercised.
+
+FAKE container format (deterministic, test-generated):
+    b"FAKM" | kind:1 byte (I/A/V) | width:u16be | height:u16be |
+    n_frames:u16be | payload  (images: w*h bytes; video: n_frames frames of
+    w*h bytes; audio: payload = raw u8 samples, width=sample_rate/100)
+
+Every operator is a narrow map (no shuffle): partitioning of the input
+carries through, so a media table bucketed by media_id stays bucketed.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"FAKM"
+HEADER_FMT = ">4sc3H"  # magic, kind, width, height, n_frames
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+
+# Worker-side closures below reference this module's helpers.  Default
+# cloudpickle serializes module functions BY REFERENCE, which requires the
+# package to be importable inside every Python worker — not guaranteed (the
+# driver may run from any cwd with sys.path patched).  Registering the
+# module for by-value pickling ships the code with the closure instead, so
+# the engine needs no worker-side install.
+def _self_register_by_value() -> None:
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - older pickler; workers need install
+        pass
+
+
+_self_register_by_value()
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_TYPE),
+    ]
+)
+
+
+def encode_fake(kind: str, width: int, height: int, payload: bytes,
+                n_frames: int = 1) -> bytes:
+    """Build a FAKE-container blob (test data generator)."""
+    return struct.pack(HEADER_FMT, MAGIC, kind[:1].upper().encode(), width,
+                       height, n_frames) + payload
+
+
+def _decode(data: bytes) -> tuple[str, int, int, int, bytes]:
+    """Decode one blob → (kind, width, height, n_frames, payload).
+
+    Real formats would dispatch to PIL/soundfile/av here; none are in this
+    container, so anything that is not the FAKE format is unsupported.
+    """
+    if data is None or len(data) < HEADER_SIZE or data[:4] != MAGIC:
+        try:  # pragma: no cover - real decoder path, libs absent here
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "real media decode needs PIL/soundfile/av (not installed); "
+                "only the FAKE container format is supported in this build"
+            ) from None
+        raise NotImplementedError("real decoder dispatch not wired")
+    _, kind, w, h, nf = struct.unpack(HEADER_FMT, data[:HEADER_SIZE])
+    return kind.decode(), w, h, nf, data[HEADER_SIZE:]
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (image/audio/video → numeric features)
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("min_value", T.IntegerType()),
+        T.StructField("max_value", T.IntegerType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-item decode + pixel/sample statistics via ``mapInPandas``.
+
+    Arrow ships the binary column to Python in batches; numpy reduces each
+    payload.  Narrow map — scales with executor count, no shuffle.
+    """
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                kind, w, h, nf, payload = _decode(bytes(data))
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                out.append(
+                    (
+                        mid,
+                        kind,
+                        len(data),
+                        w,
+                        h,
+                        nf,
+                        float(arr.mean()) if arr.size else None,
+                        int(arr.min()) if arr.size else None,
+                        int(arr.max()) if arr.size else None,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        _batches, FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image resize (payload transform, bytes in → bytes out)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of FAKE images inside ``mapInPandas``.
+
+    Stands in for a PIL ``Image.resize`` call with identical plumbing: the
+    output is a re-encoded binary column, so the result composes with every
+    other media operator (a real pipeline would chain decode→resize→encode
+    in ONE pass exactly like this, amortizing the Arrow transfer).
+    """
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                kind, w, h, nf, payload = _decode(bytes(data))
+                if kind != "I":
+                    continue  # resize only applies to images
+                img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(out_h) * h // out_h)
+                xs = (np.arange(out_w) * w // out_w)
+                resized = img[np.ix_(ys, xs)]
+                rows.append(
+                    (
+                        mid,
+                        encode_fake("I", out_w, out_h, resized.tobytes()),
+                        out_w,
+                        out_h,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        _batches, RESIZED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (1 row in → k rows out)
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Every ``every_n``-th frame of FAKE videos as its own row.
+
+    ``mapInPandas`` is the right tool for 1→many binary expansion: the
+    output batch size is decoupled from the input batch, so a 10 GB video
+    row never forces a 10 GB task output buffer (frames stream out in
+    Arrow-sized chunks).
+    """
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                kind, w, h, nf, payload = _decode(bytes(data))
+                if kind != "V":
+                    continue
+                frame_sz = w * h
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                for i in range(0, nf, every_n):
+                    rows.append(
+                        (mid, i, arr[i * frame_sz:(i + 1) * frame_sz].tobytes())
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        _batches, FRAMES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint (oracle-verifiable: byte length + md5 of payload)
+# ---------------------------------------------------------------------------
+
+def media_fingerprint(media: DataFrame) -> DataFrame:
+    """``[media_id, n_bytes, content_md5]`` — pure built-in expressions
+    (``length``/``md5`` work on binary JVM-side), zero Python.  The exact
+    dedup path for media: group on content_md5 exactly like
+    :func:`~..operators.dedup.exact_dedup_groups` on text."""
+    return media.select(
+        "media_id",
+        F.length("data").cast("long").alias("n_bytes"),
+        F.md5("data").alias("content_md5"),
+    )

@@ -17,6 +17,7 @@ from .functions import text as TX
 from .functions.hashing import md5_long_sql
 from .functions.vectors import cosine_sql
 from .operators import dedup as DD
+from .operators import multimodal as MM
 from .operators import similarity as SIM
 from .operators.inverted_index import postings
 from .sources.tables import load_table
@@ -258,6 +259,43 @@ def _ann_lsh_sql(n_planes: int = 16, prefix_bits: int = 8) -> str:
 _register("similarity_lsh_topk", q_ann_lsh, _ann_lsh_sql())
 
 
+# Embedding-cosine near-dup (dedup family, but reuses the hyperplane SQL).
+EMB_NEARDUP_THRESHOLD = 0.2  # test embeddings are near-random (max cos ~0.4)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=EMB_NEARDUP_THRESHOLD,
+    )
+
+
+def _embedding_neardup_sql(
+    threshold: float, n_planes: int = 16, prefix_bits: int = 4
+) -> str:
+    mask = (1 << prefix_bits) - 1
+    return f"""
+    WITH sig AS (
+      SELECT vec_id,
+             ({_hyperplane_sig_sql('embedding', n_planes)}) & {mask} AS bucket,
+             embedding
+      FROM embeddings
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND({cosine_sql('a.embedding', 'b.embedding')}, 5) AS cos_sim
+    FROM sig a JOIN sig b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 5) >= {threshold}
+    """
+
+
+_register(
+    "dedup_embedding_cosine_pairs",
+    q_embedding_neardup,
+    _embedding_neardup_sql(EMB_NEARDUP_THRESHOLD),
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -322,6 +360,61 @@ _register(
     GROUP BY term
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary media columns; documents table stands in as the source)
+# ---------------------------------------------------------------------------
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table: text bytes as the opaque binary payload."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+
+
+def q_media_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.media_fingerprint(_media_from_documents(spark, sf_dir))
+
+
+_register(
+    "multimodal_fingerprint",
+    q_media_fingerprint,
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAKE-container decode + per-item pixel stats through mapInPandas.
+
+    Rows-only driver check (no oracle): media decode is genuinely
+    non-SQL-expressible — correctness is pinned by unit tests against
+    numpy-computed expectations (tests/test_multimodal.py).
+    """
+    import pandas as pd
+
+    media = _media_from_documents(spark, sf_dir)
+
+    def _to_fake(it):
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                payload = bytes(data)[:256].ljust(256, b"\0")
+                rows.append((mid, MM.encode_fake("I", 16, 16, payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "data"])
+
+    fake = media.mapInPandas(_to_fake, "media_id long, data binary")
+    return MM.extract_features(fake)
+
+
+_register("multimodal_image_features", q_media_features, None)
 
 
 # ---------------------------------------------------------------------------
