@@ -615,6 +615,87 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/windows.windowed_event_counts on the batch events table —
+    the unified-API twin of the streaming path (same code both modes);
+    window struct formatted to string for cross-engine hashing."""
+    from .streaming.windows import windowed_event_counts
+
+    out = windowed_event_counts(load_table(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_register(
+    "streaming_windowed_counts",
+    q_stream_windowed,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (batch mode) — gap-based sessions per user."""
+    from .streaming.windows import session_event_counts
+
+    out = session_event_counts(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+_register(
+    "streaming_session_windows",
+    q_stream_sessions,
+    # Session reconstruction: new session when the gap >= 30 min (Spark
+    # session windows are [start, last_ts + gap), so an event landing
+    # exactly at the previous end starts a new session); end = last + gap.
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+
+
 _register(
     "sql_events_json_extract",
     q_events_json,

@@ -1,1 +1,18 @@
+"""Structured Streaming extension surface (SURVEY.md §2.7, §7 Phase 5)."""
 
+from .index_maintenance import (
+    merge_postings_batch,
+    read_index,
+    start_index_maintenance,
+)
+from .stateful import running_user_totals
+from .windows import session_event_counts, windowed_event_counts
+
+__all__ = [
+    "merge_postings_batch",
+    "read_index",
+    "start_index_maintenance",
+    "running_user_totals",
+    "session_event_counts",
+    "windowed_event_counts",
+]

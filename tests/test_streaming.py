@@ -1,0 +1,132 @@
+"""Structured Streaming: windows, sessions, stateful op, index maintenance.
+
+Each test drives a file-source stream (events split into two files so the
+source produces multiple micro-batches) to completion with availableNow,
+then checks the streaming result equals the batch-computed truth — the
+unified-API invariant that makes the streaming path trustworthy.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_w_inverted_index_spark.operators.inverted_index import postings
+from polars_w_inverted_index_spark.sources.tables import load_table
+from polars_w_inverted_index_spark.streaming import (
+    merge_postings_batch,
+    read_index,
+    running_user_totals,
+    session_event_counts,
+    start_index_maintenance,
+    windowed_event_counts,
+)
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory, events_batch):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    mid = events_batch.approxQuantile("event_id", [0.5], 0.0)[0]
+    events_batch.where(F.col("event_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    events_batch.where(F.col("event_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    return d
+
+
+def _stream(spark, events_batch, d, max_files=1):
+    return (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(d)
+    )
+
+
+def _drain_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_windowed_counts_match_batch(spark, events_batch, events_stream_dir):
+    stream = _stream(spark, events_batch, events_stream_dir)
+    _drain_to_memory(
+        windowed_event_counts(stream), "win_counts", "complete"
+    )
+    got = spark.sql("SELECT * FROM win_counts")
+    want = windowed_event_counts(events_batch)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert len(got.collect()) > 0
+
+
+def test_session_windows_match_batch(spark, events_batch, events_stream_dir):
+    stream = _stream(spark, events_batch, events_stream_dir)
+    _drain_to_memory(
+        session_event_counts(stream), "sess_counts", "complete"
+    )
+    got = spark.sql("SELECT * FROM sess_counts")
+    want = session_event_counts(events_batch)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_stateful_running_totals(spark, events_batch, events_stream_dir):
+    stream = _stream(spark, events_batch, events_stream_dir)
+    _drain_to_memory(running_user_totals(stream), "user_totals", "update")
+    # update mode emits one row per touched user per batch; the running
+    # counter is monotone, so the final state is the per-user max.
+    got = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n FROM user_totals GROUP BY user_id"
+    )
+    want = events_batch.groupBy("user_id").agg(F.count("*").alias("n"))
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # state really crossed batches: some user's final count must exceed its
+    # first-batch emission (i.e. >1 distinct emitted values for some user)
+    multi = spark.sql(
+        "SELECT user_id FROM user_totals GROUP BY user_id"
+        " HAVING COUNT(DISTINCT n_events) > 1"
+    )
+    assert multi.count() > 0
+
+
+def test_incremental_index_matches_batch(
+    spark, events_batch, events_stream_dir, tmp_path
+):
+    index_path = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    stream = _stream(spark, events_batch, events_stream_dir)
+    q = start_index_maintenance(
+        stream, "event_type", index_path, ckpt, doc_id_col="event_id"
+    )
+    q.awaitTermination(120)
+    got = read_index(spark, index_path)
+    want = postings(events_batch, "event_type", "event_id")
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # more than one merge actually happened (two files → two batches)
+    assert got.count() > 0
+
+
+def test_merge_postings_batch_backfill(spark, events_batch, tmp_path):
+    index_path = str(tmp_path / "idx2")
+    first = events_batch.where(F.col("event_id") % 2 == 0)
+    second = events_batch.where(F.col("event_id") % 2 == 1)
+    merge_postings_batch(first, "event_type", index_path, "event_id")
+    merge_postings_batch(second, "event_type", index_path, "event_id")
+    got = read_index(spark, index_path)
+    want = postings(events_batch, "event_type", "event_id")
+    assert _sorted_rows(got) == _sorted_rows(want)
