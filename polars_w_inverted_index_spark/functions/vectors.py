@@ -48,6 +48,18 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(
+    a: Column | str, b: Column | str, na: Column, nb: Column
+) -> Column:
+    """Cosine given precomputed norms.  In pairwise plans (bucket
+    self-joins, query×corpus) norms are per-VECTOR, so computing them once
+    before the join instead of per-PAIR cuts the higher-order-function work
+    per candidate from 3 dot products to 1."""
+    return F.when(
+        (na > 0) & (nb > 0), dot(a, b) / (na * nb)
+    ).otherwise(F.lit(0.0))
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB twin — same zero-norm rule, double accumulation."""
     def _dot(x: str, y: str) -> str:

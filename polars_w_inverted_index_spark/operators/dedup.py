@@ -28,9 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long
+from ..functions.hashing import md5_long, uh_apply, uh_base
 from ..functions.text import tokens, word_shingles
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine_with_norms, norm
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -80,29 +80,24 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """``[doc_id, sig: array<long>]`` — sig[j] = min over shingles of
-    h_j(shingle), h_j = salted 60-bit md5.  Pure column expressions: the
-    signature computation is a narrow map, no shuffle at all."""
-    sh = word_shingles(text_col, shingle_k)
+    h_j(shingle), h_j from the universal family (a_j·md5(s) + b_j) mod p.
+
+    Plan shape: explode shingles → ONE md5 per shingle row → groupBy(doc_id)
+    with ``num_hashes`` integer min-aggregates.  One shuffle on doc_id with
+    map-side partial mins, so per-shingle work is a single hash plus k
+    multiply-adds — not k md5 pipelines.  (Higher-order-function transforms
+    can't CSE the shared md5 across k expressions, which made the purely
+    narrow formulation ~16× slower; the shuffle is the cheaper trade.)
+    """
+    hs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("s"),
+    ).select("doc_id", uh_base(F.col("s")).alias("h"))
     sig = F.array(
-        *[_min_salted_hash(sh, j).alias(f"h{j}") for j in range(num_hashes)]
+        *[F.min(uh_apply(F.col("h"), j)).alias(f"m{j}")
+          for j in range(num_hashes)]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
-
-
-def _min_salted_hash(shingles: Column, j: int) -> Column:
-    # NB: the transform lambda must be unary — PySpark passes the array
-    # INDEX as the second argument of binary lambdas, so `lambda s, j=j`
-    # would silently replace the salt with the element index.
-    def _h(s: Column) -> Column:
-        return _salted(s, j)
-
-    return F.array_min(F.transform(shingles, _h))
-
-
-def _salted(s: Column, j: int) -> Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 15), 16, 10
-    ).cast("long")
+    return hs.groupBy("doc_id").agg(sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -214,6 +209,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity pairs ``[doc_a, doc_b, jaccard]`` over
     distinct word-shingle sets, threshold-filtered.
@@ -229,6 +225,20 @@ def ngram_jaccard_pairs(
         F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
     ).withColumn("sh", F.md5("shingle")).drop("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        # df-cut: shingles in more than max_shingle_freq docs carry no
+        # near-dup signal but dominate the co-occurrence join (a shingle in
+        # m docs emits m²/2 candidate pairs).  NOTE sizes are computed
+        # BEFORE the cut, so the jaccard denominator stays exact; the cut
+        # only prunes which pairs can be discovered — standard recall
+        # trade of df-cut near-dup pipelines.
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -268,6 +278,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    n_dims: int = 64,
 ) -> DataFrame:
     """Near-dup pairs ``[doc_a, doc_b, cos_sim]`` by embedding cosine.
 
@@ -282,14 +293,21 @@ def embedding_cosine_pairs(
     from .similarity import hyperplane_signature
 
     mask = (1 << prefix_bits) - 1
-    sig = hyperplane_signature(df, n_planes, id_col, vec_col).select(
+    sig = hyperplane_signature(df, n_planes, id_col, vec_col, n_dims).select(
         F.col("vec_id"),
         F.col("sig").bitwiseAND(mask).alias("bucket"),
         F.col(vec_col),
+        norm(F.col(vec_col)).alias("nrm"),  # once per vector, not per pair
     )
     a, b = sig.alias("a"), sig.alias("b")
     cos = F.round(
-        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_digits
+        cosine_with_norms(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            F.col("a.nrm"),
+            F.col("b.nrm"),
+        ),
+        round_digits,
     )
     return (
         a.join(

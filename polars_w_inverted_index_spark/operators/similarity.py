@@ -24,8 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine_with_norms, norm
 
 
 def brute_force_topk(
@@ -43,10 +42,14 @@ def brute_force_topk(
     tie order identical across engines whose float sums differ in ulps.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         q.crossJoin(F.broadcast(c) if _is_small(c) else c)
@@ -54,7 +57,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("qv", "cv"), round_digits).alias("cos_sim"),
+            F.round(
+                cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -72,45 +78,44 @@ def _is_small(df: DataFrame) -> bool:
     return False
 
 
+def plane_weights(p: int, n_dims: int) -> list[int]:
+    """H_p[d] ∈ {-1,+1} from the parity of md5(f"plane{p}:{d}") —
+    deterministic, data-independent, identical in every engine.  Computed
+    driver-side ONCE and embedded as literals: per-row cost drops from
+    n_planes·n_dims md5 string pipelines to pure multiply-adds."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[:15], 16) & 1)
+        * 2
+        - 1
+        for d in range(n_dims)
+    ]
+
+
 def hyperplane_signature(
     df: DataFrame,
     n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_dims: int = 64,
 ) -> DataFrame:
     """``[vec_id, sig: long, embedding]`` — bit p of sig = sign of
-    <v, H_p> where H_p[d] = deterministic pseudo-random ±1 derived from
-    md5(p, d).  A ±1 hyperplane family is distribution-free and needs no
-    stored model; signature computation is a narrow map."""
+    <v, H_p> with H_p a literal ±1 weight vector (:func:`plane_weights`).
+    A ±1 hyperplane family is distribution-free and needs no stored model;
+    signature computation is a narrow map.  ``n_dims`` must equal the
+    embedding length (weights are materialized per dimension).
+    """
     v = F.col(vec_col)
-
-    def _plane_weights(p: int):
-        # H_p[d] in {-1, +1} from the parity of a 60-bit hash of (p, d).
-        # Unary lambda only: PySpark passes the array index as a second
-        # lambda argument, which would shadow the plane number.
-        def _w(d):
-            return (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"plane{p}:"), d.cast("string"))),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                )
-                .cast("long")
-                .bitwiseAND(1)
-                * 2
-                - 1
-            ).cast("double")
-
-        return F.transform(F.sequence(F.lit(0), F.size(v) - 1), _w)
-
     bits = []
     for p in range(n_planes):
+        w = F.array(*[F.lit(float(x)) for x in plane_weights(p, n_dims)])
+        # slice weights to the vector length so shorter vectors use a
+        # prefix of the plane instead of null-padding the zip
         proj = F.aggregate(
-            F.zip_with(v, _plane_weights(p), lambda x, h: x.cast("double") * h),
+            F.zip_with(
+                v, F.slice(w, 1, F.size(v)), lambda x, h: x.cast("double") * h
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -134,6 +139,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    n_dims: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share a ``prefix_bits`` LSH
     bucket, exact cosine re-ranks.  Returns the same shape as
@@ -144,15 +150,17 @@ def lsh_bucketed_topk(
     (bucket size scales as corpus / 2^prefix_bits for near-uniform data).
     """
     mask = (1 << prefix_bits) - 1
-    cs = hyperplane_signature(corpus, n_planes, id_col, vec_col).select(
+    cs = hyperplane_signature(corpus, n_planes, id_col, vec_col, n_dims).select(
         F.col("vec_id").alias("neighbor_id"),
         (F.col("sig").bitwiseAND(mask)).alias("bucket"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
     )
-    qs = hyperplane_signature(queries, n_planes, id_col, vec_col).select(
+    qs = hyperplane_signature(queries, n_planes, id_col, vec_col, n_dims).select(
         F.col("vec_id").alias("query_id"),
         (F.col("sig").bitwiseAND(mask)).alias("bucket"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
     scored = (
         qs.join(cs, "bucket")
@@ -160,7 +168,10 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("qv", "cv"), round_digits).alias("cos_sim"),
+            F.round(
+                cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as TX
-from .functions.hashing import md5_long_sql
+from .functions.hashing import md5_long_sql, uh_apply_sql, uh_base_sql
 from .functions.vectors import cosine_sql
 from .operators import dedup as DD
 from .operators import multimodal as MM
@@ -56,20 +56,29 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_sig_sql() -> list[str]:
+def _minhash_sig_ctes() -> str:
+    """Shingle-explode + universal-hash min-aggregation, mirroring
+    operators/dedup.minhash_signatures exactly (one md5 per shingle,
+    (a_j·h + b_j) mod p per permutation)."""
     sh = TX.word_shingles_sql("text")
-    return [
-        f"list_min(list_transform({sh}, s -> {md5_long_sql('s', j)}))"
-        for j in range(DD.NUM_HASHES)
-    ]
+    mins = ", ".join(
+        f"MIN({uh_apply_sql('h', j)}) AS s{j}" for j in range(DD.NUM_HASHES)
+    )
+    return f"""
+    sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+    hs AS (SELECT doc_id, {uh_base_sql('s')} AS h FROM sh),
+    sigs AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id)
+    """
 
 
 _register(
     "dedup_minhash_signatures",
     q_minhash_sigs,
     f"""
-    SELECT doc_id, [{', '.join(_minhash_sig_sql())}] AS sig
-    FROM documents
+    WITH {_minhash_sig_ctes()}
+    SELECT doc_id,
+           [{', '.join(f's{j}' for j in range(DD.NUM_HASHES))}] AS sig
+    FROM sigs
     """,
 )
 
@@ -80,9 +89,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_sql() -> str:
     r = DD.NUM_HASHES // DD.NUM_BANDS
-    sig_cols = ", ".join(
-        f"{expr} AS s{j}" for j, expr in enumerate(_minhash_sig_sql())
-    )
     band_selects = []
     for b in range(DD.NUM_BANDS):
         cat = "||','||".join(
@@ -93,7 +99,7 @@ def _minhash_lsh_sql() -> str:
         )
     bands = " UNION ALL ".join(band_selects)
     return f"""
-    WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+    WITH {_minhash_sig_ctes()},
     bands AS ({bands})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(*) AS n_shared_bands
@@ -133,22 +139,31 @@ def _simhash_sql() -> str:
 _register("dedup_simhash", q_simhash, _simhash_sql())
 
 
+JACCARD_MAX_DF = 50  # df-cut: shingles in more docs carry no dedup signal
+
+
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.2
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        max_shingle_freq=JACCARD_MAX_DF,
     )
 
 
-def _jaccard_sql(threshold: float = 0.2) -> str:
+def _jaccard_sql(threshold: float = 0.2, max_df: int = JACCARD_MAX_DF) -> str:
     sh = TX.word_shingles_sql("text")
     return f"""
     WITH sh AS (
       SELECT doc_id, md5(unnest({sh})) AS sh FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {max_df}
+    ),
+    cut AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM cut a JOIN cut b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -208,16 +223,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplane_sig_sql(vec: str, n_planes: int = 16) -> str:
-    """sig as a sum of per-plane sign bits (mirrors hyperplane_signature)."""
+def _hyperplane_sig_sql(vec: str, n_planes: int = 16, n_dims: int = 64) -> str:
+    """sig as a sum of per-plane sign bits (mirrors hyperplane_signature):
+    the same literal ±1 weights SIM.plane_weights embeds in the Spark plan."""
     terms = []
     for p in range(n_planes):
-        h = md5_long_sql("(i-1)::VARCHAR", None).replace(
-            "md5(", f"md5('plane{p}:'||", 1
-        )
+        w = "[" + ",".join(
+            f"{x}.0" for x in SIM.plane_weights(p, n_dims)
+        ) + "]"
         proj = (
-            f"list_sum(list_transform(range(1, length({vec}) + 1),"
-            f" i -> {vec}[i]::DOUBLE * ((({h} & 1) * 2 - 1))::DOUBLE))"
+            f"list_sum(list_transform(range(1, least(length({vec}),"
+            f" {n_dims}) + 1), i -> {vec}[i]::DOUBLE * ({w})[i]))"
         )
         terms.append(
             f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
