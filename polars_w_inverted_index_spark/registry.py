@@ -111,6 +111,26 @@ FROM lineitem JOIN ({_IDS_SQL}) ids ON l_orderkey = ids.doc_id
 """
 
 
+def q_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-point-lookup semantic (SURVEY.md §4: "which doc_ids hold value
+    X") — the query an IndexCatalog hit answers without scanning the base
+    table; here expressed over the live postings build."""
+    from .operators.inverted_index import value_lookup
+
+    eng = Engine(spark, df=_lineitem(spark, sf_dir), doc_id_col="l_orderkey")
+    return value_lookup(eng.get_field_values("l_returnflag"), "R")
+
+
+SQL_VALUE_LOOKUP = """
+SELECT CAST(l_returnflag AS VARCHAR) AS value,
+       list_sort(list(l_orderkey)) AS doc_ids
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL
+  AND CAST(l_returnflag AS VARCHAR) = 'R'
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry assembly
 # --------------------------------------------------------------------------
@@ -120,6 +140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "field_values_by_doc_ids": q_field_values_by_doc_ids,
     "numeric_stats": q_numeric_stats,
     "numeric_stats_by_doc_ids": q_numeric_stats_by_doc_ids,
+    "index_value_lookup": q_value_lookup,
 }
 
 ORACLES: dict[str, str] = {
@@ -127,6 +148,7 @@ ORACLES: dict[str, str] = {
     "field_values_by_doc_ids": SQL_FIELD_VALUES_BY_DOC_IDS,
     "numeric_stats": SQL_NUMERIC_STATS,
     "numeric_stats_by_doc_ids": SQL_NUMERIC_STATS_BY_DOC_IDS,
+    "index_value_lookup": SQL_VALUE_LOOKUP,
 }
 
 # Extension operators (dedup / similarity / text analysis / SQL breadth)
