@@ -158,6 +158,26 @@ class Engine:
         st.set_result_rows(1)
         return result, st.finalize()
 
+    # -- general predicates (SURVEY.md §2.2: absent in the reference, whose
+    # only row-restriction is the id-set join; free in Spark, so exposed) ----
+
+    def where(self, condition) -> "Engine":
+        """New Engine over ``df.filter(condition)`` (Column or SQL string).
+
+        Predicates compose with every query: e.g.
+        ``eng.where("level = 'error'").get_numeric_stats("payload_size")``.
+        Filters reach the parquet scan via Catalyst pushdown — strictly more
+        capable than the reference's join-only restriction (main.rs:310-318).
+        """
+        return Engine(
+            self.spark,
+            df=self._df.filter(condition),
+            doc_id_col=self.doc_id_col,
+            low_memory=self.low_memory,
+            index_catalog=None,  # filtered view ≠ the indexed base table
+            table_name=f"{self.table_name}(filtered)",
+        )
+
     # -- convenience ---------------------------------------------------------
 
     def to_value_map(self, field: str) -> dict[str, list[int]]:

@@ -552,6 +552,77 @@ _register(
 )
 
 
+def q_agg_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation breadth beyond the reference's min/max/avg (SURVEY.md
+    §2.4 'absent' row): count, distinct count, sum, sample stddev, exact
+    median — all built-in, partial-aggregated map-side by Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "median_price"
+        ),
+    )
+
+
+_register(
+    "sql_agg_breadth",
+    q_agg_breadth,
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via rollup (flag → flag+status → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+_register(
+    "sql_rollup",
+    q_rollup,
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+
+def q_both_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers holding both open ('O') and finished ('F') orders."""
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(f_c)
+
+
+_register(
+    "sql_set_intersect",
+    q_both_status_customers,
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation over the events stream table."""
     e = load_table(spark, sf_dir, "events")

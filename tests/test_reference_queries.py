@@ -97,6 +97,15 @@ def test_postings_chunked_bounded_rows(spark):
     assert sum(1 for r in out if r["value"] == "hot") >= 2
 
 
+def test_where_composes_with_queries(spark, tiny):
+    eng = Engine(spark, df=tiny).where("level = 'info'")
+    assert eng.to_value_map("active") == {"true": [1, 3]}
+    result, _ = eng.get_numeric_stats_collected("clicks")
+    assert (result.min, result.max) == (10.0, 50.0)  # docs 1,3(null),null-id
+    # filtered view never answers from a stale index
+    assert eng.catalog is None
+
+
 def test_isin_and_join_paths_agree(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ids = list(range(0, 300, 3))
