@@ -210,6 +210,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity pairs ``[doc_a, doc_b, jaccard]`` over
     distinct word-shingle sets, threshold-filtered.
@@ -220,10 +221,21 @@ def ngram_jaccard_pairs(
     creating hot shingle keys — ``max_shingle_freq`` drops shingles that
     occur in more than that many docs (standard df-cut in near-dup
     pipelines), bounding every co-occurrence bucket."""
+    # 60-bit integer shingle keys: an 8-byte join/shuffle key instead of a
+    # 32-char md5 string (collision odds ~n²/2^61 — nil at any corpus size
+    # where exact jaccard is still the right tool).
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
-    ).withColumn("sh", F.md5("shingle")).drop("shingle")
+    ).select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+    if persist_intermediate:
+        # the shingle frame feeds three plan branches (both self-join sides
+        # + the sizes agg); without persistence the tokenize→shingle→hash
+        # pipeline — interpreted higher-order exprs — runs three times.
+        # MEMORY_AND_DISK: spills instead of OOM at scale.
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         # df-cut: shingles in more than max_shingle_freq docs carry no

@@ -154,7 +154,8 @@ def _jaccard_sql(threshold: float = 0.2, max_df: int = JACCARD_MAX_DF) -> str:
     sh = TX.word_shingles_sql("text")
     return f"""
     WITH sh AS (
-      SELECT doc_id, md5(unnest({sh})) AS sh FROM documents
+      SELECT doc_id, {md5_long_sql("unnest(" + sh + ")")} AS sh
+      FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     rare AS (
