@@ -130,6 +130,95 @@ def hyperplane_signature(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) partition.
+
+    - **Centroids**: the ``n_centroids`` lowest-id corpus vectors —
+      deterministic seeding, no RNG and no training job (a k-means
+      refinement is a drop-in replacement: it only changes the centroid
+      frame).  Centroids are tiny and broadcast.
+    - **Assign**: every corpus vector joins the broadcast centroids, keeps
+      its argmax-cosine centroid — one narrow pass over the corpus, output
+      is an (id, cell) inverted file.  At 100 TB this is the one full scan,
+      and it's reusable across queries (materialize like an index).
+    - **Probe**: each query ranks centroids, searches only its ``nprobe``
+      best cells via an equi-join on cell id, exact cosine re-ranks.
+
+    Recall dial = (n_centroids, nprobe): cost per query ~ |corpus| ·
+    nprobe / n_centroids candidates.  Complements LSH bucketing: IVF
+    adapts to the data's actual directions (with trained centroids) where
+    hyperplane LSH is distribution-free.
+    """
+    cent = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("centv"),
+        norm(F.col(vec_col)).alias("centn"),
+    )
+
+    def _cells(df: DataFrame, out_id: str, keep_n: int) -> DataFrame:
+        scored = (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias("v"),
+                norm(F.col(vec_col)).alias("vn"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                out_id,
+                "v",
+                "vn",
+                "cid",
+                F.round(
+                    cosine_with_norms("v", "centv", F.col("vn"), F.col("centn")),
+                    round_digits,
+                ).alias("ccos"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= keep_n)
+            .select(out_id, "cid", "v", "vn")
+        )
+
+    inv_file = _cells(corpus, "neighbor_id", 1).withColumnRenamed(
+        "v", "cv"
+    ).withColumnRenamed("vn", "cn")
+    probes = _cells(queries, "query_id", nprobe).withColumnRenamed(
+        "v", "qv"
+    ).withColumnRenamed("vn", "qn")
+    scored = (
+        probes.join(inv_file, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

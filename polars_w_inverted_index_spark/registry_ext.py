@@ -276,6 +276,70 @@ def _ann_lsh_sql(n_planes: int = 16, prefix_bits: int = 8) -> str:
 _register("similarity_lsh_topk", q_ann_lsh, _ann_lsh_sql())
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < N_QUERY_VECS),
+        k=TOPK,
+        n_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+    )
+
+
+def _ann_ivf_sql() -> str:
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS centv FROM embeddings
+      WHERE vec_id < {IVF_CENTROIDS}
+    ),
+    corpus_cos AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
+             ROUND({cosine_sql('e.embedding', 'c.centv')}, 5) AS ccos
+      FROM embeddings e, cent c
+    ),
+    inv AS (
+      SELECT neighbor_id, cv, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY neighbor_id ORDER BY ccos DESC, cid
+        ) AS rn FROM corpus_cos
+      ) WHERE rn = 1
+    ),
+    query_cos AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid,
+             ROUND({cosine_sql('e.embedding', 'c.centv')}, 5) AS ccos
+      FROM embeddings e, cent c WHERE e.vec_id < {N_QUERY_VECS}
+    ),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY ccos DESC, cid
+        ) AS rn FROM query_cos
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND({cosine_sql('qv', 'cv')}, 5) AS cos_sim
+      FROM probes JOIN inv USING (cid)
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOPK}
+    """
+
+
+_register("similarity_ivf_topk", q_ann_ivf, _ann_ivf_sql())
+
+
 # Embedding-cosine near-dup (dedup family, but reuses the hyperplane SQL).
 EMB_NEARDUP_THRESHOLD = 0.2  # test embeddings are near-random (max cos ~0.4)
 

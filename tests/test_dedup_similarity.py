@@ -97,6 +97,27 @@ def test_brute_force_topk(spark, vectors):
     assert sims[2] == 0.0
 
 
+def test_ivf_topk_recall(spark):
+    # real-ish fixture: the driver embeddings at sf0.001
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, q, k=5).collect()
+    }
+    got = SIM.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=8).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    # every query answered with k well-formed rows
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    # probing half the cells recovers a solid share of true neighbors
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
 def test_lsh_topk_agrees_on_identicalish(spark, vectors):
     out = SIM.lsh_bucketed_topk(
         vectors, vectors.where(F.col("vec_id") == 0), k=4, prefix_bits=2
