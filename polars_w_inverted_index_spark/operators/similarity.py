@@ -130,6 +130,80 @@ def hyperplane_signature(
     )
 
 
+def brute_force_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via per-partition numpy GEMM (``mapInPandas``).
+
+    Same result contract as :func:`brute_force_topk`; different engine
+    path.  The expression form evaluates an interpreted higher-order dot
+    per (query, candidate) pair; here each Arrow batch of corpus vectors
+    becomes one matrix, queries are collected once to the driver (they are
+    small by contract — this is the k-NN-against-query-set shape) and
+    shipped in the closure, and scoring is one C·Qᵀ GEMM per batch —
+    the one hot path where Python beats built-in expressions because it
+    buys BLAS.  Per-batch local top-k keeps the shuffle tiny: only
+    |Q|·k rows per batch reach the final global rank.
+    """
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm_safe = np.where(q_norm > 0, q_norm, 1.0)
+
+    def _score(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c_ids = pdf["nid"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm_safe = np.where(c_norm > 0, c_norm, 1.0)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm_safe, q_norm_safe)
+            sims[c_norm == 0, :] = 0.0
+            sims[:, q_norm == 0] = 0.0
+            sims = np.round(sims, round_digits)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = c_ids != q_ids[j]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                # local top-k, ties broken by id (matches the global rank)
+                top = idx[np.lexsort((c_ids[idx], -col[idx]))[:k]]
+                out_q.extend([q_ids[j]] * len(top))
+                out_n.extend(c_ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
+    ).mapInPandas(
+        _score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

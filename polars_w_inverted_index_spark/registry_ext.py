@@ -194,10 +194,7 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(
-    "similarity_bruteforce_topk",
-    q_ann_brute,
-    f"""
+_BRUTE_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -213,8 +210,9 @@ _register(
     )
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {TOPK}
-    """,
-)
+    """
+
+_register("similarity_bruteforce_topk", q_ann_brute, _BRUTE_SQL)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +336,19 @@ def _ann_ivf_sql() -> str:
 
 
 _register("similarity_ivf_topk", q_ann_ivf, _ann_ivf_sql())
+
+
+def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM (mapInPandas/BLAS) engine path for exact top-k.  Rows-only
+    driver check: same contract as similarity_bruteforce_topk, whose
+    oracle pins the values; tests assert both paths agree exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk_gemm(
+        emb, emb.where(F.col("vec_id") < N_QUERY_VECS), k=TOPK
+    )
+
+
+_register("similarity_bruteforce_topk_gemm", q_ann_gemm, _BRUTE_SQL)
 
 
 # Embedding-cosine near-dup (dedup family, but reuses the hyperplane SQL).

@@ -97,6 +97,16 @@ def test_brute_force_topk(spark, vectors):
     assert sims[2] == 0.0
 
 
+def test_gemm_topk_matches_expression_path(spark):
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    want = sorted(map(tuple, SIM.brute_force_topk(emb, q, k=5).collect()))
+    got = sorted(map(tuple, SIM.brute_force_topk_gemm(emb, q, k=5).collect()))
+    assert got == want
+
+
 def test_ivf_topk_recall(spark):
     # real-ish fixture: the driver embeddings at sf0.001
     from polars_w_inverted_index_spark.sources.tables import load_table
