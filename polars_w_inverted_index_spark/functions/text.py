@@ -50,6 +50,28 @@ def token_count_sql(expr: str) -> str:
     return f"CAST(length({tokens_sql(expr)}) AS BIGINT)"
 
 
+# BPE-ish lexer: letter runs, single digits, single non-space symbols —
+# the GPT-2 pattern's shape without \p classes, so Java regex (Spark) and
+# RE2 (DuckDB) tokenize identically.
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token count — the LLM-pipeline cost estimate, distinct
+    from whitespace :func:`token_count` (digits and punctuation count one
+    token each, like byte-level BPE's worst case)."""
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit(BPE_RE), F.lit(0))
+    ).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(length(regexp_extract_all({expr},"
+        f" '{BPE_RE}')) AS BIGINT)"
+    )
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingle strings (space-joined).  Shorter-than-k
     documents contribute their whole text as one shingle.

@@ -397,6 +397,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select(
         "doc_id",
         TX.token_count("text").alias("n_tok"),
+        TX.bpe_token_count("text").alias("n_bpe_tok"),
         TX.lang_id("text").alias("pred_lang"),
         *TX.quality_metrics("text"),
     )
@@ -408,6 +409,7 @@ _register(
     f"""
     SELECT doc_id,
            {TX.token_count_sql('text')} AS n_tok,
+           {TX.bpe_token_count_sql('text')} AS n_bpe_tok,
            {TX.lang_id_sql('text')} AS pred_lang,
            {', '.join(TX.quality_metrics_sql('text'))}
     FROM documents
