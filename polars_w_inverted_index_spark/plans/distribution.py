@@ -1,0 +1,102 @@
+"""Data-distribution primitives: bucketed co-located joins, skew salting.
+
+The brief scale levers beyond AQE's automatic handling (session.py):
+
+- **Bucketing** removes the shuffle from every future equi-join/agg on the
+  bucket key: both sides are written pre-hash-partitioned (and per-bucket
+  sorted), so Catalyst plans a join with NO Exchange.  At 100 TB this is
+  the difference between re-shuffling the fact table per query and never
+  shuffling it again — the storage-layout analog of the reference's
+  one-time sort by doc_id (main.rs:233).
+- **Salting** splits one pathological key across ``salt_factor`` reducers.
+  AQE's skew-join split (enabled by default here) covers sort-merge joins
+  adaptively; the manual primitive remains for broadcast-ineligible cases
+  and for aggregations, and as the explicit, plan-visible form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and per-bucket sorted) by ``key``.
+
+    Readers joining/aggregating two tables bucketed with the SAME bucket
+    count on the SAME key get an exchange-free plan.  Bucket count is a
+    layout contract — pick once per lake (e.g. 4096 at 100 TB: ~25 GB per
+    bucket per 100 TB table, split further by files).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a stale managed-table directory (e.g. from a dropped metastore)
+    # blocks CREATE even after DROP — clear it
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table.split('.')[-1]}", ignore_errors=True)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, key
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def salt_column(salt_factor: int) -> Column:
+    """Uniform per-row salt in [0, salt_factor) — row-identity based, so
+    it splits even a single hot key's rows evenly."""
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_factor)
+    ).cast("int")
+
+
+def salted_inner_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Inner equi-join where ``big`` has skewed keys: big rows get a random
+    salt, the small side is replicated ``salt_factor``× so every (key,
+    salt) pair still matches.  Shuffle load per hot key drops by
+    salt_factor at the cost of replicating the small side's shuffle.
+    Result is identical to ``big.join(small, key)`` — only row
+    distribution changes.
+    """
+    big_s = big.withColumn("_salt", salt_column(salt_factor))
+    small_s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast(
+            "array<int>"
+        )),
+    )
+    return big_s.join(small_s, [key, "_salt"], "inner").drop("_salt")
+
+
+def salted_count(
+    df: DataFrame, key: str, salt_factor: int = 8
+) -> DataFrame:
+    """``groupBy(key).count()`` in two stages (salted partial → final) so
+    one hot key never lands on a single reducer.
+
+    NOTE Spark's hash aggregates already do map-side partial combine, which
+    handles most count/sum skew; the explicit two-stage form matters for
+    aggregation states that don't combine cheaply (collect_list — see
+    postings_chunked — or large HLL sketches) and is shown here in its
+    simplest shape.
+    """
+    partial = (
+        df.withColumn("_salt", salt_column(salt_factor))
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_c"))
+    )
+    return partial.groupBy(key).agg(F.sum("_c").alias("count"))
