@@ -1,0 +1,106 @@
+"""Property-based oracle fuzz: engine vs DuckDB on random tiny frames.
+
+Randomizes exactly the §1.4 fine print the fixed fixtures can only spot-
+check — null doc_ids, null values, duplicate ids in the table AND in the
+request list, empty inputs — and asserts the Spark engine agrees with
+DuckDB running the contract SQL on the same rows.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from polars_w_inverted_index_spark import Engine
+from polars_w_inverted_index_spark.session import get_session
+
+ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 15)),            # doc_id
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # value
+        st.one_of(st.none(), st.integers(-5, 5)),            # metric
+    ),
+    min_size=0,
+    max_size=25,
+)
+IDS = st.lists(st.integers(0, 15), min_size=0, max_size=8)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _frames(rows):
+    spark = get_session("property_tests")
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, value string, metric long"
+    )
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(rows, columns=["doc_id", "value", "metric"]).astype(
+            {"doc_id": "Int64", "metric": "Int64"}
+        ),
+    )
+    return spark, sdf, con
+
+
+@_SETTINGS
+@given(rows=ROWS)
+def test_postings_match_duckdb(rows):
+    spark, sdf, con = _frames(rows)
+    got = {
+        r["value"]: list(r["doc_ids"])
+        for r in Engine(spark, df=sdf).get_field_values("value").collect()
+    }
+    want = dict(
+        con.execute(
+            "SELECT value, list_sort(list(doc_id)) FROM t "
+            "WHERE value IS NOT NULL AND doc_id IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@_SETTINGS
+@given(rows=ROWS, ids=IDS)
+def test_postings_by_ids_match_duckdb(rows, ids):
+    spark, sdf, con = _frames(rows)
+    got = {
+        r["value"]: list(r["doc_ids"])
+        for r in Engine(spark, df=sdf)
+        .get_field_values_by_doc_ids("value", ids)
+        .collect()
+    }
+    id_rows = pd.DataFrame({"doc_id": pd.Series(ids, dtype="Int64")})
+    con.register("ids", id_rows)
+    # inner join: absent ids dropped, duplicate requested ids multiply
+    want = dict(
+        con.execute(
+            "SELECT value, list_sort(list(t.doc_id)) FROM t "
+            "JOIN ids ON t.doc_id = ids.doc_id "
+            "WHERE value IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@_SETTINGS
+@given(rows=ROWS)
+def test_numeric_stats_match_duckdb(rows):
+    spark, sdf, con = _frames(rows)
+    result, _ = Engine(spark, df=sdf).get_numeric_stats_collected("metric")
+    want = con.execute(
+        "SELECT CAST(MIN(metric) AS DOUBLE), CAST(MAX(metric) AS DOUBLE),"
+        " AVG(CAST(metric AS DOUBLE)) FROM t"
+    ).fetchone()
+    assert (result.min, result.max) == want[:2]
+    if want[2] is None:
+        assert result.avg is None
+    else:
+        assert result.avg == pytest.approx(want[2])
