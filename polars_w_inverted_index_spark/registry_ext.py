@@ -797,6 +797,40 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental-merge logic, oracle-gated: two half-table
+    merges into a fresh versioned index must equal the one-shot postings
+    build (streaming/index_maintenance.py)."""
+    import tempfile
+
+    from .streaming.index_maintenance import merge_postings_batch, read_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="spark_graft_inc_idx_")
+    merge_postings_batch(
+        li.where(F.col("l_orderkey") % 2 == 0), "l_returnflag", d,
+        doc_id_col="l_orderkey",
+    )
+    merge_postings_batch(
+        li.where(F.col("l_orderkey") % 2 == 1), "l_returnflag", d,
+        doc_id_col="l_orderkey",
+    )
+    return read_index(spark, d)
+
+
+_register(
+    "streaming_incremental_index",
+    q_incremental_index,
+    """
+    SELECT CAST(l_returnflag AS VARCHAR) AS value,
+           list_sort(list(l_orderkey)) AS doc_ids
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL
+    GROUP BY 1
+    """,
+)
+
+
 _register(
     "streaming_windowed_counts",
     q_stream_windowed,
