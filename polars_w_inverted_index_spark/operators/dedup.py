@@ -25,7 +25,7 @@ the DuckDB oracle can reproduce every pipeline bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, uh_apply, uh_base

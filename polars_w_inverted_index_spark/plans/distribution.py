@@ -16,7 +16,7 @@ The brief scale levers beyond AQE's automatic handling (session.py):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 

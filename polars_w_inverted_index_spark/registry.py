@@ -28,9 +28,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import Engine
-from .operators.inverted_index import postings
-from .operators.stats import numeric_stats
-from .plans.rewrite import filter_by_doc_ids
 from .sources.tables import load_table
 
 # Canonical id set for *_by_doc_ids queries — the reference uses

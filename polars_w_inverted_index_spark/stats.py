@@ -12,7 +12,6 @@ the reference's ``get_numeric_stats_refactored`` forgets to set, SURVEY.md
 from __future__ import annotations
 
 import itertools
-import os
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
