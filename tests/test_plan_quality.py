@@ -1,0 +1,62 @@
+"""Plan-quality gates: the physical plans stay the plans we designed.
+
+Correctness is the oracle suite's job; these tests pin the SCALE.md
+properties — no accidental Python eval nodes, pushdown reaching the scan,
+broadcast on star dims — so a future edit that silently degrades a plan
+fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_w_inverted_index_spark.registry import QUERIES
+
+# Queries whose plans intentionally contain Python (Arrow-batched
+# mapInPandas operators — the documented exceptions).
+PYTHON_OK = {
+    "multimodal_image_features",
+    "similarity_bruteforce_topk_gemm",
+}
+
+
+def _plan(df) -> str:
+    # executedPlan triggers planning only, not execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_python_in_jvm_plans(spark, sf_dir, name):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    python_nodes = [
+        marker
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas")
+        if marker in plan
+    ]
+    if name in PYTHON_OK:
+        assert python_nodes, f"{name} expected a pandas node"
+    else:
+        assert not python_nodes, f"{name} plan fell off the JVM: {python_nodes}"
+
+
+def test_id_set_filter_reaches_scan(spark, sf_dir):
+    plan = _plan(QUERIES["field_values_by_doc_ids"](spark, sf_dir))
+    assert "PushedFilters: [In(l_orderkey" in plan  # row-group prunable
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linestatus:string>" in plan
+
+
+def test_column_pruning_on_stats(spark, sf_dir):
+    plan = _plan(QUERIES["numeric_stats"](spark, sf_dir))
+    # 1 of 11 lineitem columns read
+    assert "ReadSchema: struct<l_extendedprice:double>" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(QUERIES["sql_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_postings_aggregates_partially_mapside(spark, sf_dir):
+    plan = _plan(QUERIES["field_values"](spark, sf_dir))
+    assert "partial_collect_list" in plan  # map-side combine before shuffle
