@@ -20,6 +20,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Fan a compute-heavy input out to at least the cluster's parallelism.
+
+    Byte-based planning undersizes CPU-bound stages: a small single-file
+    scan arrives as ONE partition, so per-row-expensive work (hashing every
+    n-gram, 64-dim cosines) serializes onto one core no matter how many the
+    cluster has.  A round-robin repartition costs one tiny shuffle and buys
+    full fan-out.  No-op when the input already has enough partitions — the
+    100 TB case, where scans arrive thousands-wide — so this never adds a
+    shuffle at scale.  Use AFTER filters (so pushdown still reaches the
+    scan) and only in front of genuinely expensive per-row work.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

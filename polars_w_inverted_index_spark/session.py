@@ -24,6 +24,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing is byte-based; its default 1 MB floor collapses
+    # CPU-heavy-but-byte-light shuffles (minhash/simhash/cosine stages over
+    # compact rows) onto 1-2 cores.  A 64 KB floor lets parallelismFirst
+    # keep such stages cluster-wide; at 100 TB partitions are far above
+    # either floor, so this only affects the small-data regime.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Runtime bloom-filter join: injects the small (id-set) side's keys as a
     # filter on the big scan — the Spark-native answer to the reference's
     # join-as-filter pattern (SURVEY.md §4 "Join-as-filter → scan pruning").
