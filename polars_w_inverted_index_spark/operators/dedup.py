@@ -215,6 +215,12 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity pairs ``[doc_a, doc_b, jaccard]`` over
     distinct word-shingle sets, threshold-filtered.
 
+    The persisted shingle frame is exposed on the result as
+    ``result.persisted_intermediates``; call :func:`release_intermediates`
+    (or ``.unpersist()`` each) once the result is materialized — otherwise
+    the cached blocks live for the session (bounded by LRU eviction, but a
+    leak across repeated calls).
+
     Never a cross join: docs are paired through a shingle co-occurrence
     join (shingle → docs holding it), so disjoint documents cost nothing.
     At 100 TB the one watch-out is ultra-common shingles (stop phrases)
@@ -262,7 +268,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    result = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -276,6 +282,17 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    result.persisted_intermediates = (
+        [sh] if persist_intermediate else []
+    )
+    return result
+
+
+def release_intermediates(df: DataFrame) -> None:
+    """Unpersist intermediates attached by :func:`ngram_jaccard_pairs`
+    (no-op for frames without any)."""
+    for cached in getattr(df, "persisted_intermediates", []):
+        cached.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -88,19 +88,17 @@ def postings_chunked(
         F.lit(1), F.ceil(F.col("n") / F.lit(max_postings_per_row))
     ).alias("n_chunks")
     sized = counts.select("value", n_chunks)
+    # No forced broadcast of the per-value counts frame: for a
+    # high-cardinality field (e.g. a unique-per-row session id) it is the
+    # size of the corpus, and a static F.broadcast would OOM at exactly the
+    # scale this chunked path exists for.  AQE converts the join to
+    # broadcast at runtime when the measured size is actually small.
     return (
-        base.join(F.broadcast(sized) if _small(sized) else sized, "value")
+        base.join(sized, "value")
         .withColumn("chunk", F.pmod(F.xxhash64("doc_id"), F.col("n_chunks")))
         .groupBy("value", "chunk")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
     )
-
-
-def _small(df: DataFrame) -> bool:
-    # Value-cardinality frames are usually tiny (distinct values of one
-    # field); broadcast unless the plan suggests otherwise. AQE would also
-    # convert at runtime — this is just a static nudge.
-    return True
 
 
 def value_lookup(index_df: DataFrame, value: str) -> Column | DataFrame:

@@ -137,6 +137,7 @@ def brute_force_topk_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k via per-partition numpy GEMM (``mapInPandas``).
 
@@ -152,9 +153,28 @@ def brute_force_topk_gemm(
     """
     import numpy as np
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
+    # Contract guard: the query set is collected to the driver and shipped
+    # in every task's closure — small by definition.  limit(n+1) bounds the
+    # collect itself, so a corpus passed as `queries` by mistake fails
+    # loudly instead of OOMing the driver.
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk_gemm collects the query set to the driver; "
+            f"got > max_query_rows={max_query_rows} rows. Use "
+            f"brute_force_topk / lsh_bucketed_topk for large query sets, "
+            f"or raise max_query_rows explicitly."
+        )
+    if not q_rows:
+        # np.linalg.norm on a (0,) array would raise before any Spark work;
+        # an empty query set has a well-defined empty answer.
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import Engine
+from .functions.canon import csv_array, csv_array_sql
 from .sources.tables import load_table
 
 # Canonical id set for *_by_doc_ids queries — the reference uses
@@ -50,12 +51,12 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_field_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-table postings on l_returnflag (≈ get_field_values, main.rs:398)."""
     eng = Engine(spark, df=_lineitem(spark, sf_dir), doc_id_col="l_orderkey")
-    return eng.get_field_values("l_returnflag")
+    return csv_array(eng.get_field_values("l_returnflag"), "doc_ids")
 
 
-SQL_FIELD_VALUES = """
+SQL_FIELD_VALUES = f"""
 SELECT CAST(l_returnflag AS VARCHAR) AS value,
-       list_sort(list(l_orderkey)) AS doc_ids
+       {csv_array_sql('list(l_orderkey)')} AS doc_ids
 FROM lineitem
 WHERE l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL
 GROUP BY 1
@@ -65,12 +66,14 @@ GROUP BY 1
 def q_field_values_by_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Id-set postings on l_linestatus (≈ main.rs:271-395)."""
     eng = Engine(spark, df=_lineitem(spark, sf_dir), doc_id_col="l_orderkey")
-    return eng.get_field_values_by_doc_ids("l_linestatus", DOC_IDS)
+    return csv_array(
+        eng.get_field_values_by_doc_ids("l_linestatus", DOC_IDS), "doc_ids"
+    )
 
 
 SQL_FIELD_VALUES_BY_DOC_IDS = f"""
 SELECT CAST(l_linestatus AS VARCHAR) AS value,
-       list_sort(list(l_orderkey)) AS doc_ids
+       {csv_array_sql('list(l_orderkey)')} AS doc_ids
 FROM lineitem JOIN ({_IDS_SQL}) ids ON l_orderkey = ids.doc_id
 WHERE l_linestatus IS NOT NULL AND l_orderkey IS NOT NULL
 GROUP BY 1
@@ -115,17 +118,58 @@ def q_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.inverted_index import value_lookup
 
     eng = Engine(spark, df=_lineitem(spark, sf_dir), doc_id_col="l_orderkey")
-    return value_lookup(eng.get_field_values("l_returnflag"), "R")
+    return csv_array(
+        value_lookup(eng.get_field_values("l_returnflag"), "R"), "doc_ids"
+    )
 
 
-SQL_VALUE_LOOKUP = """
+SQL_VALUE_LOOKUP = f"""
 SELECT CAST(l_returnflag AS VARCHAR) AS value,
-       list_sort(list(l_orderkey)) AS doc_ids
+       {csv_array_sql('list(l_orderkey)')} AS doc_ids
 FROM lineitem
 WHERE l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL
   AND CAST(l_returnflag AS VARCHAR) = 'R'
 GROUP BY 1
 """
+
+
+def q_postings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked postings path (SURVEY.md §7 hard part #1): a deliberately
+    small ``max_postings_per_row`` forces real multi-chunk splitting at
+    sf0.01 (~20k rows/value ÷ 500 → ~40 chunks per value), then chunks are
+    re-merged to the logical ``[value, doc_ids]`` shape so the oracle is
+    the plain full-table postings SQL — chunked == unchunked, proven."""
+    from .operators.inverted_index import postings_chunked
+
+    chunked = postings_chunked(
+        _lineitem(spark, sf_dir),
+        "l_returnflag",
+        doc_id_col="l_orderkey",
+        max_postings_per_row=500,
+    )
+    merged = chunked.groupBy("value").agg(
+        F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias("doc_ids")
+    )
+    return csv_array(merged, "doc_ids", sort=False)  # sorted by the merge
+
+
+def q_index_catalog_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexCatalog build→lookup roundtrip (SURVEY.md §4's "one custom
+    piece"): materialize the postings index as a parquet side table, then
+    answer the field-values query FROM the index — must equal the
+    base-table build (same oracle SQL as ``field_values``)."""
+    import tempfile
+
+    from .plans.catalog import IndexCatalog
+
+    cat = IndexCatalog(
+        spark, tempfile.mkdtemp(prefix="spark_graft_idxcat_")
+    )
+    cat.build(
+        _lineitem(spark, sf_dir), "lineitem", "l_returnflag",
+        doc_id_col="l_orderkey",
+    )
+    return csv_array(cat.lookup("lineitem", "l_returnflag"), "doc_ids")
 
 
 # --------------------------------------------------------------------------
@@ -138,6 +182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "numeric_stats": q_numeric_stats,
     "numeric_stats_by_doc_ids": q_numeric_stats_by_doc_ids,
     "index_value_lookup": q_value_lookup,
+    "postings_chunked_merged": q_postings_chunked,
+    "index_catalog_lookup": q_index_catalog_lookup,
 }
 
 ORACLES: dict[str, str] = {
@@ -146,6 +192,8 @@ ORACLES: dict[str, str] = {
     "numeric_stats": SQL_NUMERIC_STATS,
     "numeric_stats_by_doc_ids": SQL_NUMERIC_STATS_BY_DOC_IDS,
     "index_value_lookup": SQL_VALUE_LOOKUP,
+    "postings_chunked_merged": SQL_FIELD_VALUES,
+    "index_catalog_lookup": SQL_FIELD_VALUES,
 }
 
 # Extension operators (dedup / similarity / text analysis / SQL breadth)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as TX
+from .functions.canon import csv_array, csv_array_sql
 from .functions.hashing import md5_long_sql, uh_apply_sql, uh_base_sql
 from .functions.vectors import cosine_sql
 from .operators import dedup as DD
@@ -53,7 +54,12 @@ _register(
 
 
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    # sig order is positional (permutation j) — CSV-rendered unsorted
+    return csv_array(
+        DD.minhash_signatures(load_table(spark, sf_dir, "documents")),
+        "sig",
+        sort=False,
+    )
 
 
 def _minhash_sig_ctes() -> str:
@@ -77,7 +83,10 @@ _register(
     f"""
     WITH {_minhash_sig_ctes()}
     SELECT doc_id,
-           [{', '.join(f's{j}' for j in range(DD.NUM_HASHES))}] AS sig
+           {csv_array_sql(
+               '[' + ', '.join(f's{j}' for j in range(DD.NUM_HASHES)) + ']',
+               sort=False,
+           )} AS sig
     FROM sigs
     """,
 )
@@ -419,13 +428,19 @@ _register(
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
-    return doc.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+    # min-k sketch is already sorted ascending by construction
+    return csv_array(
+        doc.select("doc_id", TX.fingerprint("text").alias("fingerprint")),
+        "fingerprint",
+        sort=False,
+    )
 
 
 _register(
     "text_fingerprint",
     q_text_fingerprint,
-    f"SELECT doc_id, {TX.fingerprint_sql('text')} AS fingerprint"
+    f"SELECT doc_id,"
+    f" {csv_array_sql(TX.fingerprint_sql('text'), sort=False)} AS fingerprint"
     " FROM documents",
 )
 
@@ -438,14 +453,17 @@ def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(TX.tokens("text"))).alias("term"),
     )
-    return postings(exploded, "term").withColumnRenamed("value", "term")
+    return csv_array(
+        postings(exploded, "term").withColumnRenamed("value", "term"),
+        "doc_ids",
+    )
 
 
 _register(
     "text_term_postings",
     q_term_postings,
     f"""
-    SELECT term, list_sort(list(doc_id)) AS doc_ids
+    SELECT term, {csv_array_sql('list(doc_id)')} AS doc_ids
     FROM (
       SELECT doc_id, unnest(list_distinct({TX.tokens_sql('text')})) AS term
       FROM documents
@@ -488,9 +506,13 @@ _register(
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAKE-container decode + per-item pixel stats through mapInPandas.
 
-    Rows-only driver check (no oracle): media decode is genuinely
-    non-SQL-expressible — correctness is pinned by unit tests against
-    numpy-computed expectations (tests/test_multimodal.py).
+    The 16×16 payload is a deterministic function of media_id
+    (``pix[i] = (media_id·31 + i·7) mod 256``), so the full decode path —
+    header parse, payload reduction — is oracle-checkable: DuckDB recomputes
+    the same pixels arithmetically and the per-item mean/min/max must match
+    bit-for-bit (mean = integer sum ÷ 256, exact in binary floating point).
+    The Spark side still round-trips real container bytes through
+    ``encode_fake`` → ``extract_features`` (mapInPandas, Arrow batches).
     """
     import pandas as pd
 
@@ -499,16 +521,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _to_fake(it):
         for pdf in it:
             rows = []
-            for mid, data in zip(pdf["media_id"], pdf["data"]):
-                payload = bytes(data)[:256].ljust(256, b"\0")
+            for mid in pdf["media_id"]:
+                payload = bytes(
+                    (int(mid) * 31 + i * 7) % 256 for i in range(256)
+                )
                 rows.append((mid, MM.encode_fake("I", 16, 16, payload)))
             yield pd.DataFrame(rows, columns=["media_id", "data"])
 
-    fake = media.mapInPandas(_to_fake, "media_id long, data binary")
+    fake = media.select("media_id").mapInPandas(
+        _to_fake, "media_id long, data binary"
+    )
     return MM.extract_features(fake)
 
 
-_register("multimodal_image_features", q_media_features, None)
+_MEDIA_FEATURES_SQL = f"""
+SELECT doc_id AS media_id,
+       'I' AS kind,
+       CAST({MM.HEADER_SIZE} + 256 AS BIGINT) AS n_bytes,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_frames,
+       list_sum(pix) / 256.0 AS mean_value,
+       CAST(list_min(pix) AS INTEGER) AS min_value,
+       CAST(list_max(pix) AS INTEGER) AS max_value
+FROM (
+  SELECT doc_id,
+         list_transform(range(0, 256), i -> (doc_id * 31 + i * 7) % 256)
+           AS pix
+  FROM documents
+)
+"""
+
+_register("multimodal_image_features", q_media_features, _MEDIA_FEATURES_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -632,17 +676,18 @@ _register(
 
 def q_agg_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation breadth beyond the reference's min/max/avg (SURVEY.md
-    §2.4 'absent' row): count, distinct count, sum, sample stddev, exact
-    median — all built-in, partial-aggregated map-side by Catalyst."""
+    §2.4 'absent' row): count, distinct count, sum, sample stddev — all
+    built-in with map-side partial aggregation (fixed-width state, no
+    per-group sort).  Exact median lives in its own query
+    (``sql_median_exact``): its full per-group sort is the one aggregate
+    here that would NOT scale 100×, so it must not ride along in the
+    headline agg plan."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-            "median_price"
-        ),
     )
 
 
@@ -654,7 +699,32 @@ _register(
            COUNT(*) AS n,
            COUNT(DISTINCT l_partkey) AS n_parts,
            ROUND(SUM(l_extendedprice), 2) AS sum_price,
-           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median, deliberately isolated: exact ``percentile``
+    buffers and sorts every group member, which is exact-by-contract for
+    reporting-scale groups but a scale hazard in wide agg plans.  The
+    100 TB substitute is ``approx_percentile`` (t-digest sketch, mergeable
+    map-side) — not oracle-hashable cross-engine, so the exact form is
+    what the driver verifies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "median_price"
+        ),
+    )
+
+
+_register(
+    "sql_median_exact",
+    q_median_exact,
+    """
+    SELECT l_returnflag,
            ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
     FROM lineitem GROUP BY 1
     """,
@@ -731,13 +801,20 @@ _register(
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization via lag window: a session starts after a >30 min gap."""
+    """Sessionization via lag window: a session starts after a >30 min gap.
+
+    Gap arithmetic is in microseconds (``unix_micros``): event timestamps
+    carry sub-second parts, and truncating to whole seconds misclassifies
+    a gap that straddles the 1800 s boundary within a fractional second
+    (round-1 hash mismatch).  The oracle mirrors with ``epoch_us``.
+    """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    starts = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         e.withColumn("is_start", starts)
         .groupBy("user_id")
@@ -756,9 +833,9 @@ _register(
              CASE WHEN lag(ts) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                   ) IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER (
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
-                  )) > 1800
+                  )) > 1800000000
                   THEN 1 ELSE 0 END AS is_start
       FROM events
     ) GROUP BY user_id
@@ -815,15 +892,15 @@ def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_orderkey") % 2 == 1), "l_returnflag", d,
         doc_id_col="l_orderkey",
     )
-    return read_index(spark, d)
+    return csv_array(read_index(spark, d), "doc_ids")
 
 
 _register(
     "streaming_incremental_index",
     q_incremental_index,
-    """
+    f"""
     SELECT CAST(l_returnflag AS VARCHAR) AS value,
-           list_sort(list(l_orderkey)) AS doc_ids
+           {csv_array_sql('list(l_orderkey)')} AS doc_ids
     FROM lineitem
     WHERE l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL
     GROUP BY 1

@@ -17,9 +17,12 @@ parallelism.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_ROW_GROUP_ROWS = 512 * 1024  # main.rs:698
+LOW_MEMORY_PARTITION_BYTES = 32 * 1024 * 1024
 
 
 def write_sorted_parquet(
@@ -56,17 +59,41 @@ def write_sorted_parquet(
     )
 
 
+@contextmanager
+def low_memory_scans(
+    spark: SparkSession, max_partition_bytes: int = LOW_MEMORY_PARTITION_BYTES
+):
+    """Scoped low-memory scan posture: shrinks per-task input splits for
+    the duration of the block, restoring the previous value on exit.
+
+    Split sizing is read at EXECUTION time (FileSourceScan partition
+    planning), not at ``spark.read`` time — so the actions consuming the
+    scans must run inside the block, and a bare conf-set with no restore
+    (round-1 behavior) silently changed every later scan in the session.
+    """
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(max_partition_bytes))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def scan_parquet(
     spark: SparkSession, path: str, low_memory: bool = False
 ) -> DataFrame:
     """Lazy parquet scan (≈ LazyFrame::scan_parquet, main.rs:291-297).
 
     ``low_memory`` shrinks per-task input splits (the Spark analogue of the
-    reference's low_memory flag, main.rs:292) — session-level conf, applied
-    here for per-scan convenience.
+    reference's low_memory flag, main.rs:292).  NOTE this sets SESSION-level
+    conf that stays in effect until changed — split sizing is consulted at
+    execution, so a scoped restore here would be a no-op for this lazy
+    DataFrame.  Use :func:`low_memory_scans` to bound the effect to a block.
     """
     if low_memory:
         spark.conf.set(
-            "spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024)
+            "spark.sql.files.maxPartitionBytes",
+            str(LOW_MEMORY_PARTITION_BYTES),
         )
     return spark.read.parquet(path)

@@ -26,7 +26,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
         # default (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert
         # to a micros timestamp (truncation matches DuckDB's ns→µs cast).
-        # Runtime-settable conf, so this works under any caller's session.
+        # Deliberately SESSION-wide (no restore): the conf is consulted at
+        # execution time, and leaving it on only changes how nanos columns
+        # surface (long instead of error) — every such read here converts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 

@@ -8,7 +8,7 @@ into the materialized index.
 
 Storage layout — versioned snapshots:
     <index_path>/v=<n>/...parquet     one directory per committed merge
-    <index_path>/_LATEST              text file holding <n>
+    <index_path>/_LATEST              JSON {"v": n, "batch_id": b}
 
 Why versions instead of in-place overwrite: Spark cannot atomically
 overwrite a parquet directory it is concurrently reading (the merge reads
@@ -25,6 +25,7 @@ co-located appends.  Hot values chunk via postings_chunked upstream.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,14 +38,25 @@ def _latest_path(index_path: str) -> str:
     return os.path.join(index_path, "_LATEST")
 
 
-def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
-    """Current committed snapshot of the index, or None if empty."""
+def _read_marker(index_path: str) -> dict | None:
+    """Commit marker {"v": snapshot, "batch_id": last-applied} or None."""
     marker = _latest_path(index_path)
     if not os.path.exists(marker):
         return None
     with open(marker) as f:
-        v = f.read().strip()
-    return spark.read.parquet(os.path.join(index_path, f"v={v}"))
+        txt = f.read().strip()
+    try:
+        return json.loads(txt)
+    except ValueError:  # pre-batch-id marker: plain version number
+        return {"v": int(txt), "batch_id": None}
+
+
+def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Current committed snapshot of the index, or None if empty."""
+    meta = _read_marker(index_path)
+    if meta is None:
+        return None
+    return spark.read.parquet(os.path.join(index_path, f"v={meta['v']}"))
 
 
 def merge_postings_batch(
@@ -52,12 +64,28 @@ def merge_postings_batch(
     field: str,
     index_path: str,
     doc_id_col: str = "doc_id",
+    batch_id: int | None = None,
 ) -> None:
     """Merge one micro-batch's postings into the index (foreachBatch body).
 
-    Also callable directly for batch backfill.
+    Also callable directly for batch backfill (``batch_id=None`` skips
+    replay protection).
+
+    Idempotence: foreachBatch is at-least-once — after a failure between
+    this commit and Spark's checkpoint commit, the same micro-batch is
+    replayed.  The marker records the last-applied ``batch_id``; a replay
+    (batch_id ≤ last applied) is a no-op instead of a double merge that
+    would permanently duplicate doc_ids.
     """
     spark = batch_df.sparkSession
+    meta = _read_marker(index_path)
+    if (
+        batch_id is not None
+        and meta is not None
+        and meta.get("batch_id") is not None
+        and batch_id <= meta["batch_id"]
+    ):
+        return  # replayed micro-batch — already merged and committed
     new = postings(batch_df, field, doc_id_col, sort_postings=False)
     old = read_index(spark, index_path)
     if old is not None:
@@ -70,23 +98,21 @@ def merge_postings_batch(
                 )
             )
         )
-        next_v = _current_version(index_path) + 1
+        next_v = meta["v"] + 1
     else:
         merged = new.withColumn("doc_ids", F.sort_array("doc_ids"))
         next_v = 0
     out = os.path.join(index_path, f"v={next_v}")
     merged.write.mode("overwrite").parquet(out)
     # commit: point readers at the new snapshot, then prune old versions
+    committed = batch_id if batch_id is not None else (
+        (meta or {}).get("batch_id")
+    )
     tmp = _latest_path(index_path) + ".tmp"
     with open(tmp, "w") as f:
-        f.write(str(next_v))
+        json.dump({"v": next_v, "batch_id": committed}, f)
     os.replace(tmp, _latest_path(index_path))
     _prune(index_path, keep=next_v)
-
-
-def _current_version(index_path: str) -> int:
-    with open(_latest_path(index_path)) as f:
-        return int(f.read().strip())
 
 
 def _prune(index_path: str, keep: int) -> None:
@@ -112,7 +138,9 @@ def start_index_maintenance(
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_postings_batch(batch_df, field, index_path, doc_id_col)
+        merge_postings_batch(
+            batch_df, field, index_path, doc_id_col, batch_id=batch_id
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_merge)

@@ -60,3 +60,22 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
 def test_postings_aggregates_partially_mapside(spark, sf_dir):
     plan = _plan(QUERIES["field_values"](spark, sf_dir))
     assert "partial_collect_list" in plan  # map-side combine before shuffle
+
+
+def test_chunked_postings_no_forced_broadcast(spark, sf_dir):
+    """postings_chunked must not statically broadcast its per-value counts
+    frame: on a high-cardinality field (near-unique per row, like
+    l_extendedprice here) it is corpus-sized and a forced broadcast OOMs
+    at scale.
+    AQE may still choose broadcast at runtime from measured sizes — the
+    gate is on the *logical* plan carrying no broadcast hint."""
+    from polars_w_inverted_index_spark.operators.inverted_index import (
+        postings_chunked,
+    )
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = postings_chunked(li, "l_extendedprice", doc_id_col="l_orderkey")
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    assert "broadcast" not in logical.lower()
