@@ -56,6 +56,51 @@ def _reference_workload():
     }
 
 
+LOGS_N = 10_000_000
+LOGS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_data", "logs_10m"
+)
+
+
+def _logs_workload(spark):
+    """The reference's EXACT canonical workload (main.rs:729-833) on the
+    reference's own data shape: 10 M generated log records, sorted zstd
+    parquet, ``query_doc_ids = [i * 100_000 for i in 0..100]``
+    (main.rs:731).  This is the apples-to-apples number against
+    BASELINE.md's ~5.9 s total — the sf0.1 lineitem headline is ~16×
+    smaller than the reference's table.  The fixture is generated once
+    (Spark-native, seeded) and cached under .bench_data/.
+    """
+    from polars_w_inverted_index_spark.engine import Engine
+    from polars_w_inverted_index_spark.sources.generator import generate_logs
+    from polars_w_inverted_index_spark.sources.parquet import (
+        write_sorted_parquet,
+    )
+
+    if not os.path.exists(os.path.join(LOGS_DIR, "_SUCCESS")):
+        write_sorted_parquet(generate_logs(spark, LOGS_N), LOGS_DIR)
+    logs = spark.read.parquet(LOGS_DIR)
+    ids = list(range(0, LOGS_N, LOGS_N // 100))
+
+    def _eng(s):
+        return Engine(s, df=logs, doc_id_col="doc_id")
+
+    return {
+        "logs10m_field_values_by_ids_level": lambda s, d: _eng(s)
+        .get_field_values_by_doc_ids("level", ids),
+        "logs10m_field_values_by_ids_region": lambda s, d: _eng(s)
+        .get_field_values_by_doc_ids("source_region", ids),
+        "logs10m_field_values_full_host": lambda s, d: _eng(s)
+        .get_field_values("source_host"),
+        "logs10m_numeric_stats_by_ids_payload": lambda s, d: _eng(s)
+        .get_numeric_stats_by_doc_ids("payload_size", ids),
+        "logs10m_numeric_stats_by_ids_login": lambda s, d: _eng(s)
+        .get_numeric_stats_by_doc_ids("user_metrics_login_time_ms", ids),
+        "logs10m_numeric_stats_full_clicks": lambda s, d: _eng(s)
+        .get_numeric_stats("user_metrics_clicks"),
+    }
+
+
 def main() -> None:
     from polars_w_inverted_index_spark import registry
     from polars_w_inverted_index_spark.session import get_session
@@ -71,7 +116,10 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up JVM
 
     headline = _reference_workload()
-    workload: dict = {**headline, **registry.QUERIES}
+    logs = {} if os.environ.get("SPARK_GRAFT_SKIP_LOGS10M") else (
+        _logs_workload(spark)
+    )
+    workload: dict = {**headline, **logs, **registry.QUERIES}
 
     for fn in workload.values():  # warm-up pass (footers, codegen, cache)
         fn(spark, sf_dir).collect()
@@ -84,17 +132,18 @@ def main() -> None:
         _ = len(rows)
 
     total = round(sum(timings[n] for n in headline), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "reference_workload_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "reference_workload_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if logs:
+        # apples-to-apples vs BASELINE.md: same 10 M-record workload
+        out["logs10m_total"] = round(sum(timings[n] for n in logs), 4)
+        out["logs10m_rows"] = LOGS_N
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
