@@ -1,0 +1,345 @@
+package org.polarsindex;
+
+import java.io.File;
+import java.net.URI;
+import java.util.ArrayList;
+import java.util.Arrays;
+import java.util.List;
+
+import scala.Function1;
+import scala.Option;
+import scala.collection.immutable.Seq;
+import scala.jdk.javaapi.CollectionConverters;
+import scala.runtime.AbstractPartialFunction;
+
+import org.apache.spark.sql.Dataset;
+import org.apache.spark.sql.Row;
+import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.catalyst.expressions.Alias;
+import org.apache.spark.sql.catalyst.expressions.Attribute;
+import org.apache.spark.sql.catalyst.expressions.AttributeReference;
+import org.apache.spark.sql.catalyst.expressions.Cast;
+import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.expressions.IsNotNull;
+import org.apache.spark.sql.catalyst.expressions.NamedExpression;
+import org.apache.spark.sql.catalyst.expressions.SortArray;
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression;
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList;
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate;
+import org.apache.spark.sql.catalyst.plans.logical.Filter;
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.catalyst.plans.logical.Project;
+import org.apache.spark.sql.catalyst.rules.Rule;
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation;
+import org.apache.spark.sql.execution.datasources.LogicalRelation;
+
+/**
+ * Catalyst optimizer rule: answer a postings (inverted-index build) query
+ * from a materialized index table instead of scanning + aggregating the
+ * base table.
+ *
+ * <p>This is the engine-level form of the Python planning layer in
+ * {@code plans/catalog.py} (Hyperspace-style index rewrite, VLDB 2021):
+ * the north-star "custom Catalyst optimization for inverted index".  The
+ * Python layer remains the portable fallback; this rule fires only when
+ * {@code spark.polars.index.root} is set.
+ *
+ * <p>Matched shape (what {@code operators/inverted_index.postings} plans,
+ * i.e. the reference's get_field_values semantic, main.rs:325-385):
+ *
+ * <pre>
+ * Aggregate [g], [g AS value, collect_list(id) AS doc_ids]      (sort_array
+ *   +- (pass-through Projects)                                   optional)
+ *     +- Filter (isnotnull(field) AND isnotnull(doc_id))
+ *       +- (pass-through Projects)
+ *         +- LogicalRelation parquet path=.../{table}.parquet
+ * </pre>
+ *
+ * and an index directory {@code <root>/<table>__<field>} (the layout
+ * {@code plans/catalog.IndexCatalog.build} writes, with a _SUCCESS marker)
+ * must exist.  The rewrite replaces the whole aggregate with a parquet
+ * scan of the index projected to the aggregate's exprIds — downstream
+ * operators (including a sort_array already fused into the agg) are
+ * untouched; index postings are stored sorted so the fused sort is a
+ * no-op re-sort.
+ *
+ * <p>Safety gates (rewrite declined unless ALL hold):
+ * <ul>
+ * <li>exactly one grouping expression resolving to a bare column of the
+ *     base relation (through casts and pass-through projects);</li>
+ * <li>exactly two output columns named {@code value} / {@code doc_ids},
+ *     the second a non-distinct, unfiltered {@code collect_list};</li>
+ * <li>every Filter between aggregate and relation is exactly the null
+ *     guard {isnotnull(field), isnotnull(doc_id)} — any other predicate
+ *     means the query is NOT the whole-table postings build;</li>
+ * <li>every intermediate Project is attribute-pass-through (aliases of
+ *     columns/casts only).</li>
+ * </ul>
+ */
+public class PostingsIndexRule extends Rule<LogicalPlan> {
+  public static final String ROOT_KEY = "spark.polars.index.root";
+
+  private final SparkSession session;
+
+  public PostingsIndexRule(SparkSession session) {
+    this.session = session;
+  }
+
+  @Override
+  public LogicalPlan apply(LogicalPlan plan) {
+    final String root = conf().getConfString(ROOT_KEY, "");
+    if (root.isEmpty()) {
+      return plan;
+    }
+    return (LogicalPlan)
+        plan.transformUp(
+            new AbstractPartialFunction<LogicalPlan, LogicalPlan>() {
+              @Override
+              public boolean isDefinedAt(LogicalPlan p) {
+                return rewrite(p, root) != null;
+              }
+
+              @Override
+              @SuppressWarnings("unchecked")
+              public <A1 extends LogicalPlan, B1> B1 applyOrElse(
+                  A1 p, Function1<A1, B1> dflt) {
+                LogicalPlan r = rewrite(p, root);
+                if (r != null) {
+                  return (B1) r;
+                }
+                return dflt.apply(p);
+              }
+            });
+  }
+
+  private LogicalPlan rewrite(LogicalPlan p, String root) {
+    if (!(p instanceof Aggregate)) {
+      return null;
+    }
+    Aggregate agg = (Aggregate) p;
+    if (agg.groupingExpressions().size() != 1
+        || agg.aggregateExpressions().size() != 2) {
+      return null;
+    }
+    Object ne0 = agg.aggregateExpressions().apply(0);
+    Object ne1 = agg.aggregateExpressions().apply(1);
+    if (!(ne0 instanceof NamedExpression) || !(ne1 instanceof Alias)) {
+      return null;
+    }
+    NamedExpression valueOut = (NamedExpression) ne0;
+    Alias docIdsOut = (Alias) ne1;
+    if (!"value".equals(valueOut.name())
+        || !"doc_ids".equals(docIdsOut.name())) {
+      return null;
+    }
+    // doc_ids = collect_list(idExpr), optionally wrapped in sort_array.
+    Expression e = docIdsOut.child();
+    if (e instanceof SortArray) {
+      e = ((SortArray) e).base();
+    }
+    if (!(e instanceof AggregateExpression)) {
+      return null;
+    }
+    AggregateExpression ae = (AggregateExpression) e;
+    if (!(ae.aggregateFunction() instanceof CollectList)
+        || ae.isDistinct()
+        || ae.filter().isDefined()) {
+      return null;
+    }
+    Expression idExpr = ((CollectList) ae.aggregateFunction()).child();
+
+    // Descend to the relation through pass-through Projects and the null
+    // guard Filter, tracking Projects for attribute resolution.
+    List<Project> chain = new ArrayList<>();
+    List<Filter> filters = new ArrayList<>();
+    LogicalPlan node = agg.child();
+    while (true) {
+      if (node instanceof Project) {
+        Project proj = (Project) node;
+        if (!passThrough(proj)) {
+          return null;
+        }
+        chain.add(proj);
+        node = proj.child();
+      } else if (node instanceof Filter) {
+        Filter f = (Filter) node;
+        filters.add(f);
+        node = f.child();
+      } else {
+        break;
+      }
+    }
+    if (!(node instanceof LogicalRelation)) {
+      return null;
+    }
+    LogicalRelation rel = (LogicalRelation) node;
+    if (!(rel.relation() instanceof HadoopFsRelation)) {
+      return null;
+    }
+
+    // Resolve grouping + id expressions to base relation column names.
+    Expression groupExpr = (Expression) agg.groupingExpressions().apply(0);
+    String field = resolveColumn(groupExpr, chain);
+    String idCol = resolveColumn(idExpr, chain);
+    if (field == null || idCol == null) {
+      return null;
+    }
+    // The value output must BE the grouping column (alias or direct ref).
+    Expression valueExpr =
+        (valueOut instanceof Alias) ? ((Alias) valueOut).child() : (Expression) valueOut;
+    String valueField = resolveColumn(valueExpr, chain);
+    if (!field.equals(valueField)) {
+      return null;
+    }
+
+    // Every filter must be exactly the postings null guard.
+    List<String> guarded = new ArrayList<>();
+    for (Filter f : filters) {
+      for (Expression c : splitConjuncts(f.condition())) {
+        if (!(c instanceof IsNotNull)) {
+          return null;
+        }
+        String col = resolveColumn(((IsNotNull) c).child(), chain);
+        if (col == null) {
+          return null;
+        }
+        guarded.add(col);
+      }
+    }
+    if (!(guarded.contains(field) && guarded.contains(idCol))) {
+      return null;
+    }
+    for (String g : guarded) {
+      if (!g.equals(field) && !g.equals(idCol)) {
+        return null;
+      }
+    }
+
+    // Locate the index: <root>/<table>__<field>, table = path file stem.
+    HadoopFsRelation fsRel = (HadoopFsRelation) rel.relation();
+    if (fsRel.location().rootPaths().size() != 1) {
+      return null;
+    }
+    URI base = fsRel.location().rootPaths().apply(0).toUri();
+    String stem = new File(base.getPath()).getName();
+    int dot = stem.lastIndexOf('.');
+    if (dot > 0) {
+      stem = stem.substring(0, dot);
+    }
+    File idxDir = new File(root, stem + "__" + field);
+    if (!new File(idxDir, "_SUCCESS").exists()) {
+      return null;
+    }
+
+    // Build the replacement: scan of the index, projected onto the
+    // aggregate's output exprIds so parent operators re-resolve as-is.
+    Dataset<Row> idx = session.read().parquet(idxDir.getAbsolutePath());
+    LogicalPlan idxPlan = idx.queryExecution().analyzed();
+    Attribute vAttr = findAttr(idxPlan, "value");
+    Attribute dAttr = findAttr(idxPlan, "doc_ids");
+    if (vAttr == null || dAttr == null) {
+      return null;
+    }
+    Seq<String> noQual = CollectionConverters.asScala(
+        new ArrayList<String>()).toSeq();
+    NamedExpression vOut = new Alias(
+        vAttr, "value", valueOut.exprId(), noQual,
+        Option.empty(), noQual);
+    NamedExpression dOut = new Alias(
+        dAttr, "doc_ids", docIdsOut.exprId(), noQual,
+        Option.empty(), noQual);
+    Seq<NamedExpression> projList =
+        CollectionConverters.asScala(Arrays.asList(vOut, dOut)).toSeq();
+    logInfo(
+        () ->
+            "PostingsIndexRule: rewrote postings("
+                + field
+                + ") onto index "
+                + idxDir.getAbsolutePath());
+    return new Project(projList, idxPlan);
+  }
+
+  /** Project is pass-through when every entry aliases a column or cast. */
+  private static boolean passThrough(Project proj) {
+    for (int i = 0; i < proj.projectList().size(); i++) {
+      Expression e = (Expression) proj.projectList().apply(i);
+      if (e instanceof Alias) {
+        e = ((Alias) e).child();
+      }
+      while (e instanceof Cast) {
+        e = ((Cast) e).child();
+      }
+      if (!(e instanceof AttributeReference)) {
+        return false;
+      }
+    }
+    return true;
+  }
+
+  /**
+   * Resolve an expression to the base-relation column it reads, looking
+   * through casts and the pass-through Project chain (ordered top-down).
+   * Returns null when the expression is anything but a (possibly cast,
+   * possibly re-aliased) single column.
+   */
+  private static String resolveColumn(Expression e, List<Project> chain) {
+    int depth = 0;
+    while (true) {
+      while (e instanceof Cast) {
+        e = ((Cast) e).child();
+      }
+      if (e instanceof Alias) {
+        e = ((Alias) e).child();
+        continue;
+      }
+      if (!(e instanceof AttributeReference)) {
+        return null;
+      }
+      AttributeReference attr = (AttributeReference) e;
+      // Substitute through the next Project that defines this attr.
+      Expression next = null;
+      for (int i = depth; i < chain.size() && next == null; i++) {
+        Project proj = chain.get(i);
+        for (int j = 0; j < proj.projectList().size(); j++) {
+          NamedExpression ne = (NamedExpression) proj.projectList().apply(j);
+          if (ne instanceof Alias
+              && ne.exprId().equals(attr.exprId())) {
+            next = ((Alias) ne).child();
+            depth = i + 1;
+            break;
+          }
+        }
+      }
+      if (next == null) {
+        return attr.name();
+      }
+      e = next;
+    }
+  }
+
+  private static List<Expression> splitConjuncts(Expression cond) {
+    List<Expression> out = new ArrayList<>();
+    ArrayList<Expression> stack = new ArrayList<>();
+    stack.add(cond);
+    while (!stack.isEmpty()) {
+      Expression c = stack.remove(stack.size() - 1);
+      if (c instanceof org.apache.spark.sql.catalyst.expressions.And) {
+        stack.add(((org.apache.spark.sql.catalyst.expressions.And) c).left());
+        stack.add(((org.apache.spark.sql.catalyst.expressions.And) c).right());
+      } else {
+        out.add(c);
+      }
+    }
+    return out;
+  }
+
+  private static Attribute findAttr(LogicalPlan plan, String name) {
+    for (int i = 0; i < plan.output().size(); i++) {
+      Attribute a = (Attribute) plan.output().apply(i);
+      if (a.name().equals(name)) {
+        return a;
+      }
+    }
+    return null;
+  }
+}

@@ -1,0 +1,138 @@
+"""Catalyst-level index rewrite (jvm/src/org/polarsindex/*.java).
+
+The ``spark.sql.extensions`` rule is the engine-level form of the Python
+planning layer (plans/catalog.py): with ``spark.polars.index.root`` set,
+a postings aggregate over a base table whose (table, field) index is
+materialized is answered from the index parquet — no base-table scan, no
+shuffle, no aggregate.
+
+The extension binds at JVM creation, so these tests drive a fresh
+subprocess instead of the session-scoped fixture.  Skipped when the jar
+hasn't been built (``sh jvm/build.sh``).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JAR = os.path.join(REPO, "jvm", "polars-index-ext.jar")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(JAR), reason="extension jar not built (sh jvm/build.sh)"
+)
+
+_DRIVER = textwrap.dedent(
+    """
+    import json, sys, tempfile
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="idxroot_")
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.jars", {jar!r})
+        .config("spark.driver.extraClassPath", {jar!r})
+        .config("spark.sql.extensions",
+                "org.polarsindex.PostingsIndexExtensions")
+        .config("spark.polars.index.root", root)
+        .getOrCreate()
+    )
+    from polars_w_inverted_index_spark.operators.inverted_index import (
+        postings,
+    )
+    from polars_w_inverted_index_spark.plans.catalog import IndexCatalog
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    IndexCatalog(spark, root).build(
+        df, "lineitem", "l_returnflag", doc_id_col="l_orderkey"
+    )
+
+    def physical(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    out = {{}}
+
+    # 1. postings on the indexed field: answered from the index.
+    q = postings(df, "l_returnflag", doc_id_col="l_orderkey")
+    plan = physical(q)
+    out["indexed_scans_index"] = "lineitem__l_returnflag" in plan
+    out["indexed_no_agg"] = "Aggregate" not in plan and "Exchange" not in plan
+    got = {{r["value"]: list(r["doc_ids"]) for r in q.collect()}}
+    truth = {{
+        r["value"]: sorted(r["ids"])
+        for r in df.where(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_orderkey").isNotNull()
+        )
+        .groupBy(F.col("l_returnflag").cast("string").alias("value"))
+        .agg(F.collect_list("l_orderkey").alias("ids"))
+        .collect()
+    }}
+    out["indexed_results_match"] = got == truth
+
+    # 2. un-indexed field: rule declines, base scan + aggregate remain.
+    q2 = postings(df, "l_linestatus", doc_id_col="l_orderkey")
+    out["unindexed_keeps_agg"] = "lineitem.parquet" in physical(q2)
+
+    # 3. extra predicate: NOT the whole-table postings build — no rewrite
+    #    (an index answer would silently drop the predicate).
+    q3 = postings(
+        df.where(F.col("l_quantity") > 25),
+        "l_returnflag",
+        doc_id_col="l_orderkey",
+    )
+    p3 = physical(q3)
+    out["filtered_keeps_base"] = "lineitem.parquet" in p3
+    out["filtered_differs"] = (
+        {{r["value"]: list(r["doc_ids"]) for r in q3.collect()}} != truth
+    )
+
+    # 4. flag off: same session semantics, rule inert.
+    spark.conf.unset("spark.polars.index.root")
+    out["flag_off_keeps_base"] = "lineitem.parquet" in physical(
+        postings(df, "l_returnflag", doc_id_col="l_orderkey")
+    )
+
+    print("RESULT_JSON:" + json.dumps(out))
+    """
+)
+
+
+def test_index_rewrite_end_to_end():
+    proc = subprocess.run(
+        [sys.executable, "-c", _DRIVER.format(repo=REPO, jar=JAR)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = next(
+        (
+            ln
+            for ln in proc.stdout.splitlines()
+            if ln.startswith("RESULT_JSON:")
+        ),
+        None,
+    )
+    assert line, proc.stdout[-4000:]
+    import json
+
+    res = json.loads(line[len("RESULT_JSON:"):])
+    assert res == {
+        "indexed_scans_index": True,
+        "indexed_no_agg": True,
+        "indexed_results_match": True,
+        "unindexed_keeps_agg": True,
+        "filtered_keeps_base": True,
+        "filtered_differs": True,
+        "flag_off_keeps_base": True,
+    }, res
