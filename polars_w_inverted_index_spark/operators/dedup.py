@@ -351,3 +351,107 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_cosine_pairs_gemm(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    prefix_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    n_dims: int = 64,
+) -> DataFrame:
+    """GEMM engine path for :func:`embedding_cosine_pairs` — same bucketed
+    candidate generation and identical result contract, different
+    within-bucket scorer.
+
+    The expression form evaluates interpreted higher-order folds twice
+    over — ``n_planes`` signature projections per VECTOR, then a dot
+    product per candidate PAIR (Catalyst does not codegen ``aggregate``/
+    ``zip_with``).  Here both stages are Arrow-batched numpy: signatures
+    are one M·Wᵀ GEMM per input batch (``mapInPandas``, narrow), and each
+    LSH bucket's pairwise cosines are one symmetric M·Mᵀ BLAS call
+    (``applyInPandas`` after the one shuffle on bucket) — the same
+    justified-Python trade as ``similarity.brute_force_topk_gemm``.
+
+    Scale shape is unchanged: signature work is per-row, pair work and
+    memory are per-bucket (a bucket of m vectors is an m×d matrix and an
+    m×m score triangle), so ``prefix_bits`` remains the dial that bounds
+    per-task cost as the corpus grows — identical contract to the
+    expression form, which stays available as the pure-JVM verifier.
+    """
+    import numpy as np
+
+    from .similarity import plane_weights
+
+    mask = (1 << prefix_bits) - 1
+    # (n_planes, n_dims) ±1 weights — same literals the JVM form embeds.
+    w_mat = np.array(
+        [plane_weights(p, n_dims) for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    bits_vec = (1 << np.arange(n_planes, dtype=np.int64)) & mask
+
+    def _bucketize(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = [
+                np.asarray(v, dtype=np.float64)[:n_dims]
+                for v in pdf[vec_col]
+            ]
+            width = max(len(v) for v in vecs)
+            mat = np.zeros((len(vecs), width), dtype=np.float64)
+            for i, v in enumerate(vecs):
+                mat[i, : len(v)] = v  # zero-pad == weight-slice in JVM form
+            proj = mat @ w_mat[:, :width].T
+            bucket = (proj > 0) @ bits_vec
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "bucket": bucket,
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    sig = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _bucketize, f"vec_id long, bucket long, {vec_col} array<double>"
+    )
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        sims = (mat @ mat.T) / np.outer(safe, safe)
+        sims[norms == 0, :] = 0.0
+        sims[:, norms == 0] = 0.0
+        sims = np.round(sims, round_digits)
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ids[ia] < ids[ib]  # strict id order = dedup'd triangle
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia][keep],
+                "doc_b": ids[ib][keep],
+                "cos_sim": sims[ia, ib][keep],
+            }
+        )
+
+    return sig.groupBy("bucket").applyInPandas(
+        _pairs, "doc_a long, doc_b long, cos_sim double"
+    )

@@ -365,6 +365,16 @@ EMB_NEARDUP_THRESHOLD = 0.2  # test embeddings are near-random (max cos ~0.4)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM (applyInPandas-per-bucket) engine path; the pure-expression
+    form stays registered as ``dedup_embedding_cosine_pairs_expr`` — both
+    share one oracle, proving engine-path equivalence at the driver."""
+    return DD.embedding_cosine_pairs_gemm(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=EMB_NEARDUP_THRESHOLD,
+    )
+
+
+def q_embedding_neardup_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=EMB_NEARDUP_THRESHOLD,
@@ -393,6 +403,12 @@ def _embedding_neardup_sql(
 _register(
     "dedup_embedding_cosine_pairs",
     q_embedding_neardup,
+    _embedding_neardup_sql(EMB_NEARDUP_THRESHOLD),
+)
+
+_register(
+    "dedup_embedding_cosine_pairs_expr",
+    q_embedding_neardup_expr,
     _embedding_neardup_sql(EMB_NEARDUP_THRESHOLD),
 )
 

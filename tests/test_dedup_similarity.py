@@ -107,6 +107,22 @@ def test_gemm_topk_matches_expression_path(spark):
     assert got == want
 
 
+def test_embedding_cosine_gemm_matches_expression_path(spark):
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    want = sorted(
+        map(tuple, DD.embedding_cosine_pairs(emb, threshold=0.2).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            DD.embedding_cosine_pairs_gemm(emb, threshold=0.2).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_ivf_topk_recall(spark):
     # real-ish fixture: the driver embeddings at sf0.001
     from polars_w_inverted_index_spark.sources.tables import load_table

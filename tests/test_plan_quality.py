@@ -17,6 +17,7 @@ from polars_w_inverted_index_spark.registry import QUERIES
 PYTHON_OK = {
     "multimodal_image_features",
     "similarity_bruteforce_topk_gemm",
+    "dedup_embedding_cosine_pairs",  # GEMM-per-bucket applyInPandas
 }
 
 
