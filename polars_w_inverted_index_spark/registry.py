@@ -202,6 +202,12 @@ from . import registry_ext as _ext  # noqa: E402
 QUERIES.update(_ext.QUERIES)
 ORACLES.update(_ext.ORACLES)
 
+# Driver-verification round 2 (sources, predicates, paths, as-of join)
+from . import registry_round2 as _r2  # noqa: E402
+
+QUERIES.update(_r2.QUERIES)
+ORACLES.update(_r2.ORACLES)
+
 
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke query: id-set postings at sf0.001."""

@@ -1,0 +1,375 @@
+"""Driver-verification round 2: oracle-gated queries for surfaces that
+previously had pytest-only coverage (VERDICT.md r1 "untested by driver"
+rows), plus the as-of join operator.
+
+Each entry turns an engine capability into a hard CORRECTNESS row:
+- general predicates (engine.where)            → engine_predicate_stats
+- dotted field-path resolution (functions/paths)→ engine_dotted_path_stats
+- optimized sorted parquet write + lazy scan    → source_sorted_write_roundtrip
+- in-memory rows source                         → source_inmemory_rows
+- synthetic generator + JSON source roundtrip   → source_json_roundtrip
+- as-of temporal join (operators/asof)          → events_asof_join
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import Engine
+from .functions.canon import csv_array
+from .operators.asof import asof_join
+from .operators.inverted_index import postings
+from .sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable, sql: str | None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# Engine surface: general predicates + dotted paths
+# ---------------------------------------------------------------------------
+
+def q_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General predicates (SURVEY.md §2.2 extension): ``Engine.where``
+    composes with every query; the filter reaches the scan as pushdown."""
+    eng = Engine(
+        spark, df=load_table(spark, sf_dir, "lineitem"),
+        doc_id_col="l_orderkey",
+    )
+    df = eng.where("l_quantity > 25").get_numeric_stats("l_extendedprice")
+    return df.select("min", "max", F.round("avg", 4).alias("avg"))
+
+
+_register(
+    "engine_predicate_stats",
+    q_predicate_stats,
+    """
+    SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS min,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max,
+           ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 4) AS avg
+    FROM lineitem WHERE l_quantity > 25
+    """,
+)
+
+
+def q_dotted_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted field-path resolution (main.rs:260-262): ``metrics.price``
+    addresses the flattened ``metrics_price`` column."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").alias("metrics_price")
+    )
+    eng = Engine(spark, df=li, doc_id_col="l_orderkey")
+    df = eng.get_numeric_stats("metrics.price")
+    assert eng.resolve("metrics.price") == "metrics_price"
+    return df.select("min", "max", F.round("avg", 4).alias("avg"))
+
+
+_register(
+    "engine_dotted_path_stats",
+    q_dotted_path_stats,
+    """
+    SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS min,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max,
+           ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 4) AS avg
+    FROM lineitem
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sources: optimized write, in-memory rows, generator → JSON → reader
+# ---------------------------------------------------------------------------
+
+def q_sorted_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O1 (main.rs:197-257): range-partitioned sorted zstd write, read
+    back lazily — contents must survive the optimized layout exactly."""
+    from .sources.parquet import scan_parquet, write_sorted_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="spark_graft_sorted_rt_")
+    write_sorted_parquet(li, d, sort_col="l_orderkey", target_partitions=8)
+    back = scan_parquet(spark, d)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+_register(
+    "source_sorted_write_roundtrip",
+    q_sorted_write_roundtrip,
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+def q_inmemory_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: literal in-memory rows → DataFrame → postings.  Null value rows
+    dropped (main.rs:338-342)."""
+    rows = [(1, "a"), (2, "b"), (3, "a"), (4, None), (5, "b"), (6, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, val string")
+    return csv_array(postings(df, "val"), "doc_ids")
+
+
+_register(
+    "source_inmemory_rows",
+    q_inmemory_rows,
+    """
+    SELECT 'a' AS value, '1,3,6' AS doc_ids
+    UNION ALL
+    SELECT 'b' AS value, '2,5' AS doc_ids
+    """,
+)
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + JSON source: the seeded Spark-native generator (1000 records)
+    nested back to the LogRecord wire shape (main.rs:46-58), written as
+    NDJSON, re-read schema-explicit (sources/json.py) and flattened.  The
+    oracle pins literal aggregate constants, so this row proves BOTH
+    generator determinism (same (n, seed) → same table, anywhere) and the
+    JSON reader's parse/flatten fidelity — any drift in either breaks the
+    hash."""
+    from .sources.generator import generate_logs
+    from .sources.json import read_logs_json
+
+    flat = generate_logs(spark, 1000)
+    nested = flat.select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.date_format(
+                    "timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+                ).alias("timestamp"),
+                F.col("level"),
+                F.col("message"),
+                F.struct(
+                    F.col("source_ip").alias("ip"),
+                    F.col("source_host").alias("host"),
+                    F.col("source_region").alias("region"),
+                ).alias("source"),
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    F.col("user_session_id").alias("session_id"),
+                    F.struct(
+                        F.col("user_metrics_login_time_ms").alias(
+                            "login_time_ms"
+                        ),
+                        F.col("user_metrics_clicks").alias("clicks"),
+                        F.col("user_metrics_active").alias("active"),
+                    ).alias("metrics"),
+                ).alias("user"),
+                F.col("payload_size"),
+                F.col("tags"),
+                F.col("answers"),
+                F.col("processed"),
+            )
+        ).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="spark_graft_json_rt_")
+    nested.write.mode("overwrite").text(d)
+    back = read_logs_json(spark, d)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("timestamp").alias("n_ts"),
+        F.sum("payload_size").alias("sum_payload"),
+        F.countDistinct("level").alias("n_levels"),
+        F.sum("user_metrics_clicks").alias("sum_clicks"),
+        F.sum(F.col("user_metrics_active").cast("long")).alias("n_active"),
+        F.sum(F.size("tags")).alias("sum_tags"),
+        F.sum(F.size("answers")).alias("sum_answers"),
+        F.sum(F.length("message")).alias("sum_msg_len"),
+    )
+
+
+# Constants pinned from the seeded generator (n=1000, seed=42) — see the
+# docstring for why literals are the right oracle here.
+_register(
+    "source_json_roundtrip",
+    q_json_roundtrip,
+    """
+    SELECT 1000::BIGINT AS n_rows, 1000::BIGINT AS n_ts,
+           10168523::BIGINT AS sum_payload, 5::BIGINT AS n_levels,
+           47628::BIGINT AS sum_clicks, 730::BIGINT AS n_active,
+           3828::BIGINT AS sum_tags, 2020::BIGINT AS sum_answers,
+           58890::BIGINT AS sum_msg_len
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline composition (documents table)
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = 1234
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-independent
+    id hash — the standard leak-free split for training corpora: the
+    assignment is a pure function of doc_id (survives re-shards, joins,
+    incremental appends), never of row order or partitioning."""
+    from .functions.hashing import md5_long
+    from .functions.text import token_count
+
+    doc = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"), salt=SPLIT_SALT) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return doc.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+from .functions.hashing import md5_long_sql as _md5sql  # noqa: E402
+from .functions.text import token_count_sql as _tcsql  # noqa: E402
+
+_register(
+    "pipeline_train_val_split",
+    q_train_val_split,
+    f"""
+    SELECT CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, SUM(tc) AS sum_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM (
+      SELECT doc_id,
+             ({_md5sql("CAST(doc_id AS VARCHAR)", salt=SPLIT_SALT)} % 100)
+               AS h,
+             {_tcsql('text')} AS tc
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+
+
+def q_quality_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep composition: quality gate (token count) →
+    exact dedup (min-id canonical survivor) → per-language counts.  One
+    registry row proving the operators COMPOSE — filters still push down
+    through the dedup semi-join, the dedup shuffle keys on the content
+    hash, and lang-id runs only on surviving rows."""
+    from .functions.text import lang_id, token_count
+    from .operators.dedup import exact_dedup
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count("text").alias("n_tok")
+    )
+    kept = exact_dedup(doc.where(F.col("n_tok") >= 30), "text", "doc_id")
+    return kept.groupBy(lang_id("text").alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+    )
+
+
+from .functions.text import lang_id_sql as _langsql  # noqa: E402
+
+_register(
+    "pipeline_quality_dedup",
+    q_quality_dedup_pipeline,
+    f"""
+    WITH q AS (
+      SELECT doc_id, text, {_tcsql('text')} AS n_tok
+      FROM documents
+      WHERE {_tcsql('text')} >= 30
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ),
+    kept AS (SELECT q.* FROM q JOIN canon USING (doc_id))
+    SELECT {_langsql('text')} AS lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_tok), 4) AS avg_tokens
+    FROM kept GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# As-of temporal join (events table)
+# ---------------------------------------------------------------------------
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent prior-or-simultaneous
+    view (operators/asof.py) — the training-pipeline "attach latest
+    context snapshot" shape."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", right_cols=["event_id", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.col("event_id_asof").alias("view_event_id"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "view_ts"
+        ),
+        F.round("value_asof", 4).alias("view_value"),
+    )
+
+
+_register(
+    "events_asof_join",
+    q_events_asof,
+    # Same union-window construction as the Spark operator (not DuckDB's
+    # ASOF JOIN syntax) so the inclusive-bound and tie semantics are
+    # mirrored by definition rather than by vendor coincidence.
+    """
+    WITH u AS (
+      SELECT user_id, ts AS _ts, 1 AS _tag, NULL::BIGINT AS _tb,
+             event_id, ts,
+             NULL::BIGINT AS v_id, NULL::DOUBLE AS v_val,
+             NULL::TIMESTAMP AS v_ts
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 0, event_id,
+             NULL, NULL, event_id, value, ts
+      FROM events WHERE event_type = 'view'
+    ),
+    m AS (
+      SELECT user_id, _tag, event_id, ts,
+             last_value(v_id IGNORE NULLS) OVER w AS view_event_id,
+             last_value(v_val IGNORE NULLS) OVER w AS view_value,
+             last_value(v_ts IGNORE NULLS) OVER w AS view_ts
+      FROM u
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY _ts NULLS FIRST, _tag, _tb
+        ROWS UNBOUNDED PRECEDING
+      )
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           view_event_id,
+           strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           ROUND(view_value, 4) AS view_value
+    FROM m WHERE _tag = 1
+    """,
+)
