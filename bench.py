@@ -121,8 +121,12 @@ def main() -> None:
     )
     workload: dict = {**headline, **logs, **registry.QUERIES}
 
+    import gc
+
     for fn in workload.values():  # warm-up pass (footers, codegen, cache)
-        fn(spark, sf_dir).collect()
+        rows = fn(spark, sf_dir).collect()
+        del rows
+    gc.collect()
 
     timings: dict[str, float] = {}
     for name, fn in workload.items():
@@ -130,6 +134,12 @@ def main() -> None:
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         _ = len(rows)
+        # release before the next measurement: wide results (postings over
+        # 10 M ids) otherwise linger and their GC lands inside a later
+        # query's timing window — measured multi-second noise on the
+        # logs10m queries.
+        del rows
+        gc.collect()
 
     total = round(sum(timings[n] for n in headline), 4)
     out = {

@@ -214,6 +214,106 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Multimodal: resize + frame-sample, content-verified byte-for-byte
+# ---------------------------------------------------------------------------
+
+def _fake_media(spark: SparkSession, sf_dir: str, kind: str,
+                w: int, h: int, n_frames: int = 1) -> DataFrame:
+    """Deterministic FAKE-container media table derived from documents:
+    payload byte i = (media_id·31 + i·7) mod 256 — the same arithmetic
+    convention as the features query, so oracles recompute pixels in SQL."""
+    import pandas as pd
+
+    from .operators import multimodal as MM
+
+    n_payload = w * h * n_frames
+
+    def _to_fake(it):
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                payload = bytes(
+                    (int(mid) * 31 + i * 7) % 256 for i in range(n_payload)
+                )
+                rows.append(
+                    (mid, MM.encode_fake(kind, w, h, payload, n_frames))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "data"])
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(_to_fake, "media_id long, data binary")
+    )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16×16 → 8×8 nearest-neighbor resize; the oracle rebuilds the FULL
+    output container (header + resized payload) arithmetically and the
+    hex rendering must match byte-for-byte."""
+    from .operators.multimodal import resize_images
+
+    resized = resize_images(_fake_media(spark, sf_dir, "I", 16, 16), 8, 8)
+    return resized.select(
+        "media_id", "width", "height",
+        F.lower(F.hex("data")).alias("blob_hex"),
+    )
+
+
+from .operators.multimodal import encode_fake as _ef  # noqa: E402
+
+_RESIZE_HDR_HEX = _ef("I", 8, 8, b"").hex()
+
+# resized[y', x'] reads source index 32·y' + 2·x' (nearest-neighbor grid)
+_register(
+    "multimodal_resize",
+    q_media_resize,
+    f"""
+    SELECT doc_id AS media_id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           '{_RESIZE_HDR_HEX}' || string_agg(
+             format('{{:02x}}',
+                    (doc_id * 31 + (32 * (k // 8) + 2 * (k % 8)) * 7) % 256),
+             '' ORDER BY k) AS blob_hex
+    FROM documents, (SELECT unnest(range(0, 64)) AS k)
+    GROUP BY doc_id
+    """,
+)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-frame 4×4 FAKE videos, every-2nd-frame sampling (frames 0, 2);
+    each emitted frame's bytes verified exactly via hex."""
+    from .operators.multimodal import sample_frames
+
+    frames = sample_frames(
+        _fake_media(spark, sf_dir, "V", 4, 4, n_frames=3), every_n=2
+    )
+    return frames.select(
+        "media_id", "frame_idx",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+_register(
+    "multimodal_frame_sample",
+    q_media_frames,
+    """
+    SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(16 AS BIGINT) AS n_bytes,
+           string_agg(
+             format('{:02x}', (doc_id * 31 + (fi * 16 + j) * 7) % 256),
+             '' ORDER BY j) AS frame_hex
+    FROM documents,
+         (SELECT unnest([0, 2]) AS fi),
+         (SELECT unnest(range(0, 16)) AS j)
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Training-pipeline composition (documents table)
 # ---------------------------------------------------------------------------
 

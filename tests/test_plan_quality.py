@@ -16,6 +16,8 @@ from polars_w_inverted_index_spark.registry import QUERIES
 # mapInPandas operators — the documented exceptions).
 PYTHON_OK = {
     "multimodal_image_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "similarity_bruteforce_topk_gemm",
     "dedup_embedding_cosine_pairs",  # GEMM-per-bucket applyInPandas
 }
