@@ -117,7 +117,11 @@ class Engine:
             if doc_ids is not None
             else f"get_field_values({field})"
         )
-        st = QueryStats(name)
+        st = QueryStats(
+            name,
+            field_name=field,
+            doc_ids_count=len(doc_ids) if doc_ids is not None else None,
+        )
         with st.phase("setup"):
             df = self._df
         if doc_ids is not None:
@@ -142,7 +146,11 @@ class Engine:
             if doc_ids is not None
             else f"get_numeric_stats({field})"
         )
-        st = QueryStats(name)
+        st = QueryStats(
+            name,
+            field_name=field,
+            doc_ids_count=len(doc_ids) if doc_ids is not None else None,
+        )
         with st.phase("setup"):
             df = self._df
         if doc_ids is not None:

@@ -42,6 +42,8 @@ class QueryStats:
     """Per-query instrumentation record (query_stats.rs:34-45)."""
 
     query_name: str
+    field_name: str = ""
+    doc_ids_count: int | None = None
     scan_id: int = field(default_factory=lambda: next(_scan_counter))
     phase_times: dict[str, float] = field(default_factory=dict)
     memory_before_kb: int = 0
@@ -76,28 +78,57 @@ class QueryStats:
 
     # -- printers (query_stats.rs:84-143, 145-155) --------------------------
     def print_summary(self) -> None:
-        w = 46
-        print("┌" + "─" * w + "┐")
-        print(f"│ {self.query_name:<{w - 2}} │")
-        print("├" + "─" * w + "┤")
+        """Reference-layout box summary (query_stats.rs:84-143): same
+        sections (header / identity / Timing / Memory), same row labels,
+        same 52-char value field and +/--signed memory diff."""
+        def row(label: str, value: str) -> None:
+            print(f"│ {label:<14} {value:<52} │")
+
+        bar = "─" * 69
+        before = self.memory_before_kb / 1024.0
+        after = self.memory_after_kb / 1024.0
+        peak = self.memory_peak_kb / 1024.0
+        diff_kb = self.memory_after_kb - self.memory_before_kb
+        diff = f"{'+' if diff_kb >= 0 else '-'}{abs(diff_kb) / 1024.0:.2f} MB"
+
+        print("┌" + bar + "┐")
+        print(f"│ {'QUERY STATS SUMMARY':<67} │")
+        print("├" + bar + "┤")
+        row("Query:", self.query_name)
+        row("Field:", self.field_name)
+        if self.doc_ids_count is not None:
+            row("Doc IDs:", f"{self.doc_ids_count} ids")
+        row("Scan #:", str(self.scan_id))
+        row("Result Rows:", str(self.result_rows))
+        print("├" + bar + "┤")
+        print(f"│ {'Timing':<67} │")
+        labels = {
+            "setup": "Setup:",
+            "filter_creation": "Filter:",
+            "join_operation": "Join:",
+            "collect": "Collect:",
+            "processing": "Processing:",
+        }
         for name in PHASES:
-            if name in self.phase_times:
-                line = f"{name:<18} {self.phase_times[name] * 1000:>10.2f} ms"
-                print(f"│ {line:<{w - 2}} │")
-        line = f"{'total':<18} {self.total_time * 1000:>10.2f} ms"
-        print(f"│ {line:<{w - 2}} │")
-        dm = (self.memory_after_kb - self.memory_before_kb) / 1024.0
-        line = f"{'memory delta':<18} {dm:>10.2f} MB"
-        print(f"│ {line:<{w - 2}} │")
-        line = f"{'result rows':<18} {self.result_rows:>10}"
-        print(f"│ {line:<{w - 2}} │")
-        print("└" + "─" * w + "┘")
+            row(
+                "  " + labels[name],
+                f"{self.phase_times.get(name, 0.0) * 1000:.3f} ms",
+            )
+        row("  Total:", f"{self.total_time * 1000:.3f} ms")
+        print("├" + bar + "┤")
+        print(f"│ {'Memory':<67} │")
+        row("  Before:", f"{before:.2f} MB")
+        row("  After:", f"{after:.2f} MB")
+        row("  Peak:", f"{peak:.2f} MB")
+        row("  Diff:", diff)
+        print("└" + bar + "┘")
 
     def compact(self) -> str:
+        """print_compact parity (query_stats.rs:145-155)."""
         return (
-            f"[{self.query_name}] total={self.total_time:.3f}s "
-            f"rows={self.result_rows} "
-            f"mem_delta={(self.memory_after_kb - self.memory_before_kb) / 1024.0:.2f}MB"
+            f"[{self.query_name}] '{self.field_name}' - "
+            f"{self.total_time:.3f}s - {self.result_rows} rows - "
+            f"Mem: {self.memory_before_kb}KB → {self.memory_after_kb}KB"
         )
 
     def as_dict(self) -> dict:

@@ -95,8 +95,22 @@ def test_query_stats_phases_and_printer(spark, lineitem, capsys):
     assert st.total_time >= st.phase_times["collect"]
     st.print_summary()
     out = capsys.readouterr().out
-    assert "┌" in out and "result rows" in out
+    # reference layout parity (query_stats.rs:84-143): section headers,
+    # identity rows incl. field + id count, per-phase timing, 4 memory rows
+    assert "QUERY STATS SUMMARY" in out
+    for label in (
+        "│ Query:", "│ Field:", "│ Doc IDs:", "│ Scan #:", "│ Result Rows:",
+        "│   Setup:", "│   Filter:", "│   Join:", "│   Collect:",
+        "│   Processing:", "│   Total:",
+        "│   Before:", "│   After:", "│   Peak:", "│   Diff:",
+    ):
+        assert label in out, label
+    assert "3 ids" in out and "l_quantity" in out
+    # every line the same width (box alignment holds for any content)
+    widths = {len(line) for line in out.rstrip("\n").split("\n")}
+    assert len(widths) == 1, widths
     assert st.as_dict()["query"].startswith("get_numeric_stats_by_doc_ids")
+    assert "'l_quantity'" in st.compact() and "rows" in st.compact()
 
 
 def test_postings_invariants(spark, lineitem):
