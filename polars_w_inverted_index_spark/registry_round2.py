@@ -405,6 +405,108 @@ _register(
 )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis–Spirakis shape): priority
+    key = hash(doc_id)/weight, keep the k smallest — higher-weight docs
+    win proportionally, assignment is a pure function of (doc_id, weight)
+    so the sample is reproducible under re-shards and engine changes.
+
+    Cross-engine exactness by construction: the hash is 40 bits and the
+    weight a small integer, both exactly representable in a double, and
+    IEEE division is correctly rounded in every engine — so the keys are
+    bit-identical in Spark and DuckDB and the top-k set cannot flake.
+    ``orderBy().limit(k)`` plans as TakeOrdered (per-partition partial
+    top-k then merge), the distributed top-k shape — never a global sort.
+    """
+    from .functions.text import token_count
+
+    doc = load_table(spark, sf_dir, "documents")
+    h40 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(token_count("text"), F.lit(1))
+    key = h40.cast("double") / w.cast("double")
+    return (
+        doc.select(
+            "doc_id",
+            w.alias("weight"),
+            key.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )
+
+
+_register(
+    "pipeline_weighted_sample",
+    q_weighted_sample,
+    f"""
+    SELECT doc_id, weight, priority FROM (
+      SELECT doc_id,
+             greatest({_tcsql('text')}, 1) AS weight,
+             CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                  1, 10))::BIGINT AS DOUBLE)
+               / CAST(greatest({_tcsql('text')}, 1) AS DOUBLE) AS priority
+      FROM documents
+    )
+    ORDER BY priority, doc_id LIMIT 50
+    """,
+)
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval join (operators/interval_join.py):
+    events landing in 24 literal 20-minute maintenance windows, counted
+    per window.  The plan is an equi-join on the time bucket — never the
+    BroadcastNestedLoopJoin a raw range predicate would produce."""
+    from .operators.interval_join import interval_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    iv = spark.range(24).select(
+        F.col("id").cast("int").alias("window_id"),
+        (base + F.make_dt_interval(F.lit(0), F.col("id").cast("int"))).alias(
+            "start"
+        ),
+        (
+            base
+            + F.make_dt_interval(
+                F.lit(0), F.col("id").cast("int"), F.lit(20)
+            )
+        ).alias("end"),
+    )
+    joined = interval_join(e, iv, bucket_width_sec=3600)
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_register(
+    "events_interval_join",
+    q_events_interval_join,
+    """
+    WITH iv AS (
+      SELECT CAST(h AS INTEGER) AS window_id,
+             TIMESTAMP '2024-01-01 00:00:00' + h * INTERVAL 1 HOUR
+               AS w_start,
+             TIMESTAMP '2024-01-01 00:00:00' + h * INTERVAL 1 HOUR
+               + INTERVAL 20 MINUTE AS w_end
+      FROM (SELECT unnest(range(0, 24)) AS h)
+    )
+    SELECT window_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY 1
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # As-of temporal join (events table)
 # ---------------------------------------------------------------------------

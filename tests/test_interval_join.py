@@ -1,0 +1,83 @@
+"""operators/interval_join.py — bucketized range join semantics + plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from polars_w_inverted_index_spark.operators.interval_join import (
+    interval_join,
+)
+
+
+def _ts(s: float):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _frames(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, _ts(30.0)),      # inside A only
+            (2, _ts(90.0)),      # inside A and B (overlapping intervals)
+            (3, _ts(100.0)),     # == A's end -> excluded (half-open), in B
+            (4, _ts(5000.0)),    # inside C (interval spanning 2 buckets)
+            (5, _ts(9999.0)),    # in no interval
+        ],
+        "event_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("A", _ts(0.0), _ts(100.0)),
+            ("B", _ts(80.0), _ts(200.0)),
+            ("C", _ts(3000.0), _ts(6000.0)),   # crosses a 3600 s boundary
+            ("D", _ts(500.0), _ts(500.0)),     # empty -> matches nothing
+        ],
+        "name string, start timestamp, end timestamp",
+    )
+    return pts, ivs
+
+
+def test_inner_semantics(spark):
+    pts, ivs = _frames(spark)
+    got = {
+        (r["event_id"], r["name"])
+        for r in interval_join(pts, ivs, bucket_width_sec=3600).collect()
+    }
+    assert got == {(1, "A"), (2, "A"), (2, "B"), (3, "B"), (4, "C")}
+
+
+def test_inner_matches_tiny_buckets(spark):
+    """Bucket width must not change results — only the plan's fan-out."""
+    pts, ivs = _frames(spark)
+    wide = {
+        (r["event_id"], r["name"])
+        for r in interval_join(pts, ivs, bucket_width_sec=86400).collect()
+    }
+    narrow = {
+        (r["event_id"], r["name"])
+        for r in interval_join(pts, ivs, bucket_width_sec=7).collect()
+    }
+    assert wide == narrow
+
+
+def test_left_keeps_unmatched(spark):
+    pts, ivs = _frames(spark)
+    rows = interval_join(pts, ivs, how="left").collect()
+    by_event = {}
+    for r in rows:
+        by_event.setdefault(r["event_id"], set()).add(r["name"])
+    assert by_event[5] == {None}
+    assert by_event[2] == {"A", "B"}
+    assert sum(len(v) for v in by_event.values()) == 6  # 5 matches + 1 null
+
+
+def test_plan_is_equi_join(spark):
+    """The whole point: no nested-loop/cartesian anywhere in the plan."""
+    pts, ivs = _frames(spark)
+    plan = (
+        interval_join(pts, ivs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
