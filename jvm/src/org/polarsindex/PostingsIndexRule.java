@@ -69,9 +69,13 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation;
  *     base relation (through casts and pass-through projects);</li>
  * <li>exactly two output columns named {@code value} / {@code doc_ids},
  *     the second a non-distinct, unfiltered {@code collect_list};</li>
- * <li>every Filter between aggregate and relation is exactly the null
- *     guard {isnotnull(field), isnotnull(doc_id)} — any other predicate
- *     means the query is NOT the whole-table postings build;</li>
+ * <li>every Filter conjunct between aggregate and relation is either
+ *     the null guard {isnotnull(field), isnotnull(doc_id)} (both must be
+ *     present) or a predicate referencing ONLY the grouped field while
+ *     the field is string-typed at the relation (cast-to-string is then
+ *     the identity, so the predicate transfers exactly onto the index's
+ *     {@code value} column — this is what makes a value point-lookup
+ *     index-served); anything else declines;</li>
  * <li>every intermediate Project is attribute-pass-through (aliases of
  *     columns/casts only).</li>
  * </ul>
@@ -192,18 +196,26 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
       return null;
     }
 
-    // Every filter must be exactly the postings null guard.
+    // Filter conjuncts: the postings null guard, plus (optionally)
+    // predicates on the grouped field alone — those transfer onto the
+    // index's value column when the field is string-typed (identity
+    // cast), e.g. a value point-lookup pushed below the aggregate.
     List<String> guarded = new ArrayList<>();
+    List<Expression> fieldPreds = new ArrayList<>();
     for (Filter f : filters) {
       for (Expression c : splitConjuncts(f.condition())) {
-        if (!(c instanceof IsNotNull)) {
+        if (c instanceof IsNotNull) {
+          String col = resolveColumn(((IsNotNull) c).child(), chain);
+          if (col == null) {
+            return null;
+          }
+          guarded.add(col);
+        } else if (referencesOnly(c, chain, field)
+            && fieldIsString(rel, field)) {
+          fieldPreds.add(c);
+        } else {
           return null;
         }
-        String col = resolveColumn(((IsNotNull) c).child(), chain);
-        if (col == null) {
-          return null;
-        }
-        guarded.add(col);
       }
     }
     if (!(guarded.contains(field) && guarded.contains(idCol))) {
@@ -240,6 +252,20 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
     if (vAttr == null || dAttr == null) {
       return null;
     }
+    LogicalPlan source = idxPlan;
+    if (!fieldPreds.isEmpty()) {
+      // Re-apply field predicates against the index's value column
+      // (exact: field is string-typed, so cast-to-string was identity).
+      Expression cond = null;
+      for (Expression pred : fieldPreds) {
+        Expression onIndex = substituteAttrs(pred, vAttr);
+        cond = (cond == null)
+            ? onIndex
+            : new org.apache.spark.sql.catalyst.expressions.And(
+                cond, onIndex);
+      }
+      source = new Filter(cond, idxPlan);
+    }
     Seq<String> noQual = CollectionConverters.asScala(
         new ArrayList<String>()).toSeq();
     NamedExpression vOut = new Alias(
@@ -256,7 +282,58 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
                 + field
                 + ") onto index "
                 + idxDir.getAbsolutePath());
-    return new Project(projList, idxPlan);
+    return new Project(projList, source);
+  }
+
+  /** Every attribute referenced by {@code e} resolves to {@code field}. */
+  private static boolean referencesOnly(
+      Expression e, List<Project> chain, String field) {
+    scala.collection.Iterator<Attribute> it = e.references().iterator();
+    boolean any = false;
+    while (it.hasNext()) {
+      Attribute a = it.next();
+      any = true;
+      if (!field.equals(resolveColumn(a, chain))) {
+        return false;
+      }
+    }
+    return any;
+  }
+
+  /** The grouped field's type AT THE RELATION is string. */
+  private static boolean fieldIsString(LogicalRelation rel, String field) {
+    for (int i = 0; i < rel.output().size(); i++) {
+      Attribute a = (Attribute) rel.output().apply(i);
+      if (a.name().equals(field)) {
+        return a.dataType()
+            instanceof org.apache.spark.sql.types.StringType;
+      }
+    }
+    return false;
+  }
+
+  /** Replace every attribute reference in {@code e} with {@code attr}
+   * (callers guarantee e references a single logical column). */
+  private static Expression substituteAttrs(
+      Expression e, Attribute attr) {
+    return (Expression)
+        e.transformUp(
+            new AbstractPartialFunction<Expression, Expression>() {
+              @Override
+              public boolean isDefinedAt(Expression x) {
+                return x instanceof AttributeReference;
+              }
+
+              @Override
+              @SuppressWarnings("unchecked")
+              public <A1 extends Expression, B1> B1 applyOrElse(
+                  A1 x, Function1<A1, B1> dflt) {
+                if (x instanceof AttributeReference) {
+                  return (B1) attr;
+                }
+                return dflt.apply(x);
+              }
+            });
   }
 
   /** Project is pass-through when every entry aliases a column or cast. */

@@ -96,7 +96,21 @@ _DRIVER = textwrap.dedent(
         {{r["value"]: list(r["doc_ids"]) for r in q3.collect()}} != truth
     )
 
-    # 4. flag off: same session semantics, rule inert.
+    # 4. value lookup THROUGH the rewrite: the filter lands as pushdown
+    #    on the index parquet scan — a point lookup never aggregates.
+    from polars_w_inverted_index_spark.operators.inverted_index import (
+        value_lookup,
+    )
+
+    q4 = value_lookup(
+        postings(df, "l_returnflag", doc_id_col="l_orderkey"), "R"
+    )
+    p4 = physical(q4)
+    out["lookup_scans_index"] = "lineitem__l_returnflag" in p4
+    out["lookup_pushed_filter"] = "PushedFilters: [IsNotNull(value), EqualTo(value,R)]" in p4
+    out["lookup_rows"] = q4.count() == 1
+
+    # 5. flag off: same session semantics, rule inert.
     spark.conf.unset("spark.polars.index.root")
     out["flag_off_keeps_base"] = "lineitem.parquet" in physical(
         postings(df, "l_returnflag", doc_id_col="l_orderkey")
@@ -134,5 +148,8 @@ def test_index_rewrite_end_to_end():
         "unindexed_keeps_agg": True,
         "filtered_keeps_base": True,
         "filtered_differs": True,
+        "lookup_scans_index": True,
+        "lookup_pushed_filter": True,
+        "lookup_rows": True,
         "flag_off_keeps_base": True,
     }, res
