@@ -405,6 +405,99 @@ _register(
 )
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document and term frequencies — the
+    tokenizer-training / df-cut statistics pass.  One explode + one
+    shuffle on the term (map-side partial counts); identical shape to
+    the postings build minus the id lists."""
+    from .functions.text import tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    return tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+from .functions.text import tokens_sql as _toksql  # noqa: E402
+
+_register(
+    "text_vocabulary",
+    q_vocabulary,
+    f"""
+    SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (
+      SELECT doc_id, unnest({_toksql('text')}) AS term FROM documents
+    )
+    GROUP BY term
+    """,
+)
+
+
+CONTAM_SHINGLE_K = 5
+BENCHMARK_MAX_ID = 50  # doc_id < 50 stands in for the eval/benchmark set
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training doc, count the
+    distinct word 5-grams it shares with the benchmark set and how many
+    benchmark docs it hits — docs with any overlap get dropped (or
+    flagged) before training.  Candidates meet ONLY through the shingle
+    equi-join (hash key), so disjoint docs cost nothing; the benchmark
+    side is small by definition and broadcast-joins at scale."""
+    from .functions.hashing import md5_long
+    from .functions.text import word_shingles
+
+    doc = load_table(spark, sf_dir, "documents")
+    sh = doc.select(
+        "doc_id",
+        F.explode(word_shingles("text", CONTAM_SHINGLE_K)).alias("s"),
+    ).select("doc_id", md5_long(F.col("s")).alias("sh"))
+    bench = (
+        sh.where(F.col("doc_id") < BENCHMARK_MAX_ID)
+        .select(F.col("doc_id").alias("bench_id"), "sh")
+    )
+    train = sh.where(F.col("doc_id") >= BENCHMARK_MAX_ID)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs_hit"),
+        )
+    )
+
+
+from .functions.hashing import md5_long_sql as _md5sql2  # noqa: E402
+from .functions.text import word_shingles_sql as _wssql  # noqa: E402
+
+_register(
+    "pipeline_contamination",
+    q_contamination,
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             {_md5sql2("unnest(" + _wssql('text', CONTAM_SHINGLE_K) + ")")}
+               AS sh
+      FROM documents
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, sh FROM sh
+      WHERE doc_id < {BENCHMARK_MAX_ID}
+    ),
+    train AS (SELECT * FROM sh WHERE doc_id >= {BENCHMARK_MAX_ID})
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.sh) AS n_shared_shingles,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs_hit
+    FROM train t JOIN bench b ON t.sh = b.sh
+    GROUP BY t.doc_id
+    """,
+)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample (Efraimidis–Spirakis shape): priority
     key = hash(doc_id)/weight, keep the k smallest — higher-weight docs
