@@ -43,6 +43,24 @@ def test_no_python_in_jvm_plans(spark, sf_dir, name):
         assert not python_nodes, f"{name} plan fell off the JVM: {python_nodes}"
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_outputs_driver_canonicalizable(spark, sf_dir, name):
+    """Every registered query must emit scalar columns only: the driver's
+    correctness canonicalizer sorts/factorizes results with pandas, which
+    cannot hash list/struct/binary cells (the round-1 failure mode that
+    err'd 7 queries).  Arrays are rendered via functions/canon.csv_array
+    at the registry layer — this gate keeps it that way."""
+    df = QUERIES[name](spark, sf_dir)
+    offenders = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.dataType.simpleString().startswith(
+            ("array", "map", "struct", "binary")
+        )
+    ]
+    assert not offenders, offenders
+
+
 def test_id_set_filter_reaches_scan(spark, sf_dir):
     plan = _plan(QUERIES["field_values_by_doc_ids"](spark, sf_dir))
     assert "PushedFilters: [In(l_orderkey" in plan  # row-group prunable
