@@ -77,8 +77,20 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation;
  *     {@code value} column — this is what makes a value point-lookup
  *     index-served); anything else declines;</li>
  * <li>every intermediate Project is attribute-pass-through (aliases of
- *     columns/casts only).</li>
+ *     columns/casts only);</li>
+ * <li>the index directory records the scanned table as its source
+ *     ({@code _index_source}, written by IndexCatalog.build) — stem
+ *     collisions and relocated tables decline instead of serving wrong
+ *     data.  Freshness is the usual index-maintenance contract (rebuild
+ *     after base-table rewrites), as with any database index.</li>
  * </ul>
+ *
+ * <p>Each match re-resolves the index relation via {@code session.read()}
+ * — deliberately NOT cached: a fresh resolution mints fresh exprIds, so
+ * two rewritten postings subtrees in ONE query (e.g. a self-join of two
+ * indexed lookups) can never alias each other's attributes.  The cost is
+ * driver-side footer/schema resolution per optimizer match, acceptable
+ * for metadata-sized index tables.
  */
 public class PostingsIndexRule extends Rule<LogicalPlan> {
   public static final String ROOT_KEY = "spark.polars.index.root";
@@ -136,10 +148,22 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
         || !"doc_ids".equals(docIdsOut.name())) {
       return null;
     }
-    // doc_ids = collect_list(idExpr), optionally wrapped in sort_array.
+    // doc_ids = collect_list(idExpr), optionally wrapped in an ASCENDING
+    // sort_array (index postings are stored ascending; a descending
+    // request must not be silently served in the wrong order).
     Expression e = docIdsOut.child();
     if (e instanceof SortArray) {
-      e = ((SortArray) e).base();
+      SortArray sa = (SortArray) e;
+      Object asc = null;
+      if (sa.ascendingOrder()
+          instanceof org.apache.spark.sql.catalyst.expressions.Literal) {
+        asc = ((org.apache.spark.sql.catalyst.expressions.Literal)
+            sa.ascendingOrder()).value();
+      }
+      if (!Boolean.TRUE.equals(asc)) {
+        return null;
+      }
+      e = sa.base();
     }
     if (!(e instanceof AggregateExpression)) {
       return null;
@@ -240,6 +264,32 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
     }
     File idxDir = new File(root, stem + "__" + field);
     if (!new File(idxDir, "_SUCCESS").exists()) {
+      return null;
+    }
+    // Identity check: the index must record the scanned table as its
+    // source (written by IndexCatalog.build).  A file stem alone would
+    // let two different tables named lineitem.parquet — or a relocated
+    // table — be silently answered from the wrong index.  Legacy indexes
+    // without the marker are declined.
+    File srcMarker = new File(idxDir, "_index_source");
+    if (!srcMarker.exists()) {
+      return null;
+    }
+    String recorded;
+    try {
+      recorded = new String(
+              java.nio.file.Files.readAllBytes(srcMarker.toPath()),
+              java.nio.charset.StandardCharsets.UTF_8)
+          .trim();
+    } catch (java.io.IOException ex) {
+      return null;
+    }
+    String scanned = base.getPath();
+    // recorded is the common root of the build-time input FILES; the
+    // scanned rootPath is what the user passed to read.parquet — equal
+    // for single-file tables, a child path for directory tables.
+    if (!(recorded.equals(scanned)
+        || recorded.startsWith(scanned + "/"))) {
       return null;
     }
 

@@ -234,6 +234,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
     ).select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+    persisted: list[DataFrame] = []
     if persist_intermediate:
         # the shingle frame feeds three plan branches (both self-join sides
         # + the sizes agg); without persistence the tokenize→shingle→hash
@@ -242,6 +243,10 @@ def ngram_jaccard_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        # keep the handle NOW: `sh` is rebound below when the df-cut is on,
+        # and unpersisting the rebound (never-persisted) frame is a no-op
+        # that leaks the cache
+        persisted.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         # df-cut: shingles in more than max_shingle_freq docs carry no
@@ -282,9 +287,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    result.persisted_intermediates = (
-        [sh] if persist_intermediate else []
-    )
+    result.persisted_intermediates = persisted
     return result
 
 
@@ -381,6 +384,12 @@ def embedding_cosine_pairs_gemm(
     m×m score triangle), so ``prefix_bits`` remains the dial that bounds
     per-task cost as the corpus grows — identical contract to the
     expression form, which stays available as the pure-JVM verifier.
+
+    Contract note: both paths assume ``n_dims`` == the embedding length.
+    Off-contract inputs degrade differently (the expression path
+    null-pads longer-than-n_dims vectors into bucket 0 and drops ragged
+    pairs; this path truncates/zero-pads) — matching behavior is only
+    guaranteed on-contract, which the shared oracle pins.
     """
     import numpy as np
 
@@ -435,7 +444,13 @@ def embedding_cosine_pairs_gemm(
                 }
             )
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        width = max(len(v) for v in vecs)
+        # zero-pad ragged vectors (np.array would raise on mixed lengths);
+        # zero dims contribute nothing to dot or norm
+        mat = np.zeros((len(vecs), width), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            mat[i, : len(v)] = v
         norms = np.linalg.norm(mat, axis=1)
         safe = np.where(norms > 0, norms, 1.0)
         sims = (mat @ mat.T) / np.outer(safe, safe)

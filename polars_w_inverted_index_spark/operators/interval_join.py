@@ -73,11 +73,16 @@ def interval_join(
     matched = (
         pts.join(ivs, on="_bucket", how="inner").where(exact).drop("_bucket")
     )
-    unmatched = pts.drop("_bucket").join(
-        matched.select(*points.columns).distinct(),
-        on=points.columns,
-        how="leftanti",
-    )
+    # Null-SAFE anti-join: a plain `on=columns` leftanti uses null-unsafe
+    # equality, so a matched point carrying any NULL column would fail to
+    # anti-match itself and be emitted a second time with null intervals.
+    bare = pts.drop("_bucket")
+    seen = matched.select(*points.columns).distinct()
+    cond = None
+    for c in points.columns:
+        eq = bare[c].eqNullSafe(seen[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = bare.join(seen, on=cond, how="leftanti")
     for c in intervals.columns:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(intervals.schema[c].dataType)

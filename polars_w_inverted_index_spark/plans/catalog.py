@@ -64,15 +64,41 @@ class IndexCatalog:
                 "value"
             )
         writer.write.mode("overwrite").parquet(path)
+        # Bind the index to its source data: the Catalyst rule refuses to
+        # serve an index whose recorded source doesn't cover the scanned
+        # path, so two tables sharing a file stem (or a relocated table)
+        # can never be silently answered from the wrong index.
+        src = self._source_root(df)
+        if src is not None:
+            with open(os.path.join(path, "_index_source"), "w") as f:
+                f.write(src)
         self._meta[self._key(table, field)] = {
             "path": path,
             "chunked": chunked,
             "doc_id_col": doc_id_col,
+            "source": src,
         }
         os.makedirs(self.root, exist_ok=True)
         with open(self._meta_path, "w") as f:
             json.dump(self._meta, f, indent=2)
         return path
+
+    @staticmethod
+    def _source_root(df: DataFrame) -> str | None:
+        """Common root of the frame's input files (scheme-stripped); None
+        for non-file sources (in-memory frames)."""
+        from urllib.parse import urlparse
+
+        files = [
+            urlparse(f).path if "://" in f or f.startswith("file:") else f
+            for f in df.inputFiles()
+        ]
+        if not files:
+            return None
+        if len(files) == 1:
+            return files[0]
+        common = os.path.commonpath(files)
+        return common
 
     def lookup(self, table: str, field: str) -> DataFrame | None:
         """Postings DataFrame for (table, field) if materialized, else None.

@@ -44,6 +44,26 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem")
 
 
+def scratch_dir(name: str, sf_dir: str, wipe: bool = False) -> str:
+    """Stable scratch directory for queries that materialize artifacts
+    (index builds, write roundtrips).  A fresh ``mkdtemp`` per invocation
+    leaked a full table copy every run (bench runs each query twice,
+    pytest again); a fixed per-(name, sf) path bounds accumulation — the
+    writers all use overwrite mode.  ``wipe`` clears it first for paths
+    that must start empty (incremental index merges)."""
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_scratch_{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if wipe:
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # --------------------------------------------------------------------------
 # Reference-parity queries (SURVEY.md §2.10)
 # --------------------------------------------------------------------------
@@ -158,13 +178,9 @@ def q_index_catalog_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece"): materialize the postings index as a parquet side table, then
     answer the field-values query FROM the index — must equal the
     base-table build (same oracle SQL as ``field_values``)."""
-    import tempfile
-
     from .plans.catalog import IndexCatalog
 
-    cat = IndexCatalog(
-        spark, tempfile.mkdtemp(prefix="spark_graft_idxcat_")
-    )
+    cat = IndexCatalog(spark, scratch_dir("idxcat", sf_dir))
     cat.build(
         _lineitem(spark, sf_dir), "lineitem", "l_returnflag",
         doc_id_col="l_orderkey",

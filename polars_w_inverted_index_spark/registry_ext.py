@@ -894,12 +894,13 @@ def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental-merge logic, oracle-gated: two half-table
     merges into a fresh versioned index must equal the one-shot postings
     build (streaming/index_maintenance.py)."""
-    import tempfile
-
+    from .registry import scratch_dir
     from .streaming.index_maintenance import merge_postings_batch, read_index
 
     li = load_table(spark, sf_dir, "lineitem")
-    d = tempfile.mkdtemp(prefix="spark_graft_inc_idx_")
+    # wipe: the two-merge sequence must start from an EMPTY index — a
+    # leftover _LATEST from a prior run would merge on top and duplicate
+    d = scratch_dir("inc_idx", sf_dir, wipe=True)
     merge_postings_batch(
         li.where(F.col("l_orderkey") % 2 == 0), "l_returnflag", d,
         doc_id_col="l_orderkey",

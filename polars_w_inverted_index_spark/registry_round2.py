@@ -13,7 +13,6 @@ Each entry turns an engine capability into a hard CORRECTNESS row:
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,10 +92,11 @@ _register(
 def q_sorted_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/O1 (main.rs:197-257): range-partitioned sorted zstd write, read
     back lazily — contents must survive the optimized layout exactly."""
+    from .registry import scratch_dir
     from .sources.parquet import scan_parquet, write_sorted_parquet
 
     li = load_table(spark, sf_dir, "lineitem")
-    d = tempfile.mkdtemp(prefix="spark_graft_sorted_rt_")
+    d = scratch_dir("sorted_rt", sf_dir)
     write_sorted_parquet(li, d, sort_col="l_orderkey", target_partitions=8)
     back = scan_parquet(spark, d)
     return back.groupBy("l_returnflag").agg(
@@ -182,7 +182,9 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
     )
-    d = tempfile.mkdtemp(prefix="spark_graft_json_rt_")
+    from .registry import scratch_dir
+
+    d = scratch_dir("json_rt", sf_dir)
     nested.write.mode("overwrite").text(d)
     back = read_logs_json(spark, d)
     return back.agg(
@@ -635,24 +637,26 @@ _register(
     q_events_asof,
     # Same union-window construction as the Spark operator (not DuckDB's
     # ASOF JOIN syntax) so the inclusive-bound and tie semantics are
-    # mirrored by definition rather than by vendor coincidence.
+    # mirrored by definition rather than by vendor coincidence.  The
+    # matched view row travels as ONE struct (NULL on click rows) so
+    # last_value is row-atomic exactly like the operator's _rp struct —
+    # per-column IGNORE NULLS would mix columns from two view rows the
+    # moment a view carries a NULL payload value.
     """
     WITH u AS (
       SELECT user_id, ts AS _ts, 1 AS _tag, NULL::BIGINT AS _tb,
              event_id, ts,
-             NULL::BIGINT AS v_id, NULL::DOUBLE AS v_val,
-             NULL::TIMESTAMP AS v_ts
+             NULL::STRUCT(v_id BIGINT, v_val DOUBLE, v_ts TIMESTAMP) AS _rp
       FROM events WHERE event_type = 'click'
       UNION ALL
       SELECT user_id, ts, 0, event_id,
-             NULL, NULL, event_id, value, ts
+             NULL, NULL,
+             {'v_id': event_id, 'v_val': value, 'v_ts': ts}
       FROM events WHERE event_type = 'view'
     ),
     m AS (
       SELECT user_id, _tag, event_id, ts,
-             last_value(v_id IGNORE NULLS) OVER w AS view_event_id,
-             last_value(v_val IGNORE NULLS) OVER w AS view_value,
-             last_value(v_ts IGNORE NULLS) OVER w AS view_ts
+             last_value(_rp IGNORE NULLS) OVER w AS rp
       FROM u
       WINDOW w AS (
         PARTITION BY user_id
@@ -662,9 +666,9 @@ _register(
     )
     SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
-           view_event_id,
-           strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
-           ROUND(view_value, 4) AS view_value
+           rp.v_id AS view_event_id,
+           strftime(rp.v_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           ROUND(rp.v_val, 4) AS view_value
     FROM m WHERE _tag = 1
     """,
 )

@@ -82,6 +82,10 @@ class QueryStats:
         sections (header / identity / Timing / Memory), same row labels,
         same 52-char value field and +/--signed memory diff."""
         def row(label: str, value: str) -> None:
+            # truncate (ellipsis) rather than overflow: a >52-char value
+            # would push the right border out and break box alignment
+            if len(value) > 52:
+                value = value[:51] + "…"
             print(f"│ {label:<14} {value:<52} │")
 
         bar = "─" * 69

@@ -74,8 +74,12 @@ def merge_postings_batch(
     Idempotence: foreachBatch is at-least-once — after a failure between
     this commit and Spark's checkpoint commit, the same micro-batch is
     replayed.  The marker records the last-applied ``batch_id``; a replay
-    (batch_id ≤ last applied) is a no-op instead of a double merge that
-    would permanently duplicate doc_ids.
+    of exactly that batch is a no-op instead of a double merge that would
+    permanently duplicate doc_ids.  A batch_id BEHIND the marker can only
+    mean the stream restarted with a fresh/rewound checkpoint (Spark
+    replays at most the one uncommitted batch); silently skipping would
+    freeze the index forever, so that raises instead — point the new
+    stream at a new index_path, or backfill with ``batch_id=None``.
     """
     spark = batch_df.sparkSession
     meta = _read_marker(index_path)
@@ -83,9 +87,17 @@ def merge_postings_batch(
         batch_id is not None
         and meta is not None
         and meta.get("batch_id") is not None
-        and batch_id <= meta["batch_id"]
     ):
-        return  # replayed micro-batch — already merged and committed
+        if batch_id == meta["batch_id"]:
+            return  # replayed micro-batch — already merged and committed
+        if batch_id < meta["batch_id"]:
+            raise ValueError(
+                f"batch_id {batch_id} is behind the index's committed "
+                f"batch_id {meta['batch_id']}: the streaming checkpoint "
+                f"was reset or replaced. Use a fresh index_path for the "
+                f"new stream, or merge with batch_id=None for a manual "
+                f"backfill."
+            )
     new = postings(batch_df, field, doc_id_col, sort_postings=False)
     old = read_index(spark, index_path)
     if old is not None:

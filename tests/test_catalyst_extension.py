@@ -110,7 +110,20 @@ _DRIVER = textwrap.dedent(
     out["lookup_pushed_filter"] = "PushedFilters: [IsNotNull(value), EqualTo(value,R)]" in p4
     out["lookup_rows"] = q4.count() == 1
 
-    # 5. flag off: same session semantics, rule inert.
+    # 5. wrong recorded source: an index whose _index_source does not
+    #    cover the scanned path must decline (stem-collision guard).
+    import os
+    marker = os.path.join(root, "lineitem__l_returnflag", "_index_source")
+    orig = open(marker).read()
+    with open(marker, "w") as fh:
+        fh.write("/somewhere/else/lineitem.parquet")
+    out["wrong_source_declines"] = "lineitem.parquet" in physical(
+        postings(df, "l_returnflag", doc_id_col="l_orderkey")
+    )
+    with open(marker, "w") as fh:
+        fh.write(orig)
+
+    # 6. flag off: same session semantics, rule inert.
     spark.conf.unset("spark.polars.index.root")
     out["flag_off_keeps_base"] = "lineitem.parquet" in physical(
         postings(df, "l_returnflag", doc_id_col="l_orderkey")
@@ -151,5 +164,6 @@ def test_index_rewrite_end_to_end():
         "lookup_scans_index": True,
         "lookup_pushed_filter": True,
         "lookup_rows": True,
+        "wrong_source_declines": True,
         "flag_off_keeps_base": True,
     }, res

@@ -107,6 +107,18 @@ def test_gemm_topk_matches_expression_path(spark):
     assert got == want
 
 
+def test_jaccard_release_frees_cache_with_dfcut(spark, docs):
+    """release_intermediates must unpersist the frame that was actually
+    persisted — with max_shingle_freq the shingle frame is rebound after
+    persist, and releasing the rebound frame would leak the cache."""
+    out = DD.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_freq=50)
+    out.collect()
+    cached = out.persisted_intermediates
+    assert cached and cached[0].storageLevel.useMemory
+    DD.release_intermediates(out)
+    assert not cached[0].storageLevel.useMemory
+
+
 def test_embedding_cosine_gemm_matches_expression_path(spark):
     from polars_w_inverted_index_spark.sources.tables import load_table
 

@@ -113,6 +113,16 @@ def test_query_stats_phases_and_printer(spark, lineitem, capsys):
     assert "'l_quantity'" in st.compact() and "rows" in st.compact()
 
 
+def test_query_stats_printer_truncates_long_names(capsys):
+    from polars_w_inverted_index_spark.stats import QueryStats
+
+    st = QueryStats("q" * 80, field_name="f" * 80).finalize()
+    st.print_summary()
+    out = capsys.readouterr().out
+    widths = {len(line) for line in out.rstrip("\n").split("\n")}
+    assert len(widths) == 1, widths  # box survives oversized values
+
+
 def test_postings_invariants(spark, lineitem):
     """§5.3: postings partition the non-null filtered id multiset."""
     idx = postings(lineitem, "l_linestatus", "l_orderkey")

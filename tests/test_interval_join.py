@@ -70,6 +70,22 @@ def test_left_keeps_unmatched(spark):
     assert sum(len(v) for v in by_event.values()) == 6  # 5 matches + 1 null
 
 
+def test_left_null_point_columns_no_duplicates(spark):
+    """A matched point carrying a NULL column must not ALSO be emitted as
+    unmatched (null-unsafe anti-join regression)."""
+    pts = spark.createDataFrame(
+        [(1, None, _ts(30.0)), (2, None, _ts(9999.0))],
+        "event_id long, payload string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("A", _ts(0.0), _ts(100.0))],
+        "name string, start timestamp, end timestamp",
+    )
+    rows = interval_join(pts, ivs, how="left").collect()
+    got = sorted((r["event_id"], r["name"]) for r in rows)
+    assert got == [(1, "A"), (2, None)]
+
+
 def test_plan_is_equi_join(spark):
     """The whole point: no nested-loop/cartesian anywhere in the plan."""
     pts, ivs = _frames(spark)

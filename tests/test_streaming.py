@@ -130,3 +130,24 @@ def test_merge_postings_batch_backfill(spark, events_batch, tmp_path):
     got = read_index(spark, index_path)
     want = postings(events_batch, "event_type", "event_id")
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_merge_replay_and_checkpoint_reset(spark, events_batch, tmp_path):
+    """Exact-replay (at-least-once) is a silent no-op; a batch_id BEHIND
+    the marker means a reset checkpoint and must raise, not silently
+    freeze the index."""
+    import pytest
+
+    index_path = str(tmp_path / "idx3")
+    half = events_batch.where(F.col("event_id") % 2 == 0)
+    merge_postings_batch(half, "event_type", index_path, "event_id",
+                         batch_id=7)
+    before = _sorted_rows(read_index(spark, index_path))
+    # replay of the committed batch: no-op, no duplication
+    merge_postings_batch(half, "event_type", index_path, "event_id",
+                         batch_id=7)
+    assert _sorted_rows(read_index(spark, index_path)) == before
+    # rewound checkpoint: loud failure with guidance
+    with pytest.raises(ValueError, match="checkpoint"):
+        merge_postings_batch(half, "event_type", index_path, "event_id",
+                             batch_id=3)
