@@ -843,7 +843,8 @@ _register(
     "sql_events_sessionize",
     q_events_sessions,
     """
-    SELECT user_id, SUM(is_start) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM (
       SELECT user_id,
              CASE WHEN lag(ts) OVER (

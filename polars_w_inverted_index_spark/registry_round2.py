@@ -351,7 +351,7 @@ _register(
     f"""
     SELECT CASE WHEN h < 80 THEN 'train'
                 WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
-           COUNT(*) AS n_docs, SUM(tc) AS sum_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(tc) AS BIGINT) AS sum_tokens,
            MIN(doc_id) AS min_doc_id
     FROM (
       SELECT doc_id,

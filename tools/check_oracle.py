@@ -72,11 +72,33 @@ def main() -> int:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             continue
         ok_cols = sorted(scols) == sorted(dcols)
+        # The driver hashes pandas values, so an int64-vs-float64 split
+        # (e.g. DuckDB SUM(INTEGER) -> HUGEINT -> float64) hash-fails even
+        # when values are numerically identical.  Compare dtype *kinds*.
+        _KIND = {
+            "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+            "float": "f", "double": "f",
+        }
+        skinds = {
+            f.name: _KIND.get(f.dataType.simpleString(), "O")
+            for f in sdf.schema.fields
+        }
+        for c in dcols:
+            dk = ddf[c].dtype.kind
+            sk = skinds.get(c, "O")
+            if {dk, sk} == {"i", "f"} and not ddf[c].isna().any():
+                failures.append(name)
+                print(
+                    f"FAIL {name}: dtype mismatch on '{c}': "
+                    f"spark kind={sk} duckdb kind={dk} "
+                    f"(driver hash is dtype-sensitive; CAST the oracle)"
+                )
         a, b = _norm_rows(scols, srows), _norm_rows(dcols, drows)
         ok_vals = a == b
         if ok_cols and ok_vals:
