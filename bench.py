@@ -11,10 +11,23 @@ SQL-breadth / streaming twins) is also timed and reported under
 ``queries`` so per-operator regressions are visible, but extension
 operators are not summed into the baseline-comparable headline.
 
-Timing is plan-build + execute + ``collect()`` (the reference ends every
-query in .collect(), main.rs:321/579), after a warm-up pass so JVM/codegen/
-page-cache one-time costs aren't billed (the reference's parquet is
-likewise page-hot: it wrote the file moments earlier, main.rs:712 vs 729).
+Timing is plan-build + execute + driver materialization (the reference
+ends every query in .collect(), main.rs:321/579).  Materialization uses
+``toArrow()`` — one buffer copy, the analog of the reference collecting
+into Vec<i64> — never the py4j/pickle row path, which alone cost ~20 s
+on the 10 M-id postings result in round 2.  A warm-up pass runs first so
+JVM/codegen/page-cache one-time costs aren't billed (the reference's
+parquet is likewise page-hot: it wrote the file moments earlier,
+main.rs:712 vs 729), and an explicit JVM System.gc() runs between timed
+queries so one query's garbage (e.g. 10 M-element aggregation states)
+can't land in the next query's timing window — round 2 measured a 6-row
+query at 16.8 s from exactly that bleed.
+
+Output discipline: the driver captures a bounded tail of stdout and
+parses the LAST JSON line; round 2's line outgrew the capture and the
+headline was lost.  The line is kept compact (2-decimal timings) and the
+emit path asserts it stays under 2,600 bytes, re-rounding to 1 decimal
+if it ever doesn't.
 """
 
 from __future__ import annotations
@@ -57,9 +70,9 @@ def _reference_workload():
 
 
 LOGS_N = 10_000_000
-LOGS_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".bench_data", "logs_10m"
-)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+LOGS_DIR = os.path.join(_HERE, ".bench_data", "logs_10m")
+LOGS_IDX_ROOT = os.path.join(_HERE, ".bench_data", "logs_index")
 
 
 def _logs_workload(spark):
@@ -70,8 +83,15 @@ def _logs_workload(spark):
     BASELINE.md's ~5.9 s total — the sf0.1 lineitem headline is ~16×
     smaller than the reference's table.  The fixture is generated once
     (Spark-native, seeded) and cached under .bench_data/.
+
+    Returns ``(canonical, extra)``: the six baseline-comparable queries,
+    and extra non-baseline variants (the IndexCatalog-served full-table
+    postings — same answer as the base-table plan, served from the
+    materialized index; its build cost is one-time, like any database
+    index, and excluded from the per-query timing).
     """
     from polars_w_inverted_index_spark.engine import Engine
+    from polars_w_inverted_index_spark.plans.catalog import IndexCatalog
     from polars_w_inverted_index_spark.sources.generator import generate_logs
     from polars_w_inverted_index_spark.sources.parquet import (
         write_sorted_parquet,
@@ -82,10 +102,17 @@ def _logs_workload(spark):
     logs = spark.read.parquet(LOGS_DIR)
     ids = list(range(0, LOGS_N, LOGS_N // 100))
 
-    def _eng(s):
-        return Engine(s, df=logs, doc_id_col="doc_id")
+    cat = IndexCatalog(spark, LOGS_IDX_ROOT)
+    if cat.lookup("logs_10m", "source_host") is None:
+        cat.build(logs, "logs_10m", "source_host", doc_id_col="doc_id")
 
-    return {
+    def _eng(s, catalog=None):
+        return Engine(
+            s, df=logs, doc_id_col="doc_id",
+            index_catalog=catalog, table_name="logs_10m",
+        )
+
+    canonical = {
         "logs10m_field_values_by_ids_level": lambda s, d: _eng(s)
         .get_field_values_by_doc_ids("level", ids),
         "logs10m_field_values_by_ids_region": lambda s, d: _eng(s)
@@ -99,6 +126,23 @@ def _logs_workload(spark):
         "logs10m_numeric_stats_full_clicks": lambda s, d: _eng(s)
         .get_numeric_stats("user_metrics_clicks"),
     }
+    extra = {
+        "logs10m_field_values_full_host_indexed": lambda s, d: _eng(
+            s, catalog=cat
+        ).get_field_values("source_host"),
+    }
+    return canonical, extra
+
+
+def _materialize(df) -> int:
+    """Bring the full result to the driver; returns row count.
+
+    Arrow record batches (one buffer copy per column), matching the
+    reference's collect-into-buffers endpoint — NOT row pickling."""
+    try:
+        return df.toArrow().num_rows
+    except Exception:  # pragma: no cover - Arrow disabled
+        return len(df.collect())
 
 
 def main() -> None:
@@ -116,44 +160,55 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up JVM
 
     headline = _reference_workload()
-    logs = {} if os.environ.get("SPARK_GRAFT_SKIP_LOGS10M") else (
-        _logs_workload(spark)
-    )
-    workload: dict = {**headline, **logs, **registry.QUERIES}
+    if os.environ.get("SPARK_GRAFT_SKIP_LOGS10M"):
+        logs, logs_extra = {}, {}
+    else:
+        logs, logs_extra = _logs_workload(spark)
+    # Heavy 10 M-row queries run LAST so their memory pressure can't
+    # bleed into the small-query timings.
+    workload: dict = {**headline, **registry.QUERIES, **logs, **logs_extra}
 
     import gc
 
     for fn in workload.values():  # warm-up pass (footers, codegen, cache)
-        rows = fn(spark, sf_dir).collect()
-        del rows
+        _materialize(fn(spark, sf_dir))
     gc.collect()
+
+    def _jvm_gc():
+        # Python GC alone leaves the JVM old-gen full of dead aggregation
+        # states; a full JVM collection between queries keeps one query's
+        # garbage out of the next one's timing window.
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in workload.items():
+        _jvm_gc()
         t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
+        _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
-        _ = len(rows)
-        # release before the next measurement: wide results (postings over
-        # 10 M ids) otherwise linger and their GC lands inside a later
-        # query's timing window — measured multi-second noise on the
-        # logs10m queries.
-        del rows
-        gc.collect()
 
     total = round(sum(timings[n] for n in headline), 4)
     out = {
         "metric": "reference_workload_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf_val,
     }
     if logs:
         # apples-to-apples vs BASELINE.md: same 10 M-record workload
         out["logs10m_total"] = round(sum(timings[n] for n in logs), 4)
         out["logs10m_rows"] = LOGS_N
-    print(json.dumps(out))
+    # Per-query detail last, rounded — the driver parses a bounded tail.
+    for digits in (2, 1):
+        out["queries"] = {k: round(v, digits) for k, v in timings.items()}
+        line = json.dumps(out)
+        if len(line) <= 2600:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.paths import field_name_to_column
-from .operators.inverted_index import postings, to_value_map
+from .operators.inverted_index import postings, to_value_map, to_value_map_arrow
 from .operators.stats import numeric_stats
 from .plans.rewrite import filter_by_doc_ids
 from .stats import QueryStats
@@ -46,9 +46,13 @@ class NumericStats:
 
 @dataclass
 class FieldValueResult:
-    """Mirror of main.rs:265-268 — the inverted index as a value map."""
+    """Mirror of main.rs:265-268 — the inverted index as a value map.
 
-    value_map: dict[str, list[int]]
+    Postings are contiguous int64 arrays (numpy) when materialized via
+    Arrow — the parity shape for the reference's ``Vec<i64>`` — or python
+    lists on the fallback path; both are ``Sequence[int]``."""
+
+    value_map: dict[str, "Sequence[int]"]
 
 
 class Engine:
@@ -92,7 +96,15 @@ class Engine:
         self, field: str, doc_ids: Sequence[int]
     ) -> DataFrame:
         """Postings restricted to an id set (main.rs:271-395):
-        scan → id filter (join/isin) → project → group."""
+        scan → id filter (join/isin) → project → group.  With an index
+        catalog attached, the index serves this as a posting-filter (no
+        base-table scan) when semantics allow (unique ids, bounded list)."""
+        if self.catalog is not None:
+            hit = self.catalog.lookup_by_doc_ids(
+                self.table_name, field, doc_ids
+            )
+            if hit is not None:
+                return hit
         filtered = filter_by_doc_ids(self._df, doc_ids, self.doc_id_col)
         return postings(filtered, field, self.doc_id_col)
 
@@ -130,11 +142,9 @@ class Engine:
             with st.phase("join_operation"):
                 df = filter_by_doc_ids(df, doc_ids, self.doc_id_col)
         with st.phase("collect"):
-            rows = postings(df, field, self.doc_id_col).collect()
+            vm = to_value_map_arrow(postings(df, field, self.doc_id_col))
         with st.phase("processing"):
-            result = FieldValueResult(
-                {r["value"]: list(r["doc_ids"]) for r in rows}
-            )
+            result = FieldValueResult(vm)
         st.set_result_rows(sum(len(v) for v in result.value_map.values()))
         return result, st.finalize()
 
