@@ -16,12 +16,18 @@ import org.apache.spark.sql.Dataset;
 import org.apache.spark.sql.Row;
 import org.apache.spark.sql.SparkSession;
 import org.apache.spark.sql.catalyst.expressions.Alias;
+import org.apache.spark.sql.catalyst.expressions.ArrayFilter;
 import org.apache.spark.sql.catalyst.expressions.Attribute;
 import org.apache.spark.sql.catalyst.expressions.AttributeReference;
 import org.apache.spark.sql.catalyst.expressions.Cast;
 import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.expressions.GreaterThan;
 import org.apache.spark.sql.catalyst.expressions.IsNotNull;
+import org.apache.spark.sql.catalyst.expressions.LambdaFunction;
+import org.apache.spark.sql.catalyst.expressions.Literal;
 import org.apache.spark.sql.catalyst.expressions.NamedExpression;
+import org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable;
+import org.apache.spark.sql.catalyst.expressions.Size;
 import org.apache.spark.sql.catalyst.expressions.SortArray;
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression;
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList;
@@ -223,9 +229,17 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
     // Filter conjuncts: the postings null guard, plus (optionally)
     // predicates on the grouped field alone — those transfer onto the
     // index's value column when the field is string-typed (identity
-    // cast), e.g. a value point-lookup pushed below the aggregate.
+    // cast), e.g. a value point-lookup pushed below the aggregate — plus
+    // (optionally) predicates on the doc-id column alone — every
+    // (value, doc_id) pair survives iff pred(doc_id), so a row-level id
+    // restriction maps EXACTLY onto filtering each value's postings
+    // elements (the id-set / get_field_values_by_doc_ids shape,
+    // main.rs:271-395, when plans/rewrite.py chose the isin strategy).
+    // The id column must be long-typed at the relation so the pred can be
+    // rebound onto the index's array<long> elements without a cast.
     List<String> guarded = new ArrayList<>();
     List<Expression> fieldPreds = new ArrayList<>();
+    List<Expression> idPreds = new ArrayList<>();
     for (Filter f : filters) {
       for (Expression c : splitConjuncts(f.condition())) {
         if (c instanceof IsNotNull) {
@@ -237,6 +251,10 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
         } else if (referencesOnly(c, chain, field)
             && fieldIsString(rel, field)) {
           fieldPreds.add(c);
+        } else if (c.deterministic()
+            && referencesOnly(c, chain, idCol)
+            && fieldIsLong(rel, idCol)) {
+          idPreds.add(c);
         } else {
           return null;
         }
@@ -292,6 +310,31 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
         || recorded.startsWith(scanned + "/"))) {
       return null;
     }
+    // Full identity marker (_index_meta.json, IndexCatalog.build):
+    // - doc_id_col: an index built over doc_id_col=l_orderkey must not
+    //   answer a postings query over collect_list(l_partkey) on the same
+    //   field — the two postings differ row-for-row;
+    // - chunked: a chunked index holds PARTIAL (value, chunk, doc_ids)
+    //   rows; serving them unmerged would return multiple partial rows
+    //   per value.  Indexes without the marker (legacy or subset builds,
+    //   where IndexCatalog withholds it) are declined.
+    File metaMarker = new File(idxDir, "_index_meta.json");
+    if (!metaMarker.exists()) {
+      return null;
+    }
+    try {
+      com.fasterxml.jackson.databind.JsonNode meta =
+          new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(metaMarker);
+      if (meta.path("chunked").asBoolean(true)) {
+        return null;
+      }
+      if (!idCol.equals(meta.path("doc_id_col").asText(""))) {
+        return null;
+      }
+    } catch (java.io.IOException ex) {
+      return null;
+    }
 
     // Build the replacement: scan of the index, projected onto the
     // aggregate's output exprIds so parent operators re-resolve as-is.
@@ -299,30 +342,76 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
     LogicalPlan idxPlan = idx.queryExecution().analyzed();
     Attribute vAttr = findAttr(idxPlan, "value");
     Attribute dAttr = findAttr(idxPlan, "doc_ids");
-    if (vAttr == null || dAttr == null) {
+    if (vAttr == null || dAttr == null || findAttr(idxPlan, "chunk") != null) {
+      // schema-level chunk check doubles the meta gate: partial rows must
+      // never serve a plain postings query.
       return null;
     }
-    LogicalPlan source = idxPlan;
-    if (!fieldPreds.isEmpty()) {
+    if (!(dAttr.dataType() instanceof org.apache.spark.sql.types.ArrayType)) {
+      return null;
+    }
+    // Postings element restriction (id-set queries): rebind the id
+    // predicates onto each value's postings via filter(doc_ids, x ->
+    // pred(x)), then drop values whose postings emptied — exactly the
+    // rows the base-table plan's Filter would have removed.  Order and
+    // duplicate multiplicity inside each postings list are preserved.
+    Expression docIdsExpr = dAttr;
+    if (!idPreds.isEmpty()) {
+      org.apache.spark.sql.types.ArrayType arrTy =
+          (org.apache.spark.sql.types.ArrayType) dAttr.dataType();
+      if (!(arrTy.elementType()
+          instanceof org.apache.spark.sql.types.LongType)) {
+        return null;
+      }
+      NamedLambdaVariable lv = new NamedLambdaVariable(
+          "pidx_x",
+          arrTy.elementType(),
+          arrTy.containsNull(),
+          org.apache.spark.sql.catalyst.expressions.NamedExpression$
+              .MODULE$.newExprId(),
+          new java.util.concurrent.atomic.AtomicReference<Object>());
+      Expression lamBody = null;
+      for (Expression pred : idPreds) {
+        Expression onElem = substituteAttrs(pred, lv);
+        lamBody = (lamBody == null)
+            ? onElem
+            : new org.apache.spark.sql.catalyst.expressions.And(
+                lamBody, onElem);
+      }
+      List<NamedExpression> lamArgs = new ArrayList<>();
+      lamArgs.add(lv);
+      LambdaFunction lam = new LambdaFunction(
+          lamBody, CollectionConverters.asScala(lamArgs).toSeq(), false);
+      docIdsExpr = new ArrayFilter(dAttr, lam);
+    }
+    Expression cond = null;
+    for (Expression pred : fieldPreds) {
       // Re-apply field predicates against the index's value column
       // (exact: field is string-typed, so cast-to-string was identity).
-      Expression cond = null;
-      for (Expression pred : fieldPreds) {
-        Expression onIndex = substituteAttrs(pred, vAttr);
-        cond = (cond == null)
-            ? onIndex
-            : new org.apache.spark.sql.catalyst.expressions.And(
-                cond, onIndex);
-      }
-      source = new Filter(cond, idxPlan);
+      Expression onIndex = substituteAttrs(pred, vAttr);
+      cond = (cond == null)
+          ? onIndex
+          : new org.apache.spark.sql.catalyst.expressions.And(
+              cond, onIndex);
     }
+    if (!idPreds.isEmpty()) {
+      Expression nonEmpty = new GreaterThan(
+          new Size(docIdsExpr, false),
+          new Literal(0, org.apache.spark.sql.types.DataTypes.IntegerType));
+      cond = (cond == null)
+          ? nonEmpty
+          : new org.apache.spark.sql.catalyst.expressions.And(
+              cond, nonEmpty);
+    }
+    LogicalPlan source =
+        (cond == null) ? idxPlan : new Filter(cond, idxPlan);
     Seq<String> noQual = CollectionConverters.asScala(
         new ArrayList<String>()).toSeq();
     NamedExpression vOut = new Alias(
         vAttr, "value", valueOut.exprId(), noQual,
         Option.empty(), noQual);
     NamedExpression dOut = new Alias(
-        dAttr, "doc_ids", docIdsOut.exprId(), noQual,
+        docIdsExpr, "doc_ids", docIdsOut.exprId(), noQual,
         Option.empty(), noQual);
     Seq<NamedExpression> projList =
         CollectionConverters.asScala(Arrays.asList(vOut, dOut)).toSeq();
@@ -362,10 +451,24 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
     return false;
   }
 
+  /** The named column's type AT THE RELATION is long (matches the
+   * index's array&lt;long&gt; postings elements, so an id predicate can be
+   * rebound onto them cast-free). */
+  private static boolean fieldIsLong(LogicalRelation rel, String field) {
+    for (int i = 0; i < rel.output().size(); i++) {
+      Attribute a = (Attribute) rel.output().apply(i);
+      if (a.name().equals(field)) {
+        return a.dataType()
+            instanceof org.apache.spark.sql.types.LongType;
+      }
+    }
+    return false;
+  }
+
   /** Replace every attribute reference in {@code e} with {@code attr}
    * (callers guarantee e references a single logical column). */
   private static Expression substituteAttrs(
-      Expression e, Attribute attr) {
+      Expression e, Expression attr) {
     return (Expression)
         e.transformUp(
             new AbstractPartialFunction<Expression, Expression>() {

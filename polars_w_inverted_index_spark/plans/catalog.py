@@ -67,11 +67,29 @@ class IndexCatalog:
         # Bind the index to its source data: the Catalyst rule refuses to
         # serve an index whose recorded source doesn't cover the scanned
         # path, so two tables sharing a file stem (or a relocated table)
-        # can never be silently answered from the wrong index.
-        src = self._source_root(df)
+        # can never be silently answered from the wrong index.  The source
+        # is only recorded when the build frame was an unfiltered scan —
+        # build(df.where(...), ...) would otherwise record the table path
+        # for an index covering a subset of its rows, and the rule's
+        # identity gate would serve wrong answers for full-table queries.
+        src = self._source_root(df) if self._is_plain_scan(df) else None
         if src is not None:
             with open(os.path.join(path, "_index_source"), "w") as f:
                 f.write(src)
+            # Full identity marker for the Catalyst rule: source path plus
+            # the doc_id column and chunking the index was built with — an
+            # index on doc_id_col=l_orderkey must not answer a postings
+            # query over collect_list(l_partkey), and a chunked index's
+            # partial rows must never be served as complete postings.
+            with open(os.path.join(path, "_index_meta.json"), "w") as f:
+                json.dump(
+                    {
+                        "source": src,
+                        "doc_id_col": doc_id_col,
+                        "chunked": chunked,
+                    },
+                    f,
+                )
         self._meta[self._key(table, field)] = {
             "path": path,
             "chunked": chunked,
@@ -82,6 +100,20 @@ class IndexCatalog:
         with open(self._meta_path, "w") as f:
             json.dump(self._meta, f, indent=2)
         return path
+
+    @staticmethod
+    def _is_plain_scan(df: DataFrame) -> bool:
+        """True when the frame is the raw table scan (optionally projected)
+        — no row-subsetting operator (Filter/Join/Sample/Limit/Aggregate)
+        between the relation and the build.  Column-only Projects are fine:
+        they never drop rows, so the index still covers the table."""
+        plan = df._jdf.queryExecution().analyzed().toString()
+        allowed = ("Relation", "Project", "SubqueryAlias")
+        for line in plan.splitlines():
+            node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+            if node and not node.startswith(allowed):
+                return False
+        return True
 
     @staticmethod
     def _source_root(df: DataFrame) -> str | None:
@@ -105,6 +137,14 @@ class IndexCatalog:
 
         Chunked indexes are re-merged lazily (groupBy value + flatten) so
         callers always see the logical ``[value, doc_ids]`` shape.
+
+        Scale guard: for a CHUNKED index the merge rebuilds exactly the
+        unbounded per-value array the chunked form exists to avoid — safe
+        only when the consumer filters by value first (Catalyst pushes the
+        value predicate below the merge) or the result set is small.  A
+        whole-index merged read of a hot-valued chunked index at scale
+        should use the raw ``(value, chunk, doc_ids)`` rows instead
+        (``spark.read.parquet`` on the index path).
         """
         meta = self._meta.get(self._key(table, field))
         if meta is None or not os.path.exists(meta["path"]):
@@ -118,6 +158,32 @@ class IndexCatalog:
                 .agg(F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias("doc_ids"))
             )
         return df
+
+    def lookup_by_doc_ids(
+        self, table: str, field: str, doc_ids
+    ) -> DataFrame | None:
+        """Id-set postings (main.rs:271-395) served FROM the index: filter
+        each value's postings to the requested ids and drop emptied values
+        — no base-table scan.  Returns None (caller falls back to the base
+        plan) when the index is absent, the id list has duplicates (the
+        reference's join semantics duplicate postings per duplicated
+        requested id — a posting-filter cannot), or the list is too large
+        for a literal predicate (plans/rewrite.ISIN_THRESHOLD)."""
+        from pyspark.sql import functions as F
+
+        from .rewrite import ISIN_THRESHOLD
+
+        ids = [int(i) for i in doc_ids]
+        if len(ids) > ISIN_THRESHOLD or len(set(ids)) != len(ids):
+            return None
+        df = self.lookup(table, field)
+        if df is None:
+            return None
+        filtered = F.filter(F.col("doc_ids"), lambda x: x.isin(ids))
+        return (
+            df.select("value", filtered.alias("doc_ids"))
+            .where(F.size("doc_ids") > 0)
+        )
 
     def drop(self, table: str, field: str) -> None:
         self._meta.pop(self._key(table, field), None)

@@ -365,9 +365,12 @@ EMB_NEARDUP_THRESHOLD = 0.2  # test embeddings are near-random (max cos ~0.4)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GEMM (applyInPandas-per-bucket) engine path; the pure-expression
-    form stays registered as ``dedup_embedding_cosine_pairs_expr`` — both
-    share one oracle, proving engine-path equivalence at the driver."""
+    """GEMM (applyInPandas-per-bucket) engine path.  The pure-expression
+    twin (``q_embedding_neardup_expr``) is equivalence-checked against it
+    in pytest (tests/test_dedup_similarity.py) rather than holding its own
+    driver row — the driver's correctness sweep records at most 50 rows
+    (CORRECTNESS_r02 had exactly 50 of 51 registered), so registry slots
+    go to distinct operators, not engine-path twins."""
     return DD.embedding_cosine_pairs_gemm(
         load_table(spark, sf_dir, "embeddings"),
         threshold=EMB_NEARDUP_THRESHOLD,
@@ -405,13 +408,6 @@ _register(
     q_embedding_neardup,
     _embedding_neardup_sql(EMB_NEARDUP_THRESHOLD),
 )
-
-_register(
-    "dedup_embedding_cosine_pairs_expr",
-    q_embedding_neardup_expr,
-    _embedding_neardup_sql(EMB_NEARDUP_THRESHOLD),
-)
-
 
 # ---------------------------------------------------------------------------
 # Text analysis (documents table)

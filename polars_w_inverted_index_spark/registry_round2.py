@@ -121,21 +121,12 @@ _register(
 
 def q_inmemory_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: literal in-memory rows → DataFrame → postings.  Null value rows
-    dropped (main.rs:338-342)."""
+    dropped (main.rs:338-342).  Folded into ``source_inmemory_json_roundtrip``
+    as two pivoted columns — the driver's correctness sweep records at most
+    50 rows, so the trivial sources share one row."""
     rows = [(1, "a"), (2, "b"), (3, "a"), (4, None), (5, "b"), (6, "a")]
     df = spark.createDataFrame(rows, "doc_id long, val string")
     return csv_array(postings(df, "val"), "doc_ids")
-
-
-_register(
-    "source_inmemory_rows",
-    q_inmemory_rows,
-    """
-    SELECT 'a' AS value, '1,3,6' AS doc_ids
-    UNION ALL
-    SELECT 'b' AS value, '2,5' AS doc_ids
-    """,
-)
 
 
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,17 +191,36 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inmemory_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + S5 + JSON source in one driver row: the JSON-roundtrip
+    aggregates (generator → NDJSON → schema-explicit re-read) cross-joined
+    with the in-memory-rows postings pivoted to two columns.  Both source
+    paths stay fully exercised; they share a row because the driver's
+    correctness sweep records at most 50."""
+    inm = (
+        q_inmemory_rows(spark, sf_dir)
+        .groupBy()
+        .pivot("value", ["a", "b"])
+        .agg(F.first("doc_ids"))
+        .select(
+            F.col("a").alias("inmem_a"), F.col("b").alias("inmem_b")
+        )
+    )
+    return q_json_roundtrip(spark, sf_dir).crossJoin(inm)
+
+
 # Constants pinned from the seeded generator (n=1000, seed=42) — see the
 # docstring for why literals are the right oracle here.
 _register(
-    "source_json_roundtrip",
-    q_json_roundtrip,
+    "source_inmemory_json_roundtrip",
+    q_inmemory_json_roundtrip,
     """
     SELECT 1000::BIGINT AS n_rows, 1000::BIGINT AS n_ts,
            10168523::BIGINT AS sum_payload, 5::BIGINT AS n_levels,
            47628::BIGINT AS sum_clicks, 730::BIGINT AS n_active,
            3828::BIGINT AS sum_tags, 2020::BIGINT AS sum_answers,
-           58890::BIGINT AS sum_msg_len
+           58890::BIGINT AS sum_msg_len,
+           '1,3,6' AS inmem_a, '2,5' AS inmem_b
     """,
 )
 

@@ -123,7 +123,51 @@ _DRIVER = textwrap.dedent(
     with open(marker, "w") as fh:
         fh.write(orig)
 
-    # 6. flag off: same session semantics, rule inert.
+    # 6. id-set postings (main.rs:271-395, isin strategy): the doc_id
+    #    restriction is rebound onto the index postings as
+    #    filter(doc_ids, x -> pred(x)) + drop-empty — no base scan, and
+    #    results (incl. per-value id multiplicity) match the base plan.
+    from polars_w_inverted_index_spark.plans.rewrite import (
+        filter_by_doc_ids,
+    )
+
+    ids = list(range(0, 1500, 15))
+    q6 = postings(
+        filter_by_doc_ids(df, ids, "l_orderkey"),
+        "l_returnflag",
+        doc_id_col="l_orderkey",
+    )
+    p6 = physical(q6)
+    out["ids_scans_index"] = "lineitem__l_returnflag" in p6
+    out["ids_no_base_scan"] = "lineitem.parquet" not in p6
+    idset = set(ids)
+    truth6 = {{}}
+    for v, l in truth.items():
+        kept = [i for i in l if i in idset]
+        if kept:
+            truth6[v] = kept
+    out["ids_results_match"] = {{
+        r["value"]: list(r["doc_ids"]) for r in q6.collect()
+    }} == truth6
+
+    # 7. chunked index: partial (value, chunk, doc_ids) rows must never
+    #    serve a plain postings query — rule declines on meta + schema.
+    IndexCatalog(spark, root).build(
+        df, "lineitem", "l_linestatus", doc_id_col="l_orderkey",
+        chunked=True, max_postings_per_row=100,
+    )
+    out["chunked_declines"] = "lineitem.parquet" in physical(
+        postings(df, "l_linestatus", doc_id_col="l_orderkey")
+    )
+
+    # 8. doc_id_col mismatch: the l_returnflag index was built over
+    #    l_orderkey; a postings query collecting l_partkey for the same
+    #    field must NOT be answered from it.
+    out["wrong_doc_id_col_declines"] = "lineitem.parquet" in physical(
+        postings(df, "l_returnflag", doc_id_col="l_partkey")
+    )
+
+    # 9. flag off: same session semantics, rule inert.
     spark.conf.unset("spark.polars.index.root")
     out["flag_off_keeps_base"] = "lineitem.parquet" in physical(
         postings(df, "l_returnflag", doc_id_col="l_orderkey")
@@ -165,5 +209,10 @@ def test_index_rewrite_end_to_end():
         "lookup_pushed_filter": True,
         "lookup_rows": True,
         "wrong_source_declines": True,
+        "ids_scans_index": True,
+        "ids_no_base_scan": True,
+        "ids_results_match": True,
+        "chunked_declines": True,
+        "wrong_doc_id_col_declines": True,
         "flag_off_keeps_base": True,
     }, res

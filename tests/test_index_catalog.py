@@ -61,6 +61,79 @@ def test_engine_answers_from_index(spark, lineitem, tmp_path_factory):
     assert any("lineitem.parquet" in f for f in fallback.inputFiles())
 
 
+def test_lookup_by_doc_ids_served_from_index(
+    spark, lineitem, tmp_path_factory
+):
+    from polars_w_inverted_index_spark.plans.rewrite import (
+        ISIN_THRESHOLD,
+        filter_by_doc_ids,
+    )
+
+    root = str(tmp_path_factory.mktemp("idx"))
+    cat = IndexCatalog(spark, root)
+    cat.build(lineitem, "lineitem", "l_returnflag", doc_id_col="l_orderkey")
+    ids = list(range(0, 1500, 15))
+
+    hit = cat.lookup_by_doc_ids("lineitem", "l_returnflag", ids)
+    assert hit is not None
+    # plan is index-only: no base-table scan anywhere
+    files = hit.inputFiles()
+    assert files and all(root in f for f in files)
+    assert "lineitem.parquet" not in hit._jdf.queryExecution() \
+        .executedPlan().toString()
+    # equals the base-table id-set build exactly (values, multiplicity)
+    want = _vm(
+        postings(
+            filter_by_doc_ids(lineitem, ids, "l_orderkey"),
+            "l_returnflag",
+            "l_orderkey",
+        )
+    )
+    assert _vm(hit) == want
+
+    # semantics gates: duplicate requested ids (join-multiplicity — a
+    # posting filter can't reproduce it) and oversized id lists decline
+    assert cat.lookup_by_doc_ids("lineitem", "l_returnflag", [1, 1]) is None
+    big = list(range(ISIN_THRESHOLD + 1))
+    assert cat.lookup_by_doc_ids("lineitem", "l_returnflag", big) is None
+
+    # Engine wiring: by-ids query is answered from the index when attached
+    eng = Engine(
+        spark, df=lineitem, doc_id_col="l_orderkey",
+        index_catalog=cat, table_name="lineitem",
+    )
+    out = eng.get_field_values_by_doc_ids("l_returnflag", ids)
+    assert all(root in f for f in out.inputFiles())
+    assert _vm(out) == want
+
+
+def test_build_on_filtered_frame_records_no_source(
+    spark, lineitem, tmp_path_factory
+):
+    import os
+
+    root = str(tmp_path_factory.mktemp("idx"))
+    cat = IndexCatalog(spark, root)
+    path = cat.build(
+        lineitem.where(F.col("l_quantity") > 25),
+        "lineitem", "l_returnflag", doc_id_col="l_orderkey",
+    )
+    # subset build → identity markers withheld → the Catalyst rule can
+    # never serve this index for full-table queries
+    assert not os.path.exists(os.path.join(path, "_index_source"))
+    assert not os.path.exists(os.path.join(path, "_index_meta.json"))
+    # an unfiltered build writes both
+    path2 = cat.build(
+        lineitem, "lineitem", "l_returnflag", doc_id_col="l_orderkey"
+    )
+    assert os.path.exists(os.path.join(path2, "_index_source"))
+    import json as _json
+
+    meta = _json.load(open(os.path.join(path2, "_index_meta.json")))
+    assert meta["doc_id_col"] == "l_orderkey"
+    assert meta["chunked"] is False
+
+
 def test_chunked_index_merges_on_lookup(spark, tmp_path_factory):
     rows = [Row(doc_id=i, v="hot" if i < 90 else "cold") for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, v string")
