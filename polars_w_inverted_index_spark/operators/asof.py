@@ -57,6 +57,17 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     if not right_cols:
         raise ValueError("need at least one right payload column")
+    # The union plan re-selects caller columns alongside these internals;
+    # a caller column with the same name would either fail analysis with a
+    # duplicate-column error or silently shadow data.  Fail loudly.
+    reserved = {"_ts", "_tag", "_tb", "_rp"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    clash |= {"__ts"} & set(right_cols)  # __ts is the struct's ts field
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved | {'__ts'})}; "
+            f"rename conflicting input columns: {sorted(clash)}"
+        )
 
     rp_type = T.StructType(
         [right.schema[c] for c in right_cols] + [

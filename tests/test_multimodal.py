@@ -60,9 +60,37 @@ def test_sample_frames(media):
     assert bytes(rows[1]["frame"]) == bytes([30] * 4)
 
 
-def test_real_decode_is_stubbed(media):
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="PIL installed: real decode path active"
+)
+def test_real_decode_gated_without_pil(media):
     with pytest.raises(NotImplementedError, match="FAKE container"):
         MM._decode(b"\x89PNG\r\n\x1a\n not a fake container")
+
+
+@pytest.mark.skipif(
+    not _pil_available(), reason="PIL not installed in this container"
+)
+def test_real_decode_with_pil(media):
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.new("L", (4, 3), color=7)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    kind, w, h, nf, payload = MM._decode(buf.getvalue())
+    assert (kind, w, h, nf) == ("I", 4, 3, 1)
+    assert payload == bytes([7] * 12)
 
 
 def test_fingerprint_jvm_side(spark, media):
