@@ -72,9 +72,10 @@ def bpe_token_count_sql(expr: str) -> str:
     )
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingle strings (space-joined).  Shorter-than-k
-    documents contribute their whole text as one shingle.
+def word_ngrams(col: Column | str, k: int = 3) -> Column:
+    """ALL word k-gram strings (space-joined), duplicates preserved, in
+    document order.  Shorter-than-k documents contribute their whole text
+    as one n-gram.
 
     Construction: zip the token array with k-1 shifted copies of itself and
     concat element-wise, then slice to valid start positions.  NOT the
@@ -95,8 +96,13 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     sh = F.slice(acc, 1, F.greatest(F.size(t) - (k - 1), F.lit(1)))
     # empty (but non-null) text: one "" shingle, matching the positional
     # definition's sequence(1,1) lower bound
-    sh = F.when(F.size(t) == 0, F.array(F.lit(""))).otherwise(sh)
-    return F.array_distinct(sh)
+    return F.when(F.size(t) == 0, F.array(F.lit(""))).otherwise(sh)
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingle strings — :func:`word_ngrams` deduped
+    (the set form the dedup/minhash family consumes)."""
+    return F.array_distinct(word_ngrams(col, k))
 
 
 def word_shingles_sql(expr: str, k: int = 3) -> str:
@@ -203,3 +209,64 @@ def lang_id_sql(expr: str) -> str:
             f" 'lang': '{lang}'}}"
         )
     return f"list_max([{', '.join(structs)}]).lang"
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (training-data quality signals)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_frac(col: Column | str, k: int = 3) -> Column:
+    """Fraction of a document's word k-grams that are repeats of an
+    earlier k-gram — the "duplicate n-gram fraction" quality signal used
+    by large-corpus filtering pipelines (high values mark boilerplate /
+    degenerate repetition).  Pure per-row expression: zero shuffle,
+    linear in document length."""
+    g = word_ngrams(col, k)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 6
+    )
+
+
+def top_ngram_frac(col: Column | str, k: int = 2) -> Column:
+    """Fraction of a document's word k-grams occupied by its single most
+    frequent k-gram ("top n-gram coverage").  Computed as the longest
+    equal-run over the sorted n-gram array via one ``aggregate`` fold —
+    no explode, no shuffle, O(len) per row.
+
+    The fold state is ``(prev, run, best)``; on the first element the
+    ``run + 1`` update is correct for both branches because run starts
+    at 0, so no sentinel is needed even when the first n-gram equals the
+    init value."""
+    g = F.array_sort(word_ngrams(col, k))
+
+    def _merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(
+        g,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _merge,
+        lambda acc: acc["best"],
+    )
+    return F.round(best / F.size(g), 6)
+
+
+def repetition_profile(
+    col: Column | str, dup_ks: tuple[int, ...] = (2, 3), top_k: int = 2
+) -> list[Column]:
+    """The repetition quality-signal family as aliased columns, one
+    ``select`` away from a per-document profile."""
+    cols = [
+        dup_ngram_frac(col, k).alias(f"dup_{k}gram_frac") for k in dup_ks
+    ]
+    cols.append(top_ngram_frac(col, top_k).alias(f"top_{top_k}gram_frac"))
+    return cols

@@ -1,5 +1,6 @@
 """Structured Streaming extension surface (SURVEY.md §2.7, §7 Phase 5)."""
 
+from .dedup import batch_dedup_exact, streaming_dedup_exact
 from .index_maintenance import (
     merge_postings_batch,
     read_index,
@@ -9,10 +10,12 @@ from .stateful import running_user_totals
 from .windows import session_event_counts, windowed_event_counts
 
 __all__ = [
+    "batch_dedup_exact",
     "merge_postings_batch",
     "read_index",
     "start_index_maintenance",
     "running_user_totals",
     "session_event_counts",
+    "streaming_dedup_exact",
     "windowed_event_counts",
 ]

@@ -1,0 +1,157 @@
+"""Sequence packing + intra-document repetition signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_w_inverted_index_spark.functions.text import (
+    dup_ngram_frac,
+    repetition_profile,
+    top_ngram_frac,
+    word_ngrams,
+)
+from polars_w_inverted_index_spark.operators.packing import (
+    pack_documents,
+    pack_stats,
+)
+
+# ---------------------------------------------------------------------------
+# Repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngrams_preserve_duplicates_and_order(spark):
+    df = spark.createDataFrame([("a b a b a",)], "text string")
+    [row] = df.select(word_ngrams("text", 2).alias("g")).collect()
+    assert row["g"] == ["a b", "b a", "a b", "b a"]
+    # shorter-than-k doc: whole text is the single n-gram
+    [short] = (
+        spark.createDataFrame([("hello",)], "text string")
+        .select(word_ngrams("text", 3).alias("g"))
+        .collect()
+    )
+    assert short["g"] == ["hello"]
+
+
+@pytest.mark.parametrize(
+    "text,k,want",
+    [
+        ("a b a b a", 2, 0.5),  # 4 bigrams, 2 distinct
+        ("one two three four", 2, 0.0),  # all distinct
+        ("x x x x x", 1, 0.8),  # 5 unigrams, 1 distinct
+    ],
+)
+def test_dup_ngram_frac(spark, text, k, want):
+    df = spark.createDataFrame([(text,)], "text string")
+    [row] = df.select(dup_ngram_frac("text", k).alias("f")).collect()
+    assert row["f"] == pytest.approx(want)
+
+
+@pytest.mark.parametrize(
+    "text,k,want",
+    [
+        ("a b a b a", 2, 0.5),  # "a b" covers 2 of 4 bigrams
+        ("one two three four", 2, 1 / 3),  # every bigram unique
+        ("x x x x x", 1, 1.0),
+    ],
+)
+def test_top_ngram_frac(spark, text, k, want):
+    df = spark.createDataFrame([(text,)], "text string")
+    [row] = df.select(top_ngram_frac("text", k).alias("f")).collect()
+    assert row["f"] == pytest.approx(want, abs=1e-6)
+
+
+def test_repetition_profile_on_documents(spark, sf_dir):
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = doc.select("doc_id", *repetition_profile("text")).collect()
+    assert len(out) == doc.count()
+    for r in out:
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+        assert 0.0 <= r["dup_3gram_frac"] <= 1.0
+        assert 0.0 < r["top_2gram_frac"] <= 1.0
+    # the signal discriminates: a degenerate doc scores above the corpus max
+    deg = spark.createDataFrame([("spam " * 50,)], "text string")
+    [d] = deg.select(dup_ngram_frac("text", 2).alias("f")).collect()
+    assert d["f"] > max(r["dup_2gram_frac"] for r in out)
+
+
+def test_repetition_is_jvm_side(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    plan = (
+        df.select(*repetition_profile("text"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+BUDGET = 1000
+
+
+@pytest.fixture(scope="module")
+def doc_lengths(spark):
+    # realistic mix: power-law-ish lengths, some oversize outliers
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.pmod(F.xxhash64("id"), F.lit(400)) + 20
+            + F.when(F.pmod(F.col("id"), F.lit(211)) == 0, F.lit(2000))
+            .otherwise(F.lit(0))
+        ).alias("n_tokens"),
+    )
+
+
+def test_packing_partitions_the_corpus(spark, doc_lengths):
+    packed = pack_documents(doc_lengths, "n_tokens", BUDGET, num_shards=8)
+    rows = packed.collect()
+    # every doc exactly once, token counts carried through
+    assert sorted(r["doc_id"] for r in rows) == list(range(2000))
+    want = {r["doc_id"]: r["n_tokens"] for r in doc_lengths.collect()}
+    assert all(r["n_tokens"] == want[r["doc_id"]] for r in rows)
+    # no non-oversize pack exceeds the budget; oversize packs are singletons
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r["pack_id"]].append(r)
+    for members in packs.values():
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1
+        else:
+            assert sum(m["n_tokens"] for m in members) <= BUDGET
+
+
+def test_packing_fill_rate_and_stats(spark, doc_lengths):
+    packed = pack_documents(doc_lengths, "n_tokens", BUDGET, num_shards=8)
+    [st] = pack_stats(packed, BUDGET).collect()
+    n_oversize_docs = doc_lengths.where(
+        F.col("n_tokens") > BUDGET
+    ).count()
+    assert st["n_oversize_packs"] == n_oversize_docs
+    assert st["mean_fill"] >= 0.85  # BFD on a realistic mix packs tight
+    # lower bound: can't beat ceil(total/budget) per-shard by much
+    total = doc_lengths.where(F.col("n_tokens") <= BUDGET).agg(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+    assert st["n_packs"] - n_oversize_docs >= total // BUDGET
+
+
+def test_packing_is_deterministic(spark, doc_lengths):
+    a = pack_documents(doc_lengths, "n_tokens", BUDGET, num_shards=8)
+    b = pack_documents(
+        doc_lengths.orderBy(F.rand(7)), "n_tokens", BUDGET, num_shards=8
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_packing_null_and_nonpositive_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 0), (4, -5)],
+        "doc_id long, n_tokens long",
+    )
+    rows = pack_documents(df, "n_tokens", 100, num_shards=2).collect()
+    assert [r["doc_id"] for r in rows] == [1]

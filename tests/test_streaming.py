@@ -85,6 +85,33 @@ def test_session_windows_match_batch(spark, events_batch, events_stream_dir):
     assert _sorted_rows(got) == _sorted_rows(want)
 
 
+def test_streaming_dedup_matches_batch(
+    spark, events_batch, events_stream_dir
+):
+    from polars_w_inverted_index_spark.streaming import (
+        batch_dedup_exact,
+        streaming_dedup_exact,
+    )
+
+    stream = _stream(spark, events_batch, events_stream_dir)
+    _drain_to_memory(
+        streaming_dedup_exact(
+            stream, text_col="event_type", ts_col="ts", delay="365 days"
+        ),
+        "dedup_stream",
+        "append",
+    )
+    got = spark.sql("SELECT * FROM dedup_stream")
+    want = batch_dedup_exact(events_batch, text_col="event_type")
+    # one survivor per content, same key set as the batch twin (which row
+    # survives is first-arrival in the stream, arbitrary in batch)
+    assert got.count() == want.count()
+    assert _sorted_rows(got.select("content_hash")) == _sorted_rows(
+        want.select("content_hash")
+    )
+    assert got.count() < events_batch.count()  # it actually deduped
+
+
 def test_stateful_running_totals(spark, events_batch, events_stream_dir):
     stream = _stream(spark, events_batch, events_stream_dir)
     _drain_to_memory(running_user_totals(stream), "user_totals", "update")
