@@ -134,6 +134,47 @@ def _logs_workload(spark):
     return canonical, extra
 
 
+def _extension_workload():
+    """Non-registry extension operators (pytest-gated; the oracle registry
+    is capped at 50 rows) — benched so their cost is tracked per round.
+    All run over the sf documents table."""
+    from polars_w_inverted_index_spark.functions.scrub import (
+        scrub_documents,
+    )
+    from polars_w_inverted_index_spark.functions.text import (
+        repetition_profile,
+        token_count,
+    )
+    from polars_w_inverted_index_spark.operators.packing import (
+        pack_documents,
+    )
+    from polars_w_inverted_index_spark.operators.sampling import (
+        training_shuffle,
+    )
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    def _docs(s, d):
+        return load_table(s, d, "documents")
+
+    return {
+        "ext_pack_documents": lambda s, d: pack_documents(
+            _docs(s, d).select(
+                "doc_id", token_count("text").alias("tc")
+            ),
+            "tc",
+            2048,
+            num_shards=32,
+        ),
+        "ext_scrub_documents": lambda s, d: scrub_documents(_docs(s, d)),
+        "ext_training_shuffle": lambda s, d: training_shuffle(
+            _docs(s, d).select("doc_id", "lang", "n_chars")
+        ),
+        "ext_repetition_profile": lambda s, d: _docs(s, d).select(
+            "doc_id", *repetition_profile("text")
+        ),
+    }
+
+
 def _materialize(df) -> int:
     """Bring the full result to the driver; returns row count.
 
@@ -166,7 +207,13 @@ def main() -> None:
         logs, logs_extra = _logs_workload(spark)
     # Heavy 10 M-row queries run LAST so their memory pressure can't
     # bleed into the small-query timings.
-    workload: dict = {**headline, **registry.QUERIES, **logs, **logs_extra}
+    workload: dict = {
+        **headline,
+        **registry.QUERIES,
+        **_extension_workload(),
+        **logs,
+        **logs_extra,
+    }
 
     import gc
 

@@ -1,0 +1,161 @@
+"""Deterministic sampling, training shuffle, and PII scrubbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_w_inverted_index_spark.functions.scrub import (
+    scrub_documents,
+    scrub_text,
+)
+from polars_w_inverted_index_spark.operators.sampling import (
+    stratified_sample,
+    training_shuffle,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_fractions_realized(spark, docs):
+    fracs = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(docs, "lang", fracs).collect()
+    langs = {r["lang"] for r in out}
+    assert langs <= set(fracs)  # unlisted strata dropped
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = {k: 0 for k in fracs}
+    for r in out:
+        got[r["lang"]] += 1
+    for k, f in fracs.items():
+        if totals.get(k, 0) >= 50:
+            assert got[k] / totals[k] == pytest.approx(f, abs=0.15)
+
+
+def test_stratified_deterministic_and_stratum_independent(spark, docs):
+    a = stratified_sample(docs, "lang", {"en": 0.3}, seed=7)
+    b = stratified_sample(docs, "lang", {"en": 0.3}, seed=7)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    # different seed → different membership
+    c = stratified_sample(docs, "lang", {"en": 0.3}, seed=8)
+    assert sorted(r["doc_id"] for r in c.collect()) != sorted(
+        r["doc_id"] for r in a.collect()
+    )
+    # membership is a function of doc_id only: relabelling strata keeps
+    # the same kept-ids for the same fraction
+    relabelled = docs.withColumn("lang2", F.lit("en"))
+    d = stratified_sample(relabelled, "lang2", {"en": 0.3}, seed=7)
+    kept_all = {r["doc_id"] for r in d.collect()}
+    assert {r["doc_id"] for r in a.collect()} <= kept_all
+
+
+def test_stratified_rejects_bad_fraction(spark, docs):
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", {"en": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# Training shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_training_shuffle_is_a_deterministic_permutation(spark, docs):
+    out = training_shuffle(docs, num_partitions=4)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert sorted(ids) == sorted(r["doc_id"] for r in docs.collect())
+    assert ids != sorted(ids)  # actually shuffled
+    again = [
+        r["doc_id"]
+        for r in training_shuffle(docs, num_partitions=4).collect()
+    ]
+    assert ids == again
+    other = [
+        r["doc_id"]
+        for r in training_shuffle(docs, seed=1, num_partitions=4).collect()
+    ]
+    assert ids != other
+
+
+def test_training_shuffle_balanced_partitions(spark, docs):
+    out = training_shuffle(docs, num_partitions=4)
+    sizes = [
+        r["n"]
+        for r in out.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    n = docs.count()
+    assert len(sizes) == 4
+    assert max(sizes) < n / 4 * 1.5  # hash keys range-split evenly-ish
+
+
+# ---------------------------------------------------------------------------
+# Scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_text_patterns(spark):
+    cases = [
+        ("mail me at jo.doe+x@corp.example.org now", "<EMAIL>"),
+        ("server 10.0.255.7 down", "<IP>"),
+        ("card 4111 1111 1111 1111 ok", "<NUMBER>"),
+        ("call +1 555 123 4567 today", "<PHONE>"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    rows = df.select(scrub_text("text").alias("s")).collect()
+    for (orig, token), r in zip(cases, rows):
+        assert token in r["s"], (orig, r["s"])
+    # plain prose untouched
+    [p] = (
+        spark.createDataFrame([("just words, no identifiers.",)],
+                              "text string")
+        .select(scrub_text("text").alias("s"))
+        .collect()
+    )
+    assert p["s"] == "just words, no identifiers."
+
+
+def test_scrub_order_email_wins_over_phone(spark):
+    [r] = (
+        spark.createDataFrame([("reach +15551234567@relay.example.com",)],
+                              "text string")
+        .select(scrub_text("text").alias("s"))
+        .collect()
+    )
+    assert "<EMAIL>" in r["s"] and "<PHONE>" not in r["s"]
+
+
+def test_scrub_documents_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.co and c@d.org met at 10.1.1.1"),
+            (2, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_documents(df).collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["n_ip"] == 1
+    assert rows[1]["n_redactions"] == 3
+    assert rows[2]["n_redactions"] == 0
+    assert "<EMAIL>" in rows[1]["text"] and "a@b.co" not in rows[1]["text"]
+
+
+def test_scrub_is_jvm_side(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        scrub_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
