@@ -130,6 +130,11 @@ def _logs_workload(spark):
         "logs10m_field_values_full_host_indexed": lambda s, d: _eng(
             s, catalog=cat
         ).get_field_values("source_host"),
+        # id-set postings served from the index: per-value posting filter
+        # over the materialized postings, no 10 M-row base scan
+        "logs10m_field_values_by_ids_host_indexed": lambda s, d: _eng(
+            s, catalog=cat
+        ).get_field_values_by_doc_ids("source_host", ids),
     }
     return canonical, extra
 

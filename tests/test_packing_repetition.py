@@ -148,6 +148,44 @@ def test_packing_is_deterministic(spark, doc_lengths):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_bfd_assign_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polars_w_inverted_index_spark.operators.packing import bfd_assign
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        tcs=st.lists(st.integers(1, 3000), max_size=200),
+        budget=st.integers(1, 2048),
+    )
+    def check(tcs, budget):
+        tcs = sorted(tcs, reverse=True)  # BFD contract: decreasing input
+        assign, oversize = bfd_assign(tcs, budget)
+        assert len(assign) == len(oversize) == len(tcs)
+        fill: dict[int, int] = {}
+        for tc, a, ov in zip(tcs, assign, oversize):
+            assert ov == (tc > budget)
+            fill[a] = fill.get(a, 0) + tc
+            if ov:
+                assert fill[a] == tc  # oversize bins are singletons
+        for a, tot in fill.items():
+            members = [t for t, x in zip(tcs, assign) if x == a]
+            if not any(
+                ov for x, ov in zip(assign, oversize) if x == a
+            ):
+                assert tot <= budget, (members, budget)
+        # bin ids are dense 0..n-1
+        assert set(fill) == set(range(len(fill)))
+        # pigeonhole lower bound: can't use fewer regular bins than
+        # ceil(total_regular_tokens / budget)
+        non_over = sum(t for t, ov in zip(tcs, oversize) if not ov)
+        n_regular = len(fill) - sum(oversize)
+        assert n_regular >= -(-non_over // budget)
+
+    check()
+
+
 def test_packing_null_and_nonpositive_dropped(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, None), (3, 0), (4, -5)],
