@@ -1,0 +1,116 @@
+"""End-to-end training-corpus preparation: the operators composed.
+
+``prepare_training_corpus`` chains the hygiene and assembly stages a
+pretraining data pipeline runs, in the order that minimizes work:
+
+    scrub (narrow) → quality + repetition gates (narrow, pushed early)
+    → exact dedup (1 shuffle on content hash)
+    → stratified language mix (narrow)
+    → train/val/test split (narrow, pure doc_id hash)
+    → sequence packing of the train split (1 shuffle)
+
+Narrow stages run before the dedup shuffle so the shuffle sees only
+surviving rows — the same filter-before-shuffle property the
+``pipeline_quality_dedup`` registry row pins for its smaller
+composition.  Everything after dedup is a pure function of
+(doc_id, seed): re-running on re-sharded input reproduces the same
+splits, samples, and packs, which is the reproducibility bar for
+ablation studies.
+
+This module is deliberately thin: every stage is an operator with its
+own tests; what is tested HERE (tests/test_pipeline_e2e.py) is the
+composition contract — no row leaks between stages, split disjointness,
+gate monotonicity, pack integrity — at sf0.001.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.scrub import scrub_documents
+from .functions.text import repetition_profile, token_count
+from .operators.dedup import exact_dedup
+from .operators.packing import pack_documents
+from .operators.sampling import stratified_sample
+
+
+@dataclass
+class CorpusConfig:
+    """Gate thresholds + mixing fractions, defaults tuned to the test
+    corpus (documents.parquet) but every knob is per-deployment."""
+
+    min_tokens: int = 5
+    max_dup_3gram_frac: float = 0.5
+    max_redaction_frac: float = 0.1  # redactions per token
+    lang_fractions: dict[str, float] = field(
+        default_factory=lambda: {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0}
+    )
+    split_salt: str = "corpus-v1"
+    pack_budget: int = 2048
+    seed: int = 0
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    config: CorpusConfig | None = None,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> dict[str, DataFrame]:
+    """Returns ``{"corpus", "train", "val", "test", "packs"}`` — all lazy.
+
+    ``corpus`` is the cleaned/deduped/mixed corpus with per-doc quality
+    columns retained for audit; the splits partition it; ``packs`` is the
+    pack assignment for the train split.
+    """
+    cfg = config or CorpusConfig()
+
+    scrubbed = scrub_documents(docs, text_col=text_col)
+    profiled = scrubbed.select(
+        "*",
+        token_count(text_col).alias("n_tokens_ws"),
+        *repetition_profile(text_col),
+    )
+    gated = profiled.where(
+        (F.col("n_tokens_ws") >= cfg.min_tokens)
+        & (F.col("dup_3gram_frac") <= cfg.max_dup_3gram_frac)
+        & (
+            F.col("n_redactions")
+            <= cfg.max_redaction_frac * F.col("n_tokens_ws")
+        )
+    )
+    deduped = exact_dedup(gated, text_col=text_col)
+    corpus = stratified_sample(
+        deduped, lang_col, cfg.lang_fractions, seed=cfg.seed
+    )
+
+    # Pure-hash split, same discipline as the pipeline_train_val_split
+    # registry row: leak-free under re-shards and appends.
+    from .functions.hashing import md5_long
+
+    h = F.pmod(
+        md5_long(
+            F.concat(
+                F.lit(cfg.split_salt + ":"), F.col("doc_id").cast("string")
+            )
+        ),
+        F.lit(100),
+    )
+    corpus = corpus.withColumn(
+        "split",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test"),
+    )
+
+    train = corpus.where(F.col("split") == "train")
+    packs = pack_documents(
+        train, "n_tokens_ws", cfg.pack_budget, num_shards=None
+    )
+    return {
+        "corpus": corpus,
+        "train": train,
+        "val": corpus.where(F.col("split") == "val"),
+        "test": corpus.where(F.col("split") == "test"),
+        "packs": packs,
+    }

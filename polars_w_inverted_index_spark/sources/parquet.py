@@ -97,3 +97,38 @@ def scan_parquet(
             str(LOW_MEMORY_PARTITION_BYTES),
         )
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    path: str | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Materialize ``df`` as a hash-bucketed (and per-bucket sorted)
+    parquet table — the disk-layout lever for repeated co-located joins.
+
+    Two tables bucketed on their join key with the SAME bucket count
+    join with ZERO shuffle: each task reads matching bucket files from
+    both sides (the plan shows no Exchange under the SortMergeJoin).
+    At 100 TB this converts every recurring fact-to-fact join on the
+    bucket key from a full-corpus shuffle into a metadata decision —
+    the cost is paid once, at write time.
+
+    Bucketing rides Spark's table catalog (``saveAsTable``; ``path``
+    makes it an external table), because bucket metadata lives in the
+    catalog, not in parquet itself — plain ``.parquet(path)`` cannot
+    express it.  Read back with ``spark.table(table)``.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", compression)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

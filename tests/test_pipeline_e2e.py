@@ -1,0 +1,76 @@
+"""End-to-end corpus preparation: composition contract at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_w_inverted_index_spark.pipelines import (
+    CorpusConfig,
+    prepare_training_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def out(docs):
+    return prepare_training_corpus(docs)
+
+
+def test_stages_are_monotone_filters(docs, out):
+    n_in = docs.count()
+    n_corpus = out["corpus"].count()
+    assert 0 < n_corpus <= n_in
+
+
+def test_splits_partition_the_corpus(out):
+    n = out["corpus"].count()
+    parts = [out[k].count() for k in ("train", "val", "test")]
+    assert sum(parts) == n
+    train_ids = {r["doc_id"] for r in out["train"].collect()}
+    val_ids = {r["doc_id"] for r in out["val"].collect()}
+    assert not (train_ids & val_ids)
+    assert parts[0] > parts[1]  # ~80/10/10
+
+
+def test_corpus_is_deduped_and_gated(out):
+    c = out["corpus"]
+    assert c.count() == c.select("text").distinct().count()
+    cfg = CorpusConfig()
+    bad = c.where(
+        (F.col("n_tokens_ws") < cfg.min_tokens)
+        | (F.col("dup_3gram_frac") > cfg.max_dup_3gram_frac)
+    ).count()
+    assert bad == 0
+
+
+def test_packs_cover_exactly_the_train_split(out):
+    packed_ids = sorted(r["doc_id"] for r in out["packs"].collect())
+    train_ids = sorted(r["doc_id"] for r in out["train"].collect())
+    assert packed_ids == train_ids
+    cfg = CorpusConfig()
+    per_pack = (
+        out["packs"]
+        .groupBy("pack_id")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max(F.col("oversize").cast("int")).alias("ov"),
+        )
+        .collect()
+    )
+    for r in per_pack:
+        if not r["ov"]:
+            assert r["tot"] <= cfg.pack_budget
+
+
+def test_pipeline_is_reproducible(docs):
+    a = prepare_training_corpus(docs)
+    b = prepare_training_corpus(docs.repartition(7))
+    for k in ("train", "val", "test"):
+        assert sorted(r["doc_id"] for r in a[k].collect()) == sorted(
+            r["doc_id"] for r in b[k].collect()
+        )
