@@ -147,7 +147,7 @@ def _extension_workload():
         scrub_documents,
     )
     from polars_w_inverted_index_spark.functions.text import (
-        repetition_profile,
+        repetition_profile_df,
         token_count,
     )
     from polars_w_inverted_index_spark.operators.packing import (
@@ -174,9 +174,9 @@ def _extension_workload():
         "ext_training_shuffle": lambda s, d: training_shuffle(
             _docs(s, d).select("doc_id", "lang", "n_chars")
         ),
-        "ext_repetition_profile": lambda s, d: _docs(s, d).select(
-            "doc_id", *repetition_profile("text")
-        ),
+        "ext_repetition_profile": lambda s, d: repetition_profile_df(
+            _docs(s, d).select("doc_id", "text")
+        ).drop("text"),
     }
 
 

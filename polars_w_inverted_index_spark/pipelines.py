@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.scrub import scrub_documents
-from .functions.text import repetition_profile, token_count
+from .functions.text import repetition_profile_df, token_count
 from .operators.dedup import exact_dedup
 from .operators.packing import pack_documents
 from .operators.sampling import stratified_sample
@@ -68,10 +68,9 @@ def prepare_training_corpus(
     cfg = config or CorpusConfig()
 
     scrubbed = scrub_documents(docs, text_col=text_col)
-    profiled = scrubbed.select(
-        "*",
-        token_count(text_col).alias("n_tokens_ws"),
-        *repetition_profile(text_col),
+    profiled = repetition_profile_df(
+        scrubbed.withColumn("n_tokens_ws", token_count(text_col)),
+        text_col=text_col,
     )
     gated = profiled.where(
         (F.col("n_tokens_ws") >= cfg.min_tokens)

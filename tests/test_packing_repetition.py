@@ -76,6 +76,23 @@ def test_repetition_profile_on_documents(spark, sf_dir):
     assert d["f"] > max(r["dup_2gram_frac"] for r in out)
 
 
+def test_repetition_profile_df_equals_column_form(spark, sf_dir):
+    from polars_w_inverted_index_spark.functions.text import (
+        repetition_profile_df,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = sorted(
+        map(tuple, doc.select("doc_id", *repetition_profile("text")).collect())
+    )
+    b = sorted(
+        map(tuple, repetition_profile_df(doc).drop("text").collect())
+    )
+    assert a == b
+
+
 def test_repetition_is_jvm_side(spark):
     df = spark.createDataFrame([("a b c",)], "text string")
     plan = (
