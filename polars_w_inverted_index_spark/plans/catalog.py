@@ -101,6 +101,93 @@ class IndexCatalog:
             json.dump(self._meta, f, indent=2)
         return path
 
+    def build_many(
+        self,
+        df: DataFrame,
+        table: str,
+        fields: list[str],
+        doc_id_col: str = "doc_id",
+    ) -> dict[str, str]:
+        """Materialize postings indexes for MANY fields in one pass.
+
+        Per-field :meth:`build` scans the base table once per field — at
+        100 TB that multiplies the dominant cost (the scan) by the field
+        count.  Here all fields ride one scan and one shuffle: each row
+        explodes into (field, value, doc_id) triples, one groupBy builds
+        every field's postings, and the writer partitions by field.  The
+        per-field outputs are then moved into the same per-(table, field)
+        directory layout ``build`` produces — same markers, same lookup
+        and Catalyst-rule behavior, so consumers cannot tell which build
+        path made an index.  Returns {field: index_path}.
+        """
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col(f).cast("string").alias("value"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("p")
+        idx = (
+            df.select(F.col(doc_id_col).cast("long").alias("_id"), pairs)
+            .select("p.field", "p.value", "_id")
+            .where(F.col("value").isNotNull() & F.col("_id").isNotNull())
+            .groupBy("field", "value")
+            .agg(F.sort_array(F.collect_list("_id")).alias("doc_ids"))
+        )
+        staging = os.path.join(self.root, f"_staging_{os.path.basename(table)}")
+        idx.write.mode("overwrite").partitionBy("field").parquet(staging)
+
+        src = self._source_root(df) if self._is_plain_scan(df) else None
+        out: dict[str, str] = {}
+        for f in fields:
+            part_dir = os.path.join(staging, f"field={f}")
+            path = self._path(table, f)
+            shutil.rmtree(path, ignore_errors=True)
+            if os.path.exists(part_dir):
+                shutil.move(part_dir, path)
+            else:  # field was all-null: a valid, empty index (a bare
+                # directory would fail schema inference on read)
+                self.spark.createDataFrame(
+                    [], "value string, doc_ids array<bigint>"
+                ).write.mode("overwrite").parquet(path)
+            # partitioned writes put _SUCCESS at the staging root only;
+            # each index dir needs its own marker for the serving gates
+            open(os.path.join(path, "_SUCCESS"), "w").close()
+            if src is not None:
+                with open(os.path.join(path, "_index_source"), "w") as fh:
+                    fh.write(src)
+                with open(
+                    os.path.join(path, "_index_meta.json"), "w"
+                ) as fh:
+                    json.dump(
+                        {
+                            "source": src,
+                            "doc_id_col": doc_id_col,
+                            "chunked": False,
+                        },
+                        fh,
+                    )
+            self._meta[self._key(table, f)] = {
+                "path": path,
+                "chunked": False,
+                "doc_id_col": doc_id_col,
+                "source": src,
+            }
+            out[f] = path
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._meta_path, "w") as fh:
+            json.dump(self._meta, fh, indent=2)
+        return out
+
     @staticmethod
     def _is_plain_scan(df: DataFrame) -> bool:
         """True when the frame is the raw table scan (optionally projected)

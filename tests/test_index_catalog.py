@@ -107,6 +107,44 @@ def test_lookup_by_doc_ids_served_from_index(
     assert _vm(out) == want
 
 
+def test_build_many_equals_per_field_builds(
+    spark, lineitem, tmp_path_factory
+):
+    import json
+    import os
+
+    root_a = str(tmp_path_factory.mktemp("idx_many"))
+    root_b = str(tmp_path_factory.mktemp("idx_single"))
+    fields = ["l_returnflag", "l_linestatus"]
+    cat_a = IndexCatalog(spark, root_a)
+    paths = cat_a.build_many(
+        lineitem, "lineitem", fields, doc_id_col="l_orderkey"
+    )
+    cat_b = IndexCatalog(spark, root_b)
+    for f in fields:
+        cat_b.build(lineitem, "lineitem", f, doc_id_col="l_orderkey")
+    for f in fields:
+        assert _vm(cat_a.lookup("lineitem", f)) == _vm(
+            cat_b.lookup("lineitem", f)
+        )
+        # same markers/metadata the per-field build writes → the Catalyst
+        # rule and lookup_by_doc_ids treat both builds identically
+        assert os.path.exists(os.path.join(paths[f], "_SUCCESS"))
+        meta = json.load(
+            open(os.path.join(paths[f], "_index_meta.json"))
+        )
+        assert meta["doc_id_col"] == "l_orderkey"
+        assert meta["chunked"] is False
+    # a fresh catalog over the root sees all indexes (metadata persisted)
+    fresh = IndexCatalog(spark, root_a)
+    for f in fields:
+        assert fresh.lookup("lineitem", f) is not None
+    # id-set serving works off a build_many index too
+    ids = list(range(0, 1500, 15))
+    hit = cat_a.lookup_by_doc_ids("lineitem", "l_returnflag", ids)
+    assert hit is not None and hit.count() > 0
+
+
 def test_build_on_filtered_frame_records_no_source(
     spark, lineitem, tmp_path_factory
 ):
