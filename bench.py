@@ -260,6 +260,13 @@ def main() -> None:
         line = json.dumps(out)
         if len(line) <= 2600:
             break
+    else:
+        # never lose the headline to an overgrown per-query dict (the
+        # round-2 failure mode): drop detail rather than overflow the
+        # driver's bounded stdout tail.
+        out["queries"] = {}
+        out["queries_truncated"] = len(timings)
+        line = json.dumps(out)
     print(line)
 
 

@@ -7,13 +7,16 @@ multimodal plumbing) designed for 100 TB scale.
 """
 
 from .engine import Engine, FieldValueResult, NumericStats
+from .pipelines import CorpusConfig, prepare_training_corpus
 from .session import get_session
 from .stats import QueryStats
 
 __all__ = [
+    "CorpusConfig",
     "Engine",
     "FieldValueResult",
     "NumericStats",
     "QueryStats",
     "get_session",
+    "prepare_training_corpus",
 ]

@@ -87,7 +87,9 @@ class Engine:
         """Full-table postings (main.rs:398-499). Consults the index
         catalog first: a materialized index answers this with a plain read."""
         if self.catalog is not None:
-            hit = self.catalog.lookup(self.table_name, field)
+            hit = self.catalog.lookup(
+                self.table_name, field, doc_id_col=self.doc_id_col
+            )
             if hit is not None:
                 return hit
         return postings(self._df, field, self.doc_id_col)
@@ -101,7 +103,7 @@ class Engine:
         base-table scan) when semantics allow (unique ids, bounded list)."""
         if self.catalog is not None:
             hit = self.catalog.lookup_by_doc_ids(
-                self.table_name, field, doc_ids
+                self.table_name, field, doc_ids, doc_id_col=self.doc_id_col
             )
             if hit is not None:
                 return hit

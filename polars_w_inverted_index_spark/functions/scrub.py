@@ -29,13 +29,42 @@ PATTERNS: list[tuple[str, str]] = [
     ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
     # 12+ straight digits (cards, account numbers), allowing spaces/dashes
     ("<NUMBER>", r"\b(?:\d[ -]?){12,19}\b"),
-    # phone-ish: optional +country, separators, 7-11 digits total
-    ("<PHONE>", r"(?<![\w.])\+?\d{1,3}[ -.]?\(?\d{2,4}\)?(?:[ -.]?\d{2,4}){1,3}(?![\w.])"),
+    # phone-ish — two unambiguous shapes only, so ISO dates (2026-08-13),
+    # year ranges (1914-1918), and bare id numbers never match:
+    #   (a) +country compact/separated: +15551234567, +44 20 7946 0958
+    #   (b) separated 3-3-4 with optional +cc/parens: (555) 123-4567
+    (
+        "<PHONE>",
+        r"(?<![\w.])(?:"
+        r"\+\d{1,3}(?:[ -.]?\d{2,4}){2,4}"
+        r"|(?:\+\d{1,3}[ -.]?)?\(?\d{3}\)?[ -.]\d{3}[ -.]\d{4}"
+        r")(?![\w.-])",
+    ),
 ]
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def _stages(col: Column | str) -> tuple[Column, list[Column]]:
+    """One sequential pass: returns (fully scrubbed text, count columns).
+
+    Each pattern counts on the text with earlier patterns already
+    replaced (a span never counts twice), and the final staged column IS
+    the scrubbed text — so callers that want both never run the regex
+    chain twice."""
+    staged = _c(col)
+    cols: list[Column] = []
+    total: Column | None = None
+    for token, pat in PATTERNS:
+        n = F.regexp_count(staged, F.lit(pat)).cast("long")
+        name = token.strip("<>").lower()
+        cols.append(n.alias(f"n_{name}"))
+        total = n if total is None else total + n
+        staged = F.regexp_replace(staged, pat, token)
+    cols.append(total.alias("n_redactions"))
+    return staged, cols
 
 
 def scrub_text(col: Column | str) -> Column:
@@ -48,28 +77,19 @@ def scrub_text(col: Column | str) -> Column:
 
 def scrub_counts(col: Column | str) -> list[Column]:
     """Per-pattern redaction counts (aliased ``n_email`` etc.) plus the
-    total, computed on the SAME sequential semantics as :func:`scrub_text`
-    (each pattern counts on the text with earlier patterns already
-    replaced, so a span never counts twice)."""
-    staged = _c(col)
-    cols: list[Column] = []
-    total: Column | None = None
-    for token, pat in PATTERNS:
-        n = F.regexp_count(staged, F.lit(pat)).cast("long")
-        name = token.strip("<>").lower()
-        cols.append(n.alias(f"n_{name}"))
-        total = n if total is None else total + n
-        staged = F.regexp_replace(staged, pat, token)
-    cols.append(total.alias("n_redactions"))
-    return cols
+    total — see :func:`_stages` for the sequential-count semantics."""
+    return _stages(col)[1]
 
 
 def scrub_documents(df, text_col: str = "text"):
     """``df`` with ``text`` scrubbed in place plus per-pattern counts —
-    the whole hygiene pass as one narrow projection."""
+    the whole hygiene pass as one narrow projection, with the regex
+    chain evaluated ONCE (the counts' final staged text is the scrubbed
+    output; Spark does not CSE across separate expression trees)."""
+    scrubbed, counts = _stages(text_col)
     keep = [c for c in df.columns if c != text_col]
     return df.select(
         *keep,
-        scrub_text(text_col).alias(text_col),
-        *scrub_counts(text_col),
+        scrubbed.alias(text_col),
+        *counts,
     )

@@ -106,10 +106,18 @@ def _decode(data: bytes) -> tuple[str, int, int, int, bytes]:
         ) from None
     import io  # pragma: no cover - exercised only where PIL is installed
 
-    with PIL.Image.open(io.BytesIO(data)) as img:
-        gray = img.convert("L")
-        w, h = gray.size
-        return "I", w, h, 1, gray.tobytes()
+    try:
+        with PIL.Image.open(io.BytesIO(data)) as img:
+            gray = img.convert("L")
+            w, h = gray.size
+            return "I", w, h, 1, gray.tobytes()
+    except Exception as e:
+        # non-image bytes (audio/video containers, truncated FAKE
+        # headers): the capability gate, not a PIL internals leak
+        raise NotImplementedError(
+            "unsupported media format (PIL could not decode; "
+            "audio/video need soundfile/av, not installed)"
+        ) from e
 
 
 # ---------------------------------------------------------------------------

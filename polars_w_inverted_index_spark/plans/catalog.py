@@ -120,16 +120,34 @@ class IndexCatalog:
         and Catalyst-rule behavior, so consumers cannot tell which build
         path made an index.  Returns {field: index_path}.
         """
+        import re
         import shutil
+        import uuid
 
         from pyspark.sql import functions as F
 
+        from ..functions.paths import field_name_to_column
+
+        # Field names become partition-directory values; restrict to
+        # characters Spark writes verbatim so the relocation below can
+        # rely on the literal ``field=<f>`` path (anything needing
+        # partition-value escaping would silently miss and produce an
+        # empty index).
+        for f in fields:
+            if not re.fullmatch(r"[A-Za-z0-9_.]+", f):
+                raise ValueError(
+                    f"build_many field name {f!r} needs partition escaping;"
+                    " use per-field build() for such names"
+                )
         pairs = F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(f).alias("field"),
-                        F.col(f).cast("string").alias("value"),
+                        # same dotted-path resolution as postings()/build()
+                        F.col(field_name_to_column(f))
+                        .cast("string")
+                        .alias("value"),
                     )
                     for f in fields
                 ]
@@ -142,7 +160,12 @@ class IndexCatalog:
             .groupBy("field", "value")
             .agg(F.sort_array(F.collect_list("_id")).alias("doc_ids"))
         )
-        staging = os.path.join(self.root, f"_staging_{os.path.basename(table)}")
+        # unique staging dir: two concurrent build_many calls for the
+        # same table must not clobber each other's partial output
+        staging = os.path.join(
+            self.root,
+            f"_staging_{os.path.basename(table)}_{uuid.uuid4().hex[:8]}",
+        )
         idx.write.mode("overwrite").partitionBy("field").parquet(staging)
 
         src = self._source_root(df) if self._is_plain_scan(df) else None
@@ -219,7 +242,9 @@ class IndexCatalog:
         common = os.path.commonpath(files)
         return common
 
-    def lookup(self, table: str, field: str) -> DataFrame | None:
+    def lookup(
+        self, table: str, field: str, doc_id_col: str | None = None
+    ) -> DataFrame | None:
         """Postings DataFrame for (table, field) if materialized, else None.
 
         Chunked indexes are re-merged lazily (groupBy value + flatten) so
@@ -232,9 +257,20 @@ class IndexCatalog:
         whole-index merged read of a hot-valued chunked index at scale
         should use the raw ``(value, chunk, doc_ids)`` rows instead
         (``spark.read.parquet`` on the index path).
+
+        ``doc_id_col``: when given, the lookup DECLINES (returns None)
+        unless the index was built over that id column — the same
+        identity gate the Catalyst rule enforces via _index_meta.json; an
+        index of l_orderkey postings must never answer a query expecting
+        l_partkey postings.  Callers that pass None own that check.
         """
         meta = self._meta.get(self._key(table, field))
         if meta is None or not os.path.exists(meta["path"]):
+            return None
+        if (
+            doc_id_col is not None
+            and meta.get("doc_id_col") != doc_id_col
+        ):
             return None
         df = self.spark.read.parquet(meta["path"])
         if meta.get("chunked"):
@@ -247,15 +283,17 @@ class IndexCatalog:
         return df
 
     def lookup_by_doc_ids(
-        self, table: str, field: str, doc_ids
+        self, table: str, field: str, doc_ids, doc_id_col: str | None = None
     ) -> DataFrame | None:
         """Id-set postings (main.rs:271-395) served FROM the index: filter
         each value's postings to the requested ids and drop emptied values
         — no base-table scan.  Returns None (caller falls back to the base
-        plan) when the index is absent, the id list has duplicates (the
-        reference's join semantics duplicate postings per duplicated
-        requested id — a posting-filter cannot), or the list is too large
-        for a literal predicate (plans/rewrite.ISIN_THRESHOLD)."""
+        plan) when the index is absent, was built over a different
+        ``doc_id_col`` (identity gate, see :meth:`lookup`), the id list
+        has duplicates (the reference's join semantics duplicate postings
+        per duplicated requested id — a posting-filter cannot), or the
+        list is too large for a literal predicate
+        (plans/rewrite.ISIN_THRESHOLD)."""
         from pyspark.sql import functions as F
 
         from .rewrite import ISIN_THRESHOLD
@@ -263,7 +301,7 @@ class IndexCatalog:
         ids = [int(i) for i in doc_ids]
         if len(ids) > ISIN_THRESHOLD or len(set(ids)) != len(ids):
             return None
-        df = self.lookup(table, field)
+        df = self.lookup(table, field, doc_id_col=doc_id_col)
         if df is None:
             return None
         filtered = F.filter(F.col("doc_ids"), lambda x: x.isin(ids))

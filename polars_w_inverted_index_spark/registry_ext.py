@@ -366,19 +366,13 @@ EMB_NEARDUP_THRESHOLD = 0.2  # test embeddings are near-random (max cos ~0.4)
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GEMM (applyInPandas-per-bucket) engine path.  The pure-expression
-    twin (``q_embedding_neardup_expr``) is equivalence-checked against it
-    in pytest (tests/test_dedup_similarity.py) rather than holding its own
-    driver row — the driver's correctness sweep records at most 50 rows
+    twin (``operators.dedup.embedding_cosine_pairs``) is equivalence-
+    checked against the GEMM operator in pytest
+    (tests/test_dedup_similarity.py) rather than holding its own driver
+    row — the driver's correctness sweep records at most 50 rows
     (CORRECTNESS_r02 had exactly 50 of 51 registered), so registry slots
     go to distinct operators, not engine-path twins."""
     return DD.embedding_cosine_pairs_gemm(
-        load_table(spark, sf_dir, "embeddings"),
-        threshold=EMB_NEARDUP_THRESHOLD,
-    )
-
-
-def q_embedding_neardup_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.embedding_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=EMB_NEARDUP_THRESHOLD,
     )

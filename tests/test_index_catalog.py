@@ -107,6 +107,38 @@ def test_lookup_by_doc_ids_served_from_index(
     assert _vm(out) == want
 
 
+def test_lookup_declines_on_doc_id_col_mismatch(
+    spark, lineitem, tmp_path_factory
+):
+    root = str(tmp_path_factory.mktemp("idx"))
+    cat = IndexCatalog(spark, root)
+    cat.build(lineitem, "lineitem", "l_returnflag", doc_id_col="l_orderkey")
+    # identity gate: an l_orderkey postings index must never answer a
+    # query expecting l_partkey postings (silently wrong data otherwise)
+    assert cat.lookup(
+        "lineitem", "l_returnflag", doc_id_col="l_partkey"
+    ) is None
+    assert cat.lookup_by_doc_ids(
+        "lineitem", "l_returnflag", [1, 2, 3], doc_id_col="l_partkey"
+    ) is None
+    # Engine wired with a different doc_id_col falls back to the base
+    # plan and computes the CORRECT l_partkey postings
+    eng = Engine(
+        spark, df=lineitem, doc_id_col="l_partkey",
+        index_catalog=cat, table_name="lineitem",
+    )
+    out = eng.get_field_values_by_doc_ids("l_returnflag", [1, 2, 3])
+    assert any("lineitem.parquet" in f for f in out.inputFiles())
+    want = _vm(
+        postings(
+            lineitem.where(F.col("l_partkey").isin([1, 2, 3])),
+            "l_returnflag",
+            "l_partkey",
+        )
+    )
+    assert _vm(out) == want
+
+
 def test_build_many_equals_per_field_builds(
     spark, lineitem, tmp_path_factory
 ):

@@ -127,6 +127,21 @@ def test_scrub_text_patterns(spark):
     assert p["s"] == "just words, no identifiers."
 
 
+def test_scrub_leaves_dates_and_ids_alone(spark):
+    untouched = [
+        "released on 2026-08-13 by us",
+        "from 1914-1918 the war raged",
+        "order 12345678 shipped",
+        "pages 100-200 and 3.14159 appear",
+    ]
+    df = spark.createDataFrame([(t,) for t in untouched], "text string")
+    for (orig,), r in zip(
+        [(t,) for t in untouched],
+        df.select(scrub_text("text").alias("s")).collect(),
+    ):
+        assert r["s"] == orig
+
+
 def test_scrub_order_email_wins_over_phone(spark):
     [r] = (
         spark.createDataFrame([("reach +15551234567@relay.example.com",)],

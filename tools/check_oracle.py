@@ -89,16 +89,20 @@ def main() -> int:
             f.name: _KIND.get(f.dataType.simpleString(), "O")
             for f in sdf.schema.fields
         }
+        dtype_fail = False
         for c in dcols:
             dk = ddf[c].dtype.kind
             sk = skinds.get(c, "O")
             if {dk, sk} == {"i", "f"} and not ddf[c].isna().any():
-                failures.append(name)
+                dtype_fail = True
                 print(
                     f"FAIL {name}: dtype mismatch on '{c}': "
                     f"spark kind={sk} duckdb kind={dk} "
                     f"(driver hash is dtype-sensitive; CAST the oracle)"
                 )
+        if dtype_fail:
+            failures.append(name)
+            continue
         a, b = _norm_rows(scols, srows), _norm_rows(dcols, drows)
         ok_vals = a == b
         if ok_cols and ok_vals:
