@@ -100,3 +100,34 @@ def test_chunked_postings_no_forced_broadcast(spark, sf_dir):
     logical = out._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical
     assert "broadcast" not in logical.lower()
+
+
+def test_ext_operator_plan_shapes(spark, sf_dir):
+    """The extension operators keep their designed shuffle inventory
+    (SCALE.md): packing = exactly one exchange (the shard repartition);
+    scrub = narrow (zero exchanges); training shuffle = one range
+    exchange; stratified sample = narrow."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.scrub import (
+        scrub_documents,
+    )
+    from polars_w_inverted_index_spark.functions.text import token_count
+    from polars_w_inverted_index_spark.operators.packing import (
+        pack_documents,
+    )
+    from polars_w_inverted_index_spark.operators.sampling import (
+        stratified_sample,
+        training_shuffle,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def n_exchanges(df):
+        return _plan(df).count("Exchange")
+
+    assert n_exchanges(scrub_documents(doc)) == 0
+    assert n_exchanges(stratified_sample(doc, "lang", {"en": 0.5})) == 0
+    meta = doc.select("doc_id", token_count("text").alias("tc"))
+    assert n_exchanges(pack_documents(meta, "tc", 2048, num_shards=8)) == 1
+    assert n_exchanges(training_shuffle(doc, num_partitions=8)) == 1
