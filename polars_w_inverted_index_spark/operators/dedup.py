@@ -100,24 +100,10 @@ def minhash_signatures(
     return hs.groupBy("doc_id").agg(sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = NUM_HASHES,
-    num_bands: int = NUM_BANDS,
-    shingle_k: int = 3,
-) -> DataFrame:
-    """Candidate near-dup pairs ``[doc_a, doc_b, n_shared_bands]``.
-
-    Scale shape: signatures (narrow) → explode to (band_idx, band_hash,
-    doc_id) (×b rows) → self-join per bucket.  The join key (band_idx,
-    band_hash) is high-cardinality, so the shuffle is uniform; a bucket
-    holding m docs yields m·(m-1)/2 pairs, which is the algorithm's
-    intrinsic output, not a plan artifact."""
-    r = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    bands = sigs.select(
+def _lsh_bands(sigs: DataFrame, num_bands: int, r: int) -> DataFrame:
+    """``[doc_id, band_idx, band_hash]`` — each signature exploded into
+    its banded hashes (band_hash = md5 of that band's r signature mins)."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -141,6 +127,71 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch AGAINST an existing corpus:
+    ``[batch_doc_id, corpus_doc_id, n_shared_bands]`` — the incremental-
+    ingest dedup shape (drop batch docs that near-duplicate anything
+    already ingested) as opposed to :func:`minhash_lsh_pairs`' within-
+    corpus self-join.
+
+    Scale shape: both sides band independently (narrow + one shuffle
+    each); the bucket join is batch-bands against corpus-bands on
+    (band_idx, band_hash) — with a small batch, AQE converts it to a
+    broadcast of the batch side, so the corpus is never reshuffled per
+    ingest.  Corpus signatures are a pure function of content, so at
+    fleet scale you materialize the corpus band table once and reuse it
+    per batch (same contract as the postings IndexCatalog)."""
+    r = num_hashes // num_bands
+    cb = _lsh_bands(
+        minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_k),
+        num_bands, r,
+    ).alias("c")
+    bb = _lsh_bands(
+        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_k),
+        num_bands, r,
+    ).alias("n")
+    return (
+        bb.join(
+            cb,
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("batch_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs ``[doc_a, doc_b, n_shared_bands]``.
+
+    Scale shape: signatures (narrow) → explode to (band_idx, band_hash,
+    doc_id) (×b rows) → self-join per bucket.  The join key (band_idx,
+    band_hash) is high-cardinality, so the shuffle is uniform; a bucket
+    holding m docs yields m·(m-1)/2 pairs, which is the algorithm's
+    intrinsic output, not a plan artifact."""
+    r = num_hashes // num_bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    bands = _lsh_bands(sigs, num_bands, r)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -53,6 +53,32 @@ def test_minhash_identical_docs_share_all_bands(spark, docs):
     assert (0, 2) in pairs
 
 
+def test_minhash_lsh_against_corpus(spark, docs):
+    from pyspark.sql import Row as R
+
+    batch = spark.createDataFrame(
+        [
+            R(doc_id=100, text=_BASE),  # exact dup of corpus 0/1
+            R(doc_id=101, text=_BASE.replace("jumps", "leaps")),  # near
+            R(doc_id=102, text="totally novel text about arrow buffers"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r["batch_doc_id"], r["corpus_doc_id"]): r["n_shared_bands"]
+        for r in DD.minhash_lsh_pairs_against(docs, batch).collect()
+    }
+    assert hits[(100, 0)] == DD.NUM_BANDS  # identical → all bands
+    assert hits[(100, 1)] == DD.NUM_BANDS
+    assert (102, 0) not in hits and (102, 3) not in hits  # novel: no hit
+    # near-dup batch doc hits its corpus twin (same fixed hash family as
+    # the self-join test, so the (0,2)-style collision carries over)
+    assert any(b == 101 for (b, c) in hits)
+    # cross-form consistency: batch 101 vs corpus 2 are the SAME text, so
+    # their pairing mirrors the self-join's identical-doc behavior
+    assert hits[(101, 2)] == DD.NUM_BANDS
+
+
 def test_simhash_near_dup_hamming(spark, docs):
     h = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
     assert h[0] == h[1]
