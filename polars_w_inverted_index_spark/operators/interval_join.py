@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_us
+
 
 def interval_join(
     points: DataFrame,
@@ -44,11 +46,11 @@ def interval_join(
         raise ValueError("how must be 'inner' or 'left'")
     w = F.lit(bucket_width_sec * 1_000_000)  # microsecond buckets
 
-    p_us = F.unix_micros(F.col(point_ts))
+    p_us = epoch_us(point_ts)
     pts = points.withColumn("_bucket", F.floor(p_us / w))
 
-    s_us = F.unix_micros(F.col(start_col))
-    e_us = F.unix_micros(F.col(end_col))
+    s_us = epoch_us(start_col)
+    e_us = epoch_us(end_col)
     # half-open [start, end): the last covered bucket is the one holding
     # end - 1µs; empty/negative intervals cover no bucket (sequence guard)
     first_b = F.floor(s_us / w)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .functions import text as TX
 from .functions.canon import csv_array, csv_array_sql
 from .functions.hashing import md5_long_sql, uh_apply_sql, uh_base_sql
+from .functions.timeutil import epoch_us
 from .functions.vectors import cosine_sql
 from .operators import dedup as DD
 from .operators import multimodal as MM
@@ -809,7 +810,8 @@ _register(
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag window: a session starts after a >30 min gap.
 
-    Gap arithmetic is in microseconds (``unix_micros``): event timestamps
+    Gap arithmetic is in microseconds (``epoch_us``, NTZ-safe): event
+    timestamps
     carry sub-second parts, and truncating to whole seconds misclassifies
     a gap that straddles the 1800 s boundary within a fractional second
     (round-1 hash mismatch).  The oracle mirrors with ``epoch_us``.
@@ -818,7 +820,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     gap = us - F.lag(us).over(w)
     starts = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
