@@ -26,3 +26,17 @@ def epoch_us(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def ensure_event_time(df, ts_col: str):
+    """Cast ``ts_col`` to TIMESTAMP when it is TIMESTAMP_NTZ.
+
+    Structured Streaming's ``EventTimeWatermark`` (like ``unix_micros``)
+    accepts only TIMESTAMP, so a stream whose source parquet carries NTZ
+    timestamps fails analysis at ``withWatermark``.  Under the UTC
+    session timezone the cast is a pure reinterpretation; columns already
+    typed TIMESTAMP pass through untouched.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df

@@ -42,8 +42,10 @@ def streaming_dedup_exact(
     Output = input columns + ``content_hash``, one row per distinct
     content within the watermark horizon.
     """
+    from ..functions.timeutil import ensure_event_time
+
     return (
-        with_content_hash(stream, text_col)
+        ensure_event_time(with_content_hash(stream, text_col), ts_col)
         .withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark([CONTENT_HASH_COL])
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ensure_event_time
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -34,7 +36,7 @@ def windowed_event_counts(
     """
     df = events
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, window).alias("win"), "event_type")
         .agg(
@@ -64,7 +66,7 @@ def session_event_counts(
     """
     df = events
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(
             F.session_window(ts_col, gap).alias("sess"), "user_id"
