@@ -210,6 +210,97 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Pair resolution: connected components → duplicate clusters
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS:
+    ``[doc_id, cluster_id]`` where ``cluster_id`` is the minimum doc_id of
+    the connected component — the deterministic canonical survivor.
+
+    Every pair-producing dedup operator in this module (MinHash-LSH,
+    n-gram Jaccard, embedding cosine) emits edges; an actual pipeline must
+    then keep ONE document per transitively-connected group, which is
+    connected components.  Implementation is iterative min-label
+    propagation (the join form of hash-to-min): each round every node
+    takes the min label over itself and its neighbors — one shuffle join
+    (labels ⋈ edges) plus one groupBy-min per round, converging in
+    O(component diameter) rounds.  Near-dup components are star/clique
+    shaped (a template and its variants), so 2-4 rounds in practice;
+    ``max_iter`` bounds pathological chains.
+
+    Scale notes: edges and labels shuffle on uniform id keys — no hot
+    key beyond what the pair generator already bounded (its bucketing is
+    the skew control).  ``localCheckpoint`` truncates lineage each round
+    so the plan doesn't double per iteration — the standard Spark
+    iterative-graph pattern (GraphFrames connected components does the
+    same); convergence detection costs one count() action per round.
+    Only nodes appearing in some pair are returned — singletons are
+    "clusters of one" and never needed rows to begin with.
+    """
+    src = F.col(a_col).cast("long").alias("src")
+    dst = F.col(b_col).cast("long").alias("dst")
+    edges = (
+        pairs.select(src, dst)
+        .union(
+            pairs.select(
+                F.col(b_col).cast("long").alias("src"),
+                F.col(a_col).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).distinct()
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), F.col("label"))
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # labels are monotone non-increasing: any strict decrease means
+        # another round may still propagate further
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one document per duplicate cluster: rows absent from
+    ``clusters`` (singletons) pass through; clustered rows survive only
+    if they ARE the canonical (min-id) member.  One shuffle join on the
+    uniform id key."""
+    losers = clusters.where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias("_loser"))
+    return df.join(
+        losers, df[id_col] == losers["_loser"], "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

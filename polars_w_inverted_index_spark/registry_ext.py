@@ -123,6 +123,57 @@ def _minhash_lsh_sql() -> str:
 _register("dedup_minhash_lsh_pairs", q_minhash_lsh, _minhash_lsh_sql())
 
 
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs resolved to duplicate clusters (connected components;
+    cluster_id = min doc_id = the canonical survivor)."""
+    return DD.dedup_clusters(
+        DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _minhash_clusters_sql() -> str:
+    """Transitive closure over the SAME banded pairs, as a recursive CTE:
+    reach(src, dst) enumerates every node reachable from src across
+    symmetric duplicate edges; the component label is the min reachable
+    id (LEAST with src itself covers components where src is the min)."""
+    r = DD.NUM_HASHES // DD.NUM_BANDS
+    band_selects = []
+    for b in range(DD.NUM_BANDS):
+        cat = "||','||".join(f"s{b * r + i}::VARCHAR" for i in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH RECURSIVE {_minhash_sig_ctes()},
+    bands AS ({bands}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """
+
+
+_register(
+    "dedup_minhash_clusters", q_minhash_clusters, _minhash_clusters_sql()
+)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -767,15 +818,15 @@ def q_both_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_c.intersect(f_c)
 
 
-_register(
-    "sql_set_intersect",
-    q_both_status_customers,
-    """
+# NOT registered: the driver sweep caps at 50 rows and the INTERSECT
+# evidence is redundant with sql_set_except (§2.6 set ops); its slot went
+# to dedup_minhash_clusters.  Still oracle-checked by
+# tests/test_property_oracle.py::test_set_intersect_oracle.
+SET_INTERSECT_SQL = """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     INTERSECT
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
+    """
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,6 +79,38 @@ def test_minhash_lsh_against_corpus(spark, docs):
     assert hits[(101, 2)] == DD.NUM_BANDS
 
 
+def test_dedup_clusters_transitive(spark):
+    """Pairs (1,2),(2,3) and (5,6) + a long chain: components resolve
+    transitively to min-id labels, independent of pair direction."""
+    pairs = spark.createDataFrame(
+        # component {1,2,3} given indirectly; component {5,6};
+        # chain 10-11-12-13-14 exercises multi-round propagation
+        [(2, 1), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        5: 5, 6: 5,
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+    }
+
+
+def test_drop_near_duplicates_keeps_canonical_and_singletons(spark, docs):
+    pairs = DD.minhash_lsh_pairs(docs)
+    clusters = DD.dedup_clusters(pairs)
+    kept = sorted(
+        r["doc_id"]
+        for r in DD.drop_near_duplicates(docs, clusters).collect()
+    )
+    # 0/1/2 cluster together (identical + near-dup) → canonical 0 survives;
+    # 3 never paired → singleton passes through untouched
+    assert kept == [0, 3]
+
+
 def test_simhash_near_dup_hamming(spark, docs):
     h = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
     assert h[0] == h[1]

@@ -104,3 +104,25 @@ def test_numeric_stats_match_duckdb(rows):
         assert result.avg is None
     else:
         assert result.avg == pytest.approx(want[2])
+
+
+def test_set_intersect_oracle(spark, sf_dir):
+    """INTERSECT evidence for the de-registered sql_set_intersect slot
+    (registry caps at 50 driver rows): Spark intersect vs DuckDB on the
+    real orders fixture."""
+    import duckdb
+
+    from polars_w_inverted_index_spark.registry_ext import (
+        SET_INTERSECT_SQL,
+        q_both_status_customers,
+    )
+
+    got = sorted(
+        r["o_custkey"] for r in q_both_status_customers(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    want = sorted(r[0] for r in con.execute(SET_INTERSECT_SQL).fetchall())
+    assert got == want and len(got) > 0
