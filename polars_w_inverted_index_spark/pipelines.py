@@ -5,6 +5,7 @@ pretraining data pipeline runs, in the order that minimizes work:
 
     scrub (narrow) → quality + repetition gates (narrow, pushed early)
     → exact dedup (1 shuffle on content hash)
+    → optional near-dedup (LSH band join → connected components)
     → stratified language mix (narrow)
     → train/val/test split (narrow, pure doc_id hash)
     → sequence packing of the train split (1 shuffle)
@@ -32,7 +33,12 @@ from pyspark.sql import functions as F
 
 from .functions.scrub import scrub_documents
 from .functions.text import repetition_profile_df, token_count
-from .operators.dedup import exact_dedup
+from .operators.dedup import (
+    dedup_clusters,
+    drop_near_duplicates,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
 from .operators.packing import pack_documents
 from .operators.sampling import stratified_sample
 
@@ -45,6 +51,11 @@ class CorpusConfig:
     min_tokens: int = 5
     max_dup_3gram_frac: float = 0.5
     max_redaction_frac: float = 0.1  # redactions per token
+    # Near-dedup (MinHash-LSH pairs → connected components → keep the
+    # canonical member).  Opt-in: cluster resolution is iterative and
+    # runs Spark actions eagerly, unlike every other (lazy) stage.
+    near_dedup: bool = False
+    near_dedup_min_bands: int = 1  # pairs need ≥ this many shared bands
     lang_fractions: dict[str, float] = field(
         default_factory=lambda: {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0}
     )
@@ -81,6 +92,14 @@ def prepare_training_corpus(
         )
     )
     deduped = exact_dedup(gated, text_col=text_col)
+    if cfg.near_dedup:
+        # Exact dedup first so identical copies never reach the (more
+        # expensive) shingle/banding stage; clusters then collapse the
+        # remaining near-identical variants onto their min-id canonical.
+        pairs = minhash_lsh_pairs(deduped, text_col=text_col).where(
+            F.col("n_shared_bands") >= cfg.near_dedup_min_bands
+        )
+        deduped = drop_near_duplicates(deduped, dedup_clusters(pairs))
     corpus = stratified_sample(
         deduped, lang_col, cfg.lang_fractions, seed=cfg.seed
     )

@@ -74,3 +74,34 @@ def test_pipeline_is_reproducible(docs):
         assert sorted(r["doc_id"] for r in a[k].collect()) == sorted(
             r["doc_id"] for r in b[k].collect()
         )
+
+
+def test_near_dedup_collapses_variant_docs(spark):
+    """near_dedup=True: near-identical variants (one word changed)
+    collapse onto the min-id canonical; distinct docs all survive."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the tall trees "
+        "near the old stone bridge by the quiet river every single day"
+    )
+    rows = [
+        (1, base, "en"),
+        (2, base.replace("jumps", "leaps"), "en"),   # near-dup of 1
+        (3, base.replace("quick", "swift"), "en"),   # near-dup of 1
+        (4, "completely different text about spark shuffles and "
+            "partition pruning in distributed query engines today", "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    cfg = CorpusConfig(near_dedup=True)
+    kept = {
+        r["doc_id"]
+        for r in prepare_training_corpus(docs, cfg)["corpus"].collect()
+    }
+    without = {
+        r["doc_id"]
+        for r in prepare_training_corpus(docs)["corpus"].collect()
+    }
+    assert without == {1, 2, 3, 4}  # exact dedup alone keeps variants
+    assert kept == {1, 4}           # clusters collapse 2,3 onto 1
