@@ -178,3 +178,49 @@ def test_merge_replay_and_checkpoint_reset(spark, events_batch, tmp_path):
     with pytest.raises(ValueError, match="checkpoint"):
         merge_postings_batch(half, "event_type", index_path, "event_id",
                              batch_id=3)
+
+
+def test_merge_touches_only_affected_buckets(spark, tmp_path):
+    """The scale contract of the bucketed layout: a merge whose batch
+    touches other buckets must leave an untouched bucket's pointer (and
+    directory) exactly as committed — per-merge cost is O(touched), not
+    O(index)."""
+    import json
+
+    from pyspark.sql import functions as SF
+
+    index_path = str(tmp_path / "idx_buckets")
+
+    def batch(vals):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        return spark.createDataFrame(rows, "event_id long, event_type string")
+
+    def marker():
+        with open(index_path + "/_LATEST") as f:
+            return json.load(f)
+
+    merge_postings_batch(batch(["alpha"]), "event_type", index_path,
+                         "event_id", batch_id=0)
+    m0 = marker()
+    [b_alpha] = m0["buckets"].keys()
+    # find a value landing in a DIFFERENT bucket than alpha
+    nb = m0["n_buckets"]
+    probe = spark.createDataFrame(
+        [(w,) for w in ["beta", "gamma", "delta", "epsilon", "zeta"]],
+        "value string",
+    ).select("value", SF.pmod(SF.xxhash64("value"), SF.lit(nb)).alias("b"))
+    other = next(
+        r["value"] for r in probe.collect() if str(r["b"]) != b_alpha
+    )
+    merge_postings_batch(batch([other]), "event_type", index_path,
+                         "event_id", batch_id=1)
+    m1 = marker()
+    # alpha's bucket pointer unchanged — its directory was not rewritten
+    assert m1["buckets"][b_alpha] == m0["buckets"][b_alpha]
+    assert len(m1["buckets"]) == 2
+    got = _sorted_rows(read_index(spark, index_path))
+    want = _sorted_rows(
+        postings(batch(["alpha"]).union(batch([other])),
+                 "event_type", "event_id")
+    )
+    assert got == want
