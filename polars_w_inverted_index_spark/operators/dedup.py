@@ -218,6 +218,7 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve duplicate PAIRS into duplicate CLUSTERS:
     ``[doc_id, cluster_id]`` where ``cluster_id`` is the minimum doc_id of
@@ -242,6 +243,16 @@ def dedup_clusters(
     same); convergence detection costs one count() action per round.
     Only nodes appearing in some pair are returned — singletons are
     "clusters of one" and never needed rows to begin with.
+
+    Hybrid execution: the duplicate-edge set is orders of magnitude
+    smaller than the corpus (it is the pair generator's OUTPUT, already
+    bounded by its bucketing), so when it fits comfortably on the driver
+    (≤ ``driver_threshold`` edges) the components are solved with a
+    single Arrow collect + path-compressed union-find — O(E·α) with no
+    per-round job scheduling.  Beyond the threshold the distributed
+    propagation loop runs.  Same contract either way; the production
+    pattern for dedup graphs, where a 100 TB corpus commonly yields
+    merely millions of near-dup edges.
     """
     src = F.col(a_col).cast("long").alias("src")
     dst = F.col(b_col).cast("long").alias("dst")
@@ -256,6 +267,9 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    spark = pairs.sparkSession
+    if edges.count() <= driver_threshold:
+        return _union_find_on_driver(spark, edges)
     labels = edges.select(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).distinct()
@@ -283,6 +297,33 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _union_find_on_driver(spark, edges: DataFrame) -> DataFrame:
+    """Path-compressed union-find over an Arrow-collected edge list; the
+    root of every set is its minimum id, so root == cluster_id."""
+    tbl = edges.toArrow()
+    srcs = tbl.column("src").to_pylist()
+    dsts = tbl.column("dst").to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(srcs, dsts):
+        ra, rb = find(a), find(b)
+        if ra != rb:  # min-id wins the root, keeping root == cluster_id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
 
 def drop_near_duplicates(

@@ -88,15 +88,21 @@ def test_dedup_clusters_transitive(spark):
         [(2, 1), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
         "doc_a long, doc_b long",
     )
-    got = {
-        r["doc_id"]: r["cluster_id"]
-        for r in DD.dedup_clusters(pairs).collect()
-    }
-    assert got == {
+    want = {
         1: 1, 2: 1, 3: 1,
         5: 5, 6: 5,
         10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
     }
+    # driver_threshold=0 forces the distributed propagation loop; the
+    # default takes the driver union-find fast path — same contract
+    for threshold in (1_000_000, 0):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in DD.dedup_clusters(
+                pairs, driver_threshold=threshold
+            ).collect()
+        }
+        assert got == want, f"driver_threshold={threshold}"
 
 
 def test_drop_near_duplicates_keeps_canonical_and_singletons(spark, docs):
