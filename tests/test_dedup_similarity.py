@@ -231,3 +231,48 @@ def test_lsh_topk_agrees_on_identicalish(spark, vectors):
     if out:
         best = min(out, key=lambda r: r["rank"])
         assert best["neighbor_id"] in (1, 2, 4)
+
+
+def test_dedup_clusters_random_graphs_match_bfs(spark):
+    """Property check: on random edge sets, both execution paths agree
+    with an independent BFS connected-components reference."""
+    import random
+
+    rng = random.Random(20240813)
+    for trial in range(4):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        # BFS reference
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for start in adj:
+            if start in want:
+                continue
+            comp, queue = {start}, [start]
+            while queue:
+                for nb in adj[queue.pop()]:
+                    if nb not in comp:
+                        comp.add(nb)
+                        queue.append(nb)
+            label = min(comp)
+            for node in comp:
+                want[node] = label
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        for threshold in (1_000_000, 0):
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in DD.dedup_clusters(
+                    pairs, driver_threshold=threshold
+                ).collect()
+            }
+            assert got == want, f"trial={trial} threshold={threshold}"
