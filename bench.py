@@ -154,6 +154,7 @@ def _extension_workload():
         pack_documents,
     )
     from polars_w_inverted_index_spark.operators.sampling import (
+        mixture_sample,
         training_shuffle,
     )
     from polars_w_inverted_index_spark.sources.tables import load_table
@@ -177,6 +178,12 @@ def _extension_workload():
         "ext_repetition_profile": lambda s, d: repetition_profile_df(
             _docs(s, d).select("doc_id", "text")
         ).drop("text"),
+        "ext_mixture_sample": lambda s, d: mixture_sample(
+            _docs(s, d).select("doc_id", "lang"),
+            "lang",
+            {"en": 4.0, "de": 1.0, "fr": 1.0, "es": 1.0},
+            temperature=2.0,
+        ),
     }
 
 

@@ -9,6 +9,9 @@ the dedup operators use (functions/hashing.md5_long).
 - :func:`stratified_sample` — per-stratum keep-fractions via a hash
   threshold: one narrow map, no shuffle, exact in expectation with
   deterministic membership.
+- :func:`mixture_sample` — target domain mixture with temperature
+  rescaling (the LLM data-recipe step), solved as per-domain fractions
+  from ONE count agg, then delegated to :func:`stratified_sample`.
 - :func:`training_shuffle` — global pseudo-random order: range-partition
   + in-partition sort on a salted hash.  The standard "shuffle the
   corpus once, stream it forever" step; cost is one range exchange, the
@@ -57,6 +60,71 @@ def stratified_sample(
         ]
     )[F.col(strata_col)]
     return df.where(thresh.isNotNull() & (h < thresh))
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: Mapping[str, float],
+    temperature: float = 1.0,
+    doc_id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Sample the corpus toward a target domain mixture — the data-recipe
+    step of LLM pretraining (domain weights, optionally temperature-
+    flattened as in multilingual/LLaMA-style recipes).
+
+    ``weights[d]`` is the RELATIVE target share of domain ``d``;
+    ``temperature`` T rescales shares as ``w^(1/T)`` (T > 1 flattens the
+    mix toward uniform, T = 1 leaves it unchanged).  The achievable mix is
+    bounded by the data actually available per domain, so the sampler
+    solves for the largest total corpus at which no domain is
+    oversubscribed (downsampling-only — no row is ever duplicated), then
+    delegates membership to :func:`stratified_sample`'s deterministic
+    hash threshold.
+
+    Cost: ONE count aggregation over the corpus (the per-domain counts) +
+    one narrow filter map — no shuffle of the data itself.  Driver state
+    is O(|domains|).  Domains absent from ``weights`` are dropped,
+    matching :func:`stratified_sample`'s explicit-only contract.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    for d, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {d!r} must be >= 0, got {w}")
+    shares = {d: w ** (1.0 / temperature) for d, w in weights.items()}
+    z = sum(shares.values())
+    if z == 0:
+        raise ValueError("all weights are zero")
+    shares = {d: s / z for d, s in shares.items()}
+
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["d"] in shares
+    }
+    # Largest total N with share_d·N ≤ count_d for every requested domain
+    # that has any data: N = min(count_d / share_d).  Domains requested
+    # but absent contribute nothing (and can't — downsampling only).
+    feasible = [
+        counts[d] / s for d, s in shares.items() if s > 0 and d in counts
+    ]
+    if not feasible:
+        return df.where(F.lit(False))
+    total = min(feasible)
+    fractions = {
+        d: min(1.0, (shares[d] * total) / counts[d])
+        for d in shares
+        if d in counts and counts[d] > 0
+    }
+    return stratified_sample(
+        df, domain_col, fractions, doc_id_col=doc_id_col, seed=seed
+    )
 
 
 def training_shuffle(

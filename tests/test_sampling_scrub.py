@@ -10,6 +10,7 @@ from polars_w_inverted_index_spark.functions.scrub import (
     scrub_text,
 )
 from polars_w_inverted_index_spark.operators.sampling import (
+    mixture_sample,
     stratified_sample,
     training_shuffle,
 )
@@ -174,3 +175,69 @@ def test_scrub_is_jvm_side(spark):
         scrub_documents(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _lang_counts(rows):
+    out = {}
+    for r in rows:
+        out[r["lang"]] = out.get(r["lang"], 0) + 1
+    return out
+
+
+def test_mixture_sample_hits_target_shares(spark, docs):
+    """50/50 target over a skewed corpus: the scarcer domain is kept
+    whole and the abundant one downsampled to match."""
+    avail = _lang_counts(docs.collect())
+    a, b = sorted(avail, key=avail.get)[-1], sorted(avail, key=avail.get)[0]
+    out = _lang_counts(
+        mixture_sample(docs, "lang", {a: 1.0, b: 1.0}).collect()
+    )
+    assert set(out) == {a, b}
+    assert out[b] == avail[b]  # scarce domain fully kept
+    # abundant domain sampled down to ~the scarce count (hash threshold
+    # is exact in expectation; allow sampling noise)
+    assert abs(out[a] - avail[b]) / avail[b] < 0.25
+
+
+def test_mixture_sample_temperature_flattens(spark, docs):
+    """T→∞ pushes a 9:1 target toward uniform: the minority domain's
+    realized share must grow with temperature."""
+    avail = _lang_counts(docs.collect())
+    a, b = sorted(avail, key=avail.get)[-1], sorted(avail, key=avail.get)[0]
+    w = {a: 9.0, b: 1.0}
+
+    def minority_share(t):
+        got = _lang_counts(
+            mixture_sample(docs, "lang", w, temperature=t).collect()
+        )
+        return got.get(b, 0) / max(1, sum(got.values()))
+
+    assert minority_share(100.0) > minority_share(1.0)
+
+
+def test_mixture_sample_is_downsampling_only(spark, docs):
+    """Never duplicates rows, never exceeds per-domain availability, and
+    drops unrequested domains."""
+    avail = _lang_counts(docs.collect())
+    langs = list(avail)
+    out = mixture_sample(docs, "lang", {langs[0]: 3.0, "xx": 1.0})
+    rows = out.collect()
+    got = _lang_counts(rows)
+    assert set(got) <= {langs[0]}
+    assert got.get(langs[0], 0) <= avail[langs[0]]
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_mixture_sample_validates_inputs(spark, docs):
+    with pytest.raises(ValueError, match="temperature"):
+        mixture_sample(docs, "lang", {"en": 1.0}, temperature=0)
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample(docs, "lang", {"en": -1.0})
+    with pytest.raises(ValueError, match="zero"):
+        mixture_sample(docs, "lang", {"en": 0.0})
