@@ -149,6 +149,7 @@ def _extension_workload():
     from polars_w_inverted_index_spark.functions.text import (
         repetition_profile_df,
         token_count,
+        unigram_surprisal_df,
     )
     from polars_w_inverted_index_spark.operators.packing import (
         pack_documents,
@@ -178,6 +179,9 @@ def _extension_workload():
         "ext_repetition_profile": lambda s, d: repetition_profile_df(
             _docs(s, d).select("doc_id", "text")
         ).drop("text"),
+        "ext_unigram_surprisal": lambda s, d: unigram_surprisal_df(
+            _docs(s, d).select("doc_id", "text")
+        ),
         "ext_mixture_sample": lambda s, d: mixture_sample(
             _docs(s, d).select("doc_id", "lang"),
             "lang",

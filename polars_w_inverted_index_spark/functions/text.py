@@ -312,3 +312,41 @@ def repetition_profile_df(
     )
     keep = [c for c in df.columns]
     return out.select(*keep, *sig)
+
+
+def unigram_surprisal_df(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """``[doc_id, n_tokens, mean_surprisal_bits]`` — mean unigram
+    surprisal (−log₂ p(token)) of each document under the corpus's OWN
+    unigram language model; the classic cheap perplexity proxy for
+    pretraining quality filters (no external model needed).  High scores
+    flag unusual/garbled text, low scores flag templated/repetitive text
+    — both tails are the usual cut candidates.
+
+    Plan shape: one explode + groupBy(token) builds the LM (token keys
+    are uniform; the LM table is vocabulary-sized, far smaller than the
+    corpus); the probability normalizer joins in as a broadcast 1-row
+    aggregate; scoring is the token stream joined to the LM (vocabulary
+    side broadcastable at any corpus size where a vocabulary fits an
+    executor) and one groupBy(doc).  Probabilities are MLE over the same
+    corpus, so every scored token exists in the LM by construction;
+    documents with zero tokens produce no output row.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    )
+    lm = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("_total"))
+    surprisal = -F.log2(F.col("c") / F.col("_total"))
+    return (
+        tok.join(lm, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(surprisal), 6).alias("mean_surprisal_bits"),
+        )
+    )

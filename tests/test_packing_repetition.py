@@ -210,3 +210,55 @@ def test_packing_null_and_nonpositive_dropped(spark):
     )
     rows = pack_documents(df, "n_tokens", 100, num_shards=2).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_surprisal_orders_common_vs_rare(spark):
+    from polars_w_inverted_index_spark.functions.text import (
+        unigram_surprisal_df,
+    )
+
+    rows = [
+        (1, "the the the the the the the the"),      # one very common token
+        (2, "the cat sat on the mat yesterday"),     # mixed
+        (3, "zyx qwv plk mnb vcx asd"),              # all-rare tokens
+        (4, ""),                                     # no tokens → no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in unigram_surprisal_df(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_tokens"] == 8
+    # repetitive doc has the LOWEST surprisal, rare-token doc the highest
+    s = {k: v["mean_surprisal_bits"] for k, v in got.items()}
+    assert s[1] < s[2] < s[3]
+    # determinism
+    again = {
+        r["doc_id"]: r["mean_surprisal_bits"]
+        for r in unigram_surprisal_df(df).collect()
+    }
+    assert again == s
+
+
+def test_unigram_surprisal_matches_hand_computation(spark):
+    import math
+
+    from polars_w_inverted_index_spark.functions.text import (
+        unigram_surprisal_df,
+    )
+
+    # corpus: tokens a a a b  → p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["mean_surprisal_bits"]
+        for r in unigram_surprisal_df(df).collect()
+    }
+    assert got[1] == pytest.approx(-math.log2(3 / 4), abs=1e-5)
+    assert got[2] == pytest.approx(-math.log2(1 / 4), abs=1e-5)
