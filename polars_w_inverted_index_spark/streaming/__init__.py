@@ -2,8 +2,10 @@
 
 from .dedup import batch_dedup_exact, streaming_dedup_exact
 from .index_maintenance import (
+    compact_index,
     merge_postings_batch,
     read_index,
+    read_index_postings,
     start_index_maintenance,
 )
 from .stateful import running_user_totals
@@ -11,8 +13,10 @@ from .windows import session_event_counts, windowed_event_counts
 
 __all__ = [
     "batch_dedup_exact",
+    "compact_index",
     "merge_postings_batch",
     "read_index",
+    "read_index_postings",
     "start_index_maintenance",
     "running_user_totals",
     "session_event_counts",

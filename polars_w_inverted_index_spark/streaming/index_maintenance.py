@@ -30,8 +30,13 @@ stand-in — a reader resolves _LATEST once and then reads immutable
 directories.  Directories no longer referenced are pruned after commit,
 which also collects orphans from merges that crashed before commit.
 
-Hot values chunk via postings_chunked upstream; bucket-count is the
-skew dial (B grows with corpus so no bucket's postings outgrow a task).
+Hot values: pass ``max_postings_per_row`` and the index stores bounded
+chunk rows ``(value, chunk, doc_ids)`` instead of one unbounded array
+per value — merges APPEND new chunks (no hot-value rewrite per batch,
+the LSM trade) and :func:`compact_index` re-chunks fragmentation away
+in one explicit O(index) job, exactly like an LSM compaction.
+Bucket-count is the skew dial (B grows with corpus so no bucket's
+postings outgrow a task).
 """
 
 from __future__ import annotations
@@ -77,6 +82,95 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
     return spark.read.parquet(*paths)
 
 
+def read_index_postings(
+    spark: SparkSession, index_path: str
+) -> DataFrame | None:
+    """Logical ``[value, doc_ids]`` view of the index, merging chunk rows
+    for a chunked index (sorted postings, like the plain form).
+
+    Scale guard (same as plans/catalog.IndexCatalog.lookup): for a
+    chunked index this merge rebuilds exactly the unbounded per-value
+    array the chunked form exists to avoid — safe when the consumer
+    filters by value first (Catalyst pushes the predicate below the
+    merge) or the result set is small; whole-index consumers at scale
+    should use :func:`read_index`'s raw chunk rows instead.
+    """
+    meta = _read_marker(index_path)
+    df = read_index(spark, index_path)
+    if df is None:
+        return None
+    if meta.get("max_postings_per_row") is not None:
+        df = (
+            df.groupBy("value")
+            .agg(
+                F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
+                    "doc_ids"
+                )
+            )
+        )
+    return df
+
+
+def compact_index(spark: SparkSession, index_path: str) -> None:
+    """Squash chunk fragmentation: re-chunk every value to the minimal
+    ``ceil(n/max)`` rows — the explicit O(index) compaction that pays
+    down the append-only merges (LSM discipline: merges stay O(batch),
+    compaction runs on your schedule, readers never block — they follow
+    the pointer swap).  No-op for non-chunked indexes.
+
+    Chunk assignment is the same doc_id hash ``postings_chunked`` uses,
+    so chunk sizes are ``max`` in expectation with multiplicative
+    concentration (±~1/√max) — at the production-scale caps this path
+    exists for (10^5-10^6) that is a tight bound; merge-time pieces cut
+    by ``slice`` remain exactly capped.
+    """
+    meta = _read_marker(index_path)
+    if meta is None or meta.get("max_postings_per_row") is None:
+        return
+    df = read_index(spark, index_path)
+    if df is None:
+        return
+    m = int(meta["max_postings_per_row"])
+    n_buckets = meta["n_buckets"]
+    exploded = df.select("value", F.explode("doc_ids").alias("doc_id"))
+    counts = exploded.groupBy("value").agg(F.count("*").alias("n"))
+    sized = counts.select(
+        "value",
+        F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(m))).alias("_nc"),
+    )
+    # same hash-chunk assignment as operators/inverted_index.postings_chunked
+    compacted = (
+        exploded.join(sized, "value")
+        .withColumn(
+            "chunk", F.pmod(F.xxhash64("doc_id"), F.col("_nc")).cast("long")
+        )
+        .groupBy("value", "chunk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .withColumn("bucket", _bucket_col(n_buckets))
+    )
+    next_m = meta.get("merge", -1) + 1
+    out = os.path.join(index_path, f"m={next_m}")
+    compacted.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out)
+    written = [
+        d for d in os.listdir(out) if d.startswith("bucket=")
+    ]
+    new_pointers = {
+        d.split("=", 1)[1]: os.path.join(f"m={next_m}", d) for d in written
+    }
+    _commit(
+        index_path,
+        meta,
+        new_pointers,
+        batch_id=None,
+        n_buckets=n_buckets,
+        next_m=next_m,
+        max_rows=m,
+        replace_buckets=True,
+    )
+
+
 def merge_postings_batch(
     batch_df: DataFrame,
     field: str,
@@ -84,13 +178,23 @@ def merge_postings_batch(
     doc_id_col: str = "doc_id",
     batch_id: int | None = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    max_postings_per_row: int | None = None,
 ) -> None:
     """Merge one micro-batch's postings into the index (foreachBatch body).
 
     Also callable directly for batch backfill (``batch_id=None`` skips
-    replay protection).  ``n_buckets`` applies to the FIRST merge only;
-    later merges inherit the committed bucket count (bucket assignment
-    must stay stable across the index's life).
+    replay protection).  ``n_buckets`` and ``max_postings_per_row`` apply
+    to the FIRST merge only; later merges inherit the committed values
+    (bucket assignment and row shape must stay stable across the
+    index's life).
+
+    ``max_postings_per_row`` set ⇒ chunked row shape
+    ``(value, chunk, doc_ids)`` with every array bounded: the merge
+    APPENDS the batch's postings as new chunk rows after each value's
+    current highest chunk — existing chunk rows are carried over
+    unmodified, so a hot value's accumulated postings are never
+    re-assembled per batch.  Chunk counts grow with merge count until
+    :func:`compact_index` squashes them (the LSM append+compact trade).
 
     Idempotence: foreachBatch is at-least-once — after a failure between
     this commit and Spark's checkpoint commit, the same micro-batch is
@@ -121,8 +225,25 @@ def merge_postings_batch(
             )
     if meta is not None:
         n_buckets = meta["n_buckets"]
+        max_postings_per_row = meta.get("max_postings_per_row")
 
     new = postings(batch_df, field, doc_id_col, sort_postings=False)
+    if max_postings_per_row is not None:
+        # bounded pieces: a batch value with n postings becomes
+        # ceil(n/max) rows; piece index i is LOCAL (rebased onto the
+        # value's committed chunk count at merge time below)
+        m = int(max_postings_per_row)
+        pieces = F.ceil(F.size("doc_ids") / F.lit(m)).cast("int")
+        new = (
+            new.withColumn("_i", F.explode(F.sequence(F.lit(0), pieces - 1)))
+            .select(
+                "value",
+                "_i",
+                F.sort_array(
+                    F.slice("doc_ids", F.col("_i") * m + 1, m)
+                ).alias("doc_ids"),
+            )
+        )
     new = new.withColumn("bucket", _bucket_col(n_buckets))
     # the frame feeds two actions (touched-bucket probe + the merge write)
     new = new.persist()
@@ -133,7 +254,9 @@ def merge_postings_batch(
     )
     if not touched:  # empty batch (all-null field/id rows): still commit
         new.unpersist()
-        _commit(index_path, meta, {}, batch_id, n_buckets)
+        _commit(
+            index_path, meta, {}, batch_id, n_buckets, max_rows=max_postings_per_row
+        )
         return
 
     old_buckets = (meta or {}).get("buckets", {})
@@ -142,10 +265,41 @@ def merge_postings_batch(
         for b in touched
         if str(b) in old_buckets
     ]
-    if old_paths:
-        old = spark.read.parquet(*old_paths).withColumn(
+    old = (
+        spark.read.parquet(*old_paths).withColumn(
             "bucket", _bucket_col(n_buckets)
         )
+        if old_paths
+        else None
+    )
+    if max_postings_per_row is not None:
+        # append-only: rebase the batch's local piece index onto each
+        # value's committed chunk count; old chunk rows pass through
+        # untouched (no hot-value re-assembly)
+        if old is not None:
+            base = old.groupBy("value").agg(
+                (F.max("chunk") + 1).alias("_base")
+            )
+            rebased = (
+                new.join(base, "value", "left")
+                .select(
+                    "bucket",
+                    "value",
+                    (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_i"))
+                    .cast("long")
+                    .alias("chunk"),
+                    "doc_ids",
+                )
+            )
+            merged = old.select(
+                "bucket", "value", "chunk", "doc_ids"
+            ).unionByName(rebased)
+        else:
+            merged = new.select(
+                "bucket", "value", F.col("_i").cast("long").alias("chunk"),
+                "doc_ids",
+            )
+    elif old is not None:
         merged = (
             old.unionByName(new)
             .groupBy("bucket", "value")
@@ -170,7 +324,15 @@ def merge_postings_batch(
     new_pointers = {
         str(b): os.path.join(f"m={next_m}", f"bucket={b}") for b in touched
     }
-    _commit(index_path, meta, new_pointers, batch_id, n_buckets, next_m)
+    _commit(
+        index_path,
+        meta,
+        new_pointers,
+        batch_id,
+        n_buckets,
+        next_m,
+        max_rows=max_postings_per_row,
+    )
 
 
 def _commit(
@@ -180,8 +342,10 @@ def _commit(
     batch_id: int | None,
     n_buckets: int,
     next_m: int | None = None,
+    max_rows: int | None = None,
+    replace_buckets: bool = False,
 ) -> None:
-    buckets = dict((meta or {}).get("buckets", {}))
+    buckets = {} if replace_buckets else dict((meta or {}).get("buckets", {}))
     buckets.update(new_pointers)
     committed = batch_id if batch_id is not None else (
         (meta or {}).get("batch_id")
@@ -190,6 +354,7 @@ def _commit(
         "merge": next_m if next_m is not None else (meta or {}).get("merge", -1),
         "batch_id": committed,
         "n_buckets": n_buckets,
+        "max_postings_per_row": max_rows,
         "buckets": buckets,
     }
     tmp = _latest_path(index_path) + ".tmp"
