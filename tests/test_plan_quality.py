@@ -131,3 +131,28 @@ def test_ext_operator_plan_shapes(spark, sf_dir):
     meta = doc.select("doc_id", token_count("text").alias("tc"))
     assert n_exchanges(pack_documents(meta, "tc", 2048, num_shards=8)) == 1
     assert n_exchanges(training_shuffle(doc, num_partitions=8)) == 1
+
+
+def test_new_ext_operator_plan_shapes(spark, sf_dir):
+    """Round-4 operators keep their designed shuffle inventory:
+    mixture_sample's OUTPUT plan is narrow (the count agg happens at
+    planning time; membership is the same hash-threshold filter as
+    stratified_sample); unigram surprisal = LM groupBy + token⋈LM join +
+    per-doc groupBy, with the 1-row normalizer entering as a broadcast,
+    never a shuffled join."""
+    from polars_w_inverted_index_spark.functions.text import (
+        unigram_surprisal_df,
+    )
+    from polars_w_inverted_index_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    mix = mixture_sample(doc, "lang", {"en": 1.0, "de": 1.0})
+    assert _plan(mix).count("Exchange") == 0
+
+    sup = unigram_surprisal_df(doc)
+    plan = _plan(sup)
+    assert "BroadcastExchange" in plan  # the 1-row normalizer
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
