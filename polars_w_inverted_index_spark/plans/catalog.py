@@ -211,6 +211,35 @@ class IndexCatalog:
             json.dump(self._meta, fh, indent=2)
         return out
 
+    def adopt_streaming(
+        self,
+        table: str,
+        field: str,
+        index_path: str,
+        doc_id_col: str = "doc_id",
+    ) -> None:
+        """Register a STREAMING-maintained index
+        (streaming/index_maintenance layout: m=/bucket= dirs behind a
+        _LATEST pointer) so engine/planner lookups serve from it — the
+        bridge between the foreachBatch maintenance path and the query
+        path.  The pointer is re-resolved on every lookup, so queries
+        always see the latest committed merge without re-registering.
+
+        Python-planner only: the Catalyst JVM rule serves the static
+        parquet layout and its identity gates (_index_meta.json) do not
+        read _LATEST, so it correctly declines these entries.
+        """
+        self._meta[self._key(table, field)] = {
+            "path": index_path,
+            "chunked": False,
+            "doc_id_col": doc_id_col,
+            "source": None,
+            "streaming": True,
+        }
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump(self._meta, f, indent=2)
+
     @staticmethod
     def _is_plain_scan(df: DataFrame) -> bool:
         """True when the frame is the raw table scan (optionally projected)
@@ -272,6 +301,10 @@ class IndexCatalog:
             and meta.get("doc_id_col") != doc_id_col
         ):
             return None
+        if meta.get("streaming"):
+            from ..streaming.index_maintenance import read_index_postings
+
+            return read_index_postings(self.spark, meta["path"])
         df = self.spark.read.parquet(meta["path"])
         if meta.get("chunked"):
             from pyspark.sql import functions as F

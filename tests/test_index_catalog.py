@@ -280,3 +280,47 @@ def test_postings_invariants(spark, lineitem):
     for r in rows:
         n = lineitem.where(F.col("l_linestatus") == r["value"]).count()
         assert len(r["doc_ids"]) == n
+
+
+def test_adopt_streaming_index_serves_engine_queries(spark, tmp_path):
+    """The maintenance→query bridge: an index kept current by streaming
+    merges, adopted into the catalog, answers Engine postings queries —
+    and reflects later merges without re-registration (the _LATEST
+    pointer is resolved per lookup)."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.engine import Engine
+    from polars_w_inverted_index_spark.operators.inverted_index import (
+        postings,
+    )
+    from polars_w_inverted_index_spark.plans.catalog import IndexCatalog
+    from polars_w_inverted_index_spark.streaming import merge_postings_batch
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+
+    idx = str(tmp_path / "stream_idx")
+    merge_postings_batch(half1, "event_type", idx, "event_id", batch_id=0)
+
+    cat = IndexCatalog(spark, str(tmp_path / "cat"))
+    cat.adopt_streaming("events", "event_type", idx, doc_id_col="event_id")
+    eng = Engine(
+        spark, df=events, doc_id_col="event_id",
+        index_catalog=cat, table_name="events",
+    )
+
+    def rows(df):
+        return sorted((r["value"], tuple(r["doc_ids"])) for r in df.collect())
+
+    # after the first merge, the engine serves the half-table postings
+    assert rows(eng.get_field_values("event_type")) == rows(
+        postings(half1, "event_type", "event_id")
+    )
+    # second merge: same engine/catalog, fresh pointer → full postings
+    merge_postings_batch(half2, "event_type", idx, "event_id", batch_id=1)
+    assert rows(eng.get_field_values("event_type")) == rows(
+        postings(events, "event_type", "event_id")
+    )
+    # identity gate: a different doc_id_col declines the adopted index
+    assert cat.lookup("events", "event_type", doc_id_col="other") is None
