@@ -62,7 +62,14 @@ def _read_marker(index_path: str) -> dict | None:
     if not os.path.exists(marker):
         return None
     with open(marker) as f:
-        return json.load(f)
+        meta = json.load(f)
+    if "buckets" not in meta:
+        raise ValueError(
+            f"index at {index_path} uses a legacy single-directory layout "
+            f"(pre-bucketed marker {sorted(meta)}); rebuild it into a "
+            f"fresh index_path (batch backfill with batch_id=None)."
+        )
+    return meta
 
 
 def _bucket_col(n_buckets: int):
