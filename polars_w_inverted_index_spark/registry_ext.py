@@ -945,13 +945,15 @@ def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wipe: the two-merge sequence must start from an EMPTY index — a
     # leftover _LATEST from a prior run would merge on top and duplicate
     d = scratch_dir("inc_idx", sf_dir, wipe=True)
+    # n_buckets is the per-index scale dial (grows with corpus); 4 suits
+    # a 3-value test index — the default 16 just multiplies file count
     merge_postings_batch(
         li.where(F.col("l_orderkey") % 2 == 0), "l_returnflag", d,
-        doc_id_col="l_orderkey",
+        doc_id_col="l_orderkey", n_buckets=4,
     )
     merge_postings_batch(
         li.where(F.col("l_orderkey") % 2 == 1), "l_returnflag", d,
-        doc_id_col="l_orderkey",
+        doc_id_col="l_orderkey", n_buckets=4,
     )
     return csv_array(read_index(spark, d), "doc_ids")
 
