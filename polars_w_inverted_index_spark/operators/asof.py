@@ -42,6 +42,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the nearest ``right`` row.
 
@@ -50,9 +51,16 @@ def asof_join(
     timestamp).  Unmatched left rows keep nulls (left-join semantics).
     The first of ``right_cols`` is the tiebreak for equal (key, ts)
     right rows — pass a unique id column first for deterministic output.
+
+    ``tolerance_sec`` (pandas ``merge_asof`` parity): a match further
+    than this many seconds from the left timestamp is treated as NO
+    match (stale-quote semantics) — a pure post-filter expression on the
+    matched struct, so the plan is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if tolerance_sec is not None and tolerance_sec < 0:
+        raise ValueError("tolerance_sec must be >= 0")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     if not right_cols:
@@ -116,9 +124,20 @@ def asof_join(
     matched = u.select(
         F.col(on),
         F.col("_tag"),
+        F.col("_ts"),
         *[c for c in left.columns if c != on],
         F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
     )
+    if tolerance_sec is not None:
+        from ..functions.timeutil import epoch_us
+
+        gap = epoch_us(F.col("_ts")) - epoch_us(F.col("_rp").getField("__ts"))
+        if direction == "forward":
+            gap = -gap
+        matched = matched.withColumn(
+            "_rp",
+            F.when(gap <= int(tolerance_sec * 1_000_000), F.col("_rp")),
+        )
     return matched.where(F.col("_tag") == 1).select(
         *left.columns,
         *[

@@ -96,3 +96,40 @@ def test_asof_single_shuffle_no_join(spark):
     )
     assert "Join" not in plan and "Cartesian" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            left, right, on="user_id",
+            right_cols=["event_id", "value"], tolerance_sec=3.0,
+        ).collect()
+    }
+    # 100@10.0 matches right@10.0 (gap 0 ≤ 3) → kept;
+    # 101@5.0's nearest is right@3.0 (gap 2 ≤ 3) → kept;
+    # 102/103 unmatched regardless
+    assert out == {100: 9, 101: 7, 102: None, 103: None}
+    tight = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            left, right, on="user_id",
+            right_cols=["event_id", "value"], tolerance_sec=1.0,
+        ).collect()
+    }
+    assert tight == {100: 9, 101: None, 102: None, 103: None}
+
+
+def test_asof_tolerance_forward(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            left, right, on="user_id", direction="forward",
+            right_cols=["event_id", "value"], tolerance_sec=1.0,
+        ).collect()
+    }
+    # forward: 102@2.0 → right@3.0, gap 1 ≤ 1 kept; 101@5.0 → right@10.0
+    # gap 5 > 1 nulled; 100@10.0 → right@10.0 gap 0 kept
+    assert out == {100: 9, 101: None, 102: 7, 103: None}
