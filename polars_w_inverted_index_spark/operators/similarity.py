@@ -364,3 +364,48 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall of an approximate top-k result against the exact one:
+    ``[n_queries, mean_recall, min_recall]`` (1 row).
+
+    Per query, recall = |approx ∩ exact| / |exact|; queries the exact
+    result knows but the approximate result missed entirely count as 0
+    (an LSH/IVF path can lose a whole query when its bucket/probe set is
+    empty — exactly the failure this metric must surface).  This is the
+    tuning loop for the recall dials (``prefix_bits``, ``nprobe``,
+    band count): measure against :func:`brute_force_topk` on a sample,
+    then turn the dial — don't guess.
+
+    Cost: one join on (query, neighbor) + two small aggregations —
+    usable at evaluation-sample scale by construction.
+    """
+    e = exact.select(
+        F.col(query_col).alias("q"), F.col(neighbor_col).alias("n")
+    )
+    a = approx.select(
+        F.col(query_col).alias("q"), F.col(neighbor_col).alias("n")
+    )
+    truth = e.groupBy("q").agg(F.count("*").alias("n_exact"))
+    hits = (
+        e.join(a, ["q", "n"], "left_semi")
+        .groupBy("q")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_q = truth.join(hits, "q", "left").select(
+        "q",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias(
+            "recall"
+        ),
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+    )

@@ -276,3 +276,23 @@ def test_dedup_clusters_random_graphs_match_bfs(spark):
                 ).collect()
             }
             assert got == want, f"trial={trial} threshold={threshold}"
+
+
+def test_recall_at_k_measures_ann_paths(spark):
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, q, k=10)
+    # exact vs itself: perfect recall
+    [perfect] = SIM.recall_at_k(exact, exact).collect()
+    assert perfect["n_queries"] == 5
+    assert perfect["mean_recall"] == 1.0 and perfect["min_recall"] == 1.0
+    # IVF against brute force: recall in (0, 1], measured not guessed
+    approx = SIM.ivf_topk(emb, q, k=10)
+    [r] = SIM.recall_at_k(approx, exact).collect()
+    assert r["n_queries"] == 5
+    assert 0.0 < r["mean_recall"] <= 1.0
+    # an empty approximate result scores 0, not a crash
+    [zero] = SIM.recall_at_k(approx.where(F.lit(False)), exact).collect()
+    assert zero["mean_recall"] == 0.0
