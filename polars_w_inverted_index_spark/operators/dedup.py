@@ -54,6 +54,23 @@ def exact_dedup_groups(
     )
 
 
+def exact_dedup_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop batch rows whose exact content already exists in the corpus —
+    the ingest-time twin of :func:`exact_dedup` (cf.
+    :func:`minhash_lsh_pairs_against` for the near-dup form).  One
+    left-anti join on the uniform 128-bit content hash; with a
+    materialized corpus-hash table this is the constant-cost per-batch
+    membership check production ingest pipelines run."""
+    ch = F.md5(F.col(text_col)).alias("_ch")
+    seen = corpus.select(ch).distinct()
+    b = batch.withColumn("_ch", F.md5(F.col(text_col)))
+    return b.join(seen, "_ch", "left_anti").drop("_ch")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -380,6 +397,79 @@ def simhash(
             F.lit(0).cast("long")
         )
     return votes.select("doc_id", out.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs ``[doc_a, doc_b, hamming]`` by SimHash distance,
+    with banded candidate generation (the Charikar/Google web-dedup
+    construction): split each ``bits``-bit fingerprint into ``n_bands``
+    contiguous slices — two fingerprints within hamming distance
+    ``d < n_bands`` must agree EXACTLY on at least one slice
+    (pigeonhole), so sharing a (band_idx, band_value) bucket is a
+    complete candidate generator, never a guess.  Exact
+    ``bit_count(a XOR b) <= max_hamming`` then filters candidates.
+
+    Requires ``max_hamming < n_bands`` (the pigeonhole condition) —
+    raising ``max_hamming`` therefore means more bands → shorter band
+    slices → more candidates: the usual recall/cost dial, but here it
+    trades COST, not recall (the guarantee is exact at any setting).
+
+    Scale shape mirrors :func:`minhash_lsh_pairs`: fingerprints are one
+    doc_id shuffle, banding is a narrow ×n_bands explode, candidates a
+    bucket equi-join on (band_idx, band_value) — a band bucket of m
+    docs yields m²/2 candidate checks, bounded by band width (add bits
+    or bands for finer buckets at larger corpora)."""
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"need 0 <= max_hamming < n_bands for the pigeonhole "
+            f"guarantee, got max_hamming={max_hamming} n_bands={n_bands}"
+        )
+    sh = simhash(df, text_col, id_col, bits)
+    w = bits // n_bands
+    widths = [w + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", offs[i])
+                        .bitwiseAND((1 << widths[i]) - 1)
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.min(ham).alias("hamming"))
+    )
 
 
 # ---------------------------------------------------------------------------

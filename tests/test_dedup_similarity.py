@@ -296,3 +296,56 @@ def test_recall_at_k_measures_ann_paths(spark):
     # an empty approximate result scores 0, not a crash
     [zero] = SIM.recall_at_k(approx.where(F.lit(False)), exact).collect()
     assert zero["mean_recall"] == 0.0
+
+
+def test_simhash_pairs_banded(spark, docs):
+    """Banded SimHash pairing: identical docs pair at hamming 0,
+    near-dups at small hamming, disjoint docs never pair; pigeonhole
+    precondition enforced."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_pairs(docs, max_hamming=10, n_bands=12).collect()
+    }
+    assert pairs[(0, 1)] == 0                       # identical
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0    # near-dup, few bits
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_pairs(docs, n_bands=4, max_hamming=4)
+
+
+def test_simhash_pairs_pigeonhole_complete(spark, docs):
+    """Within the guarantee (hamming < n_bands), banding must find
+    EVERY pair that a brute-force hamming scan finds."""
+    h = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    ids = sorted(h)
+    n_bands, max_h = 12, 11
+    want = {
+        (a, b): bin(h[a] ^ h[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(h[a] ^ h[b]).count("1") <= max_h
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_pairs(
+            docs, n_bands=n_bands, max_hamming=max_h
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_dedup_against_corpus(spark, docs):
+    from pyspark.sql import Row as R
+
+    batch = spark.createDataFrame(
+        [
+            R(doc_id=100, text=_BASE),          # exact dup of corpus 0/1
+            R(doc_id=101, text="brand new content never seen before"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [
+        r["doc_id"]
+        for r in DD.exact_dedup_against(docs, batch).collect()
+    ]
+    assert kept == [101]
