@@ -146,6 +146,7 @@ def _extension_workload():
     from polars_w_inverted_index_spark.functions.scrub import (
         scrub_documents,
     )
+    from polars_w_inverted_index_spark.operators.dedup import simhash_pairs
     from polars_w_inverted_index_spark.functions.text import (
         repetition_profile_df,
         token_count,
@@ -179,6 +180,7 @@ def _extension_workload():
         "ext_repetition_profile": lambda s, d: repetition_profile_df(
             _docs(s, d).select("doc_id", "text")
         ).drop("text"),
+        "ext_simhash_pairs": lambda s, d: simhash_pairs(_docs(s, d)),
         "ext_unigram_surprisal": lambda s, d: unigram_surprisal_df(
             _docs(s, d).select("doc_id", "text")
         ),
