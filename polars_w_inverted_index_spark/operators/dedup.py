@@ -571,6 +571,76 @@ def release_intermediates(df: DataFrame) -> None:
         cached.unpersist()
 
 
+def ngram_jaccard_pairs_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard near-dups of a NEW batch AGAINST a corpus:
+    ``[batch_doc_id, corpus_doc_id, jaccard]`` — the incremental-ingest
+    twin of :func:`ngram_jaccard_pairs` (cf. the exact/minhash
+    ``_against`` forms).  Candidates come from a batch-shingles ⋈
+    corpus-shingles co-occurrence join (never a cross join; with a small
+    batch AQE broadcasts the batch side, so the corpus is not
+    reshuffled); the optional df-cut drops stop-phrase shingles on the
+    CORPUS side, where the hot keys are, while denominators stay exact
+    because sizes are counted before the cut."""
+    def _sh(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+        ).select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+
+    cs, bs = _sh(corpus), _sh(batch)
+    c_sizes = cs.groupBy("doc_id").agg(F.count("*").alias("nc"))
+    b_sizes = bs.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    if max_shingle_freq is not None:
+        rare = (
+            cs.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_freq)
+            .select("sh")
+        )
+        cs = cs.join(rare, "sh")
+    inter = (
+        bs.alias("b")
+        .join(cs.alias("c"), F.col("b.sh") == F.col("c.sh"))
+        .groupBy(
+            F.col("b.doc_id").alias("batch_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            b_sizes.select(
+                F.col("doc_id").alias("batch_doc_id"), "nb"
+            ),
+            "batch_doc_id",
+        )
+        .join(
+            c_sizes.select(
+                F.col("doc_id").alias("corpus_doc_id"), "nc"
+            ),
+            "corpus_doc_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("nb") + F.col("nc") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_doc_id", "corpus_doc_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
@@ -623,6 +693,60 @@ def embedding_cosine_pairs(
         .select(
             F.col("a.vec_id").alias("doc_a"),
             F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    prefix_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Embedding near-dups of a NEW batch AGAINST a corpus:
+    ``[batch_vec_id, corpus_vec_id, cos_sim]`` — the incremental-ingest
+    twin of :func:`embedding_cosine_pairs`.  Both sides bucket by the
+    same hyperplane signature prefix (a pure function of the vector, so
+    the corpus-side signatures are materializable once and reused per
+    batch); candidates are a batch⋈corpus bucket equi-join — with a
+    small batch AQE broadcasts it, the corpus is never reshuffled.
+    Same LSH recall trade as the self-join form, same dials."""
+    from .similarity import hyperplane_signature
+
+    mask = (1 << prefix_bits) - 1
+
+    def _sig(df):
+        return hyperplane_signature(
+            df, n_planes, id_col, vec_col, n_dims
+        ).select(
+            F.col("vec_id"),
+            F.col("sig").bitwiseAND(mask).alias("bucket"),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+
+    c, b = _sig(corpus).alias("c"), _sig(batch).alias("b")
+    cos = F.round(
+        cosine_with_norms(
+            F.col(f"b.{vec_col}"),
+            F.col(f"c.{vec_col}"),
+            F.col("b.nrm"),
+            F.col("c.nrm"),
+        ),
+        round_digits,
+    )
+    return (
+        b.join(c, F.col("b.bucket") == F.col("c.bucket"))
+        .select(
+            F.col("b.vec_id").alias("batch_vec_id"),
+            F.col("c.vec_id").alias("corpus_vec_id"),
             cos.alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)

@@ -349,3 +349,56 @@ def test_exact_dedup_against_corpus(spark, docs):
         for r in DD.exact_dedup_against(docs, batch).collect()
     ]
     assert kept == [101]
+
+
+def test_jaccard_pairs_against_corpus(spark, docs):
+    from pyspark.sql import Row as R
+
+    batch = spark.createDataFrame(
+        [
+            R(doc_id=200, text=_BASE),                       # dup of 0/1
+            R(doc_id=201, text=_BASE.replace("dog", "wolf")),  # near-dup
+            R(doc_id=202, text="unrelated words entirely here today"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r["batch_doc_id"], r["corpus_doc_id"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs_against(
+            docs, batch, threshold=0.1
+        ).collect()
+    }
+    assert hits[(200, 0)] == 1.0 and hits[(200, 1)] == 1.0
+    assert 0.1 <= hits[(201, 0)] < 1.0
+    assert not any(b == 202 for (b, c) in hits)
+    # against-form agrees with the self-join form on the same logical
+    # pair set: batch 200 ≡ corpus 0, so its (200, 2) jaccard equals the
+    # self-join's (0, 2) jaccard
+    self_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert hits[(200, 2)] == self_pairs[(0, 2)]
+
+
+def test_embedding_cosine_pairs_against_corpus(spark):
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    got = {
+        (r["batch_vec_id"], r["corpus_vec_id"]): r["cos_sim"]
+        for r in DD.embedding_cosine_pairs_against(
+            corpus, batch, threshold=0.2
+        ).collect()
+    }
+    # consistency with the self-join form restricted to cross pairs
+    want = {}
+    for r in DD.embedding_cosine_pairs(emb, threshold=0.2).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 2 == 0 and b % 2 == 1:
+            want[(b, a)] = r["cos_sim"]
+        elif a % 2 == 1 and b % 2 == 0:
+            want[(a, b)] = r["cos_sim"]
+    assert got == want and len(got) > 0
