@@ -8,6 +8,11 @@ from .index_maintenance import (
     read_index_postings,
     start_index_maintenance,
 )
+from .near_dedup import (
+    near_dedup_batch,
+    read_corpus_bands,
+    start_near_dedup,
+)
 from .stateful import running_user_totals
 from .windows import session_event_counts, windowed_event_counts
 
@@ -15,7 +20,10 @@ __all__ = [
     "batch_dedup_exact",
     "compact_index",
     "merge_postings_batch",
+    "near_dedup_batch",
+    "read_corpus_bands",
     "read_index",
+    "start_near_dedup",
     "read_index_postings",
     "start_index_maintenance",
     "running_user_totals",

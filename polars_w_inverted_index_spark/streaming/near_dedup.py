@@ -1,0 +1,224 @@
+"""Streaming NEAR-duplicate ingest dedup (MinHash-LSH, foreachBatch).
+
+``streaming/dedup.py`` drops exact duplicates online; this module drops
+NEAR-duplicates: a document that shares ≥ ``min_shared_bands`` LSH bands
+with anything already ingested — or with an earlier document of its own
+micro-batch — is rejected.  First-arrival-wins across batches, min-id
+wins within a batch (the same canonical rule as the batch cluster
+resolution), so the surviving set is deterministic for a given arrival
+order.
+
+State is the accepted corpus's BAND table (doc_id, band_idx, band_hash)
+— ``n_bands`` small rows per accepted doc, a pure function of content —
+stored as parquet behind an atomic pointer marker exactly like
+streaming/index_maintenance: each merge writes a new immutable
+directory holding old∪new bands, swaps the pointer, prunes.  Readers
+(the next micro-batch's anti-join) never see partial writes, and a
+replayed micro-batch (foreachBatch is at-least-once) is a committed
+no-op via the recorded batch_id.
+
+Scale shape per batch: batch bands (narrow + one doc_id shuffle for
+signatures) anti-joined against the corpus band table — AQE broadcasts
+the small batch side, the corpus table is never reshuffled; the
+within-batch self-join is the standard banded bucket join.  The band
+table grows O(accepted docs × n_bands); at fleet scale it shards like
+any bucketed table and the anti-join stays a hash join on the
+high-cardinality (band_idx, band_hash) key.
+
+The horizon trade of the exact streaming dedup does not apply here:
+bands persist for the index's life, so late duplicates are still
+caught; the cost is the growing band table, which is the queryable
+artifact a batch backstop sweep would need anyway.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    NUM_BANDS,
+    NUM_HASHES,
+    _lsh_bands,
+    dedup_clusters,
+    drop_near_duplicates,
+    minhash_signatures,
+)
+
+
+def _marker_path(state_path: str) -> str:
+    return os.path.join(state_path, "_LATEST")
+
+
+def _read_marker(state_path: str) -> dict | None:
+    p = _marker_path(state_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_corpus_bands(
+    spark: SparkSession, state_path: str
+) -> DataFrame | None:
+    """Current committed band table, or None before the first merge."""
+    meta = _read_marker(state_path)
+    if meta is None:
+        return None
+    return spark.read.parquet(os.path.join(state_path, meta["dir"]))
+
+
+def near_dedup_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared_bands: int = 1,
+    batch_id: int | None = None,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Process one micro-batch; returns the ACCEPTED rows (materialized).
+
+    Rejects batch rows near-duplicating (a) the accepted corpus so far or
+    (b) an earlier — lower-id — row of the same batch; then commits the
+    accepted rows' bands into the state.  Replay of the committed
+    batch_id returns an empty frame (the original acceptance already
+    flowed downstream once).
+    """
+    spark = batch_df.sparkSession
+    meta = _read_marker(state_path)
+    if (
+        batch_id is not None
+        and meta is not None
+        and meta.get("batch_id") is not None
+    ):
+        if batch_id == meta["batch_id"]:
+            return batch_df.where(F.lit(False))  # committed replay: no-op
+        if batch_id < meta["batch_id"]:
+            raise ValueError(
+                f"batch_id {batch_id} is behind committed "
+                f"{meta['batch_id']}: checkpoint was reset — use a fresh "
+                f"state_path or replay without batch_id."
+            )
+    r = num_hashes // num_bands
+    bands = _lsh_bands(
+        minhash_signatures(batch_df, text_col, id_col, num_hashes, shingle_k),
+        num_bands,
+        r,
+    ).persist()
+
+    # (a) cross-corpus rejection: any shared band bucket ⇒ candidate;
+    # count shared bands per doc and cut at min_shared_bands
+    corpus = read_corpus_bands(spark, state_path)
+    if corpus is not None:
+        shared = (
+            bands.alias("n")
+            .join(
+                corpus.alias("c"),
+                (F.col("n.band_idx") == F.col("c.band_idx"))
+                & (F.col("n.band_hash") == F.col("c.band_hash")),
+            )
+            .groupBy(F.col("n.doc_id").alias("doc_id"))
+            .agg(F.countDistinct("n.band_idx", "n.band_hash").alias("nsb"))
+            .where(F.col("nsb") >= min_shared_bands)
+            .select("doc_id")
+        )
+        survivors = batch_df.join(
+            shared, batch_df[id_col] == shared["doc_id"], "left_anti"
+        )
+    else:
+        survivors = batch_df
+
+    # (b) within-batch self dedup on the remaining rows: banded pairs →
+    # clusters → keep the min-id canonical (plus singletons)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+        .where(F.col("n_shared_bands") >= min_shared_bands)
+    )
+    survivors = drop_near_duplicates(
+        survivors, dedup_clusters(pairs), id_col=id_col
+    )
+    accepted = survivors.persist()
+    accepted.count()  # materialize before state mutation
+
+    # commit: old ∪ accepted bands into a fresh immutable dir + pointer
+    acc_ids = accepted.select(F.col(id_col).alias("doc_id"))
+    acc_bands = bands.join(acc_ids, "doc_id", "left_semi")
+    merged = (
+        corpus.unionByName(acc_bands) if corpus is not None else acc_bands
+    )
+    next_v = (meta or {}).get("v", -1) + 1
+    out = os.path.join(state_path, f"v={next_v}")
+    merged.write.mode("overwrite").parquet(out)
+    bands.unpersist()
+    marker = {
+        "v": next_v,
+        "dir": f"v={next_v}",
+        "batch_id": batch_id
+        if batch_id is not None
+        else (meta or {}).get("batch_id"),
+        "num_hashes": num_hashes,
+        "num_bands": num_bands,
+        "shingle_k": shingle_k,
+    }
+    tmp = _marker_path(state_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, _marker_path(state_path))
+    for name in os.listdir(state_path):
+        if name.startswith("v=") and name != f"v={next_v}":
+            import shutil
+
+            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
+    return accepted
+
+
+def start_near_dedup(
+    stream_df: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared_bands: int = 1,
+    trigger_available_now: bool = True,
+):
+    """Attach online near-dedup to a stream: accepted rows append to
+    ``out_path`` (parquet), band state lives at ``state_path``.  Returns
+    the StreamingQuery."""
+
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        accepted = near_dedup_batch(
+            batch_df,
+            state_path,
+            text_col=text_col,
+            id_col=id_col,
+            min_shared_bands=min_shared_bands,
+            batch_id=batch_id,
+        )
+        accepted.write.mode("append").parquet(out_path)
+        accepted.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_proc)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

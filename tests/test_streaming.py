@@ -269,3 +269,92 @@ def test_chunked_merge_appends_bounded_rows_and_compacts(spark, tmp_path):
     merge_postings_batch(batch(25, 25), "event_type", index_path,
                          "event_id", batch_id=1)  # replay → no-op
     assert read_index(spark, index_path).count() == 5
+
+
+def test_streaming_near_dedup_across_and_within_batches(spark, tmp_path):
+    """Online near-dedup: within-batch variants collapse to the min-id
+    canonical; later batches are rejected against everything accepted
+    earlier (first-arrival-wins); novel docs pass; replay is a no-op."""
+    from polars_w_inverted_index_spark.streaming import (
+        near_dedup_batch,
+        read_corpus_bands,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the tall trees "
+        "near the old stone bridge by the quiet river every single day"
+    )
+    other = (
+        "completely different prose about catalyst plans adaptive "
+        "execution shuffle partitions and broadcast joins in spark"
+    )
+    state = str(tmp_path / "nd_state")
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base.replace("jumps", "leaps")), (3, other)],
+        "doc_id long, text string",
+    )
+    acc1 = near_dedup_batch(b1, state, batch_id=0)
+    got1 = sorted(r["doc_id"] for r in acc1.collect())
+    acc1.unpersist()
+    assert got1 == [1, 3]  # 2 near-dups 1 within the batch
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),                      # dup of accepted 1 -> reject
+            (11, base.replace("dog", "wolf")),  # near-dup of 1 -> reject
+            (12, "novel content about arrow record batches and buffers"),
+        ],
+        "doc_id long, text string",
+    )
+    acc2 = near_dedup_batch(b2, state, batch_id=1)
+    got2 = sorted(r["doc_id"] for r in acc2.collect())
+    acc2.unpersist()
+    assert got2 == [12]
+
+    # replay of committed batch 1: empty, state unchanged
+    replay = near_dedup_batch(b2, state, batch_id=1)
+    assert replay.count() == 0
+    n_bands_rows = read_corpus_bands(spark, state).count()
+    from polars_w_inverted_index_spark.operators.dedup import NUM_BANDS
+
+    assert n_bands_rows == 3 * NUM_BANDS  # docs 1, 3, 12
+
+
+def test_streaming_near_dedup_end_to_end(spark, tmp_path, events_batch):
+    """Drive start_near_dedup over a two-file stream: output contains no
+    near-dup pair, and unioned batches dedup to the same count as a
+    batch-mode pairs+clusters pass (first-arrival canonical may differ
+    from min-id, so compare counts, not identities)."""
+    from polars_w_inverted_index_spark.operators import dedup as DD
+    from polars_w_inverted_index_spark.streaming import start_near_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "docs_stream")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    docs.where(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = str(tmp_path / "nd_out")
+    q = start_near_dedup(
+        stream, str(tmp_path / "nd_state2"), out,
+        str(tmp_path / "nd_ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(out)
+    # no near-dup pair may survive among the accepted docs
+    assert DD.minhash_lsh_pairs(kept).count() == 0
+    # same dedup power as the batch path
+    batch_clusters = DD.dedup_clusters(DD.minhash_lsh_pairs(docs))
+    batch_kept = DD.drop_near_duplicates(docs, batch_clusters)
+    assert kept.count() == batch_kept.count()
