@@ -352,9 +352,13 @@ def test_streaming_near_dedup_end_to_end(spark, tmp_path, events_batch):
     )
     q.awaitTermination(120)
     kept = spark.read.parquet(out)
-    # no near-dup pair may survive among the accepted docs
+    # the core invariant: no near-dup pair may survive among accepted docs
     assert DD.minhash_lsh_pairs(kept).count() == 0
-    # same dedup power as the batch path
+    assert 0 < kept.count() < docs.count()  # it kept some, dropped some
+    # at least the batch path's dedup power, never less: a transitive
+    # chain split across batches can keep MORE (a link rejected before
+    # its bands entered state can't reject its own neighbors), never
+    # fewer — so >= is the data-independent bound
     batch_clusters = DD.dedup_clusters(DD.minhash_lsh_pairs(docs))
     batch_kept = DD.drop_near_duplicates(docs, batch_clusters)
-    assert kept.count() == batch_kept.count()
+    assert kept.count() >= batch_kept.count()
