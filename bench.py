@@ -184,6 +184,7 @@ def _extension_workload():
         "ext_unigram_surprisal": lambda s, d: unigram_surprisal_df(
             _docs(s, d).select("doc_id", "text")
         ),
+        "ext_streaming_near_dedup": _near_dedup_two_batches,
         "ext_mixture_sample": lambda s, d: mixture_sample(
             _docs(s, d).select("doc_id", "lang"),
             "lang",
@@ -191,6 +192,27 @@ def _extension_workload():
             temperature=2.0,
         ),
     }
+
+
+def _near_dedup_two_batches(s, d):
+    """Online near-dedup over the documents table split in two
+    micro-batches (fresh state per run — the guard would no-op a
+    replayed batch_id)."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.registry import scratch_dir
+    from polars_w_inverted_index_spark.sources.tables import load_table
+    from polars_w_inverted_index_spark.streaming import near_dedup_batch
+
+    docs = load_table(s, d, "documents")
+    state = scratch_dir("near_dedup_bench", d, wipe=True)
+    near_dedup_batch(
+        docs.where(F.col("doc_id") % 2 == 0), state, batch_id=0
+    )
+    a2 = near_dedup_batch(
+        docs.where(F.col("doc_id") % 2 == 1), state, batch_id=1
+    )
+    return a2.select("doc_id")
 
 
 def _materialize(df) -> int:

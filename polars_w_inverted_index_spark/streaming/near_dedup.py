@@ -82,7 +82,9 @@ def near_dedup_batch(
     num_bands: int = NUM_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Process one micro-batch; returns the ACCEPTED rows (materialized).
+    """Process one micro-batch; returns the ACCEPTED rows as a
+    lineage-severed, materialized frame (safe to use after the state
+    commit prunes the band version it was computed from).
 
     Rejects batch rows near-duplicating (a) the accepted corpus so far or
     (b) an earlier — lower-id — row of the same batch; then commits the
@@ -153,8 +155,12 @@ def near_dedup_batch(
     survivors = drop_near_duplicates(
         survivors, dedup_clusters(pairs), id_col=id_col
     )
-    accepted = survivors.persist()
-    accepted.count()  # materialize before state mutation
+    # localCheckpoint SEVERS lineage, not just caches it: the commit
+    # below prunes the corpus-band version this plan read, so a caller
+    # recomputing a merely-persisted frame (cache eviction, unpersist)
+    # would chase deleted files.  The returned frame must be
+    # self-contained.
+    accepted = survivors.localCheckpoint()
 
     # commit: old ∪ accepted bands into a fresh immutable dir + pointer
     acc_ids = accepted.select(F.col(id_col).alias("doc_id"))
@@ -203,16 +209,14 @@ def start_near_dedup(
     the StreamingQuery."""
 
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
-        accepted = near_dedup_batch(
+        near_dedup_batch(
             batch_df,
             state_path,
             text_col=text_col,
             id_col=id_col,
             min_shared_bands=min_shared_bands,
             batch_id=batch_id,
-        )
-        accepted.write.mode("append").parquet(out_path)
-        accepted.unpersist()
+        ).write.mode("append").parquet(out_path)
 
     writer = (
         stream_df.writeStream.foreachBatch(_proc)

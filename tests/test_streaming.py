@@ -297,7 +297,6 @@ def test_streaming_near_dedup_across_and_within_batches(spark, tmp_path):
     )
     acc1 = near_dedup_batch(b1, state, batch_id=0)
     got1 = sorted(r["doc_id"] for r in acc1.collect())
-    acc1.unpersist()
     assert got1 == [1, 3]  # 2 near-dups 1 within the batch
 
     b2 = spark.createDataFrame(
@@ -310,7 +309,6 @@ def test_streaming_near_dedup_across_and_within_batches(spark, tmp_path):
     )
     acc2 = near_dedup_batch(b2, state, batch_id=1)
     got2 = sorted(r["doc_id"] for r in acc2.collect())
-    acc2.unpersist()
     assert got2 == [12]
 
     # replay of committed batch 1: empty, state unchanged
