@@ -360,3 +360,51 @@ def test_streaming_near_dedup_end_to_end(spark, tmp_path, events_batch):
     batch_clusters = DD.dedup_clusters(DD.minhash_lsh_pairs(docs))
     batch_kept = DD.drop_near_duplicates(docs, batch_clusters)
     assert kept.count() >= batch_kept.count()
+
+
+def test_chunked_merge_random_batches_invariants(spark, tmp_path):
+    """Randomized: any batch split and cap must preserve (a) logical
+    postings == one-shot build, (b) merge-written chunks hard-capped,
+    (c) compaction idempotent on content."""
+    import random
+
+    from polars_w_inverted_index_spark.streaming import (
+        compact_index,
+        read_index_postings,
+    )
+
+    rng = random.Random(813)
+    for trial in range(3):
+        values = ["a", "b", "c", "d"][: rng.randint(1, 4)]
+        rows = [
+            (i, rng.choice(values)) for i in range(rng.randint(5, 60))
+        ]
+        cap = rng.randint(2, 9)
+        cut = rng.randint(1, len(rows) - 1) if len(rows) > 1 else 1
+        idx = str(tmp_path / f"ridx{trial}")
+        for bid, chunk_rows in enumerate((rows[:cut], rows[cut:])):
+            if not chunk_rows:
+                continue
+            merge_postings_batch(
+                spark.createDataFrame(
+                    chunk_rows, "event_id long, event_type string"
+                ),
+                "event_type", idx, "event_id",
+                batch_id=bid, max_postings_per_row=cap,
+            )
+        raw = read_index(spark, idx).collect()
+        assert all(len(r["doc_ids"]) <= cap for r in raw), trial
+        want = {}
+        for i, v in rows:
+            want.setdefault(v, []).append(i)
+        want = {v: sorted(ids) for v, ids in want.items()}
+
+        def logical():
+            return {
+                r["value"]: list(r["doc_ids"])
+                for r in read_index_postings(spark, idx).collect()
+            }
+
+        assert logical() == want, trial
+        compact_index(spark, idx)
+        assert logical() == want, trial
