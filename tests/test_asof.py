@@ -133,3 +133,61 @@ def test_asof_tolerance_forward(spark):
     # forward: 102@2.0 → right@3.0, gap 1 ≤ 1 kept; 101@5.0 → right@10.0
     # gap 5 > 1 nulled; 100@10.0 → right@10.0 gap 0 kept
     assert out == {100: 9, 101: None, 102: 7, 103: None}
+
+
+def test_asof_random_vs_pandas_merge_asof(spark):
+    """Randomized: asof_join == pandas.merge_asof (the independent
+    reference implementation) for both directions, per key, with ties
+    excluded (pandas keeps the LAST right row at equal ts; we pin the
+    max-tiebreak row — identical only when (key, ts) is unique)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(4813)
+    for trial in range(3):
+        keys = [1, 2]
+        lrows = [
+            (i, rng.choice(keys), _ts(rng.uniform(0, 1000)))
+            for i in range(rng.randint(1, 25))
+        ]
+        seen = set()
+        rrows = []
+        for j in range(rng.randint(1, 25)):
+            k, t = rng.choice(keys), round(rng.uniform(0, 1000), 3)
+            if (k, t) in seen:   # keep (key, ts) unique for a fair oracle
+                continue
+            seen.add((k, t))
+            rrows.append((k, _ts(t), 1000 + j, float(j)))
+        if not rrows:
+            continue
+        left = spark.createDataFrame(
+            lrows, "event_id long, user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            rrows, "user_id long, ts timestamp, event_id long, value double"
+        )
+        lpd = pd.DataFrame(
+            lrows, columns=["event_id", "user_id", "ts"]
+        ).sort_values("ts")
+        rpd = pd.DataFrame(
+            rrows, columns=["user_id", "ts", "r_event_id", "value"]
+        ).sort_values("ts")
+        for direction in ("backward", "forward"):
+            got = {
+                r["event_id"]: r["event_id_asof"]
+                for r in asof_join(
+                    left, right, on="user_id",
+                    right_cols=["event_id", "value"], direction=direction,
+                ).collect()
+            }
+            merged = pd.merge_asof(
+                lpd, rpd, on="ts", by="user_id", direction=direction,
+            )
+            want = {
+                int(row.event_id): (
+                    None if pd.isna(row.r_event_id) else int(row.r_event_id)
+                )
+                for row in merged.itertuples()
+            }
+            assert got == want, f"trial={trial} {direction}"

@@ -97,3 +97,36 @@ def test_plan_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Cartesian" not in plan
+
+
+def test_interval_join_random_vs_bruteforce(spark):
+    """Randomized: bucketized equi-join == O(n·m) brute-force reference
+    on arbitrary points/intervals (boundaries, spans, empties)."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(4):
+        pts_rows = [
+            (i, _ts(rng.uniform(-100, 8000))) for i in range(rng.randint(1, 30))
+        ]
+        ivs_rows = []
+        for j in range(rng.randint(1, 12)):
+            a = rng.uniform(-100, 8000)
+            b = a + rng.uniform(-50, 4000)  # sometimes empty/negative
+            ivs_rows.append((f"iv{j}", _ts(a), _ts(b)))
+        want = {
+            (i, name)
+            for i, t in pts_rows
+            for name, s, e in ivs_rows
+            if s <= t < e
+        }
+        pts = spark.createDataFrame(pts_rows, "event_id long, ts timestamp")
+        ivs = spark.createDataFrame(
+            ivs_rows, "name string, start timestamp, end timestamp"
+        )
+        bw = rng.choice([7, 360, 3600, 86400])
+        got = {
+            (r["event_id"], r["name"])
+            for r in interval_join(pts, ivs, bucket_width_sec=bw).collect()
+        }
+        assert got == want, f"trial={trial} bucket={bw}"
