@@ -314,39 +314,66 @@ def repetition_profile_df(
     return out.select(*keep, *sig)
 
 
+def unigram_lm(df, text_col: str = "text"):
+    """``[t, c]`` token counts of a corpus — the reusable unigram LM for
+    :func:`unigram_surprisal_df`'s external-LM mode.  Vocabulary-sized
+    (≪ corpus); a pure function of content, so at fleet scale it is
+    materialized once and scored against per batch."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def unigram_surprisal_df(
     df,
     text_col: str = "text",
     id_col: str = "doc_id",
+    lm=None,
 ):
     """``[doc_id, n_tokens, mean_surprisal_bits]`` — mean unigram
-    surprisal (−log₂ p(token)) of each document under the corpus's OWN
-    unigram language model; the classic cheap perplexity proxy for
-    pretraining quality filters (no external model needed).  High scores
-    flag unusual/garbled text, low scores flag templated/repetitive text
-    — both tails are the usual cut candidates.
+    surprisal (−log₂ p(token)) of each document; the classic cheap
+    perplexity proxy for pretraining quality filters (no external model
+    needed).  High scores flag unusual/garbled text, low scores flag
+    templated/repetitive text — both tails are the usual cut candidates.
 
-    Plan shape: one explode + groupBy(token) builds the LM (token keys
-    are uniform; the LM table is vocabulary-sized, far smaller than the
-    corpus); the probability normalizer joins in as a broadcast 1-row
-    aggregate; scoring is the token stream joined to the LM (vocabulary
-    side broadcastable at any corpus size where a vocabulary fits an
-    executor) and one groupBy(doc).  Probabilities are MLE over the same
-    corpus, so every scored token exists in the LM by construction;
-    documents with zero tokens produce no output row.
+    Two modes:
+    - ``lm=None``: the corpus scores under its OWN unigram LM, exact
+      MLE probabilities (every scored token exists by construction).
+    - ``lm=<unigram_lm(reference)>``: score a batch under a REFERENCE
+      corpus's LM (drift/quality scoring at ingest).  Unseen tokens get
+      add-one (Laplace) mass — ``p = (c+1)/(total+V+1)`` with c=0, V =
+      reference vocabulary size — so out-of-vocabulary text scores
+      high-but-finite instead of dividing by zero.
+
+    Plan shape: one explode + groupBy(token) builds the LM when not
+    given (token keys uniform; LM is vocabulary-sized, far smaller than
+    the corpus); the probability normalizer joins in as a broadcast
+    1-row aggregate; scoring is the token stream LEFT-joined to the LM
+    (vocabulary side broadcastable at any corpus size where a
+    vocabulary fits an executor) and one groupBy(doc).  Documents with
+    zero tokens produce no output row.
     """
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
     )
-    lm = tok.groupBy("t").agg(F.count("*").alias("c"))
-    total = lm.agg(F.sum("c").alias("_total"))
-    surprisal = -F.log2(F.col("c") / F.col("_total"))
-    return (
-        tok.join(lm, "t")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(surprisal), 6).alias("mean_surprisal_bits"),
+    if lm is None:
+        table = tok.groupBy("t").agg(F.count("*").alias("c"))
+        total = table.agg(F.sum("c").alias("_total"))
+        scored = tok.join(table, "t").crossJoin(F.broadcast(total))
+        p = F.col("c") / F.col("_total")
+    else:
+        table = lm.select("t", "c")
+        total = table.agg(
+            F.sum("c").alias("_total"), F.count("*").alias("_v")
         )
+        scored = tok.join(table, "t", "left").crossJoin(F.broadcast(total))
+        p = (F.coalesce(F.col("c"), F.lit(0)) + 1) / (
+            F.col("_total") + F.col("_v") + 1
+        )
+    surprisal = -F.log2(p)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(surprisal), 6).alias("mean_surprisal_bits"),
     )

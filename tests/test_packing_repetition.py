@@ -262,3 +262,37 @@ def test_unigram_surprisal_matches_hand_computation(spark):
     }
     assert got[1] == pytest.approx(-math.log2(3 / 4), abs=1e-5)
     assert got[2] == pytest.approx(-math.log2(1 / 4), abs=1e-5)
+
+
+def test_unigram_surprisal_external_lm_smoothed(spark):
+    from polars_w_inverted_index_spark.functions.text import (
+        unigram_lm,
+        unigram_surprisal_df,
+    )
+
+    reference = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog ran to the park")],
+        "doc_id long, text string",
+    )
+    lm = unigram_lm(reference)
+    batch = spark.createDataFrame(
+        [
+            (10, "the cat ran"),          # all in-vocabulary
+            (11, "zyx qwv plk"),          # fully out-of-vocabulary
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_surprisal_df(batch, lm=lm).collect()
+    }
+    assert got[10]["n_tokens"] == 3 and got[11]["n_tokens"] == 3
+    # OOV text scores strictly higher, and finite (Laplace smoothing)
+    s10 = got[10]["mean_surprisal_bits"]
+    s11 = got[11]["mean_surprisal_bits"]
+    assert s10 < s11 < 100.0
+    import math
+
+    # hand-check the smoothed unseen probability: p = 1/(total + V + 1)
+    total, v = 12, 9
+    assert s11 == pytest.approx(-math.log2(1 / (total + v + 1)), abs=1e-4)
