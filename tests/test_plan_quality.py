@@ -156,3 +156,28 @@ def test_new_ext_operator_plan_shapes(spark, sf_dir):
     plan = _plan(sup)
     assert "BroadcastExchange" in plan  # the 1-row normalizer
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_pairs_plan_is_equi_join(spark, sf_dir):
+    from polars_w_inverted_index_spark.operators.dedup import simhash_pairs
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(simhash_pairs(doc))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_cross_corpus_pairs_plans_are_equi_joins(spark, sf_dir):
+    from polars_w_inverted_index_spark.operators.dedup import (
+        embedding_cosine_pairs_against,
+        ngram_jaccard_pairs_against,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = doc.limit(5)
+    plan = _plan(ngram_jaccard_pairs_against(doc, batch, threshold=0.1))
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eb = emb.limit(5)
+    plan = _plan(embedding_cosine_pairs_against(emb, eb, threshold=0.2))
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
