@@ -136,3 +136,39 @@ def test_mixture_sample_matches_duckdb(spark, con, docs):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_unigram_surprisal_matches_duckdb(spark, con, docs):
+    """Self-corpus MLE surprisal vs DuckDB (approx per-doc compare —
+    float summation order differs between engines, so 1e-6 tolerance
+    instead of the hash-exact bar integer pipelines meet)."""
+    from polars_w_inverted_index_spark.functions.text import (
+        tokens_sql,
+        unigram_surprisal_df,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_surprisal_bits"])
+        for r in unigram_surprisal_df(docs).collect()
+    }
+    want = {
+        d: (n, s)
+        for d, n, s in con.execute(
+            f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({tokens_sql('text')}) AS t
+              FROM documents
+            ),
+            lm AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+            tot AS (SELECT SUM(c) AS total FROM lm)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   AVG(-log2(c / total)) AS s
+            FROM tok JOIN lm USING (t) CROSS JOIN tot
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for d in got:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-5), d
