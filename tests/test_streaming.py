@@ -408,3 +408,51 @@ def test_chunked_merge_random_batches_invariants(spark, tmp_path):
         assert logical() == want, trial
         compact_index(spark, idx)
         assert logical() == want, trial
+
+
+def test_compact_index_noop_on_unchunked(spark, tmp_path):
+    from polars_w_inverted_index_spark.streaming import compact_index
+
+    idx = str(tmp_path / "plain_idx")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "event_id long, event_type string"
+    )
+    merge_postings_batch(df, "event_type", idx, "event_id", batch_id=0)
+    before = _sorted_rows(read_index(spark, idx))
+    compact_index(spark, idx)  # must be a no-op, not a corruption
+    assert _sorted_rows(read_index(spark, idx)) == before
+
+
+def test_near_dedup_min_shared_bands_loosens_rejection(spark, tmp_path):
+    """min_shared_bands raises the rejection bar: a near-dup sharing
+    fewer bands than required is ACCEPTED at the stricter setting."""
+    from polars_w_inverted_index_spark.operators import dedup as DD
+    from polars_w_inverted_index_spark.streaming import near_dedup_batch
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the tall trees "
+        "near the old stone bridge by the quiet river every single day"
+    )
+    variant = base.replace("jumps", "leaps")
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id long, text string"
+    )
+    shared = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in DD.minhash_lsh_pairs(docs).collect()
+    }[(1, 2)]
+    assert 1 <= shared < DD.NUM_BANDS  # fixture: partial band overlap
+    b1 = docs.where(F.col("doc_id") == 1)
+    b2 = docs.where(F.col("doc_id") == 2)
+    # loose bar (1 shared band suffices): variant rejected
+    s_loose = str(tmp_path / "nd_loose")
+    near_dedup_batch(b1, s_loose, batch_id=0, min_shared_bands=1)
+    assert near_dedup_batch(b2, s_loose, batch_id=1,
+                            min_shared_bands=1).count() == 0
+    # bar above the actual overlap: variant accepted
+    s_strict = str(tmp_path / "nd_strict")
+    near_dedup_batch(b1, s_strict, batch_id=0,
+                     min_shared_bands=shared + 1)
+    assert near_dedup_batch(b2, s_strict, batch_id=1,
+                            min_shared_bands=shared + 1).count() == 1
