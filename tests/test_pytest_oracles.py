@@ -172,3 +172,124 @@ def test_unigram_surprisal_matches_duckdb(spark, con, docs):
     for d in got:
         assert got[d][0] == want[d][0], d
         assert got[d][1] == pytest.approx(want[d][1], abs=1e-5), d
+
+
+def test_exact_dedup_against_matches_duckdb(spark, con, docs):
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.operators.dedup import (
+        exact_dedup_against,
+    )
+
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    got = sorted(
+        r["doc_id"] for r in exact_dedup_against(corpus, batch).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT doc_id FROM documents b
+            WHERE doc_id % 7 = 0
+              AND md5(text) NOT IN (
+                SELECT md5(text) FROM documents WHERE doc_id % 7 != 0
+              )
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_jaccard_against_matches_duckdb(spark, con, docs):
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions import text as TX
+    from polars_w_inverted_index_spark.operators.dedup import (
+        ngram_jaccard_pairs_against,
+    )
+
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    got = sorted(
+        (r["batch_doc_id"], r["corpus_doc_id"], r["jaccard"])
+        for r in ngram_jaccard_pairs_against(
+            corpus, batch, threshold=0.2
+        ).collect()
+    )
+    sh = TX.word_shingles_sql("text")
+    hashed = md5_long_sql("unnest(" + sh + ")")
+    want = sorted(
+        con.execute(
+            f"""
+            WITH csh AS (
+              SELECT doc_id, {hashed} AS sh FROM documents
+              WHERE doc_id % 7 != 0
+            ),
+            bsh AS (
+              SELECT doc_id, {hashed} AS sh FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            cs AS (SELECT doc_id, COUNT(*) AS nc FROM csh GROUP BY doc_id),
+            bs AS (SELECT doc_id, COUNT(*) AS nb FROM bsh GROUP BY doc_id),
+            inter AS (
+              SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS i
+              FROM bsh b JOIN csh c ON b.sh = c.sh GROUP BY 1, 2
+            )
+            SELECT bid, cid,
+                   ROUND(i / (nb + nc - i), 6) AS jaccard
+            FROM inter
+            JOIN bs ON bs.doc_id = bid
+            JOIN cs ON cs.doc_id = cid
+            WHERE ROUND(i / (nb + nc - i), 6) >= 0.2
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_embedding_cosine_against_matches_duckdb(spark, con):
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.vectors import cosine_sql
+    from polars_w_inverted_index_spark.operators.dedup import (
+        embedding_cosine_pairs_against,
+    )
+    from polars_w_inverted_index_spark.registry_ext import (
+        _hyperplane_sig_sql,
+    )
+
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS embeddings AS"
+        f" SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    batch = emb.where(F.col("vec_id") % 7 == 0)
+    got = sorted(
+        (r["batch_vec_id"], r["corpus_vec_id"], r["cos_sim"])
+        for r in embedding_cosine_pairs_against(
+            corpus, batch, threshold=0.2
+        ).collect()
+    )
+    mask = (1 << 4) - 1
+    want = sorted(
+        con.execute(
+            f"""
+            WITH sig AS (
+              SELECT vec_id,
+                     ({_hyperplane_sig_sql('embedding', 16)}) & {mask}
+                       AS bucket,
+                     embedding
+              FROM embeddings
+            )
+            SELECT b.vec_id, c.vec_id,
+                   ROUND({cosine_sql('b.embedding', 'c.embedding')}, 5)
+            FROM sig b JOIN sig c ON b.bucket = c.bucket
+            WHERE b.vec_id % 7 = 0 AND c.vec_id % 7 != 0
+              AND ROUND({cosine_sql('b.embedding', 'c.embedding')}, 5)
+                  >= 0.2
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
