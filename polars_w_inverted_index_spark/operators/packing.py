@@ -154,3 +154,50 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
             6,
         ).alias("mean_fill"),
     )
+
+
+def materialize_packs(
+    docs: DataFrame,
+    packed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Assemble the physical training shards a dataloader reads:
+    ``[pack_id, n_docs, n_tokens, text]`` — each pack's documents
+    concatenated in ascending doc_id order (deterministic, so re-runs
+    byte-match), ``separator``-joined.
+
+    The last-mile step after :func:`pack_documents` (which moves only
+    (doc_id, token_count) metadata): the text itself is shuffled exactly
+    once, here, keyed by pack_id.  Per-group state is one pack's text —
+    bounded by the packing budget by construction (oversize singleton
+    docs are their own pack), so no executor assembles more than
+    ~budget tokens regardless of corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    joined = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).join(
+        packed.select(
+            F.col("doc_id").alias("_id"), "pack_id", "n_tokens"
+        ),
+        "_id",
+    )
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_id", "_text"))
+                    ),
+                    lambda s: s.getField("_text"),
+                ),
+                separator,
+            ).alias("text"),
+        )
+    )

@@ -296,3 +296,32 @@ def test_unigram_surprisal_external_lm_smoothed(spark):
     # hand-check the smoothed unseen probability: p = 1/(total + V + 1)
     total, v = 12, 9
     assert s11 == pytest.approx(-math.log2(1 / (total + v + 1)), abs=1e-4)
+
+
+def test_materialize_packs_deterministic_and_complete(spark):
+    from polars_w_inverted_index_spark.functions.text import token_count
+    from polars_w_inverted_index_spark.operators.packing import (
+        materialize_packs,
+        pack_documents,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    meta = docs.select("doc_id", token_count("text").alias("tc"))
+    packed = pack_documents(meta, "tc", 512, num_shards=4)
+    shards = materialize_packs(docs, packed)
+    rows = {r["pack_id"]: r for r in shards.collect()}
+    # complete: every input doc's text appears exactly once overall
+    assert sum(r["n_docs"] for r in rows.values()) == docs.count()
+    total_tok = sum(r["n_tokens"] for r in rows.values())
+    assert total_tok == meta.agg({"tc": "sum"}).collect()[0][0]
+    # deterministic byte-for-byte across re-runs
+    again = {
+        r["pack_id"]: r["text"]
+        for r in materialize_packs(docs, packed).collect()
+    }
+    assert {k: v["text"] for k, v in rows.items()} == again
+    # separator joins the right number of pieces
+    any_multi = next(r for r in rows.values() if r["n_docs"] > 1)
+    assert any_multi["text"].count("\n\n") >= any_multi["n_docs"] - 1
