@@ -152,8 +152,15 @@ def _extension_workload():
         token_count,
         unigram_surprisal_df,
     )
+    from polars_w_inverted_index_spark.operators.chunking import (
+        chunk_documents,
+    )
     from polars_w_inverted_index_spark.operators.packing import (
         pack_documents,
+    )
+    from polars_w_inverted_index_spark.operators.search import (
+        bm25_search,
+        phrase_search,
     )
     from polars_w_inverted_index_spark.operators.sampling import (
         mixture_sample,
@@ -191,6 +198,15 @@ def _extension_workload():
             {"en": 4.0, "de": 1.0, "fr": 1.0, "es": 1.0},
             temperature=2.0,
         ),
+        "ext_bm25_search": lambda s, d: bm25_search(
+            _docs(s, d), ["vector", "data", "spark"], top_k=100
+        ),
+        "ext_phrase_search": lambda s, d: phrase_search(
+            _docs(s, d), "fast table"
+        ),
+        "ext_chunk_documents": lambda s, d: chunk_documents(
+            _docs(s, d), window=128, stride=96
+        ).drop("chunk_text"),
     }
 
 

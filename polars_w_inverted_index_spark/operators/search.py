@@ -1,0 +1,182 @@
+"""Retrieval over the term inverted index: boolean, phrase, and BM25.
+
+The reference's postings map (main.rs:325-385) answers "which docs carry
+this value"; applied to text terms (registry_ext.q_term_postings) that is
+a classic search index.  This module adds the query side a user of an
+inverted index actually runs:
+
+- :func:`boolean_search` — AND/OR term retrieval (postings intersection /
+  union, expressed as a filtered explode + groupBy, never a driver loop);
+- :func:`phrase_search` — two-phase: candidate docs via the conjunctive
+  term match, adjacency verified only on candidates;
+- :func:`bm25_search` — Okapi BM25 ranked retrieval with the standard
+  (k1, b) saturation/length normalization, top-k by score.
+
+Scale design (100 TB): the query term list is tiny by definition, so
+``term.isin(query)`` prunes the exploded stream BEFORE any shuffle — the
+only rows that ever cross the wire are (doc, query-term) hits.  Per-term
+document frequencies aggregate to ≤|query| rows (broadcast); corpus
+stats (N, avgdl) are one partial-aggregatable pass, and both accept
+precomputed values so a standing corpus pays them once, not per query.
+Top-k is ``orderBy().limit(k)`` ⇒ TakeOrdered partial top-k per
+partition — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _norm_terms(terms: list[str]) -> list[str]:
+    """Lowercased, deduplicated query terms (order-preserving)."""
+    out: list[str] = []
+    for t in terms:
+        t = t.strip().lower()
+        if t and t not in out:
+            out.append(t)
+    if not out:
+        raise ValueError("query needs at least one non-empty term")
+    return out
+
+
+def boolean_search(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    mode: str = "and",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs matching the query terms: ``DataFrame[doc_id, n_matched]``.
+
+    ``mode='and'`` keeps docs containing EVERY query term (postings-list
+    intersection); ``'or'`` keeps docs containing any.  ``n_matched`` is
+    the number of distinct query terms present.  The explode is pruned by
+    ``isin(query)`` before the groupBy, so shuffle volume is O(hits).
+    """
+    if mode not in ("and", "or"):
+        raise ValueError("mode must be 'and' or 'or'")
+    q = _norm_terms(terms)
+    hits = (
+        docs.select(
+            id_col,
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        )
+        .where(F.col("term").isin(q))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    if mode == "and":
+        hits = hits.where(F.col("n_matched") == len(q))
+    return hits
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs containing the exact token sequence: ``DataFrame[doc_id]``.
+
+    Two-phase, the standard positional-index strategy without storing
+    positions: (1) candidates = conjunctive term match (cheap, postings
+    intersection); (2) adjacency verified ONLY on candidates by substring
+    match over the space-joined token stream (token-boundary exact — the
+    needle is wrapped in the same delimiter).  At 100 TB phase 1 prunes
+    the verify scan to the tiny candidate set; with a materialized term
+    index (plans/catalog.py) phase 1 never touches the base table.
+    """
+    q = _norm_terms(phrase.split())
+    cand = boolean_search(
+        docs, q, mode="and", text_col=text_col, id_col=id_col
+    ).select(id_col)
+    needle = " " + " ".join(q) + " "
+    stream = F.concat(
+        F.lit(" "), F.array_join(tokens(text_col), " "), F.lit(" ")
+    )
+    verified = (
+        docs.join(cand, id_col, "left_semi")
+        .where(F.instr(stream, F.lit(needle)) > 0)
+        .select(id_col)
+    )
+    return verified
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval:
+    ``DataFrame[doc_id, score, n_matched]`` (top_k rows, ties broken by
+    ascending doc id so results are deterministic).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   — Lucene's non-negative
+    form; score(d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).
+
+    ``n_docs``/``avgdl`` accept precomputed corpus statistics (a standing
+    index computes them once per corpus version); when omitted they cost
+    one partial-aggregatable pass over token counts.
+    """
+    q = _norm_terms(terms)
+    tl = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+
+    if n_docs is None or avgdl is None:
+        stats = tl.agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.size("toks")).alias("avgdl"),
+        )
+    else:
+        stats = docs.sparkSession.range(1).select(
+            F.lit(int(n_docs)).alias("n_docs"),
+            F.lit(float(avgdl)).alias("avgdl"),
+        )
+
+    # dl rides the explode so no separate doc-length join is needed;
+    # the isin prune keeps shuffle volume at O(query-term hits).
+    tf = (
+        tl.select(
+            id_col, F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .where(F.col("term").isin(q))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    # tf holds one row per (doc, term) ⇒ df(term) = row count per term.
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * tf_d * F.lit(k1 + 1.0) / norm
+
+    out = (
+        scored.select(id_col, contrib.alias("w"))
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("score"), F.count("*").alias("n_matched"))
+    )
+    out = out.orderBy(F.desc("score"), F.col(id_col))
+    if top_k is not None:
+        out = out.limit(int(top_k))
+    return out

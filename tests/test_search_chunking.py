@@ -1,0 +1,347 @@
+"""Search (boolean / phrase / BM25) and context-window chunking.
+
+Unit semantics on hand-built corpora plus DuckDB oracle twins over the
+sf0.01 documents table (same rigor as the driver gate: hash-exact where
+the output is integral, per-doc approx where float accumulation order
+may differ between engines).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from polars_w_inverted_index_spark.functions.text import tokens_sql
+from polars_w_inverted_index_spark.operators.chunking import (
+    chunk_documents,
+    chunk_documents_sql,
+)
+from polars_w_inverted_index_spark.operators.search import (
+    bm25_search,
+    boolean_search,
+    phrase_search,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS"
+        f" SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return c
+
+
+@pytest.fixture(scope="module")
+def sfdocs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick red fox"),
+            (3, "lazy dog sleeps"),
+            (4, ""),
+            (5, "quick quick quick fox fox dog"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+# ---------------------------------------------------------------- boolean
+
+
+def test_boolean_and(corpus):
+    got = sorted(
+        (r.doc_id, r.n_matched)
+        for r in boolean_search(corpus, ["quick", "fox"]).collect()
+    )
+    assert got == [(1, 2), (2, 2), (5, 2)]
+
+
+def test_boolean_or(corpus):
+    got = sorted(
+        (r.doc_id, r.n_matched)
+        for r in boolean_search(
+            corpus, ["quick", "dog"], mode="or"
+        ).collect()
+    )
+    assert got == [(1, 2), (2, 1), (3, 1), (5, 2)]
+
+
+def test_boolean_normalizes_and_dedupes_query(corpus):
+    a = boolean_search(corpus, ["Quick", "FOX", "quick"]).collect()
+    b = boolean_search(corpus, ["quick", "fox"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        boolean_search(corpus, ["  "])
+    with pytest.raises(ValueError):
+        boolean_search(corpus, ["x"], mode="xor")
+
+
+# ----------------------------------------------------------------- phrase
+
+
+def test_phrase_adjacency(corpus):
+    assert sorted(
+        r.doc_id for r in phrase_search(corpus, "quick brown fox").collect()
+    ) == [1]
+    # terms co-occur in doc 1 but are not adjacent
+    assert phrase_search(corpus, "brown dog").count() == 0
+    # case-insensitive, present in two docs
+    assert sorted(
+        r.doc_id for r in phrase_search(corpus, "Lazy DOG").collect()
+    ) == [1, 3]
+
+
+def test_phrase_single_term(corpus):
+    assert sorted(
+        r.doc_id for r in phrase_search(corpus, "fox").collect()
+    ) == [1, 2, 5]
+
+
+# ------------------------------------------------------------------- bm25
+
+
+def test_bm25_ranking_and_determinism(corpus):
+    rows = bm25_search(corpus, ["quick", "fox"], top_k=5).collect()
+    ids = [r.doc_id for r in rows]
+    # doc 5 has the highest tf for both terms in the shortest text
+    assert ids[0] == 5
+    assert set(ids) == {1, 2, 5}
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.n_matched == 2 for r in rows)
+
+
+def test_bm25_idf_prefers_rare_terms(spark):
+    # "rare" appears in 1 of 10 docs, "common" in all 10; a doc matching
+    # only the rare term must outrank one matching only the common term.
+    docs = spark.createDataFrame(
+        [(0, "rare common")]
+        + [(i, "common filler") for i in range(1, 10)],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, ["rare"], top_k=1).collect()
+    assert rows[0].doc_id == 0
+    all_scores = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            docs, ["rare", "common"], top_k=None
+        ).collect()
+    }
+    assert all_scores[0] > max(v for k, v in all_scores.items() if k != 0)
+
+
+def test_bm25_precomputed_stats_match_inline(corpus):
+    inline = {
+        r.doc_id: r.score
+        for r in bm25_search(corpus, ["fox"], top_k=None).collect()
+    }
+    # N counts all 6 docs; avgdl averages the 5 non-null texts
+    # (lengths 9,4,3,0,6) — null text has no token array in either
+    # engine, matching DuckDB AVG semantics.
+    pre = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            corpus, ["fox"], top_k=None, n_docs=6, avgdl=22 / 5
+        ).collect()
+    }
+    assert inline.keys() == pre.keys()
+    for k in inline:
+        assert inline[k] == pytest.approx(pre[k], rel=1e-12)
+
+
+# ----------------------------------------------------------- oracle twins
+
+
+def test_boolean_search_matches_duckdb(con, sfdocs):
+    terms = ["vector", "data", "spark"]
+    got = sorted(
+        (r.doc_id, r.n_matched)
+        for r in boolean_search(sfdocs, terms).collect()
+    )
+    lst = ", ".join(f"'{t}'" for t in terms)
+    want = sorted(
+        con.execute(
+            f"""
+            SELECT doc_id, COUNT(*) AS n_matched FROM (
+              SELECT doc_id,
+                     unnest(list_distinct({tokens_sql('text')})) AS term
+              FROM documents
+            ) WHERE term IN ({lst})
+            GROUP BY doc_id HAVING COUNT(*) = {len(terms)}
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_phrase_search_matches_duckdb(con, sfdocs):
+    phrase = "fast table"
+    got = sorted(r.doc_id for r in phrase_search(sfdocs, phrase).collect())
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM documents
+            WHERE contains(
+              ' ' || array_to_string({tokens_sql('text')}, ' ') || ' ',
+              ' {phrase} ')
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bm25_matches_duckdb(con, sfdocs):
+    """Full-formula BM25 twin in DuckDB; per-doc approx compare (float
+    sum order differs between engines)."""
+    terms = ["vector", "data", "spark"]
+    k1, b = 1.2, 0.75
+    got = {
+        r.doc_id: (r.score, r.n_matched)
+        for r in bm25_search(
+            sfdocs, terms, k1=k1, b=b, top_k=None
+        ).collect()
+    }
+    lst = ", ".join(f"'{t}'" for t in terms)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""
+            WITH tl AS (
+              SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+            ),
+            stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM tl
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM tl
+              ) WHERE term IN ({lst})
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * ({k1} + 1.0)
+                       / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+                   ) AS score,
+                   COUNT(*) AS n_matched
+            FROM tf, dfreq, stats
+            WHERE tf.term = dfreq.term
+            GROUP BY tf.doc_id
+            """
+        ).fetchall()
+    }
+    assert got.keys() == want.keys() and len(got) > 0
+    for k, (s, m) in got.items():
+        assert m == want[k][1]
+        assert s == pytest.approx(want[k][0], rel=1e-9)
+
+
+def test_chunking_matches_duckdb(con, sfdocs):
+    w, s = 32, 24
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(sfdocs, window=w, stride=s).collect()
+    )
+    want = sorted(
+        con.execute(chunk_documents_sql(window=w, stride=s)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------- chunking
+
+
+def test_chunk_windows_and_tail_suppression(corpus):
+    rows = sorted(
+        tuple(r)
+        for r in chunk_documents(corpus, window=4, stride=3).collect()
+    )
+    assert rows == [
+        (1, 0, 4, "the quick brown fox"),
+        (1, 1, 4, "fox jumps over the"),
+        (1, 2, 3, "the lazy dog"),
+        (2, 0, 4, "the quick red fox"),
+        (3, 0, 3, "lazy dog sleeps"),
+        (5, 0, 4, "quick quick quick fox"),
+        (5, 1, 3, "fox fox dog"),
+    ]
+
+
+def test_chunk_covers_every_token_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    w, s = 16, 10
+    rows = chunk_documents(docs, window=w, stride=s).collect()
+    seen = set()
+    for r in rows:
+        seen.update(r.chunk_text.split())
+    assert seen == {f"t{i}" for i in range(100)}
+    # overlap: consecutive chunks share window - stride tokens
+    ordered = sorted(rows, key=lambda r: r.chunk_idx)
+    for a, bb in zip(ordered, ordered[1:]):
+        assert a.chunk_text.split()[s:] == bb.chunk_text.split()[: w - s]
+
+
+def test_chunk_no_overlap_mode(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_idx, r.n_tokens)
+        for r in chunk_documents(docs, window=4, stride=4).collect()
+    )
+    assert rows == [(0, 4), (1, 4), (2, 2)]
+
+
+def test_chunk_short_doc_single_window(corpus):
+    rows = chunk_documents(corpus, window=128, stride=96).where(
+        "doc_id = 3"
+    ).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 3
+
+
+def test_chunk_min_tokens_and_validation(corpus):
+    assert (
+        chunk_documents(corpus, window=4, stride=3, min_tokens=4)
+        .where("n_tokens < 4")
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError):
+        chunk_documents(corpus, window=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(corpus, window=0, stride=1)
+
+
+def test_chunk_plan_is_narrow(corpus):
+    """No shuffle anywhere in the chunking plan (pure narrow map)."""
+    plan = (
+        chunk_documents(corpus, window=8, stride=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_phrase_search_plan_has_no_cartesian(sfdocs):
+    plan = (
+        phrase_search(sfdocs, "fast table")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
