@@ -154,12 +154,16 @@ def bm25_search(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    # tf holds one row per (doc, term) ⇒ df(term) = row count per term.
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # tf holds one row per (doc, term) ⇒ df(term) = rows per term.  A
+    # window over tf (already reduced to O(hits) rows) instead of a
+    # second groupBy branch: Spark does not reuse the tf subtree across
+    # branches (column pruning makes them differ), so the join form
+    # scans the corpus twice — the window form scans it once.
+    from pyspark.sql.window import Window
 
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
-        F.broadcast(stats)
-    )
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5))

@@ -336,6 +336,28 @@ def test_chunk_plan_is_narrow(corpus):
     assert "Exchange" not in plan
 
 
+def test_bm25_plan_single_scan_and_takeordered(sfdocs):
+    """Precomputed corpus stats ⇒ exactly ONE corpus scan (the window-
+    based df avoids the second aggregation branch); top-k is TakeOrdered
+    (partial per-partition top-k), never a global sort."""
+    plan = (
+        bm25_search(sfdocs, ["vector"], top_k=10, n_docs=500, avgdl=40.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    # inline stats cost exactly one extra pass, no more
+    plan2 = (
+        bm25_search(sfdocs, ["vector"], top_k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan2.count("Scan parquet") == 2
+
+
 def test_phrase_search_plan_has_no_cartesian(sfdocs):
     plan = (
         phrase_search(sfdocs, "fast table")
