@@ -161,6 +161,8 @@ def _extension_workload():
     from polars_w_inverted_index_spark.operators.search import (
         bm25_search,
         phrase_search,
+        phrase_search_indexed,
+        positional_postings,
     )
     from polars_w_inverted_index_spark.operators.sampling import (
         mixture_sample,
@@ -207,6 +209,12 @@ def _extension_workload():
         "ext_chunk_documents": lambda s, d: chunk_documents(
             _docs(s, d), window=128, stride=96
         ).drop("chunk_text"),
+        "ext_positional_postings": lambda s, d: positional_postings(
+            _docs(s, d)
+        ),
+        "ext_phrase_search_indexed": lambda s, d: phrase_search_indexed(
+            positional_postings(_docs(s, d)), "fast table"
+        ),
     }
 
 

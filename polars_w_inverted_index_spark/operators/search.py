@@ -91,9 +91,10 @@ def phrase_search(
     the verify scan to the tiny candidate set; with a materialized term
     index (plans/catalog.py) phase 1 never touches the base table.
     """
-    q = _norm_terms(phrase.split())
+    q = _norm_terms_keep_dups(phrase.split())
     cand = boolean_search(
-        docs, q, mode="and", text_col=text_col, id_col=id_col
+        docs, list(dict.fromkeys(q)), mode="and",
+        text_col=text_col, id_col=id_col,
     ).select(id_col)
     needle = " " + " ".join(q) + " "
     stream = F.concat(
@@ -105,6 +106,79 @@ def phrase_search(
         .select(id_col)
     )
     return verified
+
+
+def positional_postings(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted index: ``DataFrame[term, doc_id, positions]``.
+
+    The reference's postings (value → doc ids, main.rs:325-385) extended
+    with 0-based token positions — the artifact phrase queries need.
+    Kept FLAT (one row per (term, doc)) rather than nesting all docs
+    under the term: row size is bounded by a single document's length,
+    so a stop-word appearing in 10^9 docs yields 10^9 bounded rows, not
+    one unbounded array — the same discipline as ``postings_chunked``.
+    One explode + one shuffle on (term, doc_id), both high-cardinality.
+    """
+    tok = docs.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "term")
+    )
+    return tok.groupBy("term", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search_indexed(
+    index: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase search served from :func:`positional_postings`:
+    ``DataFrame[doc_id]`` — zero base-table I/O.
+
+    Standard positional-intersection: doc matches iff some position p
+    has term_i at p+i for every i.  Each query term pulls its postings
+    slice (filter on the index's term column → partition/row-group
+    pruning on a term-sorted index layout), slices inner-join on doc_id,
+    and the match test is ``array_intersect`` of the i-shifted position
+    arrays — per-doc state bounded by one document's positions.  An
+    independent implementation of :func:`phrase_search`'s semantics
+    (substring scan); the tests pin them equal.
+    """
+    q = _norm_terms_keep_dups(phrase.split())
+
+    def _shifted(k: int):
+        # NB: the lambda must be unary — a second parameter would make
+        # Spark pass the ELEMENT INDEX there, not this closure's k.
+        return F.transform("positions", lambda p: p - F.lit(k))
+
+    parts = []
+    for i, t in enumerate(q):
+        parts.append(
+            index.where(F.col("term") == t).select(
+                F.col(id_col), _shifted(i).alias(f"_p{i}")
+            )
+        )
+    joined = parts[0]
+    for i in range(1, len(q)):
+        joined = joined.join(parts[i], id_col)
+    base = F.col("_p0")
+    for i in range(1, len(q)):
+        base = F.array_intersect(base, F.col(f"_p{i}"))
+    return joined.where(F.size(base) > 0).select(id_col)
+
+
+def _norm_terms_keep_dups(terms: list[str]) -> list[str]:
+    """Lowercased query terms, duplicates preserved (phrase order)."""
+    out = [t.strip().lower() for t in terms if t.strip()]
+    if not out:
+        raise ValueError("query needs at least one non-empty term")
+    return out
 
 
 def bm25_search(

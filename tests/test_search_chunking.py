@@ -20,6 +20,8 @@ from polars_w_inverted_index_spark.operators.search import (
     bm25_search,
     boolean_search,
     phrase_search,
+    phrase_search_indexed,
+    positional_postings,
 )
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -105,6 +107,91 @@ def test_phrase_single_term(corpus):
     assert sorted(
         r.doc_id for r in phrase_search(corpus, "fox").collect()
     ) == [1, 2, 5]
+
+
+def test_phrase_repeated_word(corpus):
+    # "quick quick" occurs only in doc 5; dedup of the needle would
+    # wrongly match every doc containing one "quick"
+    assert sorted(
+        r.doc_id for r in phrase_search(corpus, "quick quick").collect()
+    ) == [5]
+    assert phrase_search(corpus, "fox fox dog").count() == 1
+
+
+# ------------------------------------------------------ positional index
+
+
+def test_positional_postings_values(corpus):
+    idx = positional_postings(corpus)
+    rows = {
+        (r.term, r.doc_id): r.positions
+        for r in idx.where("doc_id = 1").collect()
+    }
+    assert rows[("the", 1)] == [0, 6]
+    assert rows[("quick", 1)] == [1]
+    assert rows[("dog", 1)] == [8]
+
+
+def test_positional_postings_match_duckdb(con, sfdocs):
+    got = sorted(
+        (r.term, r.doc_id, tuple(r.positions))
+        for r in positional_postings(sfdocs).collect()
+    )
+    want = sorted(
+        (t, d, tuple(p))
+        for t, d, p in con.execute(
+            f"""
+            SELECT term, doc_id, list_sort(list(pos - 1)) AS positions
+            FROM (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM (
+                SELECT doc_id, {tokens_sql('text')} AS toks
+                FROM documents
+              )
+            )
+            GROUP BY term, doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_phrase_indexed_equals_substring_scan(corpus, sfdocs):
+    """The positional-intersection and substring-scan implementations are
+    independent; they must agree on every phrase."""
+    for src in (corpus, sfdocs):
+        idx = positional_postings(src)
+        for phrase in (
+            "quick brown fox",
+            "lazy dog",
+            "quick quick",
+            "fox",
+            "brown dog",
+            "fast table",
+            "value table part",
+        ):
+            a = sorted(
+                r.doc_id for r in phrase_search(src, phrase).collect()
+            )
+            b = sorted(
+                r.doc_id
+                for r in phrase_search_indexed(idx, phrase).collect()
+            )
+            assert a == b, phrase
+
+
+def test_phrase_indexed_no_base_scan(sfdocs, spark):
+    """Served entirely from the materialized index table."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        positional_postings(sfdocs).write.parquet(d + "/posidx")
+        idx = spark.read.parquet(d + "/posidx")
+        df = phrase_search_indexed(idx, "fast table")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "documents" not in plan
+        assert df.count() > 0
 
 
 # ------------------------------------------------------------------- bm25
