@@ -148,8 +148,10 @@ def _extension_workload():
     )
     from polars_w_inverted_index_spark.operators.dedup import simhash_pairs
     from polars_w_inverted_index_spark.functions.text import (
+        corpus_divergence,
         repetition_profile_df,
         token_count,
+        unigram_lm,
         unigram_surprisal_df,
     )
     from polars_w_inverted_index_spark.operators.chunking import (
@@ -211,6 +213,10 @@ def _extension_workload():
         ).drop("chunk_text"),
         "ext_positional_postings": lambda s, d: positional_postings(
             _docs(s, d)
+        ),
+        "ext_corpus_divergence": lambda s, d: corpus_divergence(
+            unigram_lm(_docs(s, d).where("doc_id % 2 = 0")),
+            unigram_lm(_docs(s, d).where("doc_id % 2 = 1")),
         ),
         "ext_phrase_search_indexed": lambda s, d: phrase_search_indexed(
             positional_postings(_docs(s, d)), "fast table"

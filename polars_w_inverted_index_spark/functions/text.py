@@ -326,6 +326,68 @@ def unigram_lm(df, text_col: str = "text"):
     )
 
 
+def corpus_divergence(
+    lm_a,
+    lm_b,
+    *,
+    alpha: float = 0.5,
+):
+    """1-row ``[kl_a_b_bits, kl_b_a_bits, js_bits, vocab_a, vocab_b,
+    vocab_shared]`` — unigram distribution divergence between two
+    corpora, the standard drift / domain-shift check before mixing a
+    new source into a training blend (high JS ⇒ the new corpus is
+    distributionally unlike the reference; asymmetric KLs show which
+    direction the mass moved).
+
+    Inputs are :func:`unigram_lm` tables (vocabulary-sized — a pure
+    function of content, materialized once per corpus version at fleet
+    scale).  Smoothing: Lidstone add-``alpha`` over the UNION vocabulary
+    so both distributions are positive everywhere and the KLs are
+    finite; JS is computed against the even mixture m = (p+q)/2, giving
+    the symmetric, bounded [0, 1] bit score.
+
+    Plan shape: one full-outer join of two vocabulary-sized tables on
+    the token (uniform key), one broadcast 1-row normalizer, one global
+    aggregate — never touches corpus text, so the cost is O(vocabulary)
+    regardless of corpus size.
+    """
+    a = lm_a.select(F.col("t"), F.col("c").alias("ca"))
+    b = lm_b.select(F.col("t"), F.col("c").alias("cb"))
+    joined = a.join(b, "t", "full_outer").select(
+        "t",
+        F.coalesce("ca", F.lit(0)).cast("double").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("double").alias("cb"),
+    )
+    totals = joined.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count("*").alias("v"),
+        F.sum((F.col("ca") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("cb") > 0).cast("long")).alias("vocab_b"),
+        F.sum(
+            ((F.col("ca") > 0) & (F.col("cb") > 0)).cast("long")
+        ).alias("vocab_shared"),
+    )
+    z = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("ca") + F.lit(alpha)) / (
+        F.col("ta") + F.lit(alpha) * F.col("v")
+    )
+    q = (F.col("cb") + F.lit(alpha)) / (
+        F.col("tb") + F.lit(alpha) * F.col("v")
+    )
+    m = (p + q) / 2
+    return z.agg(
+        F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_a_b_bits"),
+        F.round(F.sum(q * F.log2(q / p)), 6).alias("kl_b_a_bits"),
+        F.round(
+            (F.sum(p * F.log2(p / m)) + F.sum(q * F.log2(q / m))) / 2, 6
+        ).alias("js_bits"),
+        F.max("vocab_a").alias("vocab_a"),
+        F.max("vocab_b").alias("vocab_b"),
+        F.max("vocab_shared").alias("vocab_shared"),
+    )
+
+
 def unigram_surprisal_df(
     df,
     text_col: str = "text",

@@ -293,3 +293,89 @@ def test_embedding_cosine_against_matches_duckdb(spark, con):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_corpus_divergence_identity_and_disjoint(spark):
+    """KL and JS are 0 on identical corpora; JS approaches its 1-bit
+    bound on disjoint vocabularies."""
+    from polars_w_inverted_index_spark.functions.text import (
+        corpus_divergence,
+        unigram_lm,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "delta epsilon zeta delta")], "doc_id long, text string"
+    )
+    same = corpus_divergence(unigram_lm(a), unigram_lm(a)).collect()[0]
+    assert same.kl_a_b_bits == 0.0 and same.kl_b_a_bits == 0.0
+    assert same.js_bits == 0.0
+    assert same.vocab_a == same.vocab_b == same.vocab_shared == 3
+
+    diff = corpus_divergence(
+        unigram_lm(a), unigram_lm(b), alpha=0.01
+    ).collect()[0]
+    assert diff.vocab_shared == 0
+    assert diff.js_bits > 0.9
+    assert diff.kl_a_b_bits > 0 and diff.kl_b_a_bits > 0
+
+
+def test_corpus_divergence_matches_duckdb(spark, con, docs):
+    """Full-formula twin in DuckDB over two document-table halves;
+    approx compare (float accumulation order)."""
+    from polars_w_inverted_index_spark.functions.text import (
+        corpus_divergence,
+        tokens_sql,
+        unigram_lm,
+    )
+
+    half_a = docs.where("doc_id % 2 = 0")
+    half_b = docs.where("doc_id % 2 = 1")
+    got = corpus_divergence(
+        unigram_lm(half_a), unigram_lm(half_b), alpha=0.5
+    ).collect()[0]
+    want = con.execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({tokens_sql('text')}) AS t
+          FROM documents
+        ),
+        la AS (SELECT t, COUNT(*) AS ca FROM tok
+               WHERE doc_id % 2 = 0 GROUP BY t),
+        lb AS (SELECT t, COUNT(*) AS cb FROM tok
+               WHERE doc_id % 2 = 1 GROUP BY t),
+        j AS (
+          SELECT t, COALESCE(ca, 0)::DOUBLE AS ca,
+                 COALESCE(cb, 0)::DOUBLE AS cb
+          FROM la FULL OUTER JOIN lb USING (t)
+        ),
+        tot AS (
+          SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS v,
+                 SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS va,
+                 SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vb,
+                 SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                   AS vs
+          FROM j
+        )
+        SELECT SUM(p * log2(p / q)) AS kl_ab,
+               SUM(q * log2(q / p)) AS kl_ba,
+               (SUM(p * log2(p / ((p + q) / 2)))
+                + SUM(q * log2(q / ((p + q) / 2)))) / 2 AS js,
+               MAX(va) AS va, MAX(vb) AS vb, MAX(vs) AS vs
+        FROM (
+          SELECT (ca + 0.5) / (ta + 0.5 * v) AS p,
+                 (cb + 0.5) / (tb + 0.5 * v) AS q
+          FROM j CROSS JOIN tot
+        ), tot
+        """
+    ).fetchone()
+    assert got.kl_a_b_bits == pytest.approx(want[0], abs=1e-5)
+    assert got.kl_b_a_bits == pytest.approx(want[1], abs=1e-5)
+    assert got.js_bits == pytest.approx(want[2], abs=1e-5)
+    assert (got.vocab_a, got.vocab_b, got.vocab_shared) == (
+        want[3],
+        want[4],
+        want[5],
+    )
