@@ -867,3 +867,36 @@ def embedding_cosine_pairs_gemm(
     return sig.groupBy("bucket").applyInPandas(
         _pairs, "doc_a long, doc_b long, cos_sim double"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    prefix_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_gemm: bool = True,
+) -> DataFrame:
+    """Semantic (embedding-space) near-dup removal, end-to-end: cosine
+    pair generation → connected components → keep the canonical (min-id)
+    member of every cluster.  Returns the SURVIVING rows of ``df``.
+
+    The composition the dedup family exists for: pairs alone are not a
+    dedup — transitively-connected groups must collapse to one survivor
+    or A≈B≈C keeps B and C when only (A,B), (B,C) crossed the threshold.
+    Each stage's scale bounds are its own (bucketed pair generation,
+    hybrid union-find/label-propagation components, one anti-join) — no
+    new shuffle shape is introduced here.
+    """
+    gen = embedding_cosine_pairs_gemm if use_gemm else embedding_cosine_pairs
+    pairs = gen(
+        df,
+        threshold=threshold,
+        n_planes=n_planes,
+        prefix_bits=prefix_bits,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    clusters = dedup_clusters(pairs)
+    return drop_near_duplicates(df, clusters, id_col=id_col)

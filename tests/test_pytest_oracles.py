@@ -379,3 +379,61 @@ def test_corpus_divergence_matches_duckdb(spark, con, docs):
         want[4],
         want[5],
     )
+
+
+def test_semantic_dedup_matches_duckdb(spark, con):
+    """End-to-end semantic dedup (pairs → components → survivors) vs a
+    DuckDB twin: the registered cosine-pair SQL + a recursive-CTE
+    transitive closure + anti-join.  Hash-exact on surviving ids."""
+    from polars_w_inverted_index_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from polars_w_inverted_index_spark.registry_ext import (
+        EMB_NEARDUP_THRESHOLD,
+        _embedding_neardup_sql,
+    )
+
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS embeddings AS"
+        f" SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    want = sorted(
+            r[0]
+            for r in con.execute(
+                f"""
+                WITH RECURSIVE pairs AS (
+                  {_embedding_neardup_sql(EMB_NEARDUP_THRESHOLD)}
+                ),
+                edges AS (
+                  SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION
+                  SELECT doc_b, doc_a FROM pairs
+                ),
+                reach(src, dst) AS (
+                  SELECT src, dst FROM edges
+                  UNION
+                  SELECT r.src, e.dst FROM reach r
+                  JOIN edges e ON r.dst = e.src
+                ),
+                clusters AS (
+                  SELECT src AS doc_id,
+                         LEAST(src, MIN(dst)) AS cluster_id
+                  FROM reach GROUP BY src
+                )
+                SELECT vec_id FROM embeddings
+                WHERE vec_id NOT IN (
+                  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+                )
+                """
+            ).fetchall()
+    )
+    for use_gemm in (False, True):
+        got = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                emb, threshold=EMB_NEARDUP_THRESHOLD, use_gemm=use_gemm
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        assert len(got) < emb.count()  # something was actually dropped
