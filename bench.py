@@ -201,6 +201,7 @@ def _extension_workload():
             _docs(s, d).select("doc_id", "text")
         ),
         "ext_streaming_near_dedup": _near_dedup_two_batches,
+        "ext_streaming_drift": _drift_two_batches,
         "ext_mixture_sample": lambda s, d: mixture_sample(
             _docs(s, d).select("doc_id", "lang"),
             "lang",
@@ -251,6 +252,28 @@ def _near_dedup_two_batches(s, d):
         docs.where(F.col("doc_id") % 2 == 1), state, batch_id=1
     )
     return a2.select("doc_id")
+
+
+def _drift_two_batches(s, d):
+    """Streaming drift monitor over the documents table split in two
+    micro-batches against its own full-corpus LM (fresh state per
+    run)."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.text import unigram_lm
+    from polars_w_inverted_index_spark.registry import scratch_dir
+    from polars_w_inverted_index_spark.sources.tables import load_table
+    from polars_w_inverted_index_spark.streaming import drift_monitor_batch
+
+    docs = load_table(s, d, "documents")
+    ref = unigram_lm(docs)
+    state = scratch_dir("drift_bench", d, wipe=True)
+    drift_monitor_batch(
+        docs.where(F.col("doc_id") % 2 == 0), state, ref, batch_id=0
+    )
+    return drift_monitor_batch(
+        docs.where(F.col("doc_id") % 2 == 1), state, ref, batch_id=1
+    )
 
 
 def _materialize(df) -> int:

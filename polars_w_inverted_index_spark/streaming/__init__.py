@@ -1,6 +1,11 @@
 """Structured Streaming extension surface (SURVEY.md §2.7, §7 Phase 5)."""
 
 from .dedup import batch_dedup_exact, streaming_dedup_exact
+from .drift import (
+    drift_monitor_batch,
+    read_ingest_lm,
+    start_drift_monitor,
+)
 from .index_maintenance import (
     compact_index,
     merge_postings_batch,
@@ -19,6 +24,9 @@ from .windows import session_event_counts, windowed_event_counts
 __all__ = [
     "batch_dedup_exact",
     "compact_index",
+    "drift_monitor_batch",
+    "read_ingest_lm",
+    "start_drift_monitor",
     "merge_postings_batch",
     "near_dedup_batch",
     "read_corpus_bands",

@@ -456,3 +456,96 @@ def test_near_dedup_min_shared_bands_loosens_rejection(spark, tmp_path):
                      min_shared_bands=shared + 1)
     assert near_dedup_batch(b2, s_strict, batch_id=1,
                             min_shared_bands=shared + 1).count() == 1
+
+
+def test_drift_monitor_batches(spark, tmp_path):
+    """Running-LM drift monitor: a batch matching the reference scores
+    near 0; a poisoned batch spikes batch_js_bits while the cumulative
+    moves less; counts merge exactly-once and replay is a no-op."""
+    from polars_w_inverted_index_spark.functions.text import unigram_lm
+    from polars_w_inverted_index_spark.streaming import (
+        drift_monitor_batch,
+        read_ingest_lm,
+    )
+
+    ref_text = "alpha beta gamma delta epsilon " * 20
+    ref = spark.createDataFrame(
+        [(0, ref_text)], "doc_id long, text string"
+    )
+    ref_lm = unigram_lm(ref)
+    state = str(tmp_path / "drift_state")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon " * 10)],
+        "doc_id long, text string",
+    )
+    r0 = drift_monitor_batch(b0, state, ref_lm, batch_id=0).collect()[0]
+    assert r0.batch_id == 0 and r0.batch_tokens == 50
+    assert r0.total_tokens == 50
+    assert r0.batch_js_bits < 0.01
+    assert r0.cumulative_js_bits == r0.batch_js_bits
+
+    # poisoned shipment: disjoint vocabulary
+    b1 = spark.createDataFrame(
+        [(2, "zork quux blorp frotz grue " * 10)],
+        "doc_id long, text string",
+    )
+    r1 = drift_monitor_batch(b1, state, ref_lm, batch_id=1).collect()[0]
+    assert r1.batch_tokens == 50 and r1.total_tokens == 100
+    assert r1.batch_js_bits > 0.5  # the spike
+    assert r1.cumulative_js_bits < r1.batch_js_bits  # diluted by b0
+
+    # state holds the exact merged counts
+    lm = {
+        r["t"]: r["c"] for r in read_ingest_lm(spark, state).collect()
+    }
+    assert lm["alpha"] == 10 and lm["zork"] == 10 and len(lm) == 10
+
+    # replay of committed batch 1: None, state unchanged
+    assert drift_monitor_batch(b1, state, ref_lm, batch_id=1) is None
+    assert read_ingest_lm(spark, state).count() == 10
+
+
+def test_drift_monitor_end_to_end(spark, tmp_path):
+    """start_drift_monitor over a real file stream (availableNow):
+    reports land in the report path, one row per micro-batch."""
+    from polars_w_inverted_index_spark.functions.text import unigram_lm
+    from polars_w_inverted_index_spark.streaming import (
+        start_drift_monitor,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma " * 5)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "delta epsilon zeta " * 5)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(src / "f1"))
+
+    ref_lm = unigram_lm(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta " * 10)],
+            "doc_id long, text string",
+        )
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_drift_monitor(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "reports"),
+        str(tmp_path / "ckpt"),
+        ref_lm,
+    )
+    q.awaitTermination(120)
+    reports = spark.read.parquet(str(tmp_path / "reports"))
+    rows = sorted(reports.collect(), key=lambda r: r.batch_id)
+    assert len(rows) >= 1
+    assert rows[-1].total_tokens == 30
+    for r in rows:
+        assert 0.0 <= r.batch_js_bits <= 1.0
+        assert 0.0 <= r.cumulative_js_bits <= 1.0
