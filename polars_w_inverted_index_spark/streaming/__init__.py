@@ -18,13 +18,21 @@ from .near_dedup import (
     read_corpus_bands,
     start_near_dedup,
 )
+from .search_index import (
+    boolean_search_from_index,
+    merge_term_index_batch,
+    start_term_index_maintenance,
+)
 from .stateful import running_user_totals
 from .windows import session_event_counts, windowed_event_counts
 
 __all__ = [
     "batch_dedup_exact",
+    "boolean_search_from_index",
     "compact_index",
     "drift_monitor_batch",
+    "merge_term_index_batch",
+    "start_term_index_maintenance",
     "read_ingest_lm",
     "start_drift_monitor",
     "merge_postings_batch",

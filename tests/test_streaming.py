@@ -549,3 +549,98 @@ def test_drift_monitor_end_to_end(spark, tmp_path):
     for r in rows:
         assert 0.0 <= r.batch_js_bits <= 1.0
         assert 0.0 <= r.cumulative_js_bits <= 1.0
+
+
+def test_term_index_maintenance_serves_boolean_search(spark, tmp_path):
+    """Two micro-batches of documents merge into the term index; boolean
+    retrieval from the index equals the batch operator over the unioned
+    corpus (which carries the DuckDB oracle).  Chunked rows (hot-term
+    bound) produce identical answers."""
+    from polars_w_inverted_index_spark.operators.search import (
+        boolean_search,
+    )
+    from polars_w_inverted_index_spark.streaming import (
+        boolean_search_from_index,
+        merge_term_index_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    b0 = docs.where("doc_id % 2 = 0")
+    b1 = docs.where("doc_id % 2 = 1")
+    terms = ["vector", "data", "spark"]
+
+    for chunked in (None, 7):
+        path = str(tmp_path / f"term_idx_{chunked}")
+        merge_term_index_batch(
+            b0, path, batch_id=0, max_postings_per_row=chunked
+        )
+        merge_term_index_batch(
+            b1, path, batch_id=1, max_postings_per_row=chunked
+        )
+        for mode in ("and", "or"):
+            got = sorted(
+                (r.doc_id, r.n_matched)
+                for r in boolean_search_from_index(
+                    spark, path, terms, mode=mode
+                ).collect()
+            )
+            want = sorted(
+                (r.doc_id, r.n_matched)
+                for r in boolean_search(docs, terms, mode=mode).collect()
+            )
+            assert got == want and len(got) > 0, (chunked, mode)
+
+        # replayed batch is a committed no-op — results unchanged
+        merge_term_index_batch(
+            b1, path, batch_id=1, max_postings_per_row=chunked
+        )
+        again = sorted(
+            (r.doc_id, r.n_matched)
+            for r in boolean_search_from_index(
+                spark, path, terms
+            ).collect()
+        )
+        assert again == sorted(
+            (r.doc_id, r.n_matched)
+            for r in boolean_search(docs, terms).collect()
+        )
+
+
+def test_term_index_stream_end_to_end(spark, tmp_path):
+    """start_term_index_maintenance over a two-file document stream."""
+    from polars_w_inverted_index_spark.operators.search import (
+        boolean_search,
+    )
+    from polars_w_inverted_index_spark.streaming import (
+        boolean_search_from_index,
+        start_term_index_maintenance,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs.where("doc_id < 250").write.parquet(str(src / "f0"))
+    docs.where("doc_id >= 250").write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    idx = str(tmp_path / "term_idx_stream")
+    q = start_term_index_maintenance(
+        stream, idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        r.doc_id
+        for r in boolean_search_from_index(
+            spark, idx, ["vector", "data"]
+        ).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in boolean_search(docs, ["vector", "data"]).collect()
+    )
+    assert got == want and len(got) > 0
