@@ -173,6 +173,104 @@ def phrase_search_indexed(
     return joined.where(F.size(base) > 0).select(id_col)
 
 
+def build_search_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the ranked-retrieval index: ``(index, stats)``.
+
+    ``index`` is ``[term, doc_id, tf, dl]`` — term frequency and doc
+    length per (term, doc) posting, flat rows (the positional-postings
+    row-size discipline); ``stats`` is the 1-row ``[n_docs, avgdl]``
+    corpus statistics.  Both are pure functions of content: a standing
+    corpus writes them once per version (parquet, term-partitioned if
+    desired) and every subsequent BM25 query runs from them with ZERO
+    base-table I/O via :func:`bm25_search_from_index`.
+
+    One explode + one shuffle on (doc, term) for the index; the stats
+    pass aggregates token counts (partial-aggregatable).
+    """
+    tl = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    index = (
+        tl.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+    stats = tl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    return index, stats
+
+
+def bm25_search_from_index(
+    index: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = 10,
+) -> DataFrame:
+    """BM25 served from :func:`build_search_index` artifacts — identical
+    contract and scores to :func:`bm25_search`, no corpus text touched.
+
+    The term filter hits the RAW index rows first (partition/row-group
+    pruning on a term-partitioned layout), so per-query cost is
+    O(query terms' postings), independent of corpus size; document
+    frequency is the same window-over-hits as the inline form.
+    """
+    q = _norm_terms(terms)
+    tf = index.where(F.col("term").isin(q))
+    return _bm25_score(tf, stats, k1=k1, b=b, top_k=top_k)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    stats: DataFrame,
+    *,
+    k1: float,
+    b: float,
+    top_k: int | None,
+) -> DataFrame:
+    """Shared BM25 scorer over ``[term, doc_id, tf, dl]`` hit rows.
+
+    Document frequency is a window over the hit rows (already reduced
+    to O(query-term hits)) instead of a second aggregation branch:
+    Spark does not reuse the tf subtree across branches (column pruning
+    makes them differ), so the join form would scan the corpus twice —
+    the window form scans it once.  Top-k is orderBy().limit(k) ⇒
+    TakeOrdered partial top-k per partition, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * tf_d * F.lit(k1 + 1.0) / norm
+    out = (
+        scored.select("doc_id", contrib.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"), F.count("*").alias("n_matched"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+    )
+    if top_k is not None:
+        out = out.limit(int(top_k))
+    return out
+
+
 def _norm_terms_keep_dups(terms: list[str]) -> list[str]:
     """Lowercased query terms, duplicates preserved (phrase order)."""
     out = [t.strip().lower() for t in terms if t.strip()]
@@ -222,39 +320,12 @@ def bm25_search(
     # the isin prune keeps shuffle volume at O(query-term hits).
     tf = (
         tl.select(
-            id_col, F.size("toks").alias("dl"), F.explode("toks").alias("term")
+            F.col(id_col).alias("doc_id"),
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
         )
         .where(F.col("term").isin(q))
-        .groupBy(id_col, "term")
+        .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    # tf holds one row per (doc, term) ⇒ df(term) = rows per term.  A
-    # window over tf (already reduced to O(hits) rows) instead of a
-    # second groupBy branch: Spark does not reuse the tf subtree across
-    # branches (column pruning makes them differ), so the join form
-    # scans the corpus twice — the window form scans it once.
-    from pyspark.sql.window import Window
-
-    scored = tf.withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    ).crossJoin(F.broadcast(stats))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    tf_d = F.col("tf").cast("double")
-    norm = tf_d + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
-    )
-    contrib = idf * tf_d * F.lit(k1 + 1.0) / norm
-
-    out = (
-        scored.select(id_col, contrib.alias("w"))
-        .groupBy(id_col)
-        .agg(F.sum("w").alias("score"), F.count("*").alias("n_matched"))
-    )
-    out = out.orderBy(F.desc("score"), F.col(id_col))
-    if top_k is not None:
-        out = out.limit(int(top_k))
-    return out
+    return _bm25_score(tf, stats, k1=k1, b=b, top_k=top_k)

@@ -18,7 +18,9 @@ from polars_w_inverted_index_spark.operators.chunking import (
 )
 from polars_w_inverted_index_spark.operators.search import (
     bm25_search,
+    bm25_search_from_index,
     boolean_search,
+    build_search_index,
     phrase_search,
     phrase_search_indexed,
     positional_postings,
@@ -244,6 +246,40 @@ def test_bm25_precomputed_stats_match_inline(corpus):
     assert inline.keys() == pre.keys()
     for k in inline:
         assert inline[k] == pytest.approx(pre[k], rel=1e-12)
+
+
+def test_bm25_from_index_equals_inline(sfdocs, spark, tmp_path):
+    """BM25 over materialized (parquet round-tripped) index artifacts
+    equals the inline corpus-scan form, score for score."""
+    idx, stats = build_search_index(sfdocs)
+    idx.write.parquet(str(tmp_path / "sidx"))
+    stats.write.parquet(str(tmp_path / "sstats"))
+    idx2 = spark.read.parquet(str(tmp_path / "sidx"))
+    stats2 = spark.read.parquet(str(tmp_path / "sstats"))
+
+    terms = ["vector", "data", "spark"]
+    inline = {
+        r.doc_id: (r.score, r.n_matched)
+        for r in bm25_search(sfdocs, terms, top_k=None).collect()
+    }
+    served = {
+        r.doc_id: (r.score, r.n_matched)
+        for r in bm25_search_from_index(
+            idx2, stats2, terms, top_k=None
+        ).collect()
+    }
+    assert inline.keys() == served.keys() and len(inline) > 0
+    for k in inline:
+        assert inline[k][1] == served[k][1]
+        assert inline[k][0] == pytest.approx(served[k][0], rel=1e-12)
+    # the served plan reads only index artifacts, never the corpus
+    plan = (
+        bm25_search_from_index(idx2, stats2, terms)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents" not in plan
 
 
 # ----------------------------------------------------------- oracle twins
