@@ -61,6 +61,10 @@ class CorpusConfig:
     )
     split_salt: str = "corpus-v1"
     pack_budget: int = 2048
+    # Context-window chunking of the train split before packing (None =
+    # pack whole documents).  stride < window ⇒ overlapping windows.
+    chunk_window: int | None = None
+    chunk_stride: int | None = None
     seed: int = 0
 
 
@@ -122,13 +126,43 @@ def prepare_training_corpus(
     )
 
     train = corpus.where(F.col("split") == "train")
-    packs = pack_documents(
-        train, "n_tokens_ws", cfg.pack_budget, num_shards=None
-    )
-    return {
+    if cfg.chunk_window is not None:
+        # Chunk → pack: the packer sees context-window units instead of
+        # whole documents.  chunk_uid = (doc_id << 20) | chunk_idx is
+        # deterministic and collision-free below 2^20 chunks per doc
+        # (a 10^8-token document at the default stride — beyond any
+        # realistic input; the guard makes the bound loud, not silent).
+        from .operators.chunking import chunk_documents
+
+        chunks = chunk_documents(
+            train,
+            window=cfg.chunk_window,
+            stride=cfg.chunk_stride or cfg.chunk_window,
+            text_col=text_col,
+        ).withColumn(
+            "chunk_uid",
+            F.when(
+                F.col("chunk_idx") < F.lit(1 << 20),
+                F.shiftleft(F.col("doc_id"), 20)
+                + F.col("chunk_idx").cast("long"),
+            ),
+        )
+        packs = pack_documents(
+            chunks, "n_tokens", cfg.pack_budget,
+            doc_id_col="chunk_uid", num_shards=None,
+        ).withColumnRenamed("doc_id", "chunk_uid")
+    else:
+        chunks = None
+        packs = pack_documents(
+            train, "n_tokens_ws", cfg.pack_budget, num_shards=None
+        )
+    out = {
         "corpus": corpus,
         "train": train,
         "val": corpus.where(F.col("split") == "val"),
         "test": corpus.where(F.col("split") == "test"),
         "packs": packs,
     }
+    if chunks is not None:
+        out["chunks"] = chunks
+    return out

@@ -105,3 +105,52 @@ def test_near_dedup_collapses_variant_docs(spark):
     }
     assert without == {1, 2, 3, 4}  # exact dedup alone keeps variants
     assert kept == {1, 4}           # clusters collapse 2,3 onto 1
+
+
+def test_chunked_pipeline_packs_chunks(docs):
+    """chunk_window set ⇒ the packer works over context-window units:
+    every pack member is a chunk ≤ window tokens, chunks reconstruct
+    exactly the train docs' token streams, and chunk_uids are unique."""
+    cfg = CorpusConfig(chunk_window=32, chunk_stride=32)
+    out = prepare_training_corpus(docs, cfg)
+    chunks = out["chunks"]
+    packs = out["packs"]
+
+    n_chunks = chunks.count()
+    assert n_chunks > out["train"].count()  # long docs split
+    assert chunks.where(F.col("n_tokens") > 32).count() == 0
+    assert (
+        chunks.select("chunk_uid").distinct().count() == n_chunks
+    )
+
+    # packs cover exactly the chunk set, each within budget
+    assert packs.count() == n_chunks
+    over = (
+        packs.where(~F.col("oversize"))
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .where(F.col("t") > cfg.pack_budget)
+        .count()
+    )
+    assert over == 0
+
+    # token-stream reconstruction: non-overlapping chunks concatenate
+    # back to the doc's token stream
+    from polars_w_inverted_index_spark.functions.text import tokens
+
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+            ).alias("rebuilt")
+        )
+    )
+    joined = out["train"].join(rebuilt, "doc_id")
+    mismatch = joined.where(
+        F.array_join(tokens("text"), " ") != F.col("rebuilt")
+    ).count()
+    assert mismatch == 0
