@@ -45,6 +45,39 @@ def sfdocs(spark):
 
 
 @pytest.fixture(scope="module")
+def sf_terms(con):
+    """Three mid-frequency corpus terms + a present 2-token phrase —
+    derived from the data, not hardcoded, so a regenerated testdata
+    vocabulary (the round-3 failure mode for timestamps) cannot empty
+    these tests."""
+    terms = [
+        t
+        for (t,) in con.execute(
+            f"""
+            SELECT term FROM (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM (
+                SELECT doc_id, unnest({tokens_sql('text')}) AS term
+                FROM documents
+              ) GROUP BY term
+            ) ORDER BY df DESC, term LIMIT 3
+            """
+        ).fetchall()
+    ]
+    phrase = con.execute(
+        f"""
+        SELECT p FROM (
+          SELECT toks[i] || ' ' || toks[i+1] AS p, COUNT(*) AS n
+          FROM (
+            SELECT {tokens_sql('text')} AS toks FROM documents
+          ), unnest(range(1, len(toks))) AS u(i)
+          GROUP BY 1
+        ) ORDER BY n DESC, p LIMIT 1
+        """
+    ).fetchone()[0]
+    return terms, phrase
+
+
+@pytest.fixture(scope="module")
 def corpus(spark):
     return spark.createDataFrame(
         [
@@ -183,14 +216,15 @@ def test_phrase_indexed_equals_substring_scan(corpus, sfdocs):
             assert a == b, phrase
 
 
-def test_phrase_indexed_no_base_scan(sfdocs, spark):
+def test_phrase_indexed_no_base_scan(sfdocs, spark, sf_terms):
     """Served entirely from the materialized index table."""
     import tempfile
 
+    _, phrase = sf_terms
     with tempfile.TemporaryDirectory() as d:
         positional_postings(sfdocs).write.parquet(d + "/posidx")
         idx = spark.read.parquet(d + "/posidx")
-        df = phrase_search_indexed(idx, "fast table")
+        df = phrase_search_indexed(idx, phrase)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "documents" not in plan
         assert df.count() > 0
@@ -248,7 +282,7 @@ def test_bm25_precomputed_stats_match_inline(corpus):
         assert inline[k] == pytest.approx(pre[k], rel=1e-12)
 
 
-def test_bm25_from_index_equals_inline(sfdocs, spark, tmp_path):
+def test_bm25_from_index_equals_inline(sfdocs, spark, tmp_path, sf_terms):
     """BM25 over materialized (parquet round-tripped) index artifacts
     equals the inline corpus-scan form, score for score."""
     idx, stats = build_search_index(sfdocs)
@@ -257,7 +291,7 @@ def test_bm25_from_index_equals_inline(sfdocs, spark, tmp_path):
     idx2 = spark.read.parquet(str(tmp_path / "sidx"))
     stats2 = spark.read.parquet(str(tmp_path / "sstats"))
 
-    terms = ["vector", "data", "spark"]
+    terms, _ = sf_terms
     inline = {
         r.doc_id: (r.score, r.n_matched)
         for r in bm25_search(sfdocs, terms, top_k=None).collect()
@@ -285,8 +319,8 @@ def test_bm25_from_index_equals_inline(sfdocs, spark, tmp_path):
 # ----------------------------------------------------------- oracle twins
 
 
-def test_boolean_search_matches_duckdb(con, sfdocs):
-    terms = ["vector", "data", "spark"]
+def test_boolean_search_matches_duckdb(con, sfdocs, sf_terms):
+    terms, _ = sf_terms
     got = sorted(
         (r.doc_id, r.n_matched)
         for r in boolean_search(sfdocs, terms).collect()
@@ -307,8 +341,8 @@ def test_boolean_search_matches_duckdb(con, sfdocs):
     assert got == want and len(got) > 0
 
 
-def test_phrase_search_matches_duckdb(con, sfdocs):
-    phrase = "fast table"
+def test_phrase_search_matches_duckdb(con, sfdocs, sf_terms):
+    _, phrase = sf_terms
     got = sorted(r.doc_id for r in phrase_search(sfdocs, phrase).collect())
     want = sorted(
         r[0]
@@ -324,10 +358,10 @@ def test_phrase_search_matches_duckdb(con, sfdocs):
     assert got == want and len(got) > 0
 
 
-def test_bm25_matches_duckdb(con, sfdocs):
+def test_bm25_matches_duckdb(con, sfdocs, sf_terms):
     """Full-formula BM25 twin in DuckDB; per-doc approx compare (float
     sum order differs between engines)."""
-    terms = ["vector", "data", "spark"]
+    terms, _ = sf_terms
     k1, b = 1.2, 0.75
     got = {
         r.doc_id: (r.score, r.n_matched)

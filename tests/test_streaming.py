@@ -551,6 +551,26 @@ def test_drift_monitor_end_to_end(spark, tmp_path):
         assert 0.0 <= r.cumulative_js_bits <= 1.0
 
 
+def _top_terms(docs, n=3):
+    """Top-df corpus terms (data-derived so regenerated testdata cannot
+    empty the assertions)."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.text import tokens
+
+    return [
+        r["term"]
+        for r in docs.select(
+            F.explode(F.array_distinct(tokens("text"))).alias("term")
+        )
+        .groupBy("term")
+        .count()
+        .orderBy(F.desc("count"), "term")
+        .limit(n)
+        .collect()
+    ]
+
+
 def test_term_index_maintenance_serves_boolean_search(spark, tmp_path):
     """Two micro-batches of documents merge into the term index; boolean
     retrieval from the index equals the batch operator over the unioned
@@ -567,7 +587,7 @@ def test_term_index_maintenance_serves_boolean_search(spark, tmp_path):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     b0 = docs.where("doc_id % 2 = 0")
     b1 = docs.where("doc_id % 2 = 1")
-    terms = ["vector", "data", "spark"]
+    terms = _top_terms(docs)  # data-derived: robust to regenerated data
 
     for chunked in (None, 7):
         path = str(tmp_path / f"term_idx_{chunked}")
@@ -633,14 +653,12 @@ def test_term_index_stream_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(120)
 
+    terms = _top_terms(docs)[:2]
     got = sorted(
         r.doc_id
-        for r in boolean_search_from_index(
-            spark, idx, ["vector", "data"]
-        ).collect()
+        for r in boolean_search_from_index(spark, idx, terms).collect()
     )
     want = sorted(
-        r.doc_id
-        for r in boolean_search(docs, ["vector", "data"]).collect()
+        r.doc_id for r in boolean_search(docs, terms).collect()
     )
     assert got == want and len(got) > 0
