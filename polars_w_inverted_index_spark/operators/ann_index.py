@@ -1,0 +1,274 @@
+"""Materialized ANN index: trained IVF centroids + cell-partitioned
+inverted file, persisted as parquet artifacts and served with ZERO
+corpus scans per query.
+
+The inline :func:`..operators.similarity.ivf_topk` re-derives its
+inverted file on every call — correct, but at 100 TB the corpus
+assignment pass is the dominant cost and it is a pure function of the
+corpus content, so it belongs in a reusable artifact exactly like the
+postings index (`plans/catalog.py`, SURVEY.md §4's "one custom piece";
+the reference likewise rebuilds its postings map per query,
+main.rs:325-385 — materialization is the same fix applied to vectors).
+
+Layout under ``root``::
+
+    centroids/            parquet [cid int, centv array<double>, centn double]
+    cells/cell=<c>/       parquet [vec_id long, cv array<float>, cn double]
+    _ann_meta.json        {n_centroids, n_iters, dims, id_col, vec_col}
+
+``cells`` is **partition-by-cell**: a probe of ``nprobe`` cells prunes
+to those directories at the file-listing level (static partition
+pruning — the probe cell set is collected from the tiny centroid
+ranking, never from the corpus), so per-query I/O is
+O(corpus · nprobe / n_centroids) regardless of corpus size.
+
+Centroid training is Lloyd's refinement written as DataFrame ops:
+
+- assignment: corpus ⋈ broadcast(centroids), argmax cosine — one narrow
+  pass, the only corpus-wide work per iteration;
+- update: ``posexplode`` the assigned vectors, average per (cell, dim),
+  re-assemble — shuffle keys bounded by n_centroids × dims, independent
+  of corpus size;
+- seeding: the ``n_centroids`` lowest-id vectors (deterministic, no RNG —
+  same discipline as the LSH hyperplanes / minhash family: reproducible
+  across engines and runs).
+
+``localCheckpoint`` truncates lineage between iterations (iterative
+plans otherwise stack one join+agg per round until analysis cost
+explodes — same lesson as dedup_clusters' label propagation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_with_norms, norm
+
+
+def _centroid_frame(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("centv"),
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """``[cid, centv array<double>, centn double]`` after ``n_iters``
+    Lloyd refinements of the deterministic lowest-id seed.
+
+    Spherical-ish k-means: assignment by cosine, update by coordinate
+    mean (cosine scoring is norm-invariant, so the un-normalized mean
+    centroid ranks cells identically to the normalized one).  A cell
+    that captures no vectors keeps its previous centroid (classic empty-
+    cluster rule), so the centroid count is stable across iterations.
+    ``n_iters=0`` returns the seed — which is exactly the inline
+    ``ivf_topk`` centroid set, making that operator the verifier twin.
+    """
+    seed = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    cent = _centroid_frame(seed, id_col, vec_col)
+    # cid values are the seed vectors' ids (not 0..n-1): stable,
+    # deterministic labels — renumbering would break nothing but adds a
+    # window pass for no benefit.
+    for _ in range(n_iters):
+        c = cent.select(
+            "cid", "centv", norm(F.col("centv")).alias("centn")
+        )
+        assigned = _assign_cells(
+            corpus, c, id_col, vec_col, keep_n=1, round_digits=round_digits
+        ).select("cell", F.col("v").alias("vec"))
+        dims = assigned.select(
+            "cell", F.posexplode("vec").alias("pos", "x")
+        )
+        means = (
+            dims.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("centv")
+            )
+            .select(F.col("cell").alias("cid"), "centv")
+        )
+        # empty-cluster rule: keep the old centroid where no vector landed
+        cent = (
+            cent.alias("old")
+            .join(means.alias("new"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new.centv"), F.col("old.centv")).alias(
+                    "centv"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+    return cent.select("cid", "centv", norm(F.col("centv")).alias("centn"))
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep_n: int,
+    round_digits: int = 5,
+) -> DataFrame:
+    """``[<id>, cell, crank, v, vn]`` — each vector's ``keep_n`` best
+    centroids by cosine (ties → lowest cid, rounding before ranking for
+    cross-engine tie stability — same discipline as similarity.py)."""
+    scored = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("vn"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "_id",
+            "v",
+            "vn",
+            F.col("cid").alias("cell"),
+            F.round(
+                cosine_with_norms("v", "centv", F.col("vn"), F.col("centn")),
+                round_digits,
+            ).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= keep_n)
+        .select("_id", "cell", "crank", "v", "vn")
+    )
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    root: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Train centroids, assign the corpus, persist both; returns root.
+
+    One corpus-wide pass per training iteration plus one for the final
+    assignment — all reusable across every future query.  The cells
+    write partitions by cell id so serving can prune at file level.
+    """
+    spark = corpus.sparkSession
+    cent = kmeans_centroids(
+        corpus, n_centroids, n_iters, id_col, vec_col
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    cent_r = spark.read.parquet(os.path.join(root, "centroids"))
+    assigned = _assign_cells(corpus, cent_r, id_col, vec_col, keep_n=1)
+    (
+        assigned.select(
+            "cell",
+            F.col("_id").alias("vec_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "cells"))
+    )
+    dims = corpus.select(F.size(vec_col).alias("d")).first()
+    with open(os.path.join(root, "_ann_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": n_centroids,
+                "n_iters": n_iters,
+                "dims": int(dims["d"]) if dims else None,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            f,
+        )
+    return root
+
+
+def ann_search(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    max_probe_cells: int = 10_000,
+) -> DataFrame:
+    """Serve cosine top-k from a materialized index: zero corpus I/O.
+
+    ``[query_id, neighbor_id, cos_sim, rank]`` — the contract of
+    ``similarity.brute_force_topk`` / ``ivf_topk``.  Per query the
+    ``nprobe`` best cells are searched; the union of probe cells across
+    the query set is collected (it is bounded by |Q|·nprobe ≤
+    ``max_probe_cells`` — the centroid ranking is centroid-sized work,
+    never corpus-sized) and pushed as a literal partition predicate, so
+    the cells read prunes to the probed directories at file-listing
+    time.  With ``nprobe >= n_centroids`` every cell is probed and the
+    result is EXACTLY brute force (same rounding, same tie order) — the
+    equivalence tests pin that.
+    """
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    probes = _assign_cells(
+        queries, cent, id_col, vec_col, keep_n=nprobe, round_digits=round_digits
+    ).select(
+        F.col("_id").alias("query_id"),
+        "cell",
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    cell_rows = (
+        probes.select("cell").distinct().limit(max_probe_cells + 1).collect()
+    )
+    if len(cell_rows) > max_probe_cells:
+        raise ValueError(
+            f"ann_search probes > max_probe_cells={max_probe_cells} cells; "
+            "shrink the query set / nprobe or raise the cap explicitly"
+        )
+    probe_cells = [r["cell"] for r in cell_rows]
+    cells = (
+        spark.read.parquet(os.path.join(root, "cells"))
+        .where(F.col("cell").isin(probe_cells))  # static partition pruning
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms(
+                    "qv", "cv", F.col("qn"), F.col("cn")
+                ),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

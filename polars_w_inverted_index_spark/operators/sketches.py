@@ -89,3 +89,116 @@ def corpus_profile(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """Exact top-``k`` most frequent values: ``[value, freq]``.
+
+    ``groupBy + orderBy().limit(k)``: map-side partial aggregation means
+    a hot value contributes one partial count per partition (skew cannot
+    concentrate rows), and the limit plans as TakeOrdered — partial
+    top-k per partition, never a global sort.  The shuffle carries one
+    row per distinct value; when distinct values themselves are corpus-
+    scale (n-grams), use :func:`heavy_hitters_approx`.
+    """
+    return (
+        df.select(F.col(col).cast("string").alias("value"))
+        .where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("value").asc())
+        .limit(k)
+    )
+
+
+def heavy_hitters_approx(
+    df: DataFrame, col: str, k: int = 20, support: int = 1000
+) -> DataFrame:
+    """Approximate top-``k`` via per-partition Misra–Gries summaries:
+    ``[value, freq_lower]``.
+
+    Each task keeps at most ``support`` counters over its partition
+    (classic MG: on overflow, decrement all counters and evict zeros),
+    so the shuffle carries ≤ ``support`` rows **per partition no matter
+    how many distinct values exist** — the regime where
+    :func:`heavy_hitters`' one-row-per-distinct-value shuffle stops
+    scaling (n-grams over 100 TB have trillions of distinct keys).
+
+    Guarantees (standard MG, preserved by summing partial summaries):
+    every value with true frequency > N/(support+1) survives to the
+    output candidate set, and each reported ``freq_lower`` is an
+    undercount by at most (partition rows)/(support+1) summed across
+    partitions.  Exactness check = :func:`heavy_hitters` on a sample.
+    """
+
+    def _mg(it):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in it:
+            for v, c in pdf["value"].value_counts().items():
+                c = int(c)
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < support:
+                    counters[v] = c
+                else:
+                    # batch decrement: remove min(c, smallest counter)
+                    # weight from every counter (vectorized MG step)
+                    dec = min(c, min(counters.values()))
+                    counters = {
+                        x: n - dec for x, n in counters.items() if n > dec
+                    }
+                    if c > dec:
+                        counters[v] = c - dec
+        yield pd.DataFrame(
+            {
+                "value": list(counters.keys()),
+                "freq_lower": list(counters.values()),
+            }
+        )
+
+    partials = (
+        df.select(F.col(col).cast("string").alias("value"))
+        .where(F.col("value").isNotNull())
+        .mapInPandas(_mg, "value string, freq_lower long")
+    )
+    return (
+        partials.groupBy("value")
+        .agg(F.sum("freq_lower").alias("freq_lower"))
+        .orderBy(F.col("freq_lower").desc(), F.col("value").asc())
+        .limit(k)
+    )
+
+
+def frequent_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` word n-grams by DOCUMENT frequency: ``[shingle, df]``.
+
+    The tuning input for the n-gram-Jaccard df-cut
+    (`operators/dedup.ngram_jaccard_pairs`'s ``max_shingle_freq``): a
+    shingle present in m docs emits m²/2 candidate pairs, so the hot
+    shingles ARE the cost — measure them before picking the cut.
+    Distinct (doc, shingle) first so a shingle repeated inside one
+    document counts once, matching the df-cut's semantics.
+    """
+    from ..functions.text import word_shingles
+
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(k)
+    )
