@@ -60,6 +60,64 @@ def cosine_with_norms(
     ).otherwise(F.lit(0.0))
 
 
+def random_projection(
+    col: Column | str, in_dims: int, out_dims: int, seed: str = "rp"
+) -> Column:
+    """Seeded ±1 random-projection dim reduction: ``array<double>`` of
+    length ``out_dims`` with y[j] = <v, R_j> / sqrt(out_dims).
+
+    Johnson–Lindenstrauss with an Achlioptas ±1 matrix (Achlioptas 2003:
+    database-friendly random projections — ±1 entries preserve pairwise
+    distances in expectation exactly like Gaussians): shrinks embedding
+    width before LSH/IVF/pairwise work so downstream dots cost
+    ``out_dims`` multiplies instead of ``in_dims``.
+
+    Engine discipline (same as the LSH hyperplanes, similarity.py):
+    the matrix is derived from md5(seed:j:d) parities driver-side ONCE
+    and embedded as literals — deterministic across engines/runs, no
+    stored model, no RNG state, and per-row cost is pure multiply-adds
+    in a JVM higher-order expression.  Rows shorter than ``in_dims``
+    use a weight prefix (zip_with stops at the shorter array).
+    """
+    import hashlib
+
+    c = _c(col)
+    scale = 1.0 / (out_dims ** 0.5)
+    outs = []
+    for j in range(out_dims):
+        w = F.array(
+            *[
+                F.lit(
+                    float(
+                        (
+                            int(
+                                hashlib.md5(
+                                    f"{seed}:{j}:{d}".encode()
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            & 1
+                        )
+                        * 2
+                        - 1
+                    )
+                )
+                for d in range(in_dims)
+            ]
+        )
+        outs.append(
+            F.aggregate(
+                F.zip_with(
+                    c, F.slice(w, 1, F.size(c)), lambda x, h: x.cast("double") * h
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        )
+    return F.array(*outs)
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB twin — same zero-norm rule, double accumulation."""
     def _dot(x: str, y: str) -> str:
