@@ -240,7 +240,29 @@ def _extension_workload():
             "polars_w_inverted_index_spark.operators.sketches",
             fromlist=["frequent_ngrams"],
         ).frequent_ngrams(_docs(s, d), n=3, k=20),
+        "ext_quality_model": _quality_train_score,
+        "ext_corpus_report": lambda s, d: __import__(
+            "polars_w_inverted_index_spark.report",
+            fromlist=["corpus_report"],
+        ).corpus_report(_docs(s, d), lang_col="lang"),
     }
+
+
+def _quality_train_score(s, d):
+    """Train the hashed-LR quality model on weak labels over the
+    documents table, score the same table (train + narrow scoring)."""
+    from polars_w_inverted_index_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+        weak_quality_labels,
+    )
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    docs = load_table(s, d, "documents").select("doc_id", "text")
+    model = train_quality_model(
+        weak_quality_labels(docs), n_features=1 << 14, max_iter=10
+    )
+    return score_quality(model, docs).drop("text")
 
 
 def _ann_build_and_search(s, d):
