@@ -161,6 +161,24 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     return [a + b for a, b in merges]
 
 
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> str:
+    """Persist learned merges as a parquet artifact ``[rank, a, b]`` —
+    the tokenizer IS this table (plus the base characters); any engine
+    that can read parquet can reproduce the encoding."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_merges` (rank order restored)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],

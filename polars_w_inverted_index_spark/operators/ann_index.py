@@ -204,6 +204,44 @@ def build_ann_index(
     return root
 
 
+def ann_index_add_batch(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a batch of new vectors to an existing index; returns the
+    batch row count.
+
+    Ingest-time maintenance without retraining: the batch is assigned
+    against the FROZEN centroids (one narrow pass over the batch only —
+    the standing corpus is never touched) and appended to the
+    cell-partitioned layout, so per-batch cost is O(batch), independent
+    of index size — the same property the streaming postings-index
+    merge has.  Centroids drift from optimal as the distribution moves;
+    rebuild with :func:`build_ann_index` on whatever cadence the drift
+    monitor (streaming/drift.py) says, exactly like any IVF system.
+    Parquet-append visibility: a concurrent reader sees the batch only
+    once its files land — per-file atomicity, same discipline as the
+    sorted-write path.
+    """
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    assigned = _assign_cells(batch, cent, id_col, vec_col, keep_n=1)
+    (
+        assigned.select(
+            "cell",
+            F.col("_id").alias("vec_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "cells"))
+    )
+    return batch.count()
+
+
 def ann_search(
     spark: SparkSession,
     root: str,

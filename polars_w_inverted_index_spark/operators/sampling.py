@@ -149,3 +149,63 @@ def training_shuffle(
         .sortWithinPartitions("_shuffle_key")
         .drop("_shuffle_key")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    doc_id_col: str = "doc_id",
+    seed: int = 0,
+    ascending_difficulty: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum data ordering: stage by score quantile, shuffled
+    WITHIN each stage.
+
+    The standard curriculum/annealing recipe (easy→hard, or
+    high-quality-last for annealed pretraining).  Stage boundaries come
+    from ONE ``percentile_approx`` aggregation (KLL sketch — only
+    sketches cross the wire; a global-window ``ntile`` would collapse
+    the whole corpus into a single sort task, the classic unpartitioned-
+    window scale bug); stage assignment is then a narrow comparison
+    against the broadcast thresholds, and the output is ordered
+    (stage, salted doc_id hash) via ``repartitionByRange`` +
+    in-partition sort — a dataloader streaming the files sees stage 1
+    fully before stage 2, deterministic pseudo-random inside each
+    stage.  A pure function of (corpus, seed): re-sharding the input
+    cannot change the curriculum — :func:`training_shuffle`'s
+    reproducibility bar.  Approximate equal-frequency: sketch rank
+    error plus score-value ties move band edges, never a row's
+    relative order within its band.
+
+    ``ascending_difficulty=True`` streams LOW scores first (score =
+    difficulty); flip it when the score is quality and the recipe wants
+    best-data-last annealing.  Adds ``stage`` (1-based) for audit.
+    """
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    qs = [i / n_stages for i in range(1, n_stages)]
+    thresholds = (
+        df.agg(
+            F.percentile_approx(
+                F.col(score_col).cast("double"), qs, 10_000
+            ).alias("t")
+        ).first()["t"]
+        if qs
+        else []
+    )
+    s = F.col(score_col).cast("double")
+    stage = F.lit(1)
+    for t in thresholds:
+        stage = stage + (s > F.lit(float(t))).cast("int")
+    if not ascending_difficulty:
+        stage = F.lit(n_stages + 1) - stage
+    h = md5_long(F.col(doc_id_col).cast("string"), salt=seed)
+    staged = df.withColumn("stage", stage).withColumn("_shuffle_key", h)
+    n = num_partitions or staged.sparkSession.sparkContext.defaultParallelism
+    return (
+        staged.repartitionByRange(n, "stage", "_shuffle_key")
+        .sortWithinPartitions("stage", "_shuffle_key")
+        .drop("_shuffle_key")
+    )

@@ -56,6 +56,11 @@ class CorpusConfig:
     # runs Spark actions eagerly, unlike every other (lazy) stage.
     near_dedup: bool = False
     near_dedup_min_bands: int = 1  # pairs need ≥ this many shared bands
+    # Model-based quality gate (operators/quality_model.py): when set,
+    # a hashed-LR classifier is trained on the heuristic gates' weak
+    # labels and rows scoring below the threshold are dropped (score
+    # kept for audit).  Opt-in: training fits eagerly, like near_dedup.
+    quality_model_threshold: float | None = None
     lang_fractions: dict[str, float] = field(
         default_factory=lambda: {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0}
     )
@@ -95,6 +100,24 @@ def prepare_training_corpus(
             <= cfg.max_redaction_frac * F.col("n_tokens_ws")
         )
     )
+    if cfg.quality_model_threshold is not None:
+        # Learned gate after the heuristic gates: the model is trained
+        # on the SCRUBBED corpus with the heuristics as weak labels, so
+        # it generalizes the same prior to rows the heuristics misjudge;
+        # surviving rows carry quality_score for audit.
+        from .operators.quality_model import (
+            quality_filter,
+            train_quality_model,
+            weak_quality_labels,
+        )
+
+        model = train_quality_model(
+            weak_quality_labels(scrubbed, text_col=text_col),
+            text_col=text_col,
+        )
+        gated = quality_filter(
+            model, gated, cfg.quality_model_threshold, text_col=text_col
+        )
     deduped = exact_dedup(gated, text_col=text_col)
     if cfg.near_dedup:
         # Exact dedup first so identical copies never reach the (more

@@ -128,3 +128,23 @@ def test_probe_cap_guard(spark, emb, queries, index_root):
         ann_search(
             spark, index_root, queries, k=3, nprobe=2, max_probe_cells=1
         )
+
+
+def test_add_batch_then_full_probe_exact(spark, emb, tmp_path):
+    """Index built on half the corpus + add_batch of the other half ==
+    brute force over the WHOLE corpus at full probe (the incremental
+    path changes nothing about served results)."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_index_add_batch,
+    )
+
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ann_incr")
+    build_ann_index(old, root, n_centroids=6, n_iters=1)
+    n = ann_index_add_batch(spark, root, new)
+    assert n == new.count()
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    served = ann_search(spark, root, queries, k=5, nprobe=6)
+    exact = brute_force_topk(emb, queries, k=5)
+    assert _key(served) == _key(exact)

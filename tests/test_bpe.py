@@ -138,3 +138,15 @@ def test_train_on_fixture_corpus(spark, sf_dir):
     assert enc.where(F.col("n_bpe_tokens") <= 0).count() == 0
     # deterministic across runs
     assert bpe_train(sample, n_merges=8) == merges
+
+
+def test_merge_artifact_roundtrip(spark, docs, tmp_path):
+    from polars_w_inverted_index_spark.functions.bpe import (
+        load_merges,
+        save_merges,
+    )
+
+    merges = bpe_train(docs, n_merges=10)
+    path = str(tmp_path / "merges")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges

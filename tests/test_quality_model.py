@@ -92,3 +92,31 @@ def test_scoring_is_narrow(model, spark, sf_dir):
         F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
     ).first()
     assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_pipeline_quality_model_stage(spark):
+    """The opt-in learned gate composes in prepare_training_corpus:
+    garbage rows are dropped, survivors carry quality_score, and the
+    stage is monotone (corpus is a subset of the no-model corpus)."""
+    from polars_w_inverted_index_spark.pipelines import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+
+    rows = [(i, t, "en") for i, t in enumerate(GOOD * 3 + BAD * 3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = prepare_training_corpus(docs, CorpusConfig(min_tokens=3))
+    gated = prepare_training_corpus(
+        docs, CorpusConfig(min_tokens=3, quality_model_threshold=0.5)
+    )
+    base_ids = {r["doc_id"] for r in base["corpus"].collect()}
+    gated_rows = gated["corpus"].collect()
+    gated_ids = {r["doc_id"] for r in gated_rows}
+    assert gated_ids <= base_ids
+    assert all(r["quality_score"] >= 0.5 for r in gated_rows)
+    # the garbage block (ids where text is from BAD) is gone
+    n_good = len(GOOD)
+    bad_ids = {
+        i for i, t, _ in rows if t in BAD
+    }
+    assert not (gated_ids & bad_ids)

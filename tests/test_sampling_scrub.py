@@ -241,3 +241,57 @@ def test_mixture_sample_validates_inputs(spark, docs):
         mixture_sample(docs, "lang", {"en": -1.0})
     with pytest.raises(ValueError, match="zero"):
         mixture_sample(docs, "lang", {"en": 0.0})
+
+
+# -- curriculum ordering -----------------------------------------------------
+
+def test_curriculum_stages_and_determinism(spark):
+    from polars_w_inverted_index_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    rows = [(i, float(i % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = curriculum_order(df, "score", n_stages=4, num_partitions=4)
+    got = out.collect()
+    # stage boundaries are score quantiles: every stage-1 score <= every
+    # stage-2 score, etc.
+    by_stage = {}
+    for r in got:
+        by_stage.setdefault(r["stage"], []).append(r["score"])
+    assert set(by_stage) == {1, 2, 3, 4}
+    for s in (1, 2, 3):
+        assert max(by_stage[s]) <= min(by_stage[s + 1])
+    # roughly equal frequency (sketch accuracy 10k -> near-exact here;
+    # ties on the 100 distinct scores move edges by up to one value
+    # group = 10 rows)
+    for s in by_stage:
+        assert abs(len(by_stage[s]) - 250) <= 30, (s, len(by_stage[s]))
+    # deterministic: same order on re-run
+    again = curriculum_order(df, "score", n_stages=4, num_partitions=4)
+    assert [r["doc_id"] for r in again.collect()] == [
+        r["doc_id"] for r in got
+    ]
+
+
+def test_curriculum_descending_and_single_stage(spark):
+    from polars_w_inverted_index_spark.operators.sampling import (
+        curriculum_order,
+        training_shuffle,
+    )
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    desc = curriculum_order(
+        df, "score", n_stages=2, ascending_difficulty=False,
+        num_partitions=2,
+    ).collect()
+    hi = [r for r in desc if r["stage"] == 1]
+    lo = [r for r in desc if r["stage"] == 2]
+    assert min(r["score"] for r in hi) >= max(r["score"] for r in lo)
+    # n_stages=1 == training_shuffle order (plus the stage column)
+    one = curriculum_order(df, "score", n_stages=1, num_partitions=2)
+    shuf = training_shuffle(df, num_partitions=2)
+    assert [r["doc_id"] for r in one.collect()] == [
+        r["doc_id"] for r in shuf.collect()
+    ]
