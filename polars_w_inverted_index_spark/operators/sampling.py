@@ -195,6 +195,9 @@ def curriculum_order(
         if qs
         else []
     )
+    # empty input (or all-null scores): percentile_approx yields null —
+    # a single degenerate stage is the well-defined answer
+    thresholds = thresholds or []
     s = F.col(score_col).cast("double")
     stage = F.lit(1)
     for t in thresholds:

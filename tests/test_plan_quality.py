@@ -181,3 +181,65 @@ def test_cross_corpus_pairs_plans_are_equi_joins(spark, sf_dir):
     eb = emb.limit(5)
     plan = _plan(embedding_cosine_pairs_against(emb, eb, threshold=0.2))
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+
+
+def test_round4_operator_plan_shapes(spark, sf_dir, tmp_path):
+    """Round-4 operators keep their designed shapes: ann_search's only
+    join is the probe⋈cells equi-join (no nested loop / cartesian — the
+    query×centroid cross join IS broadcast by construction and bounded
+    by n_centroids); curriculum_order's output plan is one range
+    exchange (threshold agg happens at planning time); heavy_hitters
+    plans TakeOrdered, never a global Sort+Exchange chain on data rows;
+    random_projection is a pure narrow map."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.vectors import (
+        random_projection,
+    )
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search,
+        build_ann_index,
+    )
+    from polars_w_inverted_index_spark.operators.sampling import (
+        curriculum_order,
+    )
+    from polars_w_inverted_index_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    root = str(tmp_path / "ann_plan")
+    build_ann_index(emb, root, n_centroids=4, n_iters=0)
+    served = ann_search(
+        spark, root, emb.where(F.col("vec_id") < 3), k=3, nprobe=2
+    )
+    plan = _plan(served)
+    assert "CartesianProduct" not in plan
+    # the ONLY nested-loop joins are the deliberate broadcast crosses
+    # against the n_centroids-row centroid frame (bounded by contract);
+    # the probe⋈cells join must be a hash join, never nested-loop
+    import re as _re
+
+    bnlj = _re.findall(r"BroadcastNestedLoopJoin [^\n]*", plan)
+    assert all("BuildRight, Cross" in b for b in bnlj), bnlj
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+    cur = curriculum_order(
+        doc.select("doc_id", "n_chars"), "n_chars", n_stages=3
+    )
+    cplan = _plan(cur)
+    assert cplan.count("Exchange rangepartitioning") == 1
+    assert "ntile" not in cplan  # the single-task window shape is banned
+
+    hh = heavy_hitters(doc, "lang", k=5)
+    hplan = _plan(hh)
+    assert "TakeOrderedAndProject" in hplan
+
+    rp = doc.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).select(random_projection("embedding", 64, 4).alias("p"))
+    # projection itself adds no exchange beyond the join's
+    rplan = _plan(emb.select(random_projection("embedding", 64, 4)))
+    assert "Exchange" not in rplan
