@@ -241,11 +241,39 @@ def _extension_workload():
             fromlist=["frequent_ngrams"],
         ).frequent_ngrams(_docs(s, d), n=3, k=20),
         "ext_quality_model": _quality_train_score,
+        "ext_line_dedup": lambda s, d: __import__(
+            "polars_w_inverted_index_spark.operators.line_dedup",
+            fromlist=["remove_boilerplate_lines"],
+        ).remove_boilerplate_lines(_docs(s, d), max_line_df=3).select(
+            "doc_id", "n_removed_lines"
+        ),
+        "ext_zorder_write": _zorder_roundtrip,
         "ext_corpus_report": lambda s, d: __import__(
             "polars_w_inverted_index_spark.report",
             fromlist=["corpus_report"],
         ).corpus_report(_docs(s, d), lang_col="lang"),
     }
+
+
+def _zorder_roundtrip(s, d):
+    """Z-order-clustered write of sf lineitem on (orderkey, partkey),
+    then a two-sided range filter that the layout's footer stats prune."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.registry import scratch_dir
+    from polars_w_inverted_index_spark.sources.parquet import write_zordered
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    li = load_table(s, d, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = scratch_dir("zorder_bench", d)
+    write_zordered(li, out, ["l_orderkey", "l_partkey"])
+    return (
+        s.read.parquet(out)
+        .where((F.col("l_partkey") < 100) & (F.col("l_orderkey") < 5000))
+        .agg(F.sum("l_quantity").alias("q"))
+    )
 
 
 def _quality_train_score(s, d):

@@ -61,6 +61,11 @@ class CorpusConfig:
     # labels and rows scoring below the threshold are dropped (score
     # kept for audit).  Opt-in: training fits eagerly, like near_dedup.
     quality_model_threshold: float | None = None
+    # Line-level boilerplate removal (operators/line_dedup.py): strip
+    # lines appearing in more than this many documents BEFORE scrubbing
+    # and profiling (boilerplate would otherwise pollute token counts
+    # and repetition signals).  None = off.
+    max_line_df: int | None = None
     lang_fractions: dict[str, float] = field(
         default_factory=lambda: {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0}
     )
@@ -87,6 +92,12 @@ def prepare_training_corpus(
     """
     cfg = config or CorpusConfig()
 
+    if cfg.max_line_df is not None:
+        from .operators.line_dedup import remove_boilerplate_lines
+
+        docs = remove_boilerplate_lines(
+            docs, cfg.max_line_df, text_col=text_col
+        )
     scrubbed = scrub_documents(docs, text_col=text_col)
     profiled = repetition_profile_df(
         scrubbed.withColumn("n_tokens_ws", token_count(text_col)),

@@ -1,6 +1,10 @@
 """Structured Streaming extension surface (SURVEY.md §2.7, §7 Phase 5)."""
 
 from .dedup import batch_dedup_exact, streaming_dedup_exact
+from .ann_ingest import (
+    ann_ingest_batch,
+    start_ann_ingest,
+)
 from .drift import (
     drift_monitor_batch,
     read_ingest_lm,
@@ -30,6 +34,8 @@ __all__ = [
     "batch_dedup_exact",
     "boolean_search_from_index",
     "compact_index",
+    "ann_ingest_batch",
+    "start_ann_ingest",
     "drift_monitor_batch",
     "merge_term_index_batch",
     "start_term_index_maintenance",

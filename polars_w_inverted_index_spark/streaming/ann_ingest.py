@@ -1,0 +1,94 @@
+"""Streaming ANN-index ingest: new vectors join the materialized index
+as they arrive (foreachBatch over operators/ann_index.add_batch).
+
+Each micro-batch is assigned against the FROZEN centroids and appended
+to the cell-partitioned layout — O(batch) per commit, index size
+irrelevant (the postings-index merge's property, for vectors).
+foreachBatch is at-least-once, and a blind append would double-insert
+on replay, so commits are guarded by a recorded batch_id exactly like
+streaming/near_dedup: a replayed committed batch is a no-op, a
+batch_id BEHIND the committed one means the checkpoint was reset —
+fail loudly rather than silently fork the index.
+
+Centroids never move during ingest; rebuild with ``build_ann_index``
+on the cadence the drift monitor (streaming/drift.py) indicates —
+standard IVF operating procedure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators.ann_index import ann_index_add_batch
+
+
+def _marker_path(root: str) -> str:
+    return os.path.join(root, "_ANN_INGEST")
+
+
+def _read_marker(root: str) -> dict | None:
+    p = _marker_path(root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def ann_ingest_batch(
+    batch_df: DataFrame,
+    root: str,
+    batch_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append one micro-batch to the index at ``root``; returns rows
+    appended (0 for a committed replay)."""
+    meta = _read_marker(root)
+    if (
+        batch_id is not None
+        and meta is not None
+        and meta.get("batch_id") is not None
+    ):
+        if batch_id == meta["batch_id"]:
+            return 0  # committed replay: no-op
+        if batch_id < meta["batch_id"]:
+            raise ValueError(
+                f"batch_id {batch_id} is behind committed "
+                f"{meta['batch_id']}: checkpoint was reset — rebuild the "
+                f"index or replay without batch_id."
+            )
+    n = ann_index_add_batch(
+        batch_df.sparkSession, root, batch_df, id_col, vec_col
+    )
+    with open(_marker_path(root), "w") as f:
+        json.dump(
+            {
+                "batch_id": batch_id
+                if batch_id is not None
+                else (meta or {}).get("batch_id"),
+            },
+            f,
+        )
+    return n
+
+
+def start_ann_ingest(
+    vec_stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Wire a vector stream into the index: returns the StreamingQuery."""
+
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        ann_ingest_batch(batch_df, root, batch_id, id_col, vec_col)
+
+    return (
+        vec_stream.writeStream.foreachBatch(_proc)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -148,3 +148,36 @@ def test_add_batch_then_full_probe_exact(spark, emb, tmp_path):
     served = ann_search(spark, root, queries, k=5, nprobe=6)
     exact = brute_force_topk(emb, queries, k=5)
     assert _key(served) == _key(exact)
+
+
+def test_streaming_ingest_replay_guard(spark, emb, tmp_path):
+    """Two guarded micro-batches extend the index; a replayed committed
+    batch_id is a no-op (no double-insert); a behind batch_id fails
+    loudly (checkpoint reset)."""
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+
+    first = emb.where(F.col("vec_id") < 200)
+    b1 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    b2 = emb.where(F.col("vec_id") >= 350)
+    root = str(tmp_path / "ann_stream")
+    build_ann_index(first, root, n_centroids=6, n_iters=1)
+
+    assert ann_ingest_batch(b1, root, batch_id=0) == b1.count()
+    assert ann_ingest_batch(b2, root, batch_id=1) == b2.count()
+    cells = spark.read.parquet(os.path.join(root, "cells"))
+    assert cells.count() == emb.count()
+
+    # committed replay: no-op, cells unchanged
+    assert ann_ingest_batch(b2, root, batch_id=1) == 0
+    assert spark.read.parquet(os.path.join(root, "cells")).count() == (
+        emb.count()
+    )
+    # behind the committed id: loud failure
+    with pytest.raises(ValueError, match="behind committed"):
+        ann_ingest_batch(b1, root, batch_id=0)
+
+    # the streamed-in index serves exactly like a batch-built one
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    served = ann_search(spark, root, queries, k=5, nprobe=6)
+    exact = brute_force_topk(emb, queries, k=5)
+    assert _key(served) == _key(exact)
