@@ -8,6 +8,7 @@ multimodal plumbing) designed for 100 TB scale.
 
 from .engine import Engine, FieldValueResult, NumericStats
 from .pipelines import CorpusConfig, prepare_training_corpus
+from .report import corpus_report
 from .session import get_session
 from .stats import QueryStats
 
@@ -17,6 +18,7 @@ __all__ = [
     "FieldValueResult",
     "NumericStats",
     "QueryStats",
+    "corpus_report",
     "get_session",
     "prepare_training_corpus",
 ]

@@ -128,7 +128,19 @@ def _assign_cells(
 ) -> DataFrame:
     """``[<id>, cell, crank, v, vn]`` — each vector's ``keep_n`` best
     centroids by cosine (ties → lowest cid, rounding before ranking for
-    cross-engine tie stability — same discipline as similarity.py)."""
+    cross-engine tie stability — same discipline as similarity.py).
+
+    ``keep_n == 1`` — the CORPUS-WIDE pass (training assignment, index
+    build, batch ingest) — is an argmax aggregation, ``max(struct(ccos,
+    -cell, ...))``: partial aggregation collapses each map task's
+    |rows|×|centroids| scored rows to ONE row per vector before the
+    exchange, so the shuffle carries |corpus| rows.  A ranking window
+    (``partitionBy(_id)``) would shuffle the full scored cross product —
+    |corpus|×|centroids| rows — which at 100 TB × 4096 centroids is the
+    difference between a plan that runs and one that doesn't.  The
+    window path remains for ``keep_n > 1``, used only on QUERY sets
+    (small by contract: probes).
+    """
     scored = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -147,6 +159,27 @@ def _assign_cells(
             ).alias("ccos"),
         )
     )
+    if keep_n == 1:
+        # struct comparison is field-ordered: ccos desc ≡ max ccos;
+        # ties → max(-cell) ≡ min cell — the window's exact tie rule
+        best = scored.groupBy("_id").agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"),
+                    (-F.col("cell")).alias("negcell"),
+                    F.col("cell"),
+                    F.col("v"),
+                    F.col("vn"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            "_id",
+            F.col("b.cell").alias("cell"),
+            F.lit(1).alias("crank"),
+            F.col("b.v").alias("v"),
+            F.col("b.vn").alias("vn"),
+        )
     w = Window.partitionBy("_id").orderBy(
         F.col("ccos").desc(), F.col("cell").asc()
     )

@@ -181,3 +181,58 @@ def test_streaming_ingest_replay_guard(spark, emb, tmp_path):
     served = ann_search(spark, root, queries, k=5, nprobe=6)
     exact = brute_force_topk(emb, queries, k=5)
     assert _key(served) == _key(exact)
+
+
+def test_argmax_assignment_equals_window_path(emb):
+    """The keep_n=1 max(struct) fast path returns exactly what the
+    ranking-window path would (same tie rule), and its plan carries a
+    partial aggregation (map-side collapse) instead of a window over
+    the scored cross product."""
+    from pyspark.sql import Window
+
+    cent = kmeans_centroids(emb, n_centroids=8, n_iters=0)
+    fast = _assign_cells(emb, cent, "vec_id", "embedding", keep_n=1)
+    got = {r["_id"]: r["cell"] for r in fast.collect()}
+
+    # independent window-path reference
+    from polars_w_inverted_index_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("_id"),
+            F.col("embedding").alias("v"),
+            norm(F.col("embedding")).alias("vn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "_id",
+            F.col("cid").alias("cell"),
+            F.round(
+                cosine_with_norms("v", "centv", F.col("vn"), F.col("centn")),
+                5,
+            ).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    ref = {
+        r["_id"]: r["cell"]
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+    assert got == ref
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    # struct-with-array agg buffers plan as SortAggregate/ObjectHash —
+    # any Aggregate node does partial (map-side) collapse; the banned
+    # shape is the Window over the scored cross product
+    assert any(
+        m in plan
+        for m in ("SortAggregate", "HashAggregate", "ObjectHashAggregate")
+    ), plan
+    assert "Window" not in plan
