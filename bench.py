@@ -248,6 +248,12 @@ def _extension_workload():
             "doc_id", "n_removed_lines"
         ),
         "ext_zorder_write": _zorder_roundtrip,
+        "ext_resample_events": lambda s, d: __import__(
+            "polars_w_inverted_index_spark.operators.resample",
+            fromlist=["resample_events"],
+        ).resample_events(
+            load_table(s, d, "events"), 6 * 3600, fill="ffill"
+        ),
         "ext_corpus_report": lambda s, d: __import__(
             "polars_w_inverted_index_spark.report",
             fromlist=["corpus_report"],
