@@ -299,6 +299,21 @@ def ann_search(
     result is EXACTLY brute force (same rounding, same tie order) — the
     equivalence tests pin that.
     """
+    # identity gate (the IndexCatalog discipline): an index built over
+    # d-dim vectors must not score d'-dim queries — zip_with would
+    # silently truncate to the shorter prefix and return plausible
+    # nonsense.  The meta file records the build-time width.
+    meta_path = os.path.join(root, "_ann_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        want = meta.get("dims")
+        got = queries.select(F.size(vec_col).alias("d")).first()
+        if want is not None and got is not None and got["d"] != want:
+            raise ValueError(
+                f"ann_search: index at {root} was built over {want}-dim "
+                f"vectors; query column {vec_col!r} has {got['d']} dims."
+            )
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     probes = _assign_cells(
         queries, cent, id_col, vec_col, keep_n=nprobe, round_digits=round_digits

@@ -236,3 +236,18 @@ def test_argmax_assignment_equals_window_path(emb):
         for m in ("SortAggregate", "HashAggregate", "ObjectHashAggregate")
     ), plan
     assert "Window" not in plan
+
+
+def test_dim_mismatch_fails_loudly(spark, emb, index_root):
+    """A query set whose embedding width differs from the index's
+    build-time width is rejected (zip_with would otherwise silently
+    score on the shared prefix)."""
+    from polars_w_inverted_index_spark.functions.vectors import (
+        random_projection,
+    )
+
+    narrow = emb.select(
+        "vec_id", random_projection("embedding", 64, 8).alias("embedding")
+    ).limit(2)
+    with pytest.raises(ValueError, match="64-dim"):
+        ann_search(spark, index_root, narrow, k=3, nprobe=2)
