@@ -248,6 +248,10 @@ def _extension_workload():
             "doc_id", "n_removed_lines"
         ),
         "ext_zorder_write": _zorder_roundtrip,
+        "ext_top_tfidf_terms": lambda s, d: __import__(
+            "polars_w_inverted_index_spark.operators.search",
+            fromlist=["top_tfidf_terms"],
+        ).top_tfidf_terms(_docs(s, d), k=10),
         "ext_resample_events": lambda s, d: __import__(
             "polars_w_inverted_index_spark.operators.resample",
             fromlist=["resample_events"],

@@ -24,7 +24,7 @@ partition — no global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -329,3 +329,46 @@ def bm25_search(
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
     return _bm25_score(tf, stats, k1=k1, b=b, top_k=top_k)
+
+
+def top_tfidf_terms(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document keyword extraction: ``[<id>, term, tf, tfidf, rank]``
+    — each document's ``k`` highest-TF-IDF terms.
+
+    Two aggregations over the exploded token table: per-(doc, term)
+    term frequency, and per-term document frequency (vocabulary-sized,
+    broadcastable at scoring time — the unigram-LM shape).  Smoothed
+    idf = ln((N + 1)/(df + 1)) + 1 (the scikit-learn convention: never
+    negative, never /0).  Ranking is a per-doc window — state bounded
+    by one document's vocabulary — with the cross-engine tie rule
+    (rounded score DESC, term ASC).  Scores are rounded BEFORE ranking
+    so tie order is identical in any engine (the similarity.py
+    discipline).
+    """
+    tl = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tl.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, round_digits).alias("tfidf"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "tfidf", "rank")
+    )

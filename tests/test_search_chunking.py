@@ -524,3 +524,75 @@ def test_phrase_search_plan_has_no_cartesian(sfdocs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- keyword extraction ------------------------------------------------------
+
+def test_top_tfidf_terms_matches_duckdb(spark):
+    import duckdb
+
+    from polars_w_inverted_index_spark.operators.search import (
+        top_tfidf_terms,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["tfidf"], r["rank"])
+        for r in top_tfidf_terms(docs, k=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT doc_id, text FROM"
+        f" '{sf}/documents.parquet'"
+    )
+    exp = con.execute(
+        """
+        WITH tl AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+            lower(trim(text)), '\\s+'), t -> t != '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tl GROUP BY 1, 2
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 ROUND(tf.tf * (ln((n.n + 1.0) / (dft.df + 1)) + 1.0), 6)
+                   AS tfidf
+          FROM tf JOIN dft USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
+        ORDER BY doc_id, rank
+        """
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in exp)
+
+
+def test_top_tfidf_prefers_rare_terms(spark):
+    from polars_w_inverted_index_spark.operators.search import (
+        top_tfidf_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rareword"),
+            (1, "common other text here"),
+            (2, "common more words again"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r["doc_id"]: r["term"]
+        for r in top_tfidf_terms(docs, k=1).collect()
+    }
+    # equal tf in doc 0: 'common' appears in every doc (idf = 1),
+    # 'rareword' only here (idf = ln(2) + 1) — idf must rank it first
+    assert top[0] == "rareword"
