@@ -111,12 +111,82 @@ def _apply_merge(a: str, b: str) -> F.Column:
     )
 
 
+def _train_inmemory(
+    items: list[tuple[str, int]], n_merges: int, min_frequency: int
+) -> list[tuple[str, str]]:
+    """Sequential BPE over a collected word-frequency table, with
+    incremental pair-count maintenance (only words containing the
+    winning pair are re-derived each round — the standard fast-trainer
+    shape).  Bit-identical to the distributed loop by construction: the
+    same argmax rule (max weighted count, then lexicographically
+    smallest (a, b)), the same left-to-right greedy merge application
+    as :func:`_apply_merge`'s fold, the same occurrence-weighted pair
+    counts as :func:`_pair_counts`."""
+    from collections import defaultdict
+
+    syms: list[list[str]] = []
+    wcs: list[int] = []
+    for word, wc in items:
+        s = list(word)
+        if s:
+            s[-1] = s[-1] + EOW
+        syms.append(s)
+        wcs.append(int(wc))
+
+    pair_cnt: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, s in enumerate(syms):
+        for p in zip(s, s[1:]):
+            pair_cnt[p] += wcs[wi]
+            pair_words[p].add(wi)
+
+    def _apply(seq: list[str], a: str, b: str) -> list[str]:
+        # mirror of _apply_merge's fold: greedy left-to-right, the
+        # just-merged symbol never immediately re-merges (ab != a)
+        out: list[str] = []
+        for x in seq:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_cnt:
+            break
+        (a, b), cnt = min(
+            pair_cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < min_frequency:
+            break
+        merges.append((a, b))
+        # touch only the words that (may) contain the winning pair;
+        # stale pair_words entries are harmless (dec+inc nets zero)
+        for wi in list(pair_words[(a, b)]):
+            old = syms[wi]
+            new = _apply(old, a, b)
+            if new == old:
+                continue
+            wc = wcs[wi]
+            for p in zip(old, old[1:]):
+                pair_cnt[p] -= wc
+                if pair_cnt[p] <= 0:
+                    del pair_cnt[p]
+            syms[wi] = new
+            for p in zip(new, new[1:]):
+                pair_cnt[p] += wc
+                pair_words[p].add(wi)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 50,
     text_col: str = "text",
     min_frequency: int = 2,
     word_counts_df: DataFrame | None = None,
+    max_driver_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges; returns them in rank order.
 
@@ -125,12 +195,26 @@ def bpe_train(
     engines and runs.  Training stops early when no pair reaches
     ``min_frequency``.  ``word_counts_df`` lets a standing corpus reuse
     its materialized word-frequency table (the corpus-pass artifact).
+
+    Execution: the corpus pass (:func:`word_counts`) is always Spark —
+    that is the 100 TB work.  Training then runs on the Zipf-bounded
+    frequency table; when it has ≤ ``max_driver_vocab`` distinct words
+    it is collected and trained in-memory (:func:`_train_inmemory`) —
+    identical output, and the 1-Spark-job-per-merge scheduler round-trip
+    (50 merges = 50 jobs) disappears.  Larger vocabularies fall back to
+    the distributed per-round loop below (per-round work stays
+    vocabulary-sized either way).
     """
     wf = (
         word_counts_df
         if word_counts_df is not None
         else word_counts(docs, text_col)
     )
+    small = wf.limit(max_driver_vocab + 1).collect()
+    if len(small) <= max_driver_vocab:
+        return _train_inmemory(
+            [(r["word"], r["wc"]) for r in small], n_merges, min_frequency
+        )
     wf = wf.select("word", "wc", _initial_symbols().alias("sym"))
     wf = wf.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
@@ -231,9 +315,20 @@ def bpe_encode(
                 out_toks.append(toks)
             yield pd.DataFrame({"_id": out_ids, "bpe_tokens": out_toks})
 
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    # the id passes through mapInPandas untouched, so the output schema
+    # must carry its REAL type — hardcoding 'long' corrupts/fails string
+    # or int ids at Arrow conversion
+    out_schema = StructType(
+        [
+            StructField("_id", docs.schema[id_col].dataType),
+            StructField("bpe_tokens", ArrayType(StringType())),
+        ]
+    )
     enc = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
-    ).mapInPandas(_run, "_id long, bpe_tokens array<string>")
+    ).mapInPandas(_run, out_schema)
     return enc.select(
         F.col("_id").alias(id_col),
         "bpe_tokens",

@@ -76,8 +76,12 @@ def random_projection(
     the matrix is derived from md5(seed:j:d) parities driver-side ONCE
     and embedded as literals — deterministic across engines/runs, no
     stored model, no RNG state, and per-row cost is pure multiply-adds
-    in a JVM higher-order expression.  Rows shorter than ``in_dims``
-    use a weight prefix (zip_with stops at the shorter array).
+    in a JVM higher-order expression.  BOTH sides of the zip are sliced
+    to ``min(len(v), in_dims)`` — ``zip_with`` pads the shorter array
+    with nulls (it does NOT stop), and one null poisons the aggregate
+    sum, so an unsliced mismatch would yield all-null projections.
+    Rows shorter than ``in_dims`` use a weight prefix; rows longer use
+    their first ``in_dims`` entries.
     """
     import hashlib
 
@@ -108,7 +112,9 @@ def random_projection(
         outs.append(
             F.aggregate(
                 F.zip_with(
-                    c, F.slice(w, 1, F.size(c)), lambda x, h: x.cast("double") * h
+                    F.slice(c, 1, in_dims),
+                    F.slice(w, 1, F.least(F.size(c), F.lit(in_dims))),
+                    lambda x, h: x.cast("double") * h,
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,

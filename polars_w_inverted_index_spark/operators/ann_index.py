@@ -12,9 +12,17 @@ main.rs:325-385 — materialization is the same fix applied to vectors).
 
 Layout under ``root``::
 
-    centroids/            parquet [cid int, centv array<double>, centn double]
-    cells/cell=<c>/       parquet [vec_id long, cv array<float>, cn double]
-    _ann_meta.json        {n_centroids, n_iters, dims, id_col, vec_col}
+    centroids/                 parquet [cid int, centv array<double>, centn double]
+    cells/cell=<c>/ingest_batch=<b>/  parquet [vec_id long, cv array<float>, cn double]
+    _ann_meta.json             {n_centroids, n_iters, dims, id_col, vec_col}
+
+The second partition level tags WHICH write produced each file: the
+initial build uses ``ingest_batch=-1`` and every streaming micro-batch
+its checkpoint batch id — so a batch whose append committed but whose
+marker write crashed can be removed exactly (delete its
+``ingest_batch=<b>`` directories) before the replay re-appends, making
+streaming ingest idempotent (streaming/ann_ingest.py).  Serving never
+filters on it; pruning stays on ``cell``.
 
 ``cells`` is **partition-by-cell**: a probe of ``nprobe`` cells prunes
 to those directories at the file-listing level (static partition
@@ -214,12 +222,13 @@ def build_ann_index(
     (
         assigned.select(
             "cell",
+            F.lit(-1).alias("ingest_batch"),
             F.col("_id").alias("vec_id"),
             F.col("v").alias("cv"),
             F.col("vn").alias("cn"),
         )
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("cell", "ingest_batch")
         .parquet(os.path.join(root, "cells"))
     )
     dims = corpus.select(F.size(vec_col).alias("d")).first()
@@ -243,6 +252,7 @@ def ann_index_add_batch(
     batch: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_tag: int = -1,
 ) -> int:
     """Append a batch of new vectors to an existing index; returns the
     batch row count.
@@ -257,19 +267,24 @@ def ann_index_add_batch(
     monitor (streaming/drift.py) says, exactly like any IVF system.
     Parquet-append visibility: a concurrent reader sees the batch only
     once its files land — per-file atomicity, same discipline as the
-    sorted-write path.
+    sorted-write path.  ``batch_tag`` names the ``ingest_batch=``
+    partition the files land in: streaming ingest passes its checkpoint
+    batch id so a crashed-then-replayed batch can be removed exactly
+    (streaming/ann_ingest.py); direct callers default to -1 (same
+    directory as the build — untagged, not replay-cleanable).
     """
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     assigned = _assign_cells(batch, cent, id_col, vec_col, keep_n=1)
     (
         assigned.select(
             "cell",
+            F.lit(int(batch_tag)).alias("ingest_batch"),
             F.col("_id").alias("vec_id"),
             F.col("v").alias("cv"),
             F.col("vn").alias("cn"),
         )
         .write.mode("append")
-        .partitionBy("cell")
+        .partitionBy("cell", "ingest_batch")
         .parquet(os.path.join(root, "cells"))
     )
     return batch.count()

@@ -67,7 +67,7 @@ def resample_events(
         F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         F.col(key_col).alias("_key"),
-        (epoch_us(ts_col) / w).cast("long").alias("_b"),
+        F.floor(epoch_us(ts_col) / F.lit(w)).cast("long").alias("_b"),
         F.col(value_col).alias("_v"),
     )
     per_bucket = bucketed.groupBy("_key", "_b").agg(

@@ -65,13 +65,22 @@ def corpus_report(
         F.avg("_punct").alias("mean_punct_ratio"),
     ).first()
 
+    def _f(v, nd: int | None = None) -> float | None:
+        # Sum/avg/percentile aggregates are null over an empty corpus;
+        # the long format already allows value_num=None, so emit that
+        # instead of crashing on float(None).
+        if v is None:
+            return None
+        return round(float(v), nd) if nd is not None else float(v)
+
+    tok_q = g["tok_q"] or [None, None]
     rows: list[tuple[str, str, float | None, str | None]] = [
         ("size", "n_docs", float(g["n_docs"]), None),
-        ("size", "total_tokens", float(g["total_tokens"]), None),
-        ("size", "total_chars", float(g["total_chars"]), None),
-        ("size", "mean_tokens_per_doc", round(g["mean_tokens"], 4), None),
-        ("size", "median_tokens_per_doc", float(g["tok_q"][0]), None),
-        ("size", "p95_tokens_per_doc", float(g["tok_q"][1]), None),
+        ("size", "total_tokens", _f(g["total_tokens"]), None),
+        ("size", "total_chars", _f(g["total_chars"]), None),
+        ("size", "mean_tokens_per_doc", _f(g["mean_tokens"], 4), None),
+        ("size", "median_tokens_per_doc", _f(tok_q[0]), None),
+        ("size", "p95_tokens_per_doc", _f(tok_q[1]), None),
         (
             "duplication",
             "approx_unique_texts",
@@ -91,13 +100,13 @@ def corpus_report(
         (
             "quality",
             "mean_stopword_ratio",
-            round(g["mean_stopword_ratio"], 6),
+            _f(g["mean_stopword_ratio"], 6),
             None,
         ),
         (
             "quality",
             "mean_punct_ratio",
-            round(g["mean_punct_ratio"], 6),
+            _f(g["mean_punct_ratio"], 6),
             None,
         ),
     ]

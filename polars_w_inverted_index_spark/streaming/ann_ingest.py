@@ -10,6 +10,21 @@ streaming/near_dedup: a replayed committed batch is a no-op, a
 batch_id BEHIND the committed one means the checkpoint was reset —
 fail loudly rather than silently fork the index.
 
+Crash-consistency contract (both halves required for the "replayed
+batch is a no-op" guarantee to actually hold):
+
+- the marker is written tmp-file + ``os.replace`` — a crash mid-write
+  leaves the OLD marker intact, never a truncated JSON that poisons
+  every later ``_read_marker``;
+- each batch's files land under their own ``ingest_batch=<id>``
+  partition directories (operators/ann_index.py layout), so a crash in
+  the window AFTER the parquet append commits but BEFORE the marker
+  lands is recoverable: the replay sees batch_id > committed, deletes
+  any leftover ``ingest_batch=<id>`` directories (a per-cell prefix
+  listing, O(n_centroids) — never corpus-sized), then re-appends.
+  Without the tag the half-committed files would be indistinguishable
+  from older data and the replay would double-insert.
+
 Centroids never move during ingest; rebuild with ``build_ann_index``
 on the cadence the drift monitor (streaming/drift.py) indicates —
 standard IVF operating procedure.
@@ -17,8 +32,10 @@ standard IVF operating procedure.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 
@@ -35,6 +52,27 @@ def _read_marker(root: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+def _write_marker(root: str, meta: dict) -> None:
+    """Atomic: tmp file + os.replace — readers see old or new, never a
+    torn write (on HDFS/S3 the same shape is a rename/conditional-put)."""
+    p = _marker_path(root)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, p)
+
+
+def _drop_batch_dirs(root: str, batch_id: int) -> int:
+    """Remove any ``cells/cell=*/ingest_batch=<batch_id>`` leftovers from
+    an append that committed without its marker (crashed attempt)."""
+    dirs = glob.glob(
+        os.path.join(root, "cells", "cell=*", f"ingest_batch={batch_id}")
+    )
+    for d in dirs:
+        shutil.rmtree(d)
+    return len(dirs)
 
 
 def ann_ingest_batch(
@@ -60,18 +98,27 @@ def ann_ingest_batch(
                 f"{meta['batch_id']}: checkpoint was reset — rebuild the "
                 f"index or replay without batch_id."
             )
+    if batch_id is not None:
+        # a prior attempt at THIS batch may have appended and crashed
+        # before the marker landed — remove its files so the re-append
+        # cannot double-insert
+        _drop_batch_dirs(root, batch_id)
     n = ann_index_add_batch(
-        batch_df.sparkSession, root, batch_df, id_col, vec_col
+        batch_df.sparkSession,
+        root,
+        batch_df,
+        id_col,
+        vec_col,
+        batch_tag=batch_id if batch_id is not None else -1,
     )
-    with open(_marker_path(root), "w") as f:
-        json.dump(
-            {
-                "batch_id": batch_id
-                if batch_id is not None
-                else (meta or {}).get("batch_id"),
-            },
-            f,
-        )
+    _write_marker(
+        root,
+        {
+            "batch_id": batch_id
+            if batch_id is not None
+            else (meta or {}).get("batch_id"),
+        },
+    )
     return n
 
 

@@ -124,6 +124,32 @@ def test_encode_matches_training_fold(docs):
         assert enc[w] == syms, w
 
 
+def test_distributed_path_matches_inmemory(docs):
+    """max_driver_vocab=0 forces the distributed per-round loop; it must
+    produce the exact merge list of the in-memory fast path (and of the
+    independent reference) — the fast path is an optimization, never a
+    semantic fork."""
+    wf = {r["word"]: r["wc"] for r in word_counts(docs).collect()}
+    expected = _ref_bpe_train(wf, n_merges=12)
+    fast = bpe_train(docs, n_merges=12)  # in-memory path (small vocab)
+    slow = bpe_train(docs, n_merges=12, max_driver_vocab=0)
+    assert fast == expected
+    assert slow == expected
+
+
+def test_encode_preserves_id_type(spark, docs):
+    """String document ids survive bpe_encode (the mapInPandas output
+    schema derives the id type from the input, not a hardcoded long)."""
+    merges = bpe_train(docs, n_merges=8)
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    enc = bpe_encode(sdocs, merges)
+    assert dict(enc.dtypes)["doc_id"] == "string"
+    ids = sorted(r["doc_id"] for r in enc.collect())
+    assert ids == sorted(r["doc_id"] for r in sdocs.collect())
+
+
 def test_min_frequency_stop(docs):
     # an absurd min_frequency stops training immediately
     assert bpe_train(docs, n_merges=10, min_frequency=10_000) == []

@@ -216,8 +216,23 @@ def test_ivf_topk_recall(spark):
     for r in got:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
-    # probing half the cells recovers a solid share of true neighbors
-    assert len(exact & approx) / len(exact) >= 0.4
+    # drift-proof bounds (no fixed recall threshold on regenerated
+    # embeddings): recall is monotone in nprobe (candidate supersets),
+    # and probing EVERY cell makes IVF exactly brute force (same
+    # rounding, same tie order)
+    half = len(exact & approx) / len(exact)
+    fewer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=2).collect()
+    }
+    assert len(exact & fewer) / len(exact) <= half
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(
+            emb, q, k=5, n_centroids=16, nprobe=16
+        ).collect()
+    }
+    assert full == exact
 
 
 def test_lsh_topk_agrees_on_identicalish(spark, vectors):
