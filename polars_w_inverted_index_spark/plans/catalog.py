@@ -73,6 +73,7 @@ class IndexCatalog:
         # for an index covering a subset of its rows, and the rule's
         # identity gate would serve wrong answers for full-table queries.
         src = self._source_root(df) if self._is_plain_scan(df) else None
+        fp = self._table_fingerprint(src)
         if src is not None:
             with open(os.path.join(path, "_index_source"), "w") as f:
                 f.write(src)
@@ -81,12 +82,15 @@ class IndexCatalog:
             # index on doc_id_col=l_orderkey must not answer a postings
             # query over collect_list(l_partkey), and a chunked index's
             # partial rows must never be served as complete postings.
+            # ``fingerprint`` snapshots the base table's file listing so a
+            # later append/rewrite makes the index refuse to serve.
             with open(os.path.join(path, "_index_meta.json"), "w") as f:
                 json.dump(
                     {
                         "source": src,
                         "doc_id_col": doc_id_col,
                         "chunked": chunked,
+                        "fingerprint": fp,
                     },
                     f,
                 )
@@ -95,6 +99,7 @@ class IndexCatalog:
             "chunked": chunked,
             "doc_id_col": doc_id_col,
             "source": src,
+            "fingerprint": fp,
         }
         os.makedirs(self.root, exist_ok=True)
         with open(self._meta_path, "w") as f:
@@ -169,6 +174,7 @@ class IndexCatalog:
         idx.write.mode("overwrite").partitionBy("field").parquet(staging)
 
         src = self._source_root(df) if self._is_plain_scan(df) else None
+        fp = self._table_fingerprint(src)
         out: dict[str, str] = {}
         for f in fields:
             part_dir = os.path.join(staging, f"field={f}")
@@ -195,6 +201,7 @@ class IndexCatalog:
                             "source": src,
                             "doc_id_col": doc_id_col,
                             "chunked": False,
+                            "fingerprint": fp,
                         },
                         fh,
                     )
@@ -203,6 +210,7 @@ class IndexCatalog:
                 "chunked": False,
                 "doc_id_col": doc_id_col,
                 "source": src,
+                "fingerprint": fp,
             }
             out[f] = path
         shutil.rmtree(staging, ignore_errors=True)
@@ -255,6 +263,47 @@ class IndexCatalog:
         return True
 
     @staticmethod
+    def _table_fingerprint(src: str | None) -> str | None:
+        """Snapshot id of the base table: digest of its data-file listing
+        (relative path + size).
+
+        Spark never mutates parquet files in place — appends add new
+        part-files, overwrites write new names — so the (listing, sizes)
+        pair changes on EVERY append/rewrite of the table.  The reference
+        rebuilds its postings map per query (main.rs:325-385) and cannot
+        go stale; a materializing engine must detect that the base table
+        moved out from under the index, or the first post-append query
+        silently serves pre-append postings.  On an object store /
+        HDFS the same digest is one prefix listing; table formats with
+        real snapshot ids (Iceberg/Delta) would record that instead.
+        """
+        import hashlib
+
+        if src is None:
+            return None
+        entries: list[tuple[str, int]] = []
+        if os.path.isfile(src):
+            entries.append(("", os.path.getsize(src)))
+        elif os.path.isdir(src):
+            for dirpath, dirnames, filenames in os.walk(src):
+                dirnames[:] = [
+                    d for d in dirnames if not d.startswith((".", "_"))
+                ]
+                for fn in filenames:
+                    if fn.startswith((".", "_")):
+                        continue
+                    p = os.path.join(dirpath, fn)
+                    entries.append(
+                        (os.path.relpath(p, src), os.path.getsize(p))
+                    )
+        else:
+            return None
+        h = hashlib.sha256()
+        for rel, size in sorted(entries):
+            h.update(f"{rel}:{size}\n".encode())
+        return h.hexdigest()
+
+    @staticmethod
     def _source_root(df: DataFrame) -> str | None:
         """Common root of the frame's input files (scheme-stripped); None
         for non-file sources (in-memory frames)."""
@@ -267,7 +316,16 @@ class IndexCatalog:
         if not files:
             return None
         if len(files) == 1:
-            return files[0]
+            p = files[0]
+            # A lone Spark part-file means the TABLE is its directory —
+            # record that, or the staleness fingerprint would watch one
+            # immutable file and miss appends landing beside it.  A
+            # user-named single file (lineitem.parquet) IS the table.
+            if os.path.basename(p).startswith("part-") and os.path.isdir(
+                os.path.dirname(p)
+            ):
+                return os.path.dirname(p)
+            return p
         common = os.path.commonpath(files)
         return common
 
@@ -292,6 +350,14 @@ class IndexCatalog:
         identity gate the Catalyst rule enforces via _index_meta.json; an
         index of l_orderkey postings must never answer a query expecting
         l_partkey postings.  Callers that pass None own that check.
+
+        Staleness gate: when the build recorded a base-table fingerprint
+        (file listing + sizes — see :meth:`_table_fingerprint`), the
+        lookup recomputes it and DECLINES on mismatch, so an index over
+        a table that was later appended to or rewritten falls back to
+        the base-table plan instead of serving pre-append postings.
+        Rebuild with :meth:`build` to re-validate.  The cost is one
+        directory listing per lookup — metadata-sized, never data-sized.
         """
         meta = self._meta.get(self._key(table, field))
         if meta is None or not os.path.exists(meta["path"]):
@@ -301,6 +367,11 @@ class IndexCatalog:
             and meta.get("doc_id_col") != doc_id_col
         ):
             return None
+        fp = meta.get("fingerprint")
+        if fp is not None and self._table_fingerprint(
+            meta.get("source")
+        ) != fp:
+            return None  # base table changed since the build: stale
         if meta.get("streaming"):
             from ..streaming.index_maintenance import read_index_postings
 

@@ -204,6 +204,52 @@ def test_build_on_filtered_frame_records_no_source(
     assert meta["chunked"] is False
 
 
+def test_stale_index_not_served_after_append(spark, lineitem, tmp_path):
+    """Append to the base table after the build: the lookup's fingerprint
+    gate must DECLINE (fall back to the base plan) instead of serving
+    pre-append postings; a rebuild re-validates.  The reference can't go
+    stale (it rebuilds per query, main.rs:325-385) — a materializing
+    engine must prove this or users hit it on their first table update."""
+    base = str(tmp_path / "tbl")
+    small = lineitem.limit(200)
+    small.write.mode("overwrite").parquet(base)
+    tbl = spark.read.parquet(base)
+
+    root = str(tmp_path / "idx")
+    cat = IndexCatalog(spark, root)
+    cat.build(tbl, "tbl", "l_returnflag", doc_id_col="l_orderkey")
+    assert cat.lookup("tbl", "l_returnflag") is not None
+
+    # the table moves: an append lands new part-files
+    lineitem.limit(50).write.mode("append").parquet(base)
+    assert cat.lookup("tbl", "l_returnflag") is None
+    assert (
+        cat.lookup_by_doc_ids("tbl", "l_returnflag", [1, 2, 3]) is None
+    )
+
+    # the engine path stays green by falling back to the base table
+    eng = Engine(
+        spark,
+        df=spark.read.parquet(base),
+        doc_id_col="l_orderkey",
+        index_catalog=cat,
+        table_name="tbl",
+    )
+    out = eng.get_field_values("l_returnflag")
+    want = _vm(
+        postings(spark.read.parquet(base), "l_returnflag", "l_orderkey")
+    )
+    assert _vm(out) == want  # post-append truth, not the stale index
+
+    # rebuild over the current table re-validates the index
+    cat.build(
+        spark.read.parquet(base), "tbl", "l_returnflag",
+        doc_id_col="l_orderkey",
+    )
+    hit = cat.lookup("tbl", "l_returnflag")
+    assert hit is not None and _vm(hit) == want
+
+
 def test_chunked_index_merges_on_lookup(spark, tmp_path_factory):
     rows = [Row(doc_id=i, v="hot" if i < 90 else "cold") for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, v string")
