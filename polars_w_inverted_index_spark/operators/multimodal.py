@@ -85,24 +85,157 @@ def encode_fake(kind: str, width: int, height: int, payload: bytes,
                        height, n_frames) + payload
 
 
+def _decode_wav(data: bytes) -> tuple[str, int, int, int, bytes] | None:
+    """Real audio without dependencies: RIFF/WAVE via stdlib ``wave``.
+
+    Returns the same tuple shape as the FAKE 'A' container — payload is
+    u8 samples (16-bit PCM is mapped to u8 by taking the high byte + 128
+    bias, a deterministic downscale), ``width`` = sample_rate/100 (the
+    FAKE convention), ``height`` = channel count, ``n_frames`` = WAV
+    frame count.  None = not a WAV (caller tries the next decoder).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    with wave.open(io.BytesIO(data)) as wf:
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        sr = wf.getframerate()
+        nf = wf.getnframes()
+        frames = wf.readframes(nf)
+    if sw == 1:
+        samples = np.frombuffer(frames, dtype=np.uint8)
+    elif sw == 2:
+        samples = (
+            (np.frombuffer(frames, dtype="<i2").astype(np.int32) >> 8) + 128
+        ).astype(np.uint8)
+    else:
+        raise NotImplementedError(
+            f"WAV sample width {sw} needs soundfile (not installed); "
+            "8/16-bit PCM decode is built in"
+        )
+    return "A", sr // 100, nch, nf, samples.tobytes()
+
+
+def _decode_png(data: bytes) -> tuple[str, int, int, int, bytes] | None:
+    """Real images without dependencies: 8-bit non-interlaced PNG via
+    stdlib ``zlib`` — chunk walk, IDAT inflate, full scanline-filter
+    reconstruction (None/Sub/Up/Average/Paeth, RFC 2083 §6), then
+    ITU-R 601-2 luma for color images so the payload is grayscale bytes
+    exactly like the FAKE 'I' container and the PIL path.  None = not a
+    PNG; unsupported PNG variants (16-bit, palette, interlaced) raise
+    the capability gate.
+    """
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc32
+    if ihdr is None:
+        return None
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} needs "
+            "PIL (not installed); 8-bit gray/RGB/RGBA decode is built in"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < (stride + 1) * h:
+        raise NotImplementedError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        off += 1
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off
+        ).astype(np.int32)
+        off += stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if nch in (1, 2):  # gray / gray+alpha
+        gray = px[:, :, 0]
+    else:  # RGB / RGBA → ITU-R 601-2 integer luma (PIL's L formula)
+        rgb = px[:, :, :3].astype(np.uint32)
+        gray = (
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114)
+            // 1000
+        ).astype(np.uint8)
+    return "I", w, h, 1, gray.tobytes()
+
+
 def _decode(data: bytes) -> tuple[str, int, int, int, bytes]:
     """Decode one blob → (kind, width, height, n_frames, payload).
 
-    Dispatch: the FAKE container decodes natively; anything else goes to
-    the real-image path (PIL, import-gated — grayscale pixels become the
-    payload so downstream feature/resize operators work identically on
-    real and FAKE media).  Without PIL installed, non-FAKE data raises
+    Dispatch: the FAKE container decodes natively; PNG and WAV decode
+    with stdlib-only decoders (zlib / wave — real media end-to-end with
+    zero dependencies); anything else goes to the real-image path (PIL,
+    import-gated — grayscale pixels become the payload so downstream
+    feature/resize operators work identically on real and FAKE media).
+    Without PIL installed, remaining formats raise
     ``NotImplementedError`` — an honest capability gate, not a stub.
     """
     if data is not None and len(data) >= HEADER_SIZE and data[:4] == MAGIC:
         _, kind, w, h, nf = struct.unpack(HEADER_FMT, data[:HEADER_SIZE])
         return kind.decode(), w, h, nf, data[HEADER_SIZE:]
+    got = _decode_png(data)
+    if got is None:
+        got = _decode_wav(data)
+    if got is not None:
+        return got
     try:
         import PIL.Image
     except ImportError:
         raise NotImplementedError(
-            "real media decode needs PIL/soundfile/av (not installed); "
-            "only the FAKE container format is supported in this build"
+            "real media decode beyond PNG/WAV needs PIL/soundfile/av "
+            "(not installed); FAKE container, 8-bit PNG and 8/16-bit PCM "
+            "WAV are supported in this build"
         ) from None
     import io  # pragma: no cover - exercised only where PIL is installed
 
