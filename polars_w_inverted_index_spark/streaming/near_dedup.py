@@ -11,10 +11,15 @@ order.
 State is the accepted corpus's BAND table (doc_id, band_idx, band_hash)
 — ``n_bands`` small rows per accepted doc, a pure function of content —
 stored as parquet behind an atomic pointer marker exactly like
-streaming/index_maintenance: each merge writes a new immutable
-directory holding old∪new bands, swaps the pointer, prunes.  Readers
-(the next micro-batch's anti-join) never see partial writes, and a
-replayed micro-batch (foreachBatch is at-least-once) is a committed
+streaming/index_maintenance.  Commits are DELTAS: each batch writes
+only its accepted bands to a fresh immutable directory and the marker
+lists the directory set, so per-batch commit I/O is O(batch) — a
+full old∪new rewrite would make every commit O(corpus), which at fleet
+scale is a non-starter.  When the directory list exceeds
+``max_delta_dirs`` the commit compacts (one merged rewrite, amortized
+O(corpus / max_delta_dirs) per batch).  Readers (the next micro-batch's
+anti-join) never see partial writes — the pointer swap is atomic — and
+a replayed micro-batch (foreachBatch is at-least-once) is a committed
 no-op via the recorded batch_id.
 
 Scale shape per batch: batch bands (narrow + one doc_id shuffle for
@@ -61,14 +66,22 @@ def _read_marker(state_path: str) -> dict | None:
         return json.load(f)
 
 
+def _marker_dirs(meta: dict) -> list[str]:
+    # "dirs" (delta layout) with backward compat for the old single-"dir"
+    return meta.get("dirs") or ([meta["dir"]] if meta.get("dir") else [])
+
+
 def read_corpus_bands(
     spark: SparkSession, state_path: str
 ) -> DataFrame | None:
-    """Current committed band table, or None before the first merge."""
+    """Current committed band table (union of the marker's delta
+    directories), or None before the first merge."""
     meta = _read_marker(state_path)
     if meta is None:
         return None
-    return spark.read.parquet(os.path.join(state_path, meta["dir"]))
+    return spark.read.parquet(
+        *[os.path.join(state_path, d) for d in _marker_dirs(meta)]
+    )
 
 
 def near_dedup_batch(
@@ -81,6 +94,7 @@ def near_dedup_batch(
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     shingle_k: int = 3,
+    max_delta_dirs: int = 8,
 ) -> DataFrame:
     """Process one micro-batch; returns the ACCEPTED rows as a
     lineage-severed, materialized frame (safe to use after the state
@@ -162,19 +176,25 @@ def near_dedup_batch(
     # self-contained.
     accepted = survivors.localCheckpoint()
 
-    # commit: old ∪ accepted bands into a fresh immutable dir + pointer
+    # commit: DELTA write of the accepted bands only (O(batch)); compact
+    # to a single directory once the delta list exceeds max_delta_dirs
+    # (amortized O(corpus / max_delta_dirs) per batch)
     acc_ids = accepted.select(F.col(id_col).alias("doc_id"))
     acc_bands = bands.join(acc_ids, "doc_id", "left_semi")
-    merged = (
-        corpus.unionByName(acc_bands) if corpus is not None else acc_bands
-    )
+    old_dirs = _marker_dirs(meta) if meta else []
     next_v = (meta or {}).get("v", -1) + 1
-    out = os.path.join(state_path, f"v={next_v}")
-    merged.write.mode("overwrite").parquet(out)
+    out_name = f"v={next_v}"
+    out = os.path.join(state_path, out_name)
+    if corpus is not None and len(old_dirs) >= max_delta_dirs:
+        corpus.unionByName(acc_bands).write.mode("overwrite").parquet(out)
+        new_dirs = [out_name]
+    else:
+        acc_bands.write.mode("overwrite").parquet(out)
+        new_dirs = old_dirs + [out_name]
     bands.unpersist()
     marker = {
         "v": next_v,
-        "dir": f"v={next_v}",
+        "dirs": new_dirs,
         "batch_id": batch_id
         if batch_id is not None
         else (meta or {}).get("batch_id"),
@@ -186,8 +206,9 @@ def near_dedup_batch(
     with open(tmp, "w") as f:
         json.dump(marker, f)
     os.replace(tmp, _marker_path(state_path))
+    keep = set(new_dirs)
     for name in os.listdir(state_path):
-        if name.startswith("v=") and name != f"v={next_v}":
+        if name.startswith("v=") and name not in keep:
             import shutil
 
             shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
