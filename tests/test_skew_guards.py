@@ -1,0 +1,205 @@
+"""Adversarial-skew proof for the pair generators' cost dials.
+
+SCALE.md claims the dedup pair generators survive hot keys because their
+dials bound every join bucket; this file PROVES it on a worst-case
+fixture — one boilerplate sentence shared by 50% of the corpus (the
+classic web-crawl template line) plus a single true near-dup pair:
+
+- n-gram Jaccard: without the df-cut the hot shingles force the
+  co-occurrence join to emit a quadratic candidate set (every pair of
+  boilerplate docs); with ``max_shingle_freq`` below the hot df the
+  discovered-pair set collapses to the true duplicates, while their
+  Jaccard stays EXACT (denominators are computed before the cut);
+- SimHash banding: candidate mass shrinks monotonically as band slices
+  widen (more fingerprint bits per band), and the pigeonhole guarantee
+  holds on the skewed corpus — banded pairs at ``max_hamming`` equal
+  the brute-force Hamming pairs;
+- line-level boilerplate removal: the 50%-df line is stripped from
+  every doc by a df + anti-join plan (no per-line pair join exists to
+  go quadratic in the first place).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_w_inverted_index_spark.functions.text import word_shingles
+from polars_w_inverted_index_spark.operators import dedup as DD
+from polars_w_inverted_index_spark.operators.line_dedup import (
+    remove_boilerplate_lines,
+)
+
+BOILER = "subscribe to our newsletter for updates and exclusive offers today"
+N_BOILER = 120  # docs carrying the boilerplate sentence
+N_CLEAN = 60
+
+
+@pytest.fixture(scope="module")
+def skew_docs(spark):
+    rows = []
+    for i in range(N_BOILER):
+        # unique filler + the shared template sentence
+        filler = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, f"{filler}\n{BOILER}"))
+    for i in range(N_BOILER, N_BOILER + N_CLEAN):
+        rows.append((i, " ".join(f"u{i}y{j}" for j in range(15))))
+    # one TRUE near-dup pair, sharing almost all content
+    base = " ".join(f"dup{j}" for j in range(30))
+    rows.append((9001, base + " tailone"))
+    rows.append((9002, base + " tailtwo"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_is_actually_hot(skew_docs):
+    """Fixture sanity: the boilerplate shingles reach df ≈ N_BOILER —
+    the skew the dials must handle is really present."""
+    df = (
+        skew_docs.select(
+            "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+        )
+        .groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.max("df").alias("m"))
+        .first()
+    )
+    assert df["m"] >= N_BOILER
+
+
+def test_jaccard_df_cut_bounds_candidate_set(skew_docs):
+    """Without the cut the hot shingle emits a quadratic discovered-pair
+    set; with the cut below the hot df, discovery collapses to the true
+    duplicates — and their Jaccard value is IDENTICAL in both runs
+    (the cut prunes discovery, never the denominator)."""
+    # threshold=0 exposes every DISCOVERED pair — the join's raw output
+    no_cut = DD.ngram_jaccard_pairs(
+        skew_docs, threshold=0.0, max_shingle_freq=None
+    )
+    no_cut_pairs = no_cut.count()
+    DD.release_intermediates(no_cut)
+    assert no_cut_pairs >= N_BOILER * (N_BOILER - 1) // 2  # quadratic blowup
+
+    cut = DD.ngram_jaccard_pairs(
+        skew_docs, threshold=0.0, max_shingle_freq=20
+    )
+    cut_rows = cut.collect()
+    DD.release_intermediates(cut)
+    # every surviving discovery comes from a ≤20-df shingle: the hot
+    # bucket is gone, output is the true pair only
+    assert [(r["doc_a"], r["doc_b"]) for r in cut_rows] == [(9001, 9002)]
+
+    # exactness despite the cut: same jaccard as the uncut run
+    uncut_true = (
+        DD.ngram_jaccard_pairs(skew_docs, threshold=0.5)
+        .where((F.col("doc_a") == 9001) & (F.col("doc_b") == 9002))
+        .first()
+    )
+    assert cut_rows[0]["jaccard"] == uncut_true["jaccard"]
+
+
+def test_jaccard_df_cut_bounds_bucket_width(skew_docs):
+    """The post-cut co-occurrence buckets obey the dial: recomputing the
+    operator's own shingle frame, no shingle key joins more than
+    ``max_shingle_freq`` docs — the per-bucket m² work is bounded by
+    the dial, not by corpus skew."""
+    max_freq = 20
+    sh = skew_docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    )
+    df_tbl = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("df"))
+    post_cut_max = (
+        df_tbl.where(F.col("df") <= max_freq).agg(F.max("df")).first()[0]
+    )
+    assert post_cut_max <= max_freq
+    # and the candidate mass (sum of m·(m-1)/2 per bucket) drops from
+    # quadratic-in-N_BOILER to dial-bounded
+    mass = df_tbl.select(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("m")
+    ).first()["m"]
+    mass_cut = (
+        df_tbl.where(F.col("df") <= max_freq)
+        .select(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("m"))
+        .first()["m"]
+    )
+    assert mass >= N_BOILER * (N_BOILER - 1) / 2
+    assert mass_cut < mass / 10
+
+
+def test_simhash_band_width_is_the_cost_dial(skew_docs):
+    """Candidate mass shrinks as band slices widen (same n_bands over
+    more fingerprint bits), and the pigeonhole guarantee holds under
+    skew: banded pairs == brute-force Hamming pairs."""
+
+    def candidate_mass(bits: int, n_bands: int) -> float:
+        sh = DD.simhash(skew_docs, bits=bits)
+        w = bits // n_bands
+        widths = [
+            w + (1 if i < bits % n_bands else 0) for i in range(n_bands)
+        ]
+        offs = [sum(widths[:i]) for i in range(n_bands)]
+        bands = sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("bi"),
+                            F.shiftright("simhash", offs[i])
+                            .bitwiseAND((1 << widths[i]) - 1)
+                            .alias("bv"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("b")
+        ).select("b.bi", "b.bv")
+        return (
+            bands.groupBy("bi", "bv")
+            .agg(F.count("*").alias("m"))
+            .select(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("s"))
+            .first()["s"]
+        )
+
+    narrow = candidate_mass(bits=12, n_bands=4)  # 3-bit slices: hot
+    wide = candidate_mass(bits=60, n_bands=4)  # 15-bit slices
+    assert wide < narrow  # widening the band slice shrinks the buckets
+
+    # completeness under skew: banded candidates lose nothing vs brute
+    # force at the pigeonhole setting
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in DD.simhash_pairs(
+            skew_docs, n_bands=4, max_hamming=3
+        ).collect()
+    )
+    sh = DD.simhash(skew_docs)
+    a = sh.selectExpr("doc_id as doc_a", "simhash as ha")
+    b = sh.selectExpr("doc_id as doc_b", "simhash as hb")
+    brute = sorted(
+        (r["doc_a"], r["doc_b"], r["h"])
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    )
+    assert got == brute
+
+
+def test_boilerplate_line_stripped_at_50pct_df(skew_docs):
+    """The 50%-df template line disappears from every carrier; unique
+    lines survive byte-for-byte.  The plan is df + anti-join — there is
+    no per-line pair join that could go quadratic on the hot line."""
+    out = remove_boilerplate_lines(skew_docs, max_line_df=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i in range(N_BOILER):
+        assert BOILER not in rows[i]["text"]
+        assert rows[i]["n_removed_lines"] == 1
+        assert rows[i]["text"].startswith(f"w{i}x0 ")  # filler intact
+    for i in range(N_BOILER, N_BOILER + N_CLEAN):
+        assert rows[i]["n_removed_lines"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
