@@ -138,6 +138,39 @@ def _logs_workload(spark):
             s, catalog=cat
         ).get_field_values_by_doc_ids("source_host", ids),
     }
+
+    from polars_w_inverted_index_spark.plans.catalyst_ext import (
+        EXTENSION_CLASS,
+        INDEX_ROOT_KEY,
+    )
+
+    if EXTENSION_CLASS in spark.conf.get("spark.sql.extensions", ""):
+        # JVM Catalyst rule serving the SAME query: a plain postings
+        # aggregate over the base table — no Python planning layer at
+        # all — rewritten in the optimizer to an index-parquet scan.
+        # The root conf is set only while this entry plans (the rule
+        # reads it per optimizer run), so no other bench query can be
+        # silently index-served; the plan assertion makes a non-firing
+        # rule a loud bench failure instead of a mislabeled timing.
+        def _catalyst_served(s, d):
+            from polars_w_inverted_index_spark.operators.inverted_index import (
+                postings,
+            )
+
+            s.conf.set(INDEX_ROOT_KEY, LOGS_IDX_ROOT)
+            try:
+                q = postings(logs, "source_host", doc_id_col="doc_id")
+                plan = q._jdf.queryExecution().executedPlan().toString()
+                if "logs_10m__source_host" not in plan or "Exchange" in plan:
+                    raise AssertionError(
+                        "Catalyst index rule did not rewrite the postings "
+                        "plan to an index scan:\n" + plan[:2000]
+                    )
+            finally:
+                s.conf.unset(INDEX_ROOT_KEY)
+            return q
+
+        extra["logs10m_field_values_full_host_catalyst"] = _catalyst_served
     return canonical, extra
 
 
@@ -417,7 +450,26 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    spark = get_session("bench")
+    from polars_w_inverted_index_spark.plans.catalyst_ext import (
+        DEFAULT_JAR,
+        EXTENSION_CLASS,
+        jar_available,
+    )
+
+    # When the jar is built, bind the Catalyst index-rewrite extension to
+    # the bench JVM (extensions attach at JVM creation only).  The rule
+    # stays dormant — it fires only while an entry sets the runtime
+    # index-root conf — so every other timing is unaffected.
+    ext_conf = (
+        {
+            "spark.jars": DEFAULT_JAR,
+            "spark.driver.extraClassPath": DEFAULT_JAR,
+            "spark.sql.extensions": EXTENSION_CLASS,
+        }
+        if jar_available()
+        else {}
+    )
+    spark = get_session("bench", extra_conf=ext_conf)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up JVM
 
     headline = _reference_workload()
