@@ -437,3 +437,67 @@ def test_semantic_dedup_matches_duckdb(spark, con):
         )
         assert got == want and len(got) > 0
         assert len(got) < emb.count()  # something was actually dropped
+
+
+def test_chunked_catalog_index_matches_duckdb(spark, tmp_path_factory):
+    """Chunk-STORED postings index (IndexCatalog.build(chunked=True))
+    served transparently through lookup() and the Engine must match the
+    DuckDB postings oracle hash-exact — the same bar the registered
+    index_catalog_lookup entry meets for the unchunked layout.  The
+    chunk cap is set low enough that hot values genuinely split on the
+    real sf0.01 lineitem table (asserted, not assumed)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark import Engine
+    from polars_w_inverted_index_spark.plans.catalog import IndexCatalog
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    root = str(tmp_path_factory.mktemp("chunked_idx"))
+    cat = IndexCatalog(spark, root)
+    path = cat.build(
+        lineitem,
+        "lineitem",
+        "l_returnflag",
+        doc_id_col="l_orderkey",
+        chunked=True,
+        max_postings_per_row=500,
+    )
+    raw = spark.read.parquet(path)
+    n_rows = raw.count()
+    n_values = raw.select("value").distinct().count()
+    assert n_rows > n_values  # hot values actually split into chunks
+    assert "chunk" in raw.columns
+
+    got = {
+        r["value"]: list(r["doc_ids"])
+        for r in cat.lookup("lineitem", "l_returnflag").collect()
+    }
+    c = duckdb.connect()
+    want = {
+        v: ids
+        for v, ids in c.execute(
+            f"""
+            SELECT CAST(l_returnflag AS VARCHAR) AS value,
+                   list_sort(list(l_orderkey)) AS ids
+            FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+    # transparent serving through the engine path: the plan reads the
+    # chunked index files, never the base table
+    eng = Engine(
+        spark,
+        df=lineitem,
+        doc_id_col="l_orderkey",
+        index_catalog=cat,
+        table_name="lineitem",
+    )
+    out = eng.get_field_values("l_returnflag")
+    files = out.inputFiles()
+    assert files and all(root in f for f in files)
+    assert {r["value"]: list(r["doc_ids"]) for r in out.collect()} == want
