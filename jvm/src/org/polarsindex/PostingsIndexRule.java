@@ -134,6 +134,67 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
             });
   }
 
+  /**
+   * Snapshot digest of a table's data-file listing: sha256 over sorted
+   * "relpath:size\n" lines, files/dirs starting with '.' or '_' skipped —
+   * BYTE-IDENTICAL to plans/catalog.IndexCatalog._table_fingerprint (the
+   * two planners must agree on staleness or one serves what the other
+   * refuses).  A lone file digests as ":size".
+   */
+  private static String tableFingerprint(File src) {
+    List<String[]> entries = new ArrayList<>();
+    if (src.isFile()) {
+      entries.add(new String[] {"", Long.toString(src.length())});
+    } else if (src.isDirectory()) {
+      collectEntries(src, src, entries);
+    } else {
+      return null;
+    }
+    entries.sort(
+        (a, b) -> {
+          int c = a[0].compareTo(b[0]);
+          return c != 0 ? c : Long.compare(Long.parseLong(a[1]), Long.parseLong(b[1]));
+        });
+    try {
+      java.security.MessageDigest md =
+          java.security.MessageDigest.getInstance("SHA-256");
+      for (String[] e : entries) {
+        md.update(
+            (e[0] + ":" + e[1] + "\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8));
+      }
+      StringBuilder sb = new StringBuilder();
+      for (byte b : md.digest()) {
+        sb.append(String.format("%02x", b));
+      }
+      return sb.toString();
+    } catch (java.security.NoSuchAlgorithmException ex) {
+      return null;
+    }
+  }
+
+  private static void collectEntries(File root, File dir, List<String[]> out) {
+    File[] kids = dir.listFiles();
+    if (kids == null) {
+      return;
+    }
+    for (File k : kids) {
+      String name = k.getName();
+      if (name.startsWith(".") || name.startsWith("_")) {
+        continue;
+      }
+      if (k.isDirectory()) {
+        collectEntries(root, k, out);
+      } else {
+        out.add(
+            new String[] {
+              root.toPath().relativize(k.toPath()).toString(),
+              Long.toString(k.length())
+            });
+      }
+    }
+  }
+
   private LogicalPlan rewrite(LogicalPlan p, String root) {
     if (!(p instanceof Aggregate)) {
       return null;
@@ -331,6 +392,18 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
       }
       if (!idCol.equals(meta.path("doc_id_col").asText(""))) {
         return null;
+      }
+      // Staleness gate (same contract as IndexCatalog.lookup): the build
+      // recorded a digest of the base table's data-file listing + sizes.
+      // Spark never rewrites parquet files in place, so any append or
+      // overwrite changes the listing; on mismatch the index must NOT be
+      // served — fall back to the base-table plan the user wrote.
+      com.fasterxml.jackson.databind.JsonNode fpNode = meta.path("fingerprint");
+      if (fpNode.isTextual()) {
+        String fp = tableFingerprint(new File(recorded));
+        if (fp == null || !fp.equals(fpNode.asText())) {
+          return null;
+        }
       }
     } catch (java.io.IOException ex) {
       return null;

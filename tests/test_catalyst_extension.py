@@ -167,7 +167,28 @@ _DRIVER = textwrap.dedent(
         postings(df, "l_returnflag", doc_id_col="l_partkey")
     )
 
-    # 9. flag off: same session semantics, rule inert.
+    # 9. staleness: a fingerprint that no longer matches the base
+    #    table's file listing (simulated by tampering the recorded
+    #    digest — testdata is read-only) must decline; restoring it
+    #    re-serves.  Same contract as IndexCatalog.lookup, enforced at
+    #    the Catalyst layer.
+    meta_p = os.path.join(root, "lineitem__l_returnflag", "_index_meta.json")
+    meta_orig = open(meta_p).read()
+    tampered = json.loads(meta_orig)
+    assert tampered.get("fingerprint"), "build should record a fingerprint"
+    tampered["fingerprint"] = "0" * 64
+    with open(meta_p, "w") as fh:
+        json.dump(tampered, fh)
+    out["stale_fingerprint_declines"] = "lineitem.parquet" in physical(
+        postings(df, "l_returnflag", doc_id_col="l_orderkey")
+    )
+    with open(meta_p, "w") as fh:
+        fh.write(meta_orig)
+    out["fresh_fingerprint_serves"] = "lineitem__l_returnflag" in physical(
+        postings(df, "l_returnflag", doc_id_col="l_orderkey")
+    )
+
+    # 10. flag off: same session semantics, rule inert.
     spark.conf.unset("spark.polars.index.root")
     out["flag_off_keeps_base"] = "lineitem.parquet" in physical(
         postings(df, "l_returnflag", doc_id_col="l_orderkey")
@@ -214,5 +235,7 @@ def test_index_rewrite_end_to_end():
         "ids_results_match": True,
         "chunked_declines": True,
         "wrong_doc_id_col_declines": True,
+        "stale_fingerprint_declines": True,
+        "fresh_fingerprint_serves": True,
         "flag_off_keeps_base": True,
     }, res
