@@ -782,11 +782,11 @@ def embedding_cosine_pairs_gemm(
     per-task cost as the corpus grows — identical contract to the
     expression form, which stays available as the pure-JVM verifier.
 
-    Contract note: both paths assume ``n_dims`` == the embedding length.
-    Off-contract inputs degrade differently (the expression path
-    null-pads longer-than-n_dims vectors into bucket 0 and drops ragged
-    pairs; this path truncates/zero-pads) — matching behavior is only
-    guaranteed on-contract, which the shared oracle pins.
+    Contract note: both paths bucket on the PREFIX ``min(len, n_dims)``
+    of each vector (the expression path slices both zip sides, this path
+    truncates/zero-pads — algebraically the same projection), so an
+    embedding-width drift degrades both identically; the shared oracle
+    pins the on-contract behavior.
     """
     import numpy as np
 

@@ -103,18 +103,23 @@ def hyperplane_signature(
     """``[vec_id, sig: long, embedding]`` — bit p of sig = sign of
     <v, H_p> with H_p a literal ±1 weight vector (:func:`plane_weights`).
     A ±1 hyperplane family is distribution-free and needs no stored model;
-    signature computation is a narrow map.  ``n_dims`` must equal the
-    embedding length (weights are materialized per dimension).
+    signature computation is a narrow map.  Vectors interact with the
+    planes over the PREFIX ``min(len(v), n_dims)`` — both zip sides are
+    sliced because ``zip_with`` null-pads the shorter array (it does not
+    stop) and one null poisons the fold; the prefix rule matches the
+    GEMM path's ``[:n_dims]`` truncation and the DuckDB twin's
+    ``least(length(v), n_dims)``, so an embedding-width drift degrades
+    all three engines identically instead of null-ing one of them.
     """
     v = F.col(vec_col)
     bits = []
     for p in range(n_planes):
         w = F.array(*[F.lit(float(x)) for x in plane_weights(p, n_dims)])
-        # slice weights to the vector length so shorter vectors use a
-        # prefix of the plane instead of null-padding the zip
         proj = F.aggregate(
             F.zip_with(
-                v, F.slice(w, 1, F.size(v)), lambda x, h: x.cast("double") * h
+                F.slice(v, 1, n_dims),
+                F.slice(w, 1, F.least(F.size(v), F.lit(n_dims))),
+                lambda x, h: x.cast("double") * h,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

@@ -417,3 +417,25 @@ def test_embedding_cosine_pairs_against_corpus(spark):
         elif a % 2 == 1 and b % 2 == 0:
             want[(a, b)] = r["cos_sim"]
     assert got == want and len(got) > 0
+
+
+def test_hyperplane_signature_prefix_semantics(spark):
+    """A vector LONGER than n_dims signs on its first n_dims entries —
+    not a null-poisoned signature (zip_with pads the shorter side with
+    nulls; both sides must be sliced).  Matches the GEMM path's
+    truncation and the DuckDB twin's least(length, n_dims)."""
+    from polars_w_inverted_index_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+
+    vals = [float((i * 7) % 11 - 5) for i in range(100)]
+    wide = spark.createDataFrame(
+        [(1, vals)], "vec_id long, embedding array<double>"
+    )
+    prefix = spark.createDataFrame(
+        [(1, vals[:64])], "vec_id long, embedding array<double>"
+    )
+    s_wide = hyperplane_signature(wide, n_dims=64).first()["sig"]
+    s_prefix = hyperplane_signature(prefix, n_dims=64).first()["sig"]
+    assert s_wide is not None
+    assert s_wide == s_prefix
