@@ -290,6 +290,47 @@ def ann_index_add_batch(
     return batch.count()
 
 
+def ann_index_compact(spark: SparkSession, root: str) -> int:
+    """Fold accumulated ``ingest_batch=<id>`` delta directories back into
+    the base layout (everything under ``ingest_batch=-1``); returns the
+    number of delta directories folded.
+
+    A long-running stream leaves one small directory per cell per batch
+    (the price of crash-exact replay, streaming/ann_ingest.py); serving
+    cost grows with file count, not data size.  Compaction is the same
+    amortized rewrite the near-dedup band state and any LSM layout use:
+    read current cells, rewrite partitioned by cell into a fresh
+    directory, atomic swap via ``os.replace`` of the directory name.
+    Run it on the rebuild cadence or when the per-cell file count hurts;
+    between batches only (same single-writer contract as ingest).
+    """
+    import glob
+    import shutil
+
+    cells_dir = os.path.join(root, "cells")
+    deltas = glob.glob(os.path.join(cells_dir, "cell=*", "ingest_batch=*"))
+    deltas = [d for d in deltas if not d.endswith("ingest_batch=-1")]
+    if not deltas:
+        return 0
+    current = spark.read.parquet(cells_dir).select(
+        "cell", "vec_id", "cv", "cn"
+    )
+    tmp = os.path.join(root, "cells__compacting")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        current.withColumn("ingest_batch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(tmp)
+    )
+    old = os.path.join(root, "cells__old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(cells_dir, old)
+    os.rename(tmp, cells_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(deltas)
+
+
 def ann_search(
     spark: SparkSession,
     root: str,

@@ -243,6 +243,38 @@ def test_ingest_crash_window_replay(spark, emb, tmp_path):
     assert cells.select("vec_id").distinct().count() == emb.count()
 
 
+def test_compaction_folds_deltas_and_preserves_serving(spark, emb, tmp_path):
+    """After several guarded micro-batches, compaction folds the
+    ingest_batch delta dirs into the base layout with identical served
+    results (full-probe == brute force before and after), and a second
+    compaction is a no-op."""
+    import glob
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_index_compact,
+    )
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+
+    root = str(tmp_path / "ann_compact")
+    build_ann_index(emb.where(F.col("vec_id") < 200), root,
+                    n_centroids=6, n_iters=1)
+    for i, lo, hi in [(0, 200, 300), (1, 300, 400), (2, 400, 10**9)]:
+        b = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        assert ann_ingest_batch(b, root, batch_id=i) == b.count()
+    deltas = glob.glob(f"{root}/cells/cell=*/ingest_batch=*")
+    assert any(not d.endswith("=-1") for d in deltas)
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    before = _key(ann_search(spark, root, queries, k=5, nprobe=6))
+    folded = ann_index_compact(spark, root)
+    assert folded >= 3
+    after_dirs = glob.glob(f"{root}/cells/cell=*/ingest_batch=*")
+    assert after_dirs and all(d.endswith("=-1") for d in after_dirs)
+    assert _key(ann_search(spark, root, queries, k=5, nprobe=6)) == before
+    assert before == _key(brute_force_topk(emb, queries, k=5))
+    assert ann_index_compact(spark, root) == 0  # idempotent no-op
+
+
 def test_argmax_assignment_equals_window_path(emb):
     """The keep_n=1 max(struct) fast path returns exactly what the
     ranking-window path would (same tie rule), and its plan carries a
