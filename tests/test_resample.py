@@ -100,3 +100,25 @@ def test_span_guard_and_bad_args(spark, events):
         resample_events(events, 3600, agg="median")
     with pytest.raises(ValueError, match="fill"):
         resample_events(events, 3600, fill="bfill")
+
+
+def test_pre_epoch_timestamps_floor_into_correct_bucket(spark):
+    """Negative epoch micros must FLOOR into their bucket, not truncate
+    toward zero: 1969-12-31 23:59:30 belongs to the bucket starting
+    1969-12-31 23:59:00, never to 1970-01-01 00:00:00 (and bucket 0 must
+    not swallow 2 minutes of pre/post-epoch events)."""
+    rows = [
+        (1, datetime.datetime(1969, 12, 31, 23, 59, 30), 10.0),
+        (1, datetime.datetime(1970, 1, 1, 0, 0, 30), 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["bucket_ts"]: r["sum_value"]
+        for r in resample_events(df, every_sec=60).collect()
+    }
+    assert out == {
+        datetime.datetime(1969, 12, 31, 23, 59): 10.0,
+        datetime.datetime(1970, 1, 1, 0, 0): 20.0,
+    }
