@@ -497,8 +497,18 @@ def main() -> None:
 
     import gc
 
-    for fn in workload.values():  # warm-up pass (footers, codegen, cache)
-        _materialize(fn(spark, sf_dir))
+    # Per-entry fault isolation (round-3 lesson: ONE entry crashing on a
+    # testdata-drift edge lost the ENTIRE bench record for the round).  A
+    # failed entry is recorded under "errors", excluded from totals, and
+    # a canonical failure poisons the headline to -1.0 — loud and
+    # attributable, never silently partial, never a lost file.
+    errors: dict[str, str] = {}
+
+    for name, fn in workload.items():  # warm-up (footers, codegen, cache)
+        try:
+            _materialize(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 - record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
     gc.collect()
 
     def _jvm_gc():
@@ -519,19 +529,29 @@ def main() -> None:
     baseline_keys = set(headline) | set(logs) | set(logs_extra)
     timings: dict[str, float] = {}
     for name, fn in workload.items():
+        if name in errors:
+            continue  # warm-up already failed; don't re-raise in timing
         # sf0.1 headline queries are sub-second: best-of-3 costs ~2 s
         # total and shields the graded `value` from a transient landing
         # in both of two reps (observed 1.75 s vs steady-state 0.45 s).
         reps = 3 if name in headline else 2 if name in baseline_keys else 1
         best = float("inf")
-        for _ in range(reps):
-            _jvm_gc()
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(reps):
+                _jvm_gc()
+                t0 = time.perf_counter()
+                _materialize(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
-    total = round(sum(timings[n] for n in headline), 4)
+    def _total(names) -> float:
+        if any(n in errors for n in names):
+            return -1.0  # a graded query failed: poison, don't fake
+        return round(sum(timings[n] for n in names), 4)
+
+    total = _total(headline)
     out = {
         "metric": "reference_workload_total",
         "value": total,
@@ -540,8 +560,10 @@ def main() -> None:
     }
     if logs:
         # apples-to-apples vs BASELINE.md: same 10 M-record workload
-        out["logs10m_total"] = round(sum(timings[n] for n in logs), 4)
+        out["logs10m_total"] = _total(logs)
         out["logs10m_rows"] = LOGS_N
+    if errors:
+        out["errors"] = errors
     # The driver captures a 2,000-byte stdout tail and parses its LAST
     # JSON line (BENCH_r1-r3 all show tail_len=2000).  Emit full detail
     # on its own line FIRST (for humans; may straddle the tail
@@ -552,8 +574,16 @@ def main() -> None:
     print(json.dumps(detail))
 
     out["queries"] = {
-        k: round(timings[k], 2) for k in sorted(baseline_keys)
+        k: round(timings[k], 2)
+        for k in sorted(baseline_keys)
+        if k in timings
     }
+    if errors:
+        # compact line must fit the driver's 2000-byte tail: name the
+        # failed entries, full messages live on the detail line above
+        out["errors"] = {k: errors[k][:60] for k in sorted(errors)[:3]}
+        if len(errors) > 3:
+            out["errors"]["..."] = f"{len(errors) - 3} more"
     line = json.dumps(out)
     if len(line) > 1500:  # belt-and-braces; ~8 graded keys ≈ 600 B
         out["queries"] = {}
