@@ -87,41 +87,42 @@ def random_projection(
 
     c = _c(col)
     scale = 1.0 / (out_dims ** 0.5)
-    outs = []
-    for j in range(out_dims):
-        w = F.array(
-            *[
-                F.lit(
-                    float(
-                        (
-                            int(
-                                hashlib.md5(
-                                    f"{seed}:{j}:{d}".encode()
-                                ).hexdigest()[:15],
-                                16,
-                            )
-                            & 1
-                        )
-                        * 2
-                        - 1
+    # ONE nested array literal (out_dims × in_dims) instead of out_dims
+    # separate in_dims-literal arrays — the flat form's expression tree
+    # made analysis cost dominate small batches (same fix as
+    # similarity.hyperplane_signature, measured ~2× there).
+    weights = [
+        [
+            float(
+                (
+                    int(
+                        hashlib.md5(
+                            f"{seed}:{j}:{d}".encode()
+                        ).hexdigest()[:15],
+                        16,
                     )
+                    & 1
                 )
-                for d in range(in_dims)
-            ]
-        )
-        outs.append(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(c, 1, in_dims),
-                    F.slice(w, 1, F.least(F.size(c), F.lit(in_dims))),
-                    lambda x, h: x.cast("double") * h,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+                * 2
+                - 1
             )
-            * F.lit(scale)
+            for d in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+    cp = F.slice(c, 1, in_dims)
+    wlen = F.least(F.size(c), F.lit(in_dims))
+    return F.transform(
+        F.lit(weights),
+        lambda w: F.aggregate(
+            F.zip_with(
+                cp, F.slice(w, 1, wlen), lambda x, h: x.cast("double") * h
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    return F.array(*outs)
+        * F.lit(scale),
+    )
 
 
 def cosine_sql(a: str, b: str) -> str:
