@@ -101,12 +101,15 @@ def _decode_wav(data: bytes) -> tuple[str, int, int, int, bytes] | None:
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
-    with wave.open(io.BytesIO(data)) as wf:
-        nch = wf.getnchannels()
-        sw = wf.getsampwidth()
-        sr = wf.getframerate()
-        nf = wf.getnframes()
-        frames = wf.readframes(nf)
+    try:
+        with wave.open(io.BytesIO(data)) as wf:
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            sr = wf.getframerate()
+            nf = wf.getnframes()
+            frames = wf.readframes(nf)
+    except wave.Error as e:
+        raise NotImplementedError(f"corrupt/unsupported WAV: {e}") from e
     if sw == 1:
         samples = np.frombuffer(frames, dtype=np.uint8)
     elif sw == 2:
@@ -139,17 +142,20 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, bytes] | None:
     pos = 8
     ihdr = None
     idat = bytearray()
-    while pos + 8 <= len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + ln]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
-        elif ctype == b"IDAT":
-            idat += chunk
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln  # length + type + data + crc32
+    try:
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            chunk = data[pos + 8 : pos + 8 + ln]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", chunk)
+            elif ctype == b"IDAT":
+                idat += chunk
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln  # length + type + data + crc32
+    except struct.error:
+        ihdr = None  # malformed chunk stream: not decodable as PNG
     if ihdr is None:
         return None
     w, h, depth, color, _comp, _filt, interlace = ihdr
@@ -159,7 +165,10 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, bytes] | None:
             "PIL (not installed); 8-bit gray/RGB/RGBA decode is built in"
         )
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG pixel data: {e}") from e
     stride = w * nch
     if len(raw) < (stride + 1) * h:
         raise NotImplementedError("truncated PNG pixel data")
