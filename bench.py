@@ -285,6 +285,12 @@ def _extension_workload():
             "polars_w_inverted_index_spark.operators.search",
             fromlist=["top_tfidf_terms"],
         ).top_tfidf_terms(_docs(s, d), k=10),
+        "ext_span_dedup": lambda s, d: __import__(
+            "polars_w_inverted_index_spark.operators.span_dedup",
+            fromlist=["scrub_repeated_spans"],
+        ).scrub_repeated_spans(_docs(s, d), k=8).select(
+            "doc_id", "n_removed_tokens"
+        ),
         "ext_resample_events": lambda s, d: __import__(
             "polars_w_inverted_index_spark.operators.resample",
             fromlist=["resample_events"],

@@ -1,0 +1,191 @@
+"""Cross-document verbatim-span scrubbing (ExactSubstr-style dedup).
+
+Document-level dedup (exact/minhash) drops whole near-identical
+documents and line-level dedup strips hot boilerplate LINES; what
+neither catches is a long verbatim passage (a license block, a quoted
+article, a template paragraph) embedded mid-document in otherwise
+distinct pages.  Lee et al. 2021 ("Deduplicating Training Data Makes
+Language Models Better") remove such repeats with a corpus-wide suffix
+array; a suffix array is a single global sorted structure — the wrong
+shape for a distributed engine.  The Spark-first approximation used by
+large pipelines replaces it with fixed-k rolling shingles:
+
+1. every k-token window of every document is keyed (narrow transform —
+   one 60-bit hash per window, positions kept);
+2. one groupBy counts window occurrences corpus-wide — uniform
+   high-cardinality keys, partial aggregation, the corpus's ONE shuffle;
+3. windows with ``count >= min_count`` mark their [pos, pos+k) token
+   interval; per document the intervals merge into maximal spans (a
+   JVM-side fold over the sorted starts — per-doc work, no shuffle
+   beyond the doc_id groupBy);
+4. scrubbing rebuilds the text keeping tokens outside every span.
+
+Any repeat of length >= k tokens is covered by at least one hot window
+(the windows tile it), so the k-gram form finds every repeat the suffix
+array would at granularity k; shorter repeats are intentionally kept
+(that is the precision dial — Lee et al. use 50 tokens).  ALL
+occurrences of a repeated span are scrubbed (deterministic and
+order-free at any partitioning; keeping "the first" occurrence would
+impose a global document order — exactly the coordination a 100 TB
+corpus cannot afford).
+
+Cost shape: |tokens| window rows through one count shuffle; the df-cut
+analogy of the pair generators applies — there is no self-join at all,
+so no hot-key quadratic bucket exists by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import tokens
+
+
+def _window_rows(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """``[doc_id, pos, sh]`` — one 60-bit hash per k-token window."""
+    tok = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - k),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_long(
+                F.array_join(F.slice(tok, i + 1, k), "\x1f")
+            ).alias("sh"),
+        ),
+    )
+    return (
+        docs.where(F.size(tok) >= k)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .select("doc_id", "g.pos", "g.sh")
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``[doc_id, span_start, span_end]`` — maximal merged token
+    intervals (end exclusive) covered by k-token windows occurring
+    >= ``min_count`` times corpus-wide (all occurrences, including
+    within-document repeats)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    win = _window_rows(docs, k, text_col, id_col)
+    hot = (
+        win.groupBy("sh")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("sh")
+    )
+    marked = win.join(hot, "sh", "left_semi")
+    # merge [pos, pos+k) intervals per doc: starts sorted, fold keeps a
+    # growing array of disjoint (s, e) structs — per-doc CPU, 1 shuffle
+    merged = (
+        marked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "ps",
+                F.array().cast("array<struct<s:long,e:long>>"),
+                lambda acc, p: F.when(
+                    (F.size(acc) > 0)
+                    & (p <= F.element_at(acc, -1).getField("e")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)
+                                .getField("s")
+                                .alias("s"),
+                                F.greatest(
+                                    F.element_at(acc, -1).getField("e"),
+                                    (p + k).cast("long"),
+                                ).alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                p.cast("long").alias("s"),
+                                (p + k).cast("long").alias("e"),
+                            )
+                        ),
+                    )
+                ),
+            ).alias("spans"),
+        )
+        .select("doc_id", F.explode("spans").alias("sp"))
+        .select(
+            "doc_id",
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+        )
+    )
+    return merged
+
+
+def scrub_repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Input schema with ``text_col`` rebuilt from the tokens OUTSIDE
+    every repeated span, plus ``n_removed_tokens`` for audit.
+
+    Token-level rebuild (lowercased, single-space joined — the same
+    normalization the window keys use): removing a verbatim passage
+    at byte fidelity would need the spans mapped back to character
+    offsets, which whitespace-normalized tokenization deliberately
+    discards.  Documents with no repeated span pass through with their
+    text normalized identically, so output text is uniformly
+    token-joined.
+    """
+    spans = (
+        repeated_spans(docs, k, min_count, text_col, id_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("_spans")
+        )
+    )
+    tok = tokens(text_col)
+    joined = docs.join(
+        spans, docs[id_col] == spans["doc_id"], "left"
+    ).drop(spans["doc_id"])
+    sp = F.coalesce(
+        F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    kept = F.filter(
+        F.transform(tok, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.exists(
+            sp,
+            lambda s: (x.getField("i") >= s.getField("s"))
+            & (x.getField("i") < s.getField("e")),
+        ),
+    )
+    n_tok = F.size(tok)
+    out_cols = [c for c in docs.columns if c != text_col]
+    return joined.select(
+        *out_cols,
+        F.array_join(
+            F.transform(kept, lambda x: x.getField("t")), " "
+        ).alias(text_col),
+        (n_tok - F.size(kept)).cast("int").alias("n_removed_tokens"),
+    )
