@@ -85,8 +85,13 @@ def repeated_spans(
         .select("sh")
     )
     marked = win.join(hot, "sh", "left_semi")
-    # merge [pos, pos+k) intervals per doc: starts sorted, fold keeps a
-    # growing array of disjoint (s, e) structs — per-doc CPU, 1 shuffle
+    return _merge_marked_to_spans(marked, k)
+
+
+def _merge_marked_to_spans(marked: DataFrame, k: int) -> DataFrame:
+    """``[doc_id, span_start, span_end]`` — merge hot-window [pos,
+    pos+k) intervals per doc: starts sorted, fold keeps a growing array
+    of disjoint (s, e) structs — per-doc CPU, 1 shuffle."""
     merged = (
         marked.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
@@ -135,6 +140,63 @@ def repeated_spans(
     return merged
 
 
+def window_counts(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``[sh, n]`` — corpus-wide occurrence count per k-token window.
+
+    The reusable ARTIFACT of span scrubbing (cf. the postings
+    IndexCatalog / minhash band table): a pure function of corpus
+    content, built with the one corpus-wide shuffle, persistable as
+    parquet and consumed by :func:`scrub_repeated_spans_against` so
+    ingest batches never rescan the standing corpus."""
+    return (
+        _window_rows(docs, k, text_col, id_col)
+        .groupBy("sh")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def scrub_repeated_spans_against(
+    corpus_counts: DataFrame,
+    batch: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest twin of :func:`scrub_repeated_spans`: scrub a
+    NEW batch against a standing corpus's :func:`window_counts` table.
+
+    A batch window is hot when corpus occurrences + batch occurrences
+    reach ``min_count`` — identical semantics to running the batch
+    through the full-corpus operator with the corpus text present, but
+    per-batch cost is O(batch windows): batch windows aggregate
+    batch-side counts (one batch-sized shuffle) and LEFT-join the
+    corpus table on the uniform hash key (AQE broadcasts the small
+    batch side; the corpus table is never reshuffled or rescanned).
+    ``k`` must match the table's build-time k — window hashes of
+    different k never collide meaningfully but the join would silently
+    find nothing; pass the same dial you built with.
+    """
+    win = _window_rows(batch, k, text_col, id_col)
+    batch_counts = win.groupBy("sh").agg(F.count("*").alias("bn"))
+    hot = (
+        batch_counts.join(
+            corpus_counts.select("sh", F.col("n").alias("cn")), "sh", "left"
+        )
+        .where(
+            (F.coalesce(F.col("cn"), F.lit(0)) + F.col("bn")) >= min_count
+        )
+        .select("sh")
+    )
+    marked = win.join(hot, "sh", "left_semi")
+    return _scrub_with_marked(batch, marked, k, text_col, id_col)
+
+
 def scrub_repeated_spans(
     docs: DataFrame,
     k: int = 8,
@@ -153,9 +215,25 @@ def scrub_repeated_spans(
     text normalized identically, so output text is uniformly
     token-joined.
     """
+    return _scrub_with_spans(
+        docs, repeated_spans(docs, k, min_count, text_col, id_col),
+        text_col, id_col,
+    )
+
+
+def _scrub_with_marked(
+    docs: DataFrame, marked: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    return _scrub_with_spans(
+        docs, _merge_marked_to_spans(marked, k), text_col, id_col
+    )
+
+
+def _scrub_with_spans(
+    docs: DataFrame, span_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
     spans = (
-        repeated_spans(docs, k, min_count, text_col, id_col)
-        .groupBy("doc_id")
+        span_df.groupBy("doc_id")
         .agg(
             F.collect_list(
                 F.struct(

@@ -166,3 +166,43 @@ def test_short_docs_pass_through(spark):
     # shorter than k: no windows exist, nothing scrubbed — even though
     # the docs are identical (that is document-level dedup's job)
     assert out == {0: ("one two three", 0), 1: ("one two three", 0)}
+
+
+def test_against_form_matches_full_corpus_semantics(spark, docs):
+    """Scrubbing a batch against the standing corpus's window_counts
+    artifact equals running the full operator over corpus ∪ batch and
+    reading the batch rows — per-batch cost without the corpus rescan."""
+    from polars_w_inverted_index_spark.operators.span_dedup import (
+        scrub_repeated_spans_against,
+        window_counts,
+    )
+
+    corpus = docs  # the module fixture is the standing corpus
+    batch = spark.createDataFrame(
+        [
+            (100, f"fresh opening words {PASSAGE} fresh closing words"),
+            (101, "entirely novel batch document with unique phrasing"),
+            # repeats a batch-internal window with doc 102 (not corpus)
+            (102, "b1 b2 b3 b4 b5 b6 b7 b8 only in batch"),
+            (103, "b1 b2 b3 b4 b5 b6 b7 b8 also batch only"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = window_counts(corpus, k=K)
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_repeated_spans_against(
+            counts, batch, k=K, min_count=MIN_COUNT
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_repeated_spans(
+            corpus.unionByName(batch), k=K, min_count=MIN_COUNT
+        ).collect()
+        if r["doc_id"] >= 100
+    }
+    assert got == full
+    assert "license" not in got[100][0]  # corpus passage caught
+    assert got[101][1] == 0  # novel doc untouched
+    assert got[102][1] >= K and got[103][1] >= K  # batch-internal repeat
