@@ -178,6 +178,10 @@ def scrub_repeated_spans_against(
     batch-side counts (one batch-sized shuffle) and LEFT-join the
     corpus table on the uniform hash key (AQE broadcasts the small
     batch side; the corpus table is never reshuffled or rescanned).
+    ``corpus_counts`` may hold MULTIPLE rows per ``sh`` (the streaming
+    state stores per-batch delta partitions); occurrences are summed
+    AFTER the join, so the aggregation stays batch-keyed — pre-summing
+    the whole table per batch would be corpus-sized work.
     ``k`` must match the table's build-time k — window hashes of
     different k never collide meaningfully but the join would silently
     find nothing; pass the same dial you built with.
@@ -187,6 +191,11 @@ def scrub_repeated_spans_against(
     hot = (
         batch_counts.join(
             corpus_counts.select("sh", F.col("n").alias("cn")), "sh", "left"
+        )
+        .groupBy("sh")
+        .agg(
+            F.max("bn").alias("bn"),  # bn is per-sh constant
+            F.sum("cn").alias("cn"),  # sums across delta partitions
         )
         .where(
             (F.coalesce(F.col("cn"), F.lit(0)) + F.col("bn")) >= min_count

@@ -22,6 +22,11 @@ from .near_dedup import (
     read_corpus_bands,
     start_near_dedup,
 )
+from .span_scrub import (
+    read_window_state,
+    span_scrub_batch,
+    start_span_scrub,
+)
 from .search_index import (
     boolean_search_from_index,
     merge_term_index_batch,
@@ -48,6 +53,9 @@ __all__ = [
     "start_near_dedup",
     "read_index_postings",
     "start_index_maintenance",
+    "read_window_state",
+    "span_scrub_batch",
+    "start_span_scrub",
     "running_user_totals",
     "session_event_counts",
     "streaming_dedup_exact",

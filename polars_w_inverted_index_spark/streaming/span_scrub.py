@@ -1,0 +1,194 @@
+"""Streaming verbatim-span scrubbing (ExactSubstr ingest form).
+
+Completes the span-dedup family the way near_dedup completes MinHash:
+each micro-batch is scrubbed against everything seen so far, then the
+batch's OWN window counts join the state — a passage first seen in
+batch 3 is scrubbed from batch 7 onward (and from batch 3 itself if it
+repeats within the batch or reaches ``min_count`` against the corpus).
+
+State = the window-count table (sh, n), committed as per-batch DELTA
+directories behind the atomic ``_LATEST`` pointer (the near_dedup
+layout): per-batch commit I/O is O(batch windows), the reader sums
+duplicate keys batch-side AFTER its join
+(operators/span_dedup.scrub_repeated_spans_against), and the commit
+compacts to one aggregated directory when the delta list exceeds
+``max_delta_dirs``.  foreachBatch is at-least-once: a replayed
+committed batch_id is a no-op (returning an EMPTY frame — its rows
+already flowed downstream once), a behind batch_id fails loudly.
+
+Unlike near-dedup (which drops whole documents and must not re-emit
+them), scrubbing REWRITES rows, so the at-least-once contract matters
+doubly: double-counting a replayed batch's windows would inflate
+occurrence counts and over-scrub future batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.span_dedup import (
+    _window_rows,
+    scrub_repeated_spans_against,
+)
+
+
+def _marker_path(state_path: str) -> str:
+    return os.path.join(state_path, "_LATEST")
+
+
+def _read_marker(state_path: str) -> dict | None:
+    p = _marker_path(state_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _marker_dirs(meta: dict) -> list[str]:
+    return meta.get("dirs") or []
+
+
+def read_window_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame | None:
+    """Committed window-count table — may repeat ``sh`` across delta
+    partitions (consumers sum; the _against operator does) — or None
+    before the first commit."""
+    meta = _read_marker(state_path)
+    if meta is None or not _marker_dirs(meta):
+        return None
+    return spark.read.parquet(
+        *[os.path.join(state_path, d) for d in _marker_dirs(meta)]
+    )
+
+
+def span_scrub_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+    max_delta_dirs: int = 8,
+) -> DataFrame:
+    """Scrub one micro-batch against the accumulated window counts and
+    commit the batch's own counts; returns the scrubbed rows as a
+    lineage-severed frame (safe to use after later commits compact the
+    state it was computed from)."""
+    spark = batch_df.sparkSession
+    meta = _read_marker(state_path)
+    if (
+        batch_id is not None
+        and meta is not None
+        and meta.get("batch_id") is not None
+    ):
+        if batch_id == meta["batch_id"]:
+            # committed replay: no-op with the EXACT output schema (an
+            # ad-hoc empty select would reorder columns and break a
+            # downstream parquet append)
+            return scrub_repeated_spans_against(
+                spark.createDataFrame([], "sh long, n long"),
+                batch_df.limit(0),
+                k,
+                min_count,
+                text_col,
+                id_col,
+            )
+        if batch_id < meta["batch_id"]:
+            raise ValueError(
+                f"batch_id {batch_id} is behind committed "
+                f"{meta['batch_id']}: checkpoint was reset — use a fresh "
+                f"state_path or replay without batch_id."
+            )
+    corpus = read_window_state(spark, state_path)
+    if corpus is None:
+        corpus = spark.createDataFrame([], "sh long, n long")
+    scrubbed = scrub_repeated_spans_against(
+        corpus, batch_df, k, min_count, text_col, id_col
+    ).localCheckpoint()
+
+    # commit the ORIGINAL batch's window counts (everything seen, not
+    # the scrubbed remainder — future repeats of a passage seen once
+    # must reach min_count and be caught)
+    batch_counts = (
+        _window_rows(batch_df, k, text_col, id_col)
+        .groupBy("sh")
+        .agg(F.count("*").alias("n"))
+    )
+    old_dirs = _marker_dirs(meta) if meta else []
+    next_v = (meta or {}).get("v", -1) + 1
+    out_name = f"v={next_v}"
+    out = os.path.join(state_path, out_name)
+    if old_dirs and len(old_dirs) >= max_delta_dirs:
+        # compaction: aggregated single directory (read before prune)
+        merged = (
+            corpus.unionByName(batch_counts)
+            .groupBy("sh")
+            .agg(F.sum("n").alias("n"))
+        )
+        merged.write.mode("overwrite").parquet(out)
+        new_dirs = [out_name]
+    else:
+        batch_counts.write.mode("overwrite").parquet(out)
+        new_dirs = old_dirs + [out_name]
+    marker = {
+        "v": next_v,
+        "dirs": new_dirs,
+        "batch_id": batch_id
+        if batch_id is not None
+        else (meta or {}).get("batch_id"),
+        "k": k,
+        "min_count": min_count,
+    }
+    tmp = _marker_path(state_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, _marker_path(state_path))
+    keep = set(new_dirs)
+    for name in os.listdir(state_path):
+        if name.startswith("v=") and name not in keep:
+            import shutil
+
+            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
+    return scrubbed
+
+
+def start_span_scrub(
+    stream_df: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Attach online span scrubbing to a stream: scrubbed rows append to
+    ``out_path`` (parquet), window-count state lives at ``state_path``.
+    Returns the StreamingQuery."""
+
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        span_scrub_batch(
+            batch_df,
+            state_path,
+            k=k,
+            min_count=min_count,
+            text_col=text_col,
+            id_col=id_col,
+            batch_id=batch_id,
+        ).write.mode("append").parquet(out_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_proc)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

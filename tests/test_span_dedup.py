@@ -206,3 +206,74 @@ def test_against_form_matches_full_corpus_semantics(spark, docs):
     assert "license" not in got[100][0]  # corpus passage caught
     assert got[101][1] == 0  # novel doc untouched
     assert got[102][1] >= K and got[103][1] >= K  # batch-internal repeat
+
+
+def test_streaming_span_scrub_batches(spark, tmp_path):
+    """Micro-batch ingest: a passage first seen in batch 0 is scrubbed
+    from batch 1; replayed committed batch is an empty no-op with the
+    exact output schema; behind batch_id fails loudly; delta state
+    accumulates and compacts."""
+    from polars_w_inverted_index_spark.streaming import (
+        read_window_state,
+        span_scrub_batch,
+    )
+
+    state = str(tmp_path / "span_state")
+    b0 = spark.createDataFrame(
+        [
+            (0, f"intro words {PASSAGE} outro words"),
+            (1, "first batch unique content nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, f"later document quoting {PASSAGE} verbatim again"),
+            (11, "second batch fresh content unrelated to anything prior"),
+        ],
+        "doc_id long, text string",
+    )
+    out0 = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in span_scrub_batch(b0, state, k=K, batch_id=0).collect()
+    }
+    # passage seen ONCE so far: batch 0 keeps it (min_count=2)
+    assert out0 == {0: 0, 1: 0}
+    out1 = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in span_scrub_batch(b1, state, k=K, batch_id=1).collect()
+    }
+    assert "license" not in out1[10][0] and out1[10][1] >= 15
+    assert out1[11][1] == 0
+
+    # committed replay: empty, schema matches the scrub output
+    replay = span_scrub_batch(b1, state, k=K, batch_id=1)
+    assert replay.count() == 0
+    assert replay.columns == ["doc_id", "text", "n_removed_tokens"]
+    with pytest.raises(ValueError, match="behind committed"):
+        span_scrub_batch(b0, state, k=K, batch_id=0)
+
+    # state accumulated both batches' windows (delta dirs, summed read)
+    st = read_window_state(spark, state)
+    n_state = st.groupBy("sh").agg(F.sum("n")).count()
+    assert n_state > 0
+
+    # drive enough batches to cross max_delta_dirs and force compaction
+    for i in range(2, 12):
+        bi = spark.createDataFrame(
+            [(100 + i, f"filler doc {i} with enough distinct words "
+                       f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i}")],
+            "doc_id long, text string",
+        )
+        span_scrub_batch(bi, state, k=K, batch_id=i)
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(state, "_LATEST")))
+    assert len(meta["dirs"]) <= 9  # compaction bounded the delta list
+    # the passage is STILL hot after compaction (counts preserved)
+    b_late = spark.createDataFrame(
+        [(999, f"final check {PASSAGE} end")], "doc_id long, text string"
+    )
+    late = span_scrub_batch(b_late, state, k=K, batch_id=12).first()
+    assert late["n_removed_tokens"] >= 15
