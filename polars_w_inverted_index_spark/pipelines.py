@@ -66,6 +66,13 @@ class CorpusConfig:
     # and profiling (boilerplate would otherwise pollute token counts
     # and repetition signals).  None = off.
     max_line_df: int | None = None
+    # Verbatim-span scrubbing (operators/span_dedup.py): remove k-token
+    # passages repeated >= span_scrub_min_count times corpus-wide.
+    # Runs on RAW text, before PII scrubbing — redaction placeholders
+    # are themselves verbatim-identical and would otherwise register as
+    # hot windows.  None = off.
+    span_scrub_k: int | None = None
+    span_scrub_min_count: int = 2
     lang_fractions: dict[str, float] = field(
         default_factory=lambda: {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0}
     )
@@ -98,6 +105,15 @@ def prepare_training_corpus(
         docs = remove_boilerplate_lines(
             docs, cfg.max_line_df, text_col=text_col
         )
+    if cfg.span_scrub_k is not None:
+        from .operators.span_dedup import scrub_repeated_spans
+
+        docs = scrub_repeated_spans(
+            docs,
+            k=cfg.span_scrub_k,
+            min_count=cfg.span_scrub_min_count,
+            text_col=text_col,
+        )  # n_removed_tokens rides along as an audit column
     scrubbed = scrub_documents(docs, text_col=text_col)
     profiled = repetition_profile_df(
         scrubbed.withColumn("n_tokens_ws", token_count(text_col)),

@@ -154,3 +154,33 @@ def test_chunked_pipeline_packs_chunks(docs):
         F.array_join(tokens("text"), " ") != F.col("rebuilt")
     ).count()
     assert mismatch == 0
+
+
+def test_span_scrub_stage_removes_shared_passage(spark):
+    """span_scrub_k wired into the composition: the verbatim passage
+    embedded in several otherwise-distinct docs is gone from the
+    corpus, the docs themselves survive (they are NOT near-dups as a
+    whole), and the stage runs before PII scrubbing so redaction
+    placeholders can't register as hot windows."""
+    passage = (
+        "all rights reserved redistribution of this material requires "
+        "prior written permission from the original publisher"
+    )
+    rows = []
+    for i in range(6):
+        uniq = " ".join(f"body{i}w{j}" for j in range(30))
+        rows.append((i, f"{uniq} {passage}", "en"))
+    for i in range(6, 12):
+        rows.append(
+            (i, " ".join(f"solo{i}w{j}" for j in range(40)), "en")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CorpusConfig(span_scrub_k=8, min_tokens=3)
+    out = prepare_training_corpus(docs, cfg)
+    corpus = out["corpus"].collect()
+    assert len(corpus) == 12  # no document dropped — only spans
+    for r in corpus:
+        assert "redistribution" not in r["text"]
+    removed = {r["doc_id"]: r["n_removed_tokens"] for r in corpus}
+    assert all(removed[i] >= 15 for i in range(6))
+    assert all(removed[i] == 0 for i in range(6, 12))
