@@ -38,9 +38,6 @@ artifact a batch backstop sweep would need anyway.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,23 +49,7 @@ from ..operators.dedup import (
     drop_near_duplicates,
     minhash_signatures,
 )
-
-
-def _marker_path(state_path: str) -> str:
-    return os.path.join(state_path, "_LATEST")
-
-
-def _read_marker(state_path: str) -> dict | None:
-    p = _marker_path(state_path)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
-
-
-def _marker_dirs(meta: dict) -> list[str]:
-    # "dirs" (delta layout) with backward compat for the old single-"dir"
-    return meta.get("dirs") or ([meta["dir"]] if meta.get("dir") else [])
+from ._delta_state import commit_delta, read_marker, read_state
 
 
 def read_corpus_bands(
@@ -76,12 +57,7 @@ def read_corpus_bands(
 ) -> DataFrame | None:
     """Current committed band table (union of the marker's delta
     directories), or None before the first merge."""
-    meta = _read_marker(state_path)
-    if meta is None:
-        return None
-    return spark.read.parquet(
-        *[os.path.join(state_path, d) for d in _marker_dirs(meta)]
-    )
+    return read_state(spark, state_path)
 
 
 def near_dedup_batch(
@@ -107,7 +83,7 @@ def near_dedup_batch(
     flowed downstream once).
     """
     spark = batch_df.sparkSession
-    meta = _read_marker(state_path)
+    meta = read_marker(state_path)
     if (
         batch_id is not None
         and meta is not None
@@ -181,37 +157,24 @@ def near_dedup_batch(
     # (amortized O(corpus / max_delta_dirs) per batch)
     acc_ids = accepted.select(F.col(id_col).alias("doc_id"))
     acc_bands = bands.join(acc_ids, "doc_id", "left_semi")
-    old_dirs = _marker_dirs(meta) if meta else []
-    next_v = (meta or {}).get("v", -1) + 1
-    out_name = f"v={next_v}"
-    out = os.path.join(state_path, out_name)
-    if corpus is not None and len(old_dirs) >= max_delta_dirs:
-        corpus.unionByName(acc_bands).write.mode("overwrite").parquet(out)
-        new_dirs = [out_name]
-    else:
-        acc_bands.write.mode("overwrite").parquet(out)
-        new_dirs = old_dirs + [out_name]
+    commit_delta(
+        state_path,
+        delta=acc_bands,
+        compacted=(
+            corpus.unionByName(acc_bands) if corpus is not None else None
+        ),
+        meta=meta,
+        extra_marker={
+            "batch_id": batch_id
+            if batch_id is not None
+            else (meta or {}).get("batch_id"),
+            "num_hashes": num_hashes,
+            "num_bands": num_bands,
+            "shingle_k": shingle_k,
+        },
+        max_delta_dirs=max_delta_dirs,
+    )
     bands.unpersist()
-    marker = {
-        "v": next_v,
-        "dirs": new_dirs,
-        "batch_id": batch_id
-        if batch_id is not None
-        else (meta or {}).get("batch_id"),
-        "num_hashes": num_hashes,
-        "num_bands": num_bands,
-        "shingle_k": shingle_k,
-    }
-    tmp = _marker_path(state_path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(marker, f)
-    os.replace(tmp, _marker_path(state_path))
-    keep = set(new_dirs)
-    for name in os.listdir(state_path):
-        if name.startswith("v=") and name not in keep:
-            import shutil
-
-            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
     return accepted
 
 

@@ -24,9 +24,6 @@ occurrence counts and over-scrub future batches.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,22 +31,7 @@ from ..operators.span_dedup import (
     _window_rows,
     scrub_repeated_spans_against,
 )
-
-
-def _marker_path(state_path: str) -> str:
-    return os.path.join(state_path, "_LATEST")
-
-
-def _read_marker(state_path: str) -> dict | None:
-    p = _marker_path(state_path)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
-
-
-def _marker_dirs(meta: dict) -> list[str]:
-    return meta.get("dirs") or []
+from ._delta_state import commit_delta, read_marker, read_state
 
 
 def read_window_state(
@@ -58,12 +40,7 @@ def read_window_state(
     """Committed window-count table — may repeat ``sh`` across delta
     partitions (consumers sum; the _against operator does) — or None
     before the first commit."""
-    meta = _read_marker(state_path)
-    if meta is None or not _marker_dirs(meta):
-        return None
-    return spark.read.parquet(
-        *[os.path.join(state_path, d) for d in _marker_dirs(meta)]
-    )
+    return read_state(spark, state_path)
 
 
 def span_scrub_batch(
@@ -81,7 +58,7 @@ def span_scrub_batch(
     lineage-severed frame (safe to use after later commits compact the
     state it was computed from)."""
     spark = batch_df.sparkSession
-    meta = _read_marker(state_path)
+    meta = read_marker(state_path)
     if (
         batch_id is not None
         and meta is not None
@@ -120,41 +97,24 @@ def span_scrub_batch(
         .groupBy("sh")
         .agg(F.count("*").alias("n"))
     )
-    old_dirs = _marker_dirs(meta) if meta else []
-    next_v = (meta or {}).get("v", -1) + 1
-    out_name = f"v={next_v}"
-    out = os.path.join(state_path, out_name)
-    if old_dirs and len(old_dirs) >= max_delta_dirs:
-        # compaction: aggregated single directory (read before prune)
-        merged = (
+    commit_delta(
+        state_path,
+        delta=batch_counts,
+        compacted=(
             corpus.unionByName(batch_counts)
             .groupBy("sh")
             .agg(F.sum("n").alias("n"))
-        )
-        merged.write.mode("overwrite").parquet(out)
-        new_dirs = [out_name]
-    else:
-        batch_counts.write.mode("overwrite").parquet(out)
-        new_dirs = old_dirs + [out_name]
-    marker = {
-        "v": next_v,
-        "dirs": new_dirs,
-        "batch_id": batch_id
-        if batch_id is not None
-        else (meta or {}).get("batch_id"),
-        "k": k,
-        "min_count": min_count,
-    }
-    tmp = _marker_path(state_path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(marker, f)
-    os.replace(tmp, _marker_path(state_path))
-    keep = set(new_dirs)
-    for name in os.listdir(state_path):
-        if name.startswith("v=") and name not in keep:
-            import shutil
-
-            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
+        ),
+        meta=meta,
+        extra_marker={
+            "batch_id": batch_id
+            if batch_id is not None
+            else (meta or {}).get("batch_id"),
+            "k": k,
+            "min_count": min_count,
+        },
+        max_delta_dirs=max_delta_dirs,
+    )
     return scrubbed
 
 
