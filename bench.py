@@ -406,7 +406,13 @@ def _near_dedup_two_batches(s, d):
     from polars_w_inverted_index_spark.streaming import near_dedup_batch
 
     docs = load_table(s, d, "documents")
-    pristine = scratch_dir("near_dedup_bench_state", d)
+    # key the cached state by the source file's identity so a driver
+    # testdata regeneration rebuilds instead of ingesting new docs
+    # against a stale corpus state (same guard as the ANN entry)
+    st = os.stat(os.path.join(d, "documents.parquet"))
+    pristine = scratch_dir(
+        f"near_dedup_bench_state_{st.st_size}_{int(st.st_mtime)}", d
+    )
     if not os.path.exists(os.path.join(pristine, "_LATEST")):
         near_dedup_batch(
             docs.where(F.col("doc_id") % 10 != 0), pristine, batch_id=0

@@ -273,6 +273,15 @@ def ann_index_add_batch(
     (streaming/ann_ingest.py); direct callers default to -1 (same
     directory as the build — untagged, not replay-cleanable).
     """
+    _recover_cells(root)
+    cells_dir = os.path.join(root, "cells")
+    if _legacy_cell_layout(cells_dir):
+        raise ValueError(
+            f"index at {root} uses the pre-ingest_batch cell layout; "
+            "appending the partitioned layout beside it would break "
+            "partition discovery for the whole table — run "
+            "ann_index_compact(spark, root) once to migrate, then ingest."
+        )
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     assigned = _assign_cells(batch, cent, id_col, vec_col, keep_n=1)
     (
@@ -290,27 +299,70 @@ def ann_index_add_batch(
     return batch.count()
 
 
+def _recover_cells(root: str) -> None:
+    """Finish a compaction swap a crash interrupted: the swap is two
+    renames (write tmp → rename cells away → rename tmp in), so a crash
+    between them leaves no ``cells`` but a COMPLETE ``cells__compacting``
+    — promote it; a leftover ``cells__old`` beside a live ``cells`` is
+    post-swap garbage — drop it.  Serving and ingest call this first,
+    so an interrupted compaction self-heals on the next touch."""
+    import shutil
+
+    cells = os.path.join(root, "cells")
+    tmp = os.path.join(root, "cells__compacting")
+    old = os.path.join(root, "cells__old")
+    if not os.path.exists(cells):
+        if os.path.exists(tmp):  # complete new data: finish the swap
+            os.rename(tmp, cells)
+        elif os.path.exists(old):  # crashed before the tmp write landed
+            os.rename(old, cells)
+    if os.path.exists(cells) and os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def _legacy_cell_layout(cells_dir: str) -> bool:
+    """True when cell directories hold parquet files directly — the
+    pre-``ingest_batch`` layout.  Appending the two-level layout beside
+    it would make partition discovery fail for the WHOLE table
+    ('conflicting directory structures'), so writers must gate."""
+    import glob
+
+    for cell in glob.glob(os.path.join(cells_dir, "cell=*")):
+        for entry in os.listdir(cell):
+            if entry.startswith((".", "_")):
+                continue
+            if os.path.isfile(os.path.join(cell, entry)):
+                return True
+    return False
+
+
 def ann_index_compact(spark: SparkSession, root: str) -> int:
     """Fold accumulated ``ingest_batch=<id>`` delta directories back into
     the base layout (everything under ``ingest_batch=-1``); returns the
-    number of delta directories folded.
+    number of directories folded (0 = nothing to do).  Also migrates a
+    pre-``ingest_batch`` (legacy flat-cell) index into the current
+    layout, which unblocks :func:`ann_index_add_batch` on old roots.
 
     A long-running stream leaves one small directory per cell per batch
     (the price of crash-exact replay, streaming/ann_ingest.py); serving
     cost grows with file count, not data size.  Compaction is the same
     amortized rewrite the near-dedup band state and any LSM layout use:
     read current cells, rewrite partitioned by cell into a fresh
-    directory, atomic swap via ``os.replace`` of the directory name.
-    Run it on the rebuild cadence or when the per-cell file count hurts;
-    between batches only (same single-writer contract as ingest).
+    directory, then swap.  The swap is two renames, NOT atomic — the
+    crash window between them is closed by :func:`_recover_cells`
+    (the complete ``cells__compacting`` directory is promoted on the
+    next touch).  Run between batches only (same single-writer contract
+    as ingest).
     """
     import glob
     import shutil
 
+    _recover_cells(root)
     cells_dir = os.path.join(root, "cells")
     deltas = glob.glob(os.path.join(cells_dir, "cell=*", "ingest_batch=*"))
     deltas = [d for d in deltas if not d.endswith("ingest_batch=-1")]
-    if not deltas:
+    legacy = _legacy_cell_layout(cells_dir)
+    if not deltas and not legacy:
         return 0
     current = spark.read.parquet(cells_dir).select(
         "cell", "vec_id", "cv", "cn"
@@ -328,7 +380,7 @@ def ann_index_compact(spark: SparkSession, root: str) -> int:
     os.rename(cells_dir, old)
     os.rename(tmp, cells_dir)
     shutil.rmtree(old, ignore_errors=True)
-    return len(deltas)
+    return len(deltas) if deltas else 1
 
 
 def ann_search(
@@ -355,6 +407,7 @@ def ann_search(
     result is EXACTLY brute force (same rounding, same tie order) — the
     equivalence tests pin that.
     """
+    _recover_cells(root)  # finish any crash-interrupted compaction swap
     # identity gate (the IndexCatalog discipline): an index built over
     # d-dim vectors must not score d'-dim queries — zip_with would
     # silently truncate to the shorter prefix and return plausible

@@ -184,16 +184,20 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, bytes] | None:
         off += stride
         if ftype == 0:  # None
             cur = line
+        elif ftype == 1:  # Sub — per-channel prefix sum mod 256
+            cur = line.copy()
+            for c0 in range(nch):
+                cur[c0::nch] = (
+                    np.cumsum(line[c0::nch], dtype=np.int64) & 0xFF
+                )
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+        elif ftype in (3, 4):  # Average / Paeth — sequential in x
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = int(cur[x - nch]) if x >= nch else 0
                 b = int(prev[x])
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) >> 1
                 else:
                     c = int(prev[x - nch]) if x >= nch else 0
@@ -210,11 +214,19 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, bytes] | None:
     px = out.reshape(h, w, nch)
     if nch in (1, 2):  # gray / gray+alpha
         gray = px[:, :, 0]
-    else:  # RGB / RGBA → ITU-R 601-2 integer luma (PIL's L formula)
+    else:  # RGB / RGBA → PIL's EXACT integer ITU-R 601-2 luma
+        # ((R*19595 + G*38470 + B*7471 + 0x8000) >> 16) — bit-identical
+        # to Image.convert("L"), so the stdlib and PIL decode paths can
+        # never disagree on the same 8-bit image
         rgb = px[:, :, :3].astype(np.uint32)
         gray = (
-            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114)
-            // 1000
+            (
+                rgb[:, :, 0] * 19595
+                + rgb[:, :, 1] * 38470
+                + rgb[:, :, 2] * 7471
+                + 0x8000
+            )
+            >> 16
         ).astype(np.uint8)
     return "I", w, h, 1, gray.tobytes()
 
@@ -222,25 +234,29 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, bytes] | None:
 def _decode(data: bytes) -> tuple[str, int, int, int, bytes]:
     """Decode one blob → (kind, width, height, n_frames, payload).
 
-    Dispatch: the FAKE container decodes natively; PNG and WAV decode
-    with stdlib-only decoders (zlib / wave — real media end-to-end with
-    zero dependencies); anything else goes to the real-image path (PIL,
-    import-gated — grayscale pixels become the payload so downstream
-    feature/resize operators work identically on real and FAKE media).
-    Without PIL installed, remaining formats raise
-    ``NotImplementedError`` — an honest capability gate, not a stub.
+    Dispatch order: FAKE container → stdlib WAV (unambiguous RIFF
+    signature; PIL can't open audio) → PIL when importable (C-speed
+    decode for every raster format) → stdlib PNG (zero-dependency
+    fallback; the per-pixel Python filter loops for Average/Paeth rows
+    make it correctness-tier, not throughput-tier — which is exactly
+    right for a container without PIL).  The stdlib luma is
+    bit-identical to ``Image.convert("L")``, so WHICH path decoded an
+    8-bit image never changes the payload.  Formats nobody can decode
+    raise ``NotImplementedError`` — an honest capability gate, not a
+    stub.
     """
     if data is not None and len(data) >= HEADER_SIZE and data[:4] == MAGIC:
         _, kind, w, h, nf = struct.unpack(HEADER_FMT, data[:HEADER_SIZE])
         return kind.decode(), w, h, nf, data[HEADER_SIZE:]
-    got = _decode_png(data)
-    if got is None:
-        got = _decode_wav(data)
+    got = _decode_wav(data)
     if got is not None:
         return got
     try:
-        import PIL.Image
+        import PIL.Image  # noqa: F401
     except ImportError:
+        got = _decode_png(data)
+        if got is not None:
+            return got
         raise NotImplementedError(
             "real media decode beyond PNG/WAV needs PIL/soundfile/av "
             "(not installed); FAKE container, 8-bit PNG and 8/16-bit PCM "

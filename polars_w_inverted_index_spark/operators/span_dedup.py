@@ -167,6 +167,7 @@ def scrub_repeated_spans_against(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _precomputed_windows: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest twin of :func:`scrub_repeated_spans`: scrub a
     NEW batch against a standing corpus's :func:`window_counts` table.
@@ -174,10 +175,12 @@ def scrub_repeated_spans_against(
     A batch window is hot when corpus occurrences + batch occurrences
     reach ``min_count`` — identical semantics to running the batch
     through the full-corpus operator with the corpus text present, but
-    per-batch cost is O(batch windows): batch windows aggregate
-    batch-side counts (one batch-sized shuffle) and LEFT-join the
-    corpus table on the uniform hash key (AQE broadcasts the small
-    batch side; the corpus table is never reshuffled or rescanned).
+    per-batch cost is O(batch windows).  The corpus contribution is an
+    INNER join deliberately, not a left-outer: Spark can only broadcast
+    the RIGHT side of a LeftOuter join, so batch-left-outer-corpus would
+    sort-merge-shuffle the corpus-sized count table on EVERY batch; the
+    inner form lets AQE broadcast the small batch side and the
+    batch-only-hot windows come back via a cheap union.
     ``corpus_counts`` may hold MULTIPLE rows per ``sh`` (the streaming
     state stores per-batch delta partitions); occurrences are summed
     AFTER the join, so the aggregation stays batch-keyed — pre-summing
@@ -185,23 +188,30 @@ def scrub_repeated_spans_against(
     ``k`` must match the table's build-time k — window hashes of
     different k never collide meaningfully but the join would silently
     find nothing; pass the same dial you built with.
+    ``_precomputed_windows`` lets the streaming wrapper reuse its
+    already-built window frame (the tokenize+hash stage is the dominant
+    narrow cost and must not run twice per batch).
     """
-    win = _window_rows(batch, k, text_col, id_col)
+    win = (
+        _precomputed_windows
+        if _precomputed_windows is not None
+        else _window_rows(batch, k, text_col, id_col)
+    )
     batch_counts = win.groupBy("sh").agg(F.count("*").alias("bn"))
-    hot = (
+    corpus_hot = (
         batch_counts.join(
-            corpus_counts.select("sh", F.col("n").alias("cn")), "sh", "left"
+            corpus_counts.select("sh", F.col("n").alias("cn")), "sh"
         )
         .groupBy("sh")
         .agg(
             F.max("bn").alias("bn"),  # bn is per-sh constant
             F.sum("cn").alias("cn"),  # sums across delta partitions
         )
-        .where(
-            (F.coalesce(F.col("cn"), F.lit(0)) + F.col("bn")) >= min_count
-        )
+        .where((F.col("cn") + F.col("bn")) >= min_count)
         .select("sh")
     )
+    batch_hot = batch_counts.where(F.col("bn") >= min_count).select("sh")
+    hot = batch_hot.union(corpus_hot).distinct()
     marked = win.join(hot, "sh", "left_semi")
     return _scrub_with_marked(batch, marked, k, text_col, id_col)
 

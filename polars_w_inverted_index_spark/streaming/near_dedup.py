@@ -71,6 +71,7 @@ def near_dedup_batch(
     num_bands: int = NUM_BANDS,
     shingle_k: int = 3,
     max_delta_dirs: int = 8,
+    sink=None,
 ) -> DataFrame:
     """Process one micro-batch; returns the ACCEPTED rows as a
     lineage-severed, materialized frame (safe to use after the state
@@ -81,6 +82,13 @@ def near_dedup_batch(
     accepted rows' bands into the state.  Replay of the committed
     batch_id returns an empty frame (the original acceptance already
     flowed downstream once).
+
+    ``sink`` (optional callable receiving the accepted frame) runs
+    after materialization but BEFORE the state commit — pair it with an
+    idempotent per-batch overwrite (see :func:`start_near_dedup`) and
+    the accepted rows can never be lost to a crash between commit and
+    output write (the replayed committed batch returns EMPTY, so
+    output deferred past the commit has no second chance).
     """
     spark = batch_df.sparkSession
     meta = read_marker(state_path)
@@ -151,6 +159,8 @@ def near_dedup_batch(
     # would chase deleted files.  The returned frame must be
     # self-contained.
     accepted = survivors.localCheckpoint()
+    if sink is not None:
+        sink(accepted)  # idempotent output BEFORE the commit (see above)
 
     # commit: DELTA write of the accepted bands only (O(batch)); compact
     # to a single directory once the delta list exceeds max_delta_dirs
@@ -188,9 +198,19 @@ def start_near_dedup(
     min_shared_bands: int = 1,
     trigger_available_now: bool = True,
 ):
-    """Attach online near-dedup to a stream: accepted rows append to
-    ``out_path`` (parquet), band state lives at ``state_path``.  Returns
-    the StreamingQuery."""
+    """Attach online near-dedup to a stream: accepted rows land in
+    per-batch ``out_path/batch=<id>/`` parquet directories (read
+    ``out_path`` as one partitioned table), band state lives at
+    ``state_path``.  Returns the StreamingQuery.
+
+    Exactly-once: each batch's accepted rows OVERWRITE their own
+    ``batch=<id>`` directory BEFORE the state commit — a crash before
+    the commit replays into identical rows re-written in place, a crash
+    after it replays into the committed no-op with the directory
+    already present.  A post-return append would lose the batch in the
+    commit-then-crash window (the replay returns empty by contract).
+    """
+    import os
 
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         near_dedup_batch(
@@ -200,7 +220,10 @@ def start_near_dedup(
             id_col=id_col,
             min_shared_bands=min_shared_bands,
             batch_id=batch_id,
-        ).write.mode("append").parquet(out_path)
+            sink=lambda rows: rows.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}")
+            ),
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_proc)

@@ -52,13 +52,32 @@ def span_scrub_batch(
     id_col: str = "doc_id",
     batch_id: int | None = None,
     max_delta_dirs: int = 8,
+    sink=None,
 ) -> DataFrame:
     """Scrub one micro-batch against the accumulated window counts and
     commit the batch's own counts; returns the scrubbed rows as a
     lineage-severed frame (safe to use after later commits compact the
-    state it was computed from)."""
+    state it was computed from).
+
+    ``sink`` (optional callable receiving the scrubbed frame) runs
+    AFTER the scrub materializes but BEFORE the state commit — the
+    exactly-once recipe: an IDEMPOTENT sink (overwrite of a per-batch
+    directory, as :func:`start_span_scrub` wires) plus commit-last
+    means a crash before the commit replays into identical output
+    re-written in place, and a crash after it replays into the no-op.
+    Sinking after this function returns would open a window where the
+    state says committed but the rows never landed anywhere.
+    """
     spark = batch_df.sparkSession
     meta = read_marker(state_path)
+    if meta is not None and meta.get("k") is not None and meta["k"] != k:
+        # the ann_search dims-gate discipline: window hashes of
+        # different k never match, so a k change would silently stop
+        # cross-batch detection while still polluting the counts
+        raise ValueError(
+            f"state at {state_path} was built with k={meta['k']}, got "
+            f"k={k}; rebuild the state or pass the original k."
+        )
     if (
         batch_id is not None
         and meta is not None
@@ -85,18 +104,20 @@ def span_scrub_batch(
     corpus = read_window_state(spark, state_path)
     if corpus is None:
         corpus = spark.createDataFrame([], "sh long, n long")
+    # ONE window pass feeds both the scrub and the commit counts — the
+    # tokenize+hash stage is the dominant narrow cost per batch
+    win = _window_rows(batch_df, k, text_col, id_col).persist()
     scrubbed = scrub_repeated_spans_against(
-        corpus, batch_df, k, min_count, text_col, id_col
+        corpus, batch_df, k, min_count, text_col, id_col,
+        _precomputed_windows=win,
     ).localCheckpoint()
+    if sink is not None:
+        sink(scrubbed)  # idempotent output BEFORE the commit (see above)
 
     # commit the ORIGINAL batch's window counts (everything seen, not
     # the scrubbed remainder — future repeats of a passage seen once
     # must reach min_count and be caught)
-    batch_counts = (
-        _window_rows(batch_df, k, text_col, id_col)
-        .groupBy("sh")
-        .agg(F.count("*").alias("n"))
-    )
+    batch_counts = win.groupBy("sh").agg(F.count("*").alias("n"))
     commit_delta(
         state_path,
         delta=batch_counts,
@@ -115,6 +136,7 @@ def span_scrub_batch(
         },
         max_delta_dirs=max_delta_dirs,
     )
+    win.unpersist()
     return scrubbed
 
 
@@ -129,9 +151,19 @@ def start_span_scrub(
     id_col: str = "doc_id",
     trigger_available_now: bool = True,
 ):
-    """Attach online span scrubbing to a stream: scrubbed rows append to
-    ``out_path`` (parquet), window-count state lives at ``state_path``.
-    Returns the StreamingQuery."""
+    """Attach online span scrubbing to a stream: scrubbed rows land in
+    per-batch ``out_path/batch=<id>/`` parquet directories (read
+    ``out_path`` as one partitioned table), window-count state lives at
+    ``state_path``.  Returns the StreamingQuery.
+
+    Exactly-once: each batch's rows are OVERWRITTEN into their own
+    ``batch=<id>`` directory BEFORE the state commit (the sink hook) —
+    a crash before the commit replays into identical rows re-written in
+    place; a crash after it replays into the committed no-op with the
+    directory already present.  A plain post-return append would lose
+    the batch's rows in the commit-then-crash window.
+    """
+    import os
 
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         span_scrub_batch(
@@ -142,7 +174,10 @@ def start_span_scrub(
             text_col=text_col,
             id_col=id_col,
             batch_id=batch_id,
-        ).write.mode("append").parquet(out_path)
+            sink=lambda rows: rows.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}")
+            ),
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_proc)

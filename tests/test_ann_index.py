@@ -343,3 +343,47 @@ def test_dim_mismatch_fails_loudly(spark, emb, index_root):
     ).limit(2)
     with pytest.raises(ValueError, match="64-dim"):
         ann_search(spark, index_root, narrow, k=3, nprobe=2)
+
+
+def test_legacy_layout_gate_migration_and_swap_recovery(spark, emb, tmp_path):
+    """(a) Ingest into a pre-ingest_batch (flat-cell) index is refused
+    loudly — a mixed-depth append would break partition discovery for
+    the whole table; (b) ann_index_compact migrates the legacy layout;
+    (c) a compaction swap interrupted between its two renames self-heals
+    on the next serve (the complete staging dir is promoted)."""
+    import os as _os
+    import shutil
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_index_add_batch,
+        ann_index_compact,
+    )
+
+    old_half = emb.where(F.col("vec_id") % 2 == 0)
+    new_half = emb.where(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ann_legacy")
+    build_ann_index(old_half, root, n_centroids=6, n_iters=1)
+    # forge the legacy flat layout: same rows, cell-only partitioning
+    cells = _os.path.join(root, "cells")
+    flat = _os.path.join(root, "cells_flat")
+    spark.read.parquet(cells).select("cell", "vec_id", "cv", "cn").write \
+        .mode("overwrite").partitionBy("cell").parquet(flat)
+    shutil.rmtree(cells)
+    _os.rename(flat, cells)
+
+    with pytest.raises(ValueError, match="pre-ingest_batch"):
+        ann_index_add_batch(spark, root, new_half, batch_tag=0)
+
+    assert ann_index_compact(spark, root) >= 1  # migrates
+    assert ann_index_add_batch(spark, root, new_half, batch_tag=0) == \
+        new_half.count()
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = _key(brute_force_topk(emb, queries, k=5))
+    assert _key(ann_search(spark, root, queries, k=5, nprobe=6)) == exact
+
+    # simulate the crash between the two swap renames: cells gone,
+    # complete staging dir left behind
+    _os.rename(cells, _os.path.join(root, "cells__compacting"))
+    assert _key(ann_search(spark, root, queries, k=5, nprobe=6)) == exact
+    assert _os.path.isdir(cells)  # recovery promoted the staging dir

@@ -154,11 +154,14 @@ def test_png_rgb_and_rgba_luma():
     kind, w, h, nf, payload = MM._decode(
         _make_png(rgb, color_type=2, filters=[1, 4])
     )
+    # PIL's exact integer ITU-R 601-2 form — the stdlib path must be
+    # bit-identical to Image.convert("L") so the two decoders agree
     lum = (
-        rgb[:, :, 0].astype(int) * 299
-        + rgb[:, :, 1].astype(int) * 587
-        + rgb[:, :, 2].astype(int) * 114
-    ) // 1000
+        rgb[:, :, 0].astype(int) * 19595
+        + rgb[:, :, 1].astype(int) * 38470
+        + rgb[:, :, 2].astype(int) * 7471
+        + 0x8000
+    ) >> 16
     assert (kind, w, h) == ("I", 2, 2)
     assert list(payload) == lum.flatten().tolist()
     rgba = np.dstack([rgb, np.full((2, 2), 128, dtype=np.uint8)])

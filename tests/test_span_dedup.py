@@ -277,3 +277,72 @@ def test_streaming_span_scrub_batches(spark, tmp_path):
     )
     late = span_scrub_batch(b_late, state, k=K, batch_id=12).first()
     assert late["n_removed_tokens"] >= 15
+
+
+def test_sink_before_commit_crash_replay(spark, tmp_path):
+    """Exactly-once across the sink/commit boundary: a crash AFTER the
+    output write but BEFORE the state commit replays into identical
+    rows overwritten in place; after a successful commit the replay is
+    a no-op with the output directory already present."""
+    import os as _os
+
+    from polars_w_inverted_index_spark.streaming import span_scrub_batch
+
+    state = str(tmp_path / "sc_state")
+    out = str(tmp_path / "sc_out")
+
+    def sink_for(bid):
+        return lambda rows: rows.write.mode("overwrite").parquet(
+            _os.path.join(out, f"batch={bid}")
+        )
+
+    b0 = spark.createDataFrame(
+        [(0, f"prelude {PASSAGE} coda")], "doc_id long, text string"
+    )
+    span_scrub_batch(b0, state, k=K, batch_id=0, sink=sink_for(0))
+
+    b1 = spark.createDataFrame(
+        [(10, f"another doc with {PASSAGE} inside")],
+        "doc_id long, text string",
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_sink(rows):
+        sink_for(1)(rows)
+        raise Boom("simulated crash between output write and commit")
+
+    with pytest.raises(Boom):
+        span_scrub_batch(b1, state, k=K, batch_id=1, sink=crashing_sink)
+    # state NOT committed: marker still at batch 0
+    import json as _json
+
+    assert _json.load(open(_os.path.join(state, "_LATEST")))["batch_id"] == 0
+
+    # replay: recomputes (state unchanged), overwrites the same dir,
+    # commits — passage now seen twice, so batch 1's copy is scrubbed
+    got = span_scrub_batch(b1, state, k=K, batch_id=1, sink=sink_for(1))
+    assert got.first()["n_removed_tokens"] >= 15
+    assert _json.load(open(_os.path.join(state, "_LATEST")))["batch_id"] == 1
+
+    # committed replay: no-op, output intact with exactly-once rows
+    assert span_scrub_batch(
+        b1, state, k=K, batch_id=1, sink=sink_for(1)
+    ).count() == 0
+    all_rows = spark.read.parquet(out)
+    assert all_rows.count() == 2
+    assert all_rows.select("doc_id").distinct().count() == 2
+
+
+def test_k_mismatch_gated_loudly(spark, tmp_path):
+    from polars_w_inverted_index_spark.streaming import span_scrub_batch
+
+    state = str(tmp_path / "k_state")
+    b = spark.createDataFrame(
+        [(0, "some words here repeated nowhere else at all today")],
+        "doc_id long, text string",
+    )
+    span_scrub_batch(b, state, k=8, batch_id=0)
+    with pytest.raises(ValueError, match="built with k=8"):
+        span_scrub_batch(b, state, k=10, batch_id=1)
