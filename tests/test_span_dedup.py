@@ -346,3 +346,52 @@ def test_k_mismatch_gated_loudly(spark, tmp_path):
     span_scrub_batch(b, state, k=8, batch_id=0)
     with pytest.raises(ValueError, match="built with k=8"):
         span_scrub_batch(b, state, k=10, batch_id=1)
+
+
+# --- property-based: random corpora vs the independent reference -------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["aa", "bb", "cc", "dd"]  # tiny vocab forces window collisions
+_CORPUS = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_CORPUS, k=st.integers(2, 4), min_count=st.integers(2, 3))
+def test_property_scrub_matches_reference(spark, texts, k, min_count):
+    """Any corpus/k/min_count: the Spark plan (hot windows → interval
+    merge → rebuild) equals the mark-every-hot-window reference."""
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {i: t.lower().split() for i, t in rows}
+    cnt: Counter = Counter()
+    for tk in toks.values():
+        for p in range(len(tk) - k + 1):
+            cnt[tuple(tk[p : p + k])] += 1
+    want = {}
+    for i, tk in toks.items():
+        marks = [False] * len(tk)
+        for p in range(len(tk) - k + 1):
+            if cnt[tuple(tk[p : p + k])] >= min_count:
+                for j in range(p, p + k):
+                    marks[j] = True
+        want[i] = (
+            " ".join(t for t, m in zip(tk, marks) if not m),
+            sum(marks),
+        )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_repeated_spans(
+            docs, k=k, min_count=min_count
+        ).collect()
+    }
+    assert got == want
