@@ -546,7 +546,10 @@ def main() -> None:
         # sf0.1 headline queries are sub-second: best-of-3 costs ~2 s
         # total and shields the graded `value` from a transient landing
         # in both of two reps (observed 1.75 s vs steady-state 0.45 s).
-        reps = 3 if name in headline else 2 if name in baseline_keys else 1
+        # Everything else gets best-of-2: single-shot timings showed
+        # one-off 1 s→9 s transients (JIT/GC landing mid-query) that
+        # would mislabel a tracked operator as a regression.
+        reps = 3 if name in headline else 2
         best = float("inf")
         try:
             for _ in range(reps):
