@@ -320,6 +320,67 @@ def test_streaming_near_dedup_across_and_within_batches(spark, tmp_path):
     assert n_bands_rows == 3 * NUM_BANDS  # docs 1, 3, 12
 
 
+def test_near_dedup_sink_before_commit_crash_replay(spark, tmp_path):
+    """Exactly-once for the accepted-rows output: a crash after the sink
+    write but before the band-state commit replays into identical rows
+    overwritten in place; after the commit the replay is the empty
+    no-op with the output directory already present."""
+    import json as _json
+    import os as _os
+
+    from polars_w_inverted_index_spark.streaming import near_dedup_batch
+
+    state = str(tmp_path / "ndc_state")
+    out = str(tmp_path / "ndc_out")
+
+    def sink_for(bid):
+        return lambda rows: rows.write.mode("overwrite").parquet(
+            _os.path.join(out, f"batch={bid}")
+        )
+
+    text_a = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima mike november oscar papa quebec romeo"
+    )
+    b0 = spark.createDataFrame(
+        [(1, text_a)], "doc_id long, text string"
+    )
+    near_dedup_batch(b0, state, batch_id=0, sink=sink_for(0))
+
+    b1 = spark.createDataFrame(
+        [(10, "totally novel second batch content about parquet files")],
+        "doc_id long, text string",
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_sink(rows):
+        sink_for(1)(rows)
+        raise Boom("simulated crash between output write and commit")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        near_dedup_batch(b1, state, batch_id=1, sink=crashing_sink)
+    assert _json.load(
+        open(_os.path.join(state, "_LATEST"))
+    )["batch_id"] == 0  # state NOT committed
+
+    acc = near_dedup_batch(b1, state, batch_id=1, sink=sink_for(1))
+    assert acc.count() == 1
+    assert _json.load(
+        open(_os.path.join(state, "_LATEST"))
+    )["batch_id"] == 1
+    # committed replay: empty no-op, output holds exactly-once rows
+    assert near_dedup_batch(
+        b1, state, batch_id=1, sink=sink_for(1)
+    ).count() == 0
+    rows = spark.read.parquet(out)
+    assert rows.count() == 2
+    assert rows.select("doc_id").distinct().count() == 2
+
+
 def test_streaming_near_dedup_end_to_end(spark, tmp_path, events_batch):
     """Drive start_near_dedup over a two-file stream: output contains no
     near-dup pair, and unioned batches dedup to the same count as a
