@@ -44,23 +44,73 @@ from ..functions.text import tokens
 
 
 def _window_rows(
-    docs: DataFrame, k: int, text_col: str, id_col: str
+    docs: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    portable: bool = False,
 ) -> DataFrame:
-    """``[doc_id, pos, sh]`` — one 60-bit hash per k-token window."""
+    """``[doc_id, pos, sh]`` — one 64-bit hash per k-token window.
+
+    Default path: tokens explode to rows, ONE codegen ``xxhash64`` per
+    token, then the window key combines the k neighboring token hashes
+    with a single variadic ``xxhash64`` over ``lead()`` columns (one
+    window sort on doc_id).  The array-side alternative — a
+    higher-order ``transform`` building slice+join+md5 per window — is
+    interpreted per element and measured 12× slower at sf0.1; the
+    window sort's shuffle is the same order as the hot-count shuffle
+    the pipeline already pays, so the trade buys pure CPU.
+
+    ``portable=True`` switches to the md5-based array form whose hash
+    the DuckDB oracle can reproduce (:func:`..functions.hashing
+    .md5_long_sql`) — the cross-engine verification path; both paths
+    produce identical hot-window DECISIONS (hashes are opaque keys; a
+    collision needs ~2^32 windows per 64-bit birthday pair).
+    """
     tok = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - k),
-        lambda i: F.struct(
-            i.alias("pos"),
-            md5_long(
-                F.array_join(F.slice(tok, i + 1, k), "\x1f")
-            ).alias("sh"),
-        ),
-    )
-    return (
+    if portable:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(tok) - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                md5_long(
+                    F.array_join(F.slice(tok, i + 1, k), "\x1f")
+                ).alias("sh"),
+            ),
+        )
+        return (
+            docs.where(F.size(tok) >= k)
+            .select(
+                F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+            )
+            .select("doc_id", "g.pos", "g.sh")
+        )
+    from pyspark.sql import Window
+
+    base = (
         docs.where(F.size(tok) >= k)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
-        .select("doc_id", "g.pos", "g.sh")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tok).alias("_nt"),
+            F.posexplode(tok).alias("pos", "_t"),
+        )
+        .withColumn("_h", F.xxhash64("_t"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("_h")] + [
+        F.lead("_h", j).over(w) for j in range(1, k)
+    ]
+    return (
+        base.select(
+            "doc_id",
+            "pos",
+            "_nt",
+            F.xxhash64(*parts).alias("sh"),
+        )
+        # drop tail positions: xxhash64 SKIPS null args, so an unguarded
+        # tail window would hash like a shorter gram and alias other keys
+        .where(F.col("pos") <= F.col("_nt") - k)
+        .select("doc_id", "pos", "sh")
     )
 
 
@@ -266,23 +316,61 @@ def _scrub_with_spans(
     joined = docs.join(
         spans, docs[id_col] == spans["doc_id"], "left"
     ).drop(spans["doc_id"])
-    sp = F.coalesce(
-        F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>")
+    # Rebuild from the GAPS BETWEEN spans — O(spans) array slices per
+    # doc — rather than a per-token exists() test: the per-token form
+    # interprets a nested lambda for every token of every document
+    # (measured ~8 s at sf0.1 vs <1 s for this), while spans per doc
+    # are few by construction (merged maximal intervals).  The fold
+    # walks the sorted disjoint spans carrying (parts, cursor): emit
+    # the slice [cursor, span_start), jump cursor to span_end, then
+    # append the tail slice.
+    sp = F.array_sort(
+        F.coalesce(
+            F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>")
+        )
     )
-    kept = F.filter(
-        F.transform(tok, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
-        lambda x: ~F.exists(
-            sp,
-            lambda s: (x.getField("i") >= s.getField("s"))
-            & (x.getField("i") < s.getField("e")),
+    n_tok = F.size(tok).cast("long")
+    acc0 = F.struct(
+        F.array().cast("array<array<string>>").alias("parts"),
+        F.lit(0).cast("long").alias("cur"),
+    )
+    folded = F.aggregate(
+        sp,
+        acc0,
+        lambda acc, s: F.struct(
+            F.concat(
+                acc.getField("parts"),
+                F.array(
+                    F.slice(
+                        tok,
+                        acc.getField("cur") + 1,
+                        s.getField("s") - acc.getField("cur"),
+                    )
+                ),
+            ).alias("parts"),
+            s.getField("e").alias("cur"),
         ),
     )
-    n_tok = F.size(tok)
+    kept = F.flatten(
+        F.concat(
+            folded.getField("parts"),
+            F.array(
+                F.slice(
+                    tok,
+                    folded.getField("cur") + 1,
+                    n_tok - folded.getField("cur"),
+                )
+            ),
+        )
+    )
+    n_removed = F.aggregate(
+        sp,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + (s.getField("e") - s.getField("s")),
+    )
     out_cols = [c for c in docs.columns if c != text_col]
     return joined.select(
         *out_cols,
-        F.array_join(
-            F.transform(kept, lambda x: x.getField("t")), " "
-        ).alias(text_col),
-        (n_tok - F.size(kept)).cast("int").alias("n_removed_tokens"),
+        F.array_join(kept, " ").alias(text_col),
+        n_removed.cast("int").alias("n_removed_tokens"),
     )

@@ -96,9 +96,10 @@ def test_hot_windows_match_duckdb(spark, docs, tmp_path):
 
     p = str(tmp_path / "docs.parquet")
     docs.write.mode("overwrite").parquet(p)
+    # portable mode: the md5-based window hash DuckDB can reproduce
     got = sorted(
         r["sh"]
-        for r in _window_rows(docs, K, "text", "doc_id")
+        for r in _window_rows(docs, K, "text", "doc_id", portable=True)
         .groupBy("sh")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= MIN_COUNT)
@@ -395,3 +396,28 @@ def test_property_scrub_matches_reference(spark, texts, k, min_count):
         ).collect()
     }
     assert got == want
+
+
+def test_fast_and_portable_hash_paths_agree(spark, docs):
+    """The codegen xxhash64 path (default) and the md5 portable path
+    (DuckDB-verifiable) are different hash families over the same
+    windows — hot-window DECISIONS and the scrubbed output must be
+    identical (hashes are opaque keys)."""
+    from polars_w_inverted_index_spark.operators.span_dedup import (
+        _window_rows,
+    )
+
+    fast = _window_rows(docs, K, "text", "doc_id")
+    portable = _window_rows(docs, K, "text", "doc_id", portable=True)
+    # same windows: identical (doc_id, pos) sets and per-key df profile
+    assert sorted(
+        (r["doc_id"], r["pos"]) for r in fast.collect()
+    ) == sorted((r["doc_id"], r["pos"]) for r in portable.collect())
+
+    def dfs(win):
+        return sorted(
+            r["n"]
+            for r in win.groupBy("sh").agg(F.count("*").alias("n")).collect()
+        )
+
+    assert dfs(fast) == dfs(portable)
