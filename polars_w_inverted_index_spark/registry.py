@@ -278,6 +278,7 @@ ORACLES.update(_r2.ORACLES)
 # rows that most need fresh evidence (previously missing or failed, newly
 # added) run first; the registry itself is kept to ≤50 entries.
 _PRIORITY = [
+    "span_dedup_spans",
     "events_asof_join",
     "index_by_doc_ids_lookup",
     "sql_events_sessionize",

@@ -409,7 +409,65 @@ def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register("similarity_bruteforce_topk_gemm", q_ann_gemm, _BRUTE_SQL)
+# ROTATED OUT of the 50-row driver registry (round 6, VERDICT r5 task 1):
+# the GEMM path answers the same query as similarity_bruteforce_topk by
+# construction, so its driver row duplicated evidence; the engine twin
+# stays pinned exactly equal to the expression path in
+# tests/test_dedup_similarity.py and its plan (MapInPandas) in
+# tests/test_plan_quality.py.  The freed row registers the span-dedup
+# family (q_span_dedup below), which previously had pytest-only evidence.
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (ExactSubstr-style,
+    operators/span_dedup.py): maximal merged token intervals covered by
+    8-token windows occurring >= 2 times corpus-wide.  The oracle
+    replays the full pipeline in SQL — tokenize, tile k-gram windows,
+    corpus-wide hot count, then gaps-and-islands interval merge (new
+    island when pos > prev_pos + k, the exact twin of the engine's
+    fold merge condition p <= last.e with e monotone at fixed k)."""
+    from .operators.span_dedup import repeated_spans
+
+    return repeated_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_count=2
+    )
+
+
+def _span_dedup_sql(k: int = 8, min_count: int = 2) -> str:
+    t = TX.tokens_sql("text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {t} AS tk FROM documents
+    ),
+    w AS (
+      SELECT doc_id, s.pos AS pos, s.g AS g FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(length(tk) - {k - 1}, 0) + 1),
+          i -> struct_pack(pos := i - 1,
+                           g := array_to_string(
+                             list_slice(tk, i, i + {k - 1}), chr(31))))) AS s
+        FROM toks)
+    ),
+    hot AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) >= {min_count}),
+    marked AS (SELECT doc_id, pos FROM w JOIN hot USING (g)),
+    lagged AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM marked
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0
+                 END) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagged
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k} AS BIGINT) AS span_end
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+_register("span_dedup_spans", q_span_dedup, _span_dedup_sql())
 
 
 # Embedding-cosine near-dup (dedup family, but reuses the hyperplane SQL).

@@ -18,7 +18,6 @@ PYTHON_OK = {
     "multimodal_image_features",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "similarity_bruteforce_topk_gemm",
     "dedup_embedding_cosine_pairs",  # GEMM-per-bucket applyInPandas
 }
 
@@ -59,6 +58,19 @@ def test_outputs_driver_canonicalizable(spark, sf_dir, name):
         )
     ]
     assert not offenders, offenders
+
+
+def test_gemm_twin_plan_is_arrow_batched(spark, sf_dir):
+    """The GEMM top-k twin was rotated out of the 50-row driver registry
+    (round 6) but stays a supported engine path: its plan must keep the
+    single Arrow-batched MapInPandas node (never row-at-a-time Python),
+    and its values stay pinned to the expression path in
+    tests/test_dedup_similarity.py::test_gemm_topk_matches_expression_path."""
+    from polars_w_inverted_index_spark.registry_ext import q_ann_gemm
+
+    plan = _plan(q_ann_gemm(spark, sf_dir))
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_id_set_filter_reaches_scan(spark, sf_dir):
