@@ -152,7 +152,22 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
     }
     entries.sort(
         (a, b) -> {
-          int c = a[0].compareTo(b[0]);
+          // UTF-8 byte order == Unicode code-point order, matching the
+          // Python twin's sorted() exactly.  String.compareTo is UTF-16
+          // code-unit order, which disagrees for supplementary-plane
+          // filenames (surrogates sort below U+E000..U+FFFF), so the
+          // two planners would digest the same listing differently
+          // (ADVICE r5).
+          byte[] ab = a[0].getBytes(java.nio.charset.StandardCharsets.UTF_8);
+          byte[] bb = b[0].getBytes(java.nio.charset.StandardCharsets.UTF_8);
+          int n = Math.min(ab.length, bb.length);
+          for (int i = 0; i < n; i++) {
+            int c = (ab[i] & 0xff) - (bb[i] & 0xff);
+            if (c != 0) {
+              return c;
+            }
+          }
+          int c = ab.length - bb.length;
           return c != 0 ? c : Long.compare(Long.parseLong(a[1]), Long.parseLong(b[1]));
         });
     try {

@@ -339,9 +339,13 @@ def _legacy_cell_layout(cells_dir: str) -> bool:
 def ann_index_compact(spark: SparkSession, root: str) -> int:
     """Fold accumulated ``ingest_batch=<id>`` delta directories back into
     the base layout (everything under ``ingest_batch=-1``); returns the
-    number of directories folded (0 = nothing to do).  Also migrates a
+    NUMBER OF DELTA DIRECTORIES FOLDED.  Also migrates a
     pre-``ingest_batch`` (legacy flat-cell) index into the current
-    layout, which unblocks :func:`ann_index_add_batch` on old roots.
+    layout, which unblocks :func:`ann_index_add_batch` on old roots —
+    a pure legacy migration rewrites the index but folds 0 deltas and
+    returns 0, so the return value is only "did nothing happen" when
+    the layout was already current (ADVICE r5: the old code returned 1
+    for a zero-delta migration, misreporting the documented count).
 
     A long-running stream leaves one small directory per cell per batch
     (the price of crash-exact replay, streaming/ann_ingest.py); serving
@@ -380,7 +384,7 @@ def ann_index_compact(spark: SparkSession, root: str) -> int:
     os.rename(cells_dir, old)
     os.rename(tmp, cells_dir)
     shutil.rmtree(old, ignore_errors=True)
-    return len(deltas) if deltas else 1
+    return len(deltas)
 
 
 def ann_search(

@@ -42,6 +42,20 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_long
 from ..functions.text import tokens
 
+# Window-hash variant identifiers.  A persisted window-count artifact is
+# a table of OPAQUE hash keys — joining counts built with one hash
+# function against windows built with another would silently find
+# nothing (same failure mode as a k mismatch, which is already gated).
+# Every artifact writer records which variant built it and every reader
+# gates on it; a future default flip then fails loudly instead of
+# serving an empty scrub.
+HASH_XXH64 = "xxhash64-chain-v1"   # default: per-token xxhash64 chained
+HASH_MD5 = "md5-gram-v1"           # portable=True: md5 over the joined gram
+
+
+def hash_variant(portable: bool) -> str:
+    return HASH_MD5 if portable else HASH_XXH64
+
 
 def _window_rows(
     docs: DataFrame,
@@ -195,6 +209,7 @@ def window_counts(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """``[sh, n]`` — corpus-wide occurrence count per k-token window.
 
@@ -202,9 +217,15 @@ def window_counts(
     IndexCatalog / minhash band table): a pure function of corpus
     content, built with the one corpus-wide shuffle, persistable as
     parquet and consumed by :func:`scrub_repeated_spans_against` so
-    ingest batches never rescan the standing corpus."""
+    ingest batches never rescan the standing corpus.
+
+    A persisted artifact is keyed by (k, hash variant) — record BOTH
+    next to it (:data:`hash_variant`; the streaming state marker does,
+    streaming/span_scrub.py) and read it back with the same ``portable``
+    flag: hashes from the other variant never match, so a mismatch
+    would silently scrub nothing."""
     return (
-        _window_rows(docs, k, text_col, id_col)
+        _window_rows(docs, k, text_col, id_col, portable=portable)
         .groupBy("sh")
         .agg(F.count("*").alias("n"))
     )
@@ -217,6 +238,7 @@ def scrub_repeated_spans_against(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
     _precomputed_windows: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest twin of :func:`scrub_repeated_spans`: scrub a
@@ -235,9 +257,11 @@ def scrub_repeated_spans_against(
     state stores per-batch delta partitions); occurrences are summed
     AFTER the join, so the aggregation stays batch-keyed — pre-summing
     the whole table per batch would be corpus-sized work.
-    ``k`` must match the table's build-time k — window hashes of
-    different k never collide meaningfully but the join would silently
-    find nothing; pass the same dial you built with.
+    ``k`` AND ``portable`` (the hash variant) must match the table's
+    build-time dials — window hashes of a different k or a different
+    hash function never collide meaningfully, so the join would
+    silently find nothing; pass the same dials you built with (the
+    streaming state marker records and gates both).
     ``_precomputed_windows`` lets the streaming wrapper reuse its
     already-built window frame (the tokenize+hash stage is the dominant
     narrow cost and must not run twice per batch).
@@ -245,7 +269,7 @@ def scrub_repeated_spans_against(
     win = (
         _precomputed_windows
         if _precomputed_windows is not None
-        else _window_rows(batch, k, text_col, id_col)
+        else _window_rows(batch, k, text_col, id_col, portable=portable)
     )
     batch_counts = win.groupBy("sh").agg(F.count("*").alias("bn"))
     corpus_hot = (
@@ -273,16 +297,22 @@ def scrub_repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Input schema with ``text_col`` rebuilt from the tokens OUTSIDE
-    every repeated span, plus ``n_removed_tokens`` for audit.
+    """Input schema with ``text_col`` rebuilt at BYTE FIDELITY from the
+    characters outside every repeated span, plus ``n_removed_tokens``
+    for audit.
 
-    Token-level rebuild (lowercased, single-space joined — the same
-    normalization the window keys use): removing a verbatim passage
-    at byte fidelity would need the spans mapped back to character
-    offsets, which whitespace-normalized tokenization deliberately
-    discards.  Documents with no repeated span pass through with their
-    text normalized identically, so output text is uniformly
-    token-joined.
+    Window keys are normalized (lowercased whitespace tokens) so
+    detection is case/spacing-insensitive, but the rebuild maps the
+    token-index spans back to character offsets in the ORIGINAL text
+    (Lee et al. remove repeats at byte fidelity; a training pipeline
+    wants original casing/whitespace outside spans preserved).
+    Documents with no repeated span pass through byte-identical.
+    Removed character range per span: from the first span token's start
+    through the start of the token AFTER the span (swallowing the
+    separator so kept regions join on their original whitespace); a
+    span reaching the last token swallows its PRECEDING separator
+    instead (there is no following token), and a whole-document span
+    scrubs to the empty string.
     """
     return _scrub_with_spans(
         docs, repeated_spans(docs, k, min_count, text_col, id_col),
@@ -295,6 +325,47 @@ def _scrub_with_marked(
 ) -> DataFrame:
     return _scrub_with_spans(
         docs, _merge_marked_to_spans(marked, k), text_col, id_col
+    )
+
+
+def _token_offsets(text_col: str):
+    """``array<struct<s:long,e:long>>`` — character offsets (0-based,
+    end exclusive) of each whitespace-delimited token of the ORIGINAL
+    text, index-aligned with :func:`..functions.text.tokens` (both are
+    the maximal non-whitespace runs, in order; ``tokens`` additionally
+    lowercases, which does not move boundaries).  Built JVM-side: split
+    at the zero-width whitespace↔non-whitespace transitions gives
+    alternating runs, then one fold accumulates a running char cursor
+    and keeps the non-whitespace runs' (start, end)."""
+    c = F.col(text_col)
+    chunks = F.split(c, r"(?<=\s)(?=\S)|(?<=\S)(?=\s)")
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("off"),
+        F.array().cast("array<struct<s:long,e:long>>").alias("offs"),
+    )
+    return F.aggregate(
+        chunks,
+        acc0,
+        lambda acc, ch: F.struct(
+            (acc.getField("off") + F.length(ch)).alias("off"),
+            F.when(
+                (F.length(ch) == 0) | ch.rlike(r"^\s"),
+                acc.getField("offs"),
+            )
+            .otherwise(
+                F.concat(
+                    acc.getField("offs"),
+                    F.array(
+                        F.struct(
+                            acc.getField("off").alias("s"),
+                            (acc.getField("off") + F.length(ch)).alias("e"),
+                        )
+                    ),
+                )
+            )
+            .alias("offs"),
+        ),
+        lambda acc: acc.getField("offs"),
     )
 
 
@@ -312,26 +383,59 @@ def _scrub_with_spans(
             ).alias("_spans")
         )
     )
-    tok = tokens(text_col)
     joined = docs.join(
         spans, docs[id_col] == spans["doc_id"], "left"
     ).drop(spans["doc_id"])
-    # Rebuild from the GAPS BETWEEN spans — O(spans) array slices per
-    # doc — rather than a per-token exists() test: the per-token form
-    # interprets a nested lambda for every token of every document
-    # (measured ~8 s at sf0.1 vs <1 s for this), while spans per doc
-    # are few by construction (merged maximal intervals).  The fold
-    # walks the sorted disjoint spans carrying (parts, cursor): emit
-    # the slice [cursor, span_start), jump cursor to span_end, then
-    # append the tail slice.
+    # Byte-fidelity rebuild from the GAPS BETWEEN spans — O(spans)
+    # substring slices of the ORIGINAL text per doc, never a per-token
+    # lambda (the per-token exists() form interprets a nested lambda for
+    # every token of every document; measured ~8 s at sf0.1 vs <1 s for
+    # gap slicing).  Token-index spans map to char ranges through the
+    # offsets array; the fold walks the sorted disjoint spans carrying
+    # (parts, char cursor): emit original chars [cursor, removed_start),
+    # jump the cursor to removed_end, then append the tail slice.
+    c = F.col(text_col)
     sp = F.array_sort(
         F.coalesce(
             F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>")
         )
     )
-    n_tok = F.size(tok).cast("long")
+    offs = _token_offsets(text_col)
+    n_tok = F.size(offs).cast("long")
+    text_len = F.length(c).cast("long")
+
+    def _rm_start(s):
+        # span reaching the last token swallows the PRECEDING separator
+        # (no following token exists to anchor the usual swallow)
+        tail = s.getField("e") >= n_tok
+        return (
+            F.when(
+                ~tail, F.element_at(offs, (s.getField("s") + 1).cast("int"))
+                .getField("s")
+            )
+            .when(
+                s.getField("s") > 0,
+                F.element_at(offs, s.getField("s").cast("int"))
+                .getField("e"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    def _rm_end(s):
+        # through the NEXT token's start — the separator after a
+        # removed interior span goes with it, so kept regions join on
+        # their original whitespace
+        return (
+            F.when(
+                s.getField("e") < n_tok,
+                F.element_at(offs, (s.getField("e") + 1).cast("int"))
+                .getField("s"),
+            )
+            .otherwise(text_len)
+        )
+
     acc0 = F.struct(
-        F.array().cast("array<array<string>>").alias("parts"),
+        F.array().cast("array<string>").alias("parts"),
         F.lit(0).cast("long").alias("cur"),
     )
     folded = F.aggregate(
@@ -341,36 +445,37 @@ def _scrub_with_spans(
             F.concat(
                 acc.getField("parts"),
                 F.array(
-                    F.slice(
-                        tok,
-                        acc.getField("cur") + 1,
-                        s.getField("s") - acc.getField("cur"),
+                    c.substr(
+                        (acc.getField("cur") + 1).cast("int"),
+                        (_rm_start(s) - acc.getField("cur")).cast("int"),
                     )
                 ),
             ).alias("parts"),
-            s.getField("e").alias("cur"),
+            _rm_end(s).alias("cur"),
         ),
     )
-    kept = F.flatten(
+    rebuilt = F.array_join(
         F.concat(
             folded.getField("parts"),
             F.array(
-                F.slice(
-                    tok,
-                    folded.getField("cur") + 1,
-                    n_tok - folded.getField("cur"),
+                c.substr(
+                    (folded.getField("cur") + 1).cast("int"),
+                    (text_len - folded.getField("cur")).cast("int"),
                 )
             ),
-        )
+        ),
+        "",
     )
     n_removed = F.aggregate(
         sp,
         F.lit(0).cast("long"),
         lambda acc, s: acc + (s.getField("e") - s.getField("s")),
     )
-    out_cols = [c for c in docs.columns if c != text_col]
+    out_cols = [col for col in docs.columns if col != text_col]
     return joined.select(
         *out_cols,
-        F.array_join(kept, " ").alias(text_col),
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .otherwise(rebuilt)
+        .alias(text_col),
         n_removed.cast("int").alias("n_removed_tokens"),
     )

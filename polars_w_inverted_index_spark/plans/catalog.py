@@ -63,7 +63,6 @@ class IndexCatalog:
             writer = idx.repartition(num_buckets, "value").sortWithinPartitions(
                 "value"
             )
-        writer.write.mode("overwrite").parquet(path)
         # Bind the index to its source data: the Catalyst rule refuses to
         # serve an index whose recorded source doesn't cover the scanned
         # path, so two tables sharing a file stem (or a relocated table)
@@ -73,7 +72,9 @@ class IndexCatalog:
         # for an index covering a subset of its rows, and the rule's
         # identity gate would serve wrong answers for full-table queries.
         src = self._source_root(df) if self._is_plain_scan(df) else None
-        fp = self._table_fingerprint(src)
+        fp = self._write_with_stable_fingerprint(
+            src, lambda: writer.write.mode("overwrite").parquet(path)
+        )
         if src is not None:
             with open(os.path.join(path, "_index_source"), "w") as f:
                 f.write(src)
@@ -171,10 +172,13 @@ class IndexCatalog:
             self.root,
             f"_staging_{os.path.basename(table)}_{uuid.uuid4().hex[:8]}",
         )
-        idx.write.mode("overwrite").partitionBy("field").parquet(staging)
-
         src = self._source_root(df) if self._is_plain_scan(df) else None
-        fp = self._table_fingerprint(src)
+        fp = self._write_with_stable_fingerprint(
+            src,
+            lambda: idx.write.mode("overwrite")
+            .partitionBy("field")
+            .parquet(staging),
+        )
         out: dict[str, str] = {}
         for f in fields:
             part_dir = os.path.join(staging, f"field={f}")
@@ -247,6 +251,36 @@ class IndexCatalog:
         os.makedirs(self.root, exist_ok=True)
         with open(self._meta_path, "w") as f:
             json.dump(self._meta, f, indent=2)
+
+    def _write_with_stable_fingerprint(self, src, write_fn) -> str | None:
+        """Materialize an index and return the base-table fingerprint it
+        is valid for, closing the build-time TOCTOU (ADVICE r5): the
+        fingerprint is taken BEFORE the write starts and re-taken after
+        it finishes — parquet files are immutable, so an unchanged
+        (listing, sizes) digest across the whole scan window proves the
+        index saw exactly that snapshot.  A mismatch (an append landed
+        mid-build) rebuilds once against the settled table — the lazy
+        frame re-scans and picks the new files up — and a table still
+        moving on the second attempt fails loudly rather than recording
+        a fingerprint the index contents don't match."""
+        if src is None:
+            write_fn()
+            return None
+        fp = self._table_fingerprint(src)
+        write_fn()
+        after = self._table_fingerprint(src)
+        if after == fp:
+            return fp
+        fp = after
+        write_fn()
+        after = self._table_fingerprint(src)
+        if after == fp:
+            return fp
+        raise RuntimeError(
+            f"index build raced concurrent writes to {src} twice — the "
+            "base table is being appended to during the build; pause the "
+            "writer (single-writer build contract) or retry later."
+        )
 
     @staticmethod
     def _is_plain_scan(df: DataFrame) -> bool:

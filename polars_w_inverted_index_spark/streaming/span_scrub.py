@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.span_dedup import (
+    HASH_XXH64,
     _window_rows,
     scrub_repeated_spans_against,
 )
@@ -77,6 +78,35 @@ def span_scrub_batch(
         raise ValueError(
             f"state at {state_path} was built with k={meta['k']}, got "
             f"k={k}; rebuild the state or pass the original k."
+        )
+    if (
+        meta is not None
+        and meta.get("hash") is not None
+        and meta["hash"] != HASH_XXH64
+    ):
+        # same silent-empty failure as a k mismatch: counts keyed by one
+        # hash function never match windows keyed by another.  States
+        # from before the field existed were all built with the xxhash64
+        # chain (the only path this wrapper has ever used), so a missing
+        # field is accepted and stamped on the next commit.
+        raise ValueError(
+            f"state at {state_path} was built with hash variant "
+            f"{meta['hash']!r} but this build keys windows with "
+            f"{HASH_XXH64!r}; rebuild the state with the current hash."
+        )
+    if (
+        meta is not None
+        and meta.get("min_count") is not None
+        and meta["min_count"] != min_count
+    ):
+        # min_count does not key the state (raw counts are stored), but
+        # changing it mid-stream silently alters which spans get
+        # scrubbed ACROSS batches of one logical corpus — gate it like k
+        # so the change is an explicit rebuild, not a quiet drift.
+        raise ValueError(
+            f"state at {state_path} was committed with min_count="
+            f"{meta['min_count']}, got min_count={min_count}; use a "
+            f"fresh state_path to change the scrub threshold."
         )
     if (
         batch_id is not None
@@ -133,6 +163,7 @@ def span_scrub_batch(
             else (meta or {}).get("batch_id"),
             "k": k,
             "min_count": min_count,
+            "hash": HASH_XXH64,
         },
         max_delta_dirs=max_delta_dirs,
     )

@@ -188,6 +188,29 @@ _DRIVER = textwrap.dedent(
         postings(df, "l_returnflag", doc_id_col="l_orderkey")
     )
 
+    # 11. supplementary-plane filename in the table listing: Python
+    #     digests the listing in code-point order; the JVM gate must
+    #     compute the IDENTICAL digest (UTF-8 byte comparator — ADVICE
+    #     r5: String.compareTo is UTF-16 code-unit order, which flips
+    #     the order of U+FF5E vs U+1F600 prefixed names) and serve.
+    import glob, shutil
+    exo = os.path.join(root, "exotic_tbl")
+    df.limit(500).repartition(2).write.mode("overwrite").parquet(exo)
+    parts = sorted(glob.glob(os.path.join(exo, "part-*")))
+    assert len(parts) >= 2
+    # U+FF5E (BMP, sorts AFTER the surrogate range in UTF-16) vs
+    # U+1F600 (supplementary, leads with a 0xD83D surrogate): code-point
+    # order and UTF-16 code-unit order disagree on this pair.
+    os.rename(parts[0], os.path.join(exo, "p～a.parquet"))
+    os.rename(parts[1], os.path.join(exo, "p\U0001f600b.parquet"))
+    df_exo = spark.read.parquet(exo)
+    IndexCatalog(spark, root).build(
+        df_exo, "exotic_tbl", "l_returnflag", doc_id_col="l_orderkey"
+    )
+    out["exotic_listing_serves"] = "exotic_tbl__l_returnflag" in physical(
+        postings(df_exo, "l_returnflag", doc_id_col="l_orderkey")
+    )
+
     # 10. flag off: same session semantics, rule inert.
     spark.conf.unset("spark.polars.index.root")
     out["flag_off_keeps_base"] = "lineitem.parquet" in physical(
@@ -237,5 +260,6 @@ def test_index_rewrite_end_to_end():
         "wrong_doc_id_col_declines": True,
         "stale_fingerprint_declines": True,
         "fresh_fingerprint_serves": True,
+        "exotic_listing_serves": True,
         "flag_off_keeps_base": True,
     }, res

@@ -250,6 +250,49 @@ def test_stale_index_not_served_after_append(spark, lineitem, tmp_path):
     assert hit is not None and _vm(hit) == want
 
 
+def test_build_closes_fingerprint_toctou(spark, lineitem, tmp_path):
+    """ADVICE r5: an append landing DURING the index write must not
+    produce a stale index stamped with the post-append fingerprint.
+    The build takes the fingerprint before and after the write: one
+    mid-build append triggers a single rebuild against the settled
+    table (the recorded fingerprint then matches both the table and the
+    index contents); a table that is still moving on the second attempt
+    fails loudly."""
+    base = str(tmp_path / "tbl")
+    lineitem.limit(200).write.mode("overwrite").parquet(base)
+    tbl = spark.read.parquet(base)
+    cat = IndexCatalog(spark, str(tmp_path / "idx"))
+
+    # one mid-build append: first write sees listing A→B, rebuild sees
+    # B→B and records B.  (Save the staticmethod DESCRIPTOR — grabbing
+    # the attribute would restore a plain function that then binds self.)
+    real_tf = IndexCatalog.__dict__["_table_fingerprint"]
+    seq = iter(["A", "B", "B"])
+    IndexCatalog._table_fingerprint = staticmethod(
+        lambda src: next(seq)
+    )
+    try:
+        cat.build(tbl, "tbl", "l_returnflag", doc_id_col="l_orderkey")
+    finally:
+        IndexCatalog._table_fingerprint = real_tf
+    assert cat._meta["tbl::l_returnflag"]["fingerprint"] == "B"
+
+    # a table that never settles: loud failure, not a silent stale stamp
+    seq2 = iter(["A", "B", "C", "D"])
+    IndexCatalog._table_fingerprint = staticmethod(
+        lambda src: next(seq2)
+    )
+    try:
+        with pytest.raises(RuntimeError, match="raced concurrent writes"):
+            cat.build(tbl, "tbl2", "l_returnflag", doc_id_col="l_orderkey")
+    finally:
+        IndexCatalog._table_fingerprint = real_tf
+
+    # the undisturbed path still records the REAL fingerprint and serves
+    cat.build(tbl, "tbl", "l_returnflag", doc_id_col="l_orderkey")
+    assert cat.lookup("tbl", "l_returnflag") is not None
+
+
 def test_chunked_index_merges_on_lookup(spark, tmp_path_factory):
     rows = [Row(doc_id=i, v="hot" if i < 90 else "cold") for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, v string")

@@ -349,6 +349,98 @@ def test_k_mismatch_gated_loudly(spark, tmp_path):
         span_scrub_batch(b, state, k=10, batch_id=1)
 
 
+def test_hash_variant_recorded_and_gated(spark, tmp_path):
+    """The state marker records WHICH hash built the window counts; a
+    state carrying a different variant fails loudly instead of silently
+    joining nothing (the k-gate discipline).  Markers from before the
+    field existed (all xxhash64-built) are accepted and stamped."""
+    import json as _json
+    import os as _os
+
+    from polars_w_inverted_index_spark.operators.span_dedup import (
+        HASH_XXH64,
+    )
+    from polars_w_inverted_index_spark.streaming import span_scrub_batch
+
+    state = str(tmp_path / "h_state")
+    b = spark.createDataFrame(
+        [(0, "plain words with no repeats across this tiny corpus")],
+        "doc_id long, text string",
+    )
+    span_scrub_batch(b, state, k=K, batch_id=0)
+    mp = _os.path.join(state, "_LATEST")
+    meta = _json.load(open(mp))
+    assert meta["hash"] == HASH_XXH64
+
+    # legacy marker (pre-field): accepted, re-stamped on the next commit
+    del meta["hash"]
+    _json.dump(meta, open(mp, "w"))
+    span_scrub_batch(b, state, k=K, batch_id=1)
+    assert _json.load(open(mp))["hash"] == HASH_XXH64
+
+    # foreign variant: loud failure, state untouched
+    meta = _json.load(open(mp))
+    meta["hash"] = "md5-gram-v1"
+    _json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="hash variant"):
+        span_scrub_batch(b, state, k=K, batch_id=2)
+
+
+def test_min_count_mismatch_gated_loudly(spark, tmp_path):
+    """Changing min_count mid-stream silently alters scrub semantics
+    across batches of one state — gated like k (ADVICE r5)."""
+    from polars_w_inverted_index_spark.streaming import span_scrub_batch
+
+    state = str(tmp_path / "mc_state")
+    b = spark.createDataFrame(
+        [(0, "entirely fresh sentence content for the min count gate")],
+        "doc_id long, text string",
+    )
+    span_scrub_batch(b, state, k=K, min_count=2, batch_id=0)
+    with pytest.raises(ValueError, match="min_count=2"):
+        span_scrub_batch(b, state, k=K, min_count=3, batch_id=1)
+
+
+def test_scrub_is_byte_fidelity(spark):
+    """VERDICT r5 task 2: detection keys on normalized tokens, but the
+    rebuild preserves ORIGINAL bytes outside spans — unscrubbed
+    documents pass through byte-identical (casing, tabs, run-length
+    whitespace intact), scrubbed ones keep original casing/whitespace
+    outside the removed char range."""
+    P = PASSAGE.title()  # mixed case: normalization still detects it
+    docs = spark.createDataFrame(
+        [
+            (0, f"Alpha  BETA\tgamma {P} Delta  epsilon"),
+            (1, f"one two three {P}"),            # span at text end
+            (2, f"{P} Trailing Words here"),      # span at text start
+            (3, P),                               # whole-document span
+            (4, "Unique WORDING   with\t odd   spacing kept verbatim"),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_repeated_spans(docs, k=K, min_count=2).collect()
+    }
+    n_p = len(PASSAGE.split())
+    # interior span: kept regions join on their original separator
+    assert out[0] == ("Alpha  BETA\tgamma Delta  epsilon", n_p)
+    # tail span swallows its preceding separator
+    assert out[1] == ("one two three", n_p)
+    # leading span swallows its following separator
+    assert out[2] == ("Trailing Words here", n_p)
+    assert out[3] == ("", n_p)
+    # no-span documents: byte-identical passthrough (the old normalized
+    # rebuild would have lowercased and single-spaced these)
+    assert out[4] == (
+        "Unique WORDING   with\t odd   spacing kept verbatim", 0
+    )
+    assert out[5] == (None, 0)
+    assert out[6] == ("", 0)
+
+
 # --- property-based: random corpora vs the independent reference -------
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
