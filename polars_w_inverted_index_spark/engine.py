@@ -135,7 +135,7 @@ class Engine:
             name,
             field_name=field,
             doc_ids_count=len(doc_ids) if doc_ids is not None else None,
-        )
+        ).attach_spark(self.spark)
         with st.phase("setup"):
             df = self._df
         if doc_ids is not None:
@@ -162,7 +162,7 @@ class Engine:
             name,
             field_name=field,
             doc_ids_count=len(doc_ids) if doc_ids is not None else None,
-        )
+        ).attach_spark(self.spark)
         with st.phase("setup"):
             df = self._df
         if doc_ids is not None:

@@ -28,6 +28,42 @@ except ImportError:  # pragma: no cover - non-POSIX
 
 _scan_counter = itertools.count(1)
 
+
+def _stage_peaks(spark, min_stage_id: int = -1) -> list[tuple[int, int]]:
+    """``[(stage_id, peak_execution_memory_bytes)]`` for stages with id >
+    ``min_stage_id``, read from the live AppStatusStore (the same
+    TaskMetrics aggregation the Spark UI's stage page shows).
+
+    This is the EXECUTOR-side answer to query_stats.rs:72-78: the
+    reference measures its one process's RSS, which on a cluster is the
+    driver and says nothing about where query memory is actually spent.
+    Per-stage ``peakExecutionMemory`` sums each task's peak
+    unroll/join/agg memory, so it moves with the query plan, not with
+    the driver process.  Returns [] on any introspection failure (the
+    store is driver-local state; never worth failing a query over)."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        from py4j.java_collections import ListConverter
+
+        empty = ListConverter().convert([], gw._gateway_client)
+        quantiles = gw.new_array(gw.jvm.double, 0)
+        stages = store.stageList(empty, False, False, quantiles, empty)
+        out = []
+        for i in range(stages.size()):
+            sd = stages.apply(i)
+            sid = sd.stageId()
+            if sid > min_stage_id:
+                out.append((sid, sd.peakExecutionMemory()))
+        return out
+    except Exception:  # pragma: no cover - store API drift / no JVM
+        return []
+
+
+def _max_stage_id(spark) -> int:
+    return max([sid for sid, _ in _stage_peaks(spark)], default=-1)
+
 PHASES = (
     "setup",
     "filter_creation",
@@ -49,12 +85,25 @@ class QueryStats:
     memory_before_kb: int = 0
     memory_after_kb: int = 0
     memory_peak_kb: int = 0
+    executor_peak_mem_kb: int = 0
     result_rows: int = 0
     total_time: float = 0.0
     _t0: float = field(default_factory=time.perf_counter)
+    _spark: object = field(default=None, repr=False, compare=False)
+    _stage_floor: int = field(default=-1, repr=False, compare=False)
 
     def __post_init__(self) -> None:
         self.memory_before_kb = _mem_kb()
+
+    def attach_spark(self, spark) -> "QueryStats":
+        """Opt in to executor-side memory: snapshot the current max stage
+        id so :meth:`finalize` attributes only THIS query's stages.  The
+        driver-RSS fields stay (reference parity, query_stats.rs:72-78);
+        ``executor_peak_mem_kb`` is the number that means something when
+        the work runs on executors instead of in this process."""
+        self._spark = spark
+        self._stage_floor = _max_stage_id(spark)
+        return self
 
     @contextmanager
     def phase(self, name: str):
@@ -74,6 +123,19 @@ class QueryStats:
         self.total_time = time.perf_counter() - self._t0
         self.memory_after_kb = _mem_kb()
         self.memory_peak_kb = max(self.memory_before_kb, self.memory_after_kb)
+        if self._spark is not None:
+            # max across this query's stages, not the sum: sequential
+            # stages release their execution memory, so the busiest
+            # single stage is the honest "peak" analog (the sum would
+            # overstate overlapping-stage plans less often than it
+            # overstates sequential ones).
+            self.executor_peak_mem_kb = max(
+                [
+                    p // 1024
+                    for _, p in _stage_peaks(self._spark, self._stage_floor)
+                ],
+                default=0,
+            )
         return self
 
     # -- printers (query_stats.rs:84-143, 145-155) --------------------------
@@ -125,6 +187,15 @@ class QueryStats:
         row("  After:", f"{after:.2f} MB")
         row("  Peak:", f"{peak:.2f} MB")
         row("  Diff:", diff)
+        if self.executor_peak_mem_kb:
+            # beyond reference parity: the reference's one-process RSS IS
+            # its executor memory; on Spark the driver numbers above say
+            # nothing about executors, so the TaskMetrics peak is shown
+            # whenever the query was stage-attributed (attach_spark).
+            row(
+                "  Exec peak:",
+                f"{self.executor_peak_mem_kb / 1024.0:.2f} MB",
+            )
         print("└" + bar + "┘")
 
     def compact(self) -> str:
@@ -144,4 +215,5 @@ class QueryStats:
             "result_rows": self.result_rows,
             "memory_before_kb": self.memory_before_kb,
             "memory_after_kb": self.memory_after_kb,
+            "executor_peak_mem_kb": self.executor_peak_mem_kb,
         }
