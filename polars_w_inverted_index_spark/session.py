@@ -47,6 +47,17 @@ _DEFAULTS: dict[str, str] = {
     # local-mode friendly; on a real cluster AQE re-coalesces anyway.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.ui.enabled": "false",
+    # Shuffle-writer parity with cluster scale: with reduce-partition
+    # counts at or below the 200-partition bypass threshold, local runs
+    # take the BypassMergeSortShuffleWriter — a small-scale-only code path
+    # that a 100 TB run (thousands of shuffle partitions) never executes,
+    # and that acquires no tracked execution memory, so per-stage
+    # peakExecutionMemory (stats.py executor metric) reads 0.  Pinning the
+    # threshold to 1 makes every local shuffle use the same serialized
+    # (UnsafeShuffleWriter) path a production shuffle uses, and makes the
+    # executor-memory instrumentation observe the memory that path really
+    # acquires.  At production partition counts this config is a no-op.
+    "spark.shuffle.sort.bypassMergeThreshold": "1",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 

@@ -40,7 +40,18 @@ def _stage_peaks(spark, min_stage_id: int = -1) -> list[tuple[int, int]]:
     Per-stage ``peakExecutionMemory`` sums each task's peak
     unroll/join/agg memory, so it moves with the query plan, not with
     the driver process.  Returns [] on any introspection failure (the
-    store is driver-local state; never worth failing a query over)."""
+    store is driver-local state; never worth failing a query over).
+
+    Why this reads nonzero under the engine session: ``peakExecutionMemory``
+    only counts memory acquired from the task memory manager — unsafe
+    sorts, hash-agg maps, join builds, and SERIALIZED shuffle writes.
+    Plans made only of untracked operators (ObjectHashAggregate for
+    collect_list, narrow maps) legitimately report 0 *unless* they
+    shuffle; session.py pins ``spark.shuffle.sort.bypassMergeThreshold=1``
+    so local shuffles take the serialized writer (the only writer a
+    production-scale partition count ever uses), whose page acquisitions
+    are tracked.  The AppStatusStore itself is populated with or without
+    the UI (``spark.ui.enabled`` does not gate it)."""
     try:
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
@@ -63,6 +74,34 @@ def _stage_peaks(spark, min_stage_id: int = -1) -> list[tuple[int, int]]:
 
 def _max_stage_id(spark) -> int:
     return max([sid for sid, _ in _stage_peaks(spark)], default=-1)
+
+
+def _group_stage_ids(spark, group_id: str) -> list[int] | None:
+    """Stage ids of every job tagged with ``group_id``, or None if the
+    store could not be read (caller falls back to stage-floor scoping).
+
+    Job-group scoping is the precise attribution the stage-id floor is
+    not: a concurrent query or background streaming batch interleaving
+    with this query gets stage ids above the floor but never this
+    query's group id, so its memory is never mis-charged here."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        from py4j.java_collections import ListConverter
+
+        empty = ListConverter().convert([], gw._gateway_client)
+        jobs = store.jobsList(empty)
+        out: list[int] = []
+        for i in range(jobs.size()):
+            jd = jobs.apply(i)
+            grp = jd.jobGroup()
+            if grp.isDefined() and grp.get() == group_id:
+                sids = jd.stageIds()
+                out.extend(int(sids.apply(j)) for j in range(sids.size()))
+        return out
+    except Exception:  # pragma: no cover - store API drift / no JVM
+        return None
 
 PHASES = (
     "setup",
@@ -91,18 +130,33 @@ class QueryStats:
     _t0: float = field(default_factory=time.perf_counter)
     _spark: object = field(default=None, repr=False, compare=False)
     _stage_floor: int = field(default=-1, repr=False, compare=False)
+    _group_id: str | None = field(default=None, repr=False, compare=False)
+    _prev_group: str | None = field(default=None, repr=False, compare=False)
 
     def __post_init__(self) -> None:
         self.memory_before_kb = _mem_kb()
 
     def attach_spark(self, spark) -> "QueryStats":
-        """Opt in to executor-side memory: snapshot the current max stage
-        id so :meth:`finalize` attributes only THIS query's stages.  The
-        driver-RSS fields stay (reference parity, query_stats.rs:72-78);
-        ``executor_peak_mem_kb`` is the number that means something when
-        the work runs on executors instead of in this process."""
+        """Opt in to executor-side memory.  Jobs launched from this thread
+        between attach and :meth:`finalize` are tagged with a unique job
+        group; finalize attributes executor memory from exactly those
+        jobs' stages (concurrent queries and background streaming batches
+        on the same session are therefore never mis-charged).  The
+        stage-id floor remains as a fallback when the group tag cannot be
+        set or read.  The driver-RSS fields stay (reference parity,
+        query_stats.rs:72-78); ``executor_peak_mem_kb`` is the number
+        that means something when the work runs on executors instead of
+        in this process."""
         self._spark = spark
         self._stage_floor = _max_stage_id(spark)
+        gid = f"qstats-{self.scan_id}-{id(self):x}"
+        try:
+            sc = spark.sparkContext
+            self._prev_group = sc.getLocalProperty("spark.jobGroup.id")
+            sc.setLocalProperty("spark.jobGroup.id", gid)
+            self._group_id = gid
+        except Exception:  # pragma: no cover - no JVM
+            self._group_id = None
         return self
 
     @contextmanager
@@ -124,17 +178,31 @@ class QueryStats:
         self.memory_after_kb = _mem_kb()
         self.memory_peak_kb = max(self.memory_before_kb, self.memory_after_kb)
         if self._spark is not None:
+            peaks: list[int] = []
+            if self._group_id is not None:
+                try:
+                    self._spark.sparkContext.setLocalProperty(
+                        "spark.jobGroup.id", self._prev_group
+                    )
+                except Exception:  # pragma: no cover
+                    pass
+                sids = _group_stage_ids(self._spark, self._group_id)
+                if sids is not None:
+                    by_id = dict(_stage_peaks(self._spark))
+                    peaks = [by_id[s] for s in sids if s in by_id]
+            if not peaks:
+                # group tag unavailable or tagged no jobs: stage-floor
+                # scoping (assumes single-query-at-a-time on the session)
+                peaks = [
+                    p for _, p in _stage_peaks(self._spark, self._stage_floor)
+                ]
             # max across this query's stages, not the sum: sequential
             # stages release their execution memory, so the busiest
             # single stage is the honest "peak" analog (the sum would
             # overstate overlapping-stage plans less often than it
             # overstates sequential ones).
             self.executor_peak_mem_kb = max(
-                [
-                    p // 1024
-                    for _, p in _stage_peaks(self._spark, self._stage_floor)
-                ],
-                default=0,
+                [p // 1024 for p in peaks], default=0
             )
         return self
 

@@ -350,8 +350,14 @@ def test_query_stats_executor_peak_from_task_metrics(spark, capsys):
     execution memory from TaskMetrics (AppStatusStore stage data), not
     just the driver-process RSS (which at cluster scale measures the
     wrong process).  Driven through the reference workload's own query
-    shape: get_field_values over the synthetic logs table — its postings
-    aggregation allocates tracked execution memory on every executor."""
+    shape: get_field_values over the synthetic logs table.  Its
+    collect_list aggregation is an UNTRACKED operator
+    (ObjectHashAggregate never touches the task memory manager), so the
+    tracked memory this plan reports comes from its shuffle write — which
+    is why session.py pins bypassMergeThreshold=1: the bypass writer the
+    default would pick at 32 partitions acquires nothing, while the
+    serialized writer (the only one production partition counts use)
+    acquires tracked pages."""
     from polars_w_inverted_index_spark.sources.generator import (
         generate_logs,
     )
@@ -373,6 +379,36 @@ def test_query_stats_executor_peak_from_task_metrics(spark, capsys):
 
     st2 = QueryStats("noop").attach_spark(spark)
     assert st2.finalize().executor_peak_mem_kb == 0
+
+
+def test_query_stats_job_group_scoped_attribution(spark):
+    """ADVICE r6: executor-memory attribution is scoped by job group, not
+    by a global stage-id floor — a second query interleaving between
+    another query's attach and finalize must not be folded into it.
+    Interleave deterministically on one thread: st1 attaches, st2
+    attaches+runs+finalizes inside st1's window, then st1 runs+finalizes.
+    Each stats object's group must have tagged only its own stages."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.stats import (
+        QueryStats,
+        _group_stage_ids,
+    )
+
+    st1 = QueryStats("outer").attach_spark(spark)
+    st2 = QueryStats("inner").attach_spark(spark)
+    spark.range(0, 200_000).groupBy((F.col("id") % 5).alias("k")).count().collect()
+    st2.finalize()
+    spark.range(0, 100_000).groupBy((F.col("id") % 3).alias("k")).count().collect()
+    st1.finalize()
+
+    s1 = set(_group_stage_ids(spark, st1._group_id))
+    s2 = set(_group_stage_ids(spark, st2._group_id))
+    assert s1 and s2 and not (s1 & s2), (s1, s2)
+    assert st1.executor_peak_mem_kb > 0
+    assert st2.executor_peak_mem_kb > 0
+    # the thread's job-group property is restored after finalize
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
 
 
 def test_query_stats_printer_truncates_long_names(capsys):
