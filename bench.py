@@ -178,6 +178,8 @@ def _extension_workload():
     """Non-registry extension operators (pytest-gated; the oracle registry
     is capped at 50 rows) — benched so their cost is tracked per round.
     All run over the sf documents table."""
+    from pyspark.sql import functions as F
+
     from polars_w_inverted_index_spark.functions.scrub import (
         scrub_documents,
     )
@@ -289,7 +291,13 @@ def _extension_workload():
             "polars_w_inverted_index_spark.operators.span_dedup",
             fromlist=["scrub_repeated_spans"],
         ).scrub_repeated_spans(_docs(s, d), k=8).select(
-            "doc_id", "n_removed_tokens"
+            # hash of the rebuilt text keeps the byte-fidelity rebuild in
+            # the timed plan — a bare n_removed_tokens projection lets
+            # Catalyst prune the rebuilt column, timing only detection
+            # (r6 VERDICT finding #3: count()-timings-are-fake, the
+            # projection edition)
+            "doc_id", F.xxhash64("text").alias("text_hash"),
+            "n_removed_tokens",
         ),
         "ext_resample_events": lambda s, d: __import__(
             "polars_w_inverted_index_spark.operators.resample",

@@ -105,7 +105,6 @@ def _window_rows(
         docs.where(F.size(tok) >= k)
         .select(
             F.col(id_col).alias("doc_id"),
-            F.size(tok).alias("_nt"),
             F.posexplode(tok).alias("pos", "_t"),
         )
         .withColumn("_h", F.xxhash64("_t"))
@@ -114,16 +113,23 @@ def _window_rows(
     parts = [F.col("_h")] + [
         F.lead("_h", j).over(w) for j in range(1, k)
     ]
+    # Tail-position guard: xxhash64 SKIPS null args, so an unguarded tail
+    # window would hash like a shorter gram and alias other keys.  The
+    # guard is "the furthest lead is non-null" (token hashes are never
+    # null), NOT a token-count comparison: a ``size(tokens(text))``
+    # column here gets collapsed by Catalyst into the post-Generate
+    # projection, re-tokenizing the WHOLE document once per exploded row
+    # — O(tokens²) per doc, measured 4× super-linear growth on a single
+    # long document (r7; the lead-null form is flat-linear).
+    last = parts[-1]
     return (
         base.select(
             "doc_id",
             "pos",
-            "_nt",
             F.xxhash64(*parts).alias("sh"),
+            last.isNotNull().alias("_full"),
         )
-        # drop tail positions: xxhash64 SKIPS null args, so an unguarded
-        # tail window would hash like a shorter gram and alias other keys
-        .where(F.col("pos") <= F.col("_nt") - k)
+        .where(F.col("_full"))
         .select("doc_id", "pos", "sh")
     )
 
@@ -154,54 +160,32 @@ def repeated_spans(
 
 def _merge_marked_to_spans(marked: DataFrame, k: int) -> DataFrame:
     """``[doc_id, span_start, span_end]`` — merge hot-window [pos,
-    pos+k) intervals per doc: starts sorted, fold keeps a growing array
-    of disjoint (s, e) structs — per-doc CPU, 1 shuffle."""
-    merged = (
-        marked.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
-        .select(
-            "doc_id",
-            F.aggregate(
-                "ps",
-                F.array().cast("array<struct<s:long,e:long>>"),
-                lambda acc, p: F.when(
-                    (F.size(acc) > 0)
-                    & (p <= F.element_at(acc, -1).getField("e")),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(
-                            F.struct(
-                                F.element_at(acc, -1)
-                                .getField("s")
-                                .alias("s"),
-                                F.greatest(
-                                    F.element_at(acc, -1).getField("e"),
-                                    (p + k).cast("long"),
-                                ).alias("e"),
-                            )
-                        ),
-                    ),
-                ).otherwise(
-                    F.concat(
-                        acc,
-                        F.array(
-                            F.struct(
-                                p.cast("long").alias("s"),
-                                (p + k).cast("long").alias("e"),
-                            )
-                        ),
-                    )
-                ),
-            ).alias("spans"),
-        )
-        .select("doc_id", F.explode("spans").alias("sp"))
-        .select(
-            "doc_id",
-            F.col("sp.s").alias("span_start"),
-            F.col("sp.e").alias("span_end"),
-        )
+    pos+k) intervals per doc, ROW-BASED and linear: because every
+    interval has the same length k, ends are monotone in sorted starts,
+    so a new maximal span begins exactly where a gap ``pos > lag(pos)+k``
+    appears; a running sum of those new-span flags numbers the spans and
+    one groupBy folds each to (min start, max pos + k).  Same single
+    doc_id-keyed shuffle as the previous array-fold form, but O(windows)
+    work instead of the fold's O(spans²) array copies on documents with
+    many disjoint spans (r6 VERDICT finding #2)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_span = F.when(
+        prev.isNull() | (F.col("pos") > prev + k), F.lit(1)
+    ).otherwise(F.lit(0))
+    grouped = marked.select(
+        "doc_id",
+        "pos",
+        F.sum(new_span)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_grp"),
     )
-    return merged
+    return grouped.groupBy("doc_id", "_grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + k).cast("long").alias("span_end"),
+    ).drop("_grp")
 
 
 def window_counts(
@@ -328,44 +312,106 @@ def _scrub_with_marked(
     )
 
 
-def _token_offsets(text_col: str):
-    """``array<struct<s:long,e:long>>`` — character offsets (0-based,
-    end exclusive) of each whitespace-delimited token of the ORIGINAL
-    text, index-aligned with :func:`..functions.text.tokens` (both are
-    the maximal non-whitespace runs, in order; ``tokens`` additionally
-    lowercases, which does not move boundaries).  Built JVM-side: split
-    at the zero-width whitespace↔non-whitespace transitions gives
-    alternating runs, then one fold accumulates a running char cursor
-    and keeps the non-whitespace runs' (start, end)."""
-    c = F.col(text_col)
-    chunks = F.split(c, r"(?<=\s)(?=\S)|(?<=\S)(?=\s)")
-    acc0 = F.struct(
-        F.lit(0).cast("long").alias("off"),
-        F.array().cast("array<struct<s:long,e:long>>").alias("offs"),
-    )
-    return F.aggregate(
-        chunks,
-        acc0,
-        lambda acc, ch: F.struct(
-            (acc.getField("off") + F.length(ch)).alias("off"),
-            F.when(
-                (F.length(ch) == 0) | ch.rlike(r"^\s"),
-                acc.getField("offs"),
-            )
-            .otherwise(
-                F.concat(
-                    acc.getField("offs"),
+def _boundary_offsets(
+    docs: DataFrame, span_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """``[_did, _offs: map<long, struct<s:long, e:long>>, _ntok]`` —
+    character offsets (0-based, end exclusive) of exactly the tokens the
+    span rebuild will index, for exactly the documents that carry spans,
+    plus the doc's token count.
+
+    Token boundaries are the maximal non-whitespace runs of the ORIGINAL
+    text, index-aligned with :func:`..functions.text.tokens` (which
+    additionally lowercases — boundaries don't move).  Built ROW-BASED
+    and linear (r6 VERDICT finding #2 — the previous expression fold
+    concat-copied a growing offsets array once per chunk, O(chars²) per
+    spanned document):
+
+    1. split at the zero-width whitespace↔non-whitespace transitions →
+       alternating runs; posexplode keeps run order;
+    2. a running-sum window per doc over run lengths is each run's start
+       offset (one doc_id-keyed sort — the same key the span merge
+       already shuffled on);
+    3. non-whitespace runs get their token index by ``row_number``;
+    4. an inner join against the O(spans)-sized set of needed indices
+       keeps only span-boundary tokens, folded to a small per-doc map.
+
+    The map + count come back as real columns behind a Project boundary,
+    so the rebuild fold references computed values instead of re-deriving
+    an O(chars) expression per span (r6 ADVICE, CSE-across-lambdas)."""
+    from pyspark.sql import Window
+
+    # token indices the rebuild reads for span [s, e): s (range start),
+    # s-1 (tail spans swallow the PRECEDING separator), e (token after)
+    needed = span_df.select(
+        F.col("doc_id").alias("_did"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
                     F.array(
-                        F.struct(
-                            acc.getField("off").alias("s"),
-                            (acc.getField("off") + F.length(ch)).alias("e"),
-                        )
+                        (F.col("span_start") - 1).cast("long"),
+                        F.col("span_start").cast("long"),
+                        F.col("span_end").cast("long"),
                     ),
+                    lambda t: t >= 0,
                 )
             )
-            .alias("offs"),
-        ),
-        lambda acc: acc.getField("offs"),
+        ).alias("tidx"),
+    ).distinct()
+
+    chunks = F.split(
+        F.col(text_col), r"(?<=\s)(?=\S)|(?<=\S)(?=\s)"
+    )
+    spanned = docs.join(
+        span_df.select(F.col("doc_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    ex = spanned.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(chunks).alias("_ci", "_ch"),
+    )
+    w = Window.partitionBy("_did").orderBy("_ci")
+    with_start = ex.select(
+        "_did",
+        "_ci",
+        "_ch",
+        F.coalesce(
+            F.sum(F.length("_ch")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("_s"),
+    )
+    tok_rows = with_start.where(
+        (F.length("_ch") > 0) & ~F.col("_ch").rlike(r"^\s")
+    ).select(
+        "_did",
+        (F.row_number().over(w) - 1).cast("long").alias("tidx"),
+        F.col("_s"),
+        (F.col("_s") + F.length("_ch")).cast("long").alias("_e"),
+    )
+    return (
+        tok_rows.join(
+            needed.withColumn("_need", F.lit(True)), ["_did", "tidx"], "left"
+        )
+        .groupBy("_did")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("_need"),
+                        F.struct(
+                            F.col("tidx"),
+                            F.struct(
+                                F.col("_s").alias("s"), F.col("_e").alias("e")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_offs"),
+            F.count("*").cast("long").alias("_ntok"),
+        )
     )
 
 
@@ -383,40 +429,46 @@ def _scrub_with_spans(
             ).alias("_spans")
         )
     )
-    joined = docs.join(
-        spans, docs[id_col] == spans["doc_id"], "left"
-    ).drop(spans["doc_id"])
+    bounds = _boundary_offsets(docs, span_df, text_col, id_col)
+    joined = (
+        docs.join(spans, docs[id_col] == spans["doc_id"], "left")
+        .drop(spans["doc_id"])
+        .join(bounds, F.col(id_col) == bounds["_did"], "left")
+        .drop("_did")
+    )
     # Byte-fidelity rebuild from the GAPS BETWEEN spans — O(spans)
     # substring slices of the ORIGINAL text per doc, never a per-token
     # lambda (the per-token exists() form interprets a nested lambda for
     # every token of every document; measured ~8 s at sf0.1 vs <1 s for
     # gap slicing).  Token-index spans map to char ranges through the
-    # offsets array; the fold walks the sorted disjoint spans carrying
-    # (parts, char cursor): emit original chars [cursor, removed_start),
-    # jump the cursor to removed_end, then append the tail slice.
+    # materialized boundary-offset map (linear, _boundary_offsets); the
+    # fold walks the sorted disjoint spans carrying (parts, char
+    # cursor): emit original chars [cursor, removed_start), jump the
+    # cursor to removed_end, then append the tail slice.
     c = F.col(text_col)
     sp = F.array_sort(
         F.coalesce(
             F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>")
         )
     )
-    offs = _token_offsets(text_col)
-    n_tok = F.size(offs).cast("long")
+    n_tok = F.coalesce(F.col("_ntok"), F.lit(0).cast("long"))
     text_len = F.length(c).cast("long")
+
+    def _tok(idx):
+        # struct<s,e> char range of 0-based token ``idx`` (only
+        # span-boundary indices are present in the map — exactly the
+        # ones the rebuild reads)
+        return F.element_at(F.col("_offs"), idx.cast("long"))
 
     def _rm_start(s):
         # span reaching the last token swallows the PRECEDING separator
         # (no following token exists to anchor the usual swallow)
         tail = s.getField("e") >= n_tok
         return (
-            F.when(
-                ~tail, F.element_at(offs, (s.getField("s") + 1).cast("int"))
-                .getField("s")
-            )
+            F.when(~tail, _tok(s.getField("s")).getField("s"))
             .when(
                 s.getField("s") > 0,
-                F.element_at(offs, s.getField("s").cast("int"))
-                .getField("e"),
+                _tok(s.getField("s") - 1).getField("e"),
             )
             .otherwise(F.lit(0).cast("long"))
         )
@@ -428,8 +480,7 @@ def _scrub_with_spans(
         return (
             F.when(
                 s.getField("e") < n_tok,
-                F.element_at(offs, (s.getField("e") + 1).cast("int"))
-                .getField("s"),
+                _tok(s.getField("e")).getField("s"),
             )
             .otherwise(text_len)
         )

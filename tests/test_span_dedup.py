@@ -441,6 +441,53 @@ def test_scrub_is_byte_fidelity(spark):
     assert out[6] == ("", 0)
 
 
+def test_scrub_long_document_near_linear(spark):
+    """VERDICT r6 task 2: the byte-fidelity rebuild (and detection) must
+    stay near-linear in document length — the previous array-fold offsets
+    computation was O(tokens²) per spanned doc, and a hidden
+    size(tokens())-above-Generate collapse made detection itself
+    quadratic.  A 100k-token spanned document (books, concatenated code
+    at 100 TB) must cost ~10× a 10k-token one, not ~100×."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    span = " ".join(f"dup{i}" for i in range(20))
+
+    def corpus(n_tokens):
+        words = " ".join(f"w{i}" for i in range(n_tokens))
+        half = len(words) // 2
+        return spark.createDataFrame(
+            [
+                (1, f"{words[:half]} {span} {words[half:]}"),
+                (2, f"other text {span} more text here"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def run(df):
+        t = time.perf_counter()
+        row = (
+            scrub_repeated_spans(df, k=K, min_count=2)
+            .select(
+                F.sum(F.length("text")).alias("chars"),
+                F.sum("n_removed_tokens").alias("removed"),
+            )
+            .collect()[0]
+        )
+        return time.perf_counter() - t, row
+
+    run(corpus(1_000))  # warm the plan/codegen caches
+    t_small, small = run(corpus(10_000))
+    t_big, big = run(corpus(100_000))
+    # both corpora scrub exactly the two span occurrences (2 × 20 tokens)
+    assert small["removed"] == 40 and big["removed"] == 40
+    # 10× the tokens: allow generous constant overhead, but a quadratic
+    # rebuild or detection would be ~100× and trip this by an order of
+    # magnitude (pre-fix: the 100k doc did not finish in 8 minutes)
+    assert t_big < 25 * max(t_small, 0.5), (t_small, t_big)
+
+
 # --- property-based: random corpora vs the independent reference -------
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
