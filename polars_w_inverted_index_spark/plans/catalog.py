@@ -52,17 +52,20 @@ class IndexCatalog:
         num_buckets: int | None = None,
     ) -> str:
         """Materialize the postings index for (table, field) → parquet."""
-        idx = (
-            postings_chunked(df, field, doc_id_col, max_postings_per_row)
-            if chunked
-            else postings(df, field, doc_id_col)
-        )
         path = self._path(table, field)
-        writer = idx
-        if num_buckets:
-            writer = idx.repartition(num_buckets, "value").sortWithinPartitions(
-                "value"
+
+        def _build_and_write(frame: DataFrame) -> None:
+            idx = (
+                postings_chunked(frame, field, doc_id_col, max_postings_per_row)
+                if chunked
+                else postings(frame, field, doc_id_col)
             )
+            if num_buckets:
+                idx = idx.repartition(num_buckets, "value").sortWithinPartitions(
+                    "value"
+                )
+            idx.write.mode("overwrite").parquet(path)
+
         # Bind the index to its source data: the Catalyst rule refuses to
         # serve an index whose recorded source doesn't cover the scanned
         # path, so two tables sharing a file stem (or a relocated table)
@@ -72,9 +75,7 @@ class IndexCatalog:
         # for an index covering a subset of its rows, and the rule's
         # identity gate would serve wrong answers for full-table queries.
         src = self._source_root(df) if self._is_plain_scan(df) else None
-        fp = self._write_with_stable_fingerprint(
-            src, lambda: writer.write.mode("overwrite").parquet(path)
-        )
+        fp = self._write_with_stable_fingerprint(src, df, _build_and_write)
         if src is not None:
             with open(os.path.join(path, "_index_source"), "w") as f:
                 f.write(src)
@@ -159,26 +160,25 @@ class IndexCatalog:
                 ]
             )
         ).alias("p")
-        idx = (
-            df.select(F.col(doc_id_col).cast("long").alias("_id"), pairs)
-            .select("p.field", "p.value", "_id")
-            .where(F.col("value").isNotNull() & F.col("_id").isNotNull())
-            .groupBy("field", "value")
-            .agg(F.sort_array(F.collect_list("_id")).alias("doc_ids"))
-        )
         # unique staging dir: two concurrent build_many calls for the
         # same table must not clobber each other's partial output
         staging = os.path.join(
             self.root,
             f"_staging_{os.path.basename(table)}_{uuid.uuid4().hex[:8]}",
         )
+
+        def _build_and_write(frame: DataFrame) -> None:
+            idx = (
+                frame.select(F.col(doc_id_col).cast("long").alias("_id"), pairs)
+                .select("p.field", "p.value", "_id")
+                .where(F.col("value").isNotNull() & F.col("_id").isNotNull())
+                .groupBy("field", "value")
+                .agg(F.sort_array(F.collect_list("_id")).alias("doc_ids"))
+            )
+            idx.write.mode("overwrite").partitionBy("field").parquet(staging)
+
         src = self._source_root(df) if self._is_plain_scan(df) else None
-        fp = self._write_with_stable_fingerprint(
-            src,
-            lambda: idx.write.mode("overwrite")
-            .partitionBy("field")
-            .parquet(staging),
-        )
+        fp = self._write_with_stable_fingerprint(src, df, _build_and_write)
         out: dict[str, str] = {}
         for f in fields:
             part_dir = os.path.join(staging, f"field={f}")
@@ -252,27 +252,42 @@ class IndexCatalog:
         with open(self._meta_path, "w") as f:
             json.dump(self._meta, f, indent=2)
 
-    def _write_with_stable_fingerprint(self, src, write_fn) -> str | None:
-        """Materialize an index and return the base-table fingerprint it
-        is valid for, closing the build-time TOCTOU (ADVICE r5): the
+    def _write_with_stable_fingerprint(self, src, frame, write_fn) -> str | None:
+        """Materialize an index (``write_fn(frame)`` builds and writes it
+        from the given base frame) and return the base-table fingerprint
+        it is valid for, closing the build-time TOCTOU (ADVICE r5): the
         fingerprint is taken BEFORE the write starts and re-taken after
         it finishes — parquet files are immutable, so an unchanged
         (listing, sizes) digest across the whole scan window proves the
         index saw exactly that snapshot.  A mismatch (an append landed
-        mid-build) rebuilds once against the settled table — the lazy
-        frame re-scans and picks the new files up — and a table still
-        moving on the second attempt fails loudly rather than recording
-        a fingerprint the index contents don't match."""
+        mid-build) rebuilds once against the settled table, and a table
+        still moving on the second attempt fails loudly rather than
+        recording a fingerprint the index contents don't match.
+
+        The rebuild does NOT re-execute the original frame (ADVICE r6):
+        Spark pins a frame's file listing (InMemoryFileIndex) when the
+        frame is created, so re-running it would rebuild from the
+        PRE-append snapshot and stamp it with the post-append
+        fingerprint — exactly the stale-serving this retry exists to
+        prevent.  Instead the retry re-reads ``src`` fresh (re-resolving
+        the listing, after invalidating the session's file-status cache)
+        and hands the new frame to ``write_fn``.  The retry fingerprint
+        is snapshotted BEFORE the fresh read so the
+        listing-covers-fingerprint invariant holds on both attempts."""
         if src is None:
-            write_fn()
+            write_fn(frame)
             return None
         fp = self._table_fingerprint(src)
-        write_fn()
+        write_fn(frame)
         after = self._table_fingerprint(src)
         if after == fp:
             return fp
         fp = after
-        write_fn()
+        try:
+            self.spark.catalog.refreshByPath(src)
+        except Exception:  # pragma: no cover - cache invalidation best-effort
+            pass
+        write_fn(self.spark.read.parquet(src))
         after = self._table_fingerprint(src)
         if after == fp:
             return fp

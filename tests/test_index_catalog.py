@@ -293,6 +293,46 @@ def test_build_closes_fingerprint_toctou(spark, lineitem, tmp_path):
     assert cat.lookup("tbl", "l_returnflag") is not None
 
 
+def test_fingerprint_toctou_rebuild_reads_appended_files(spark, tmp_path):
+    """ADVICE r6: the TOCTOU retry must rebuild from a RE-RESOLVED file
+    listing.  Spark pins a frame's InMemoryFileIndex at frame creation,
+    so re-executing the original build frame after a mid-build append
+    would produce an index missing the appended rows yet stamped with
+    the post-append fingerprint — which lookup() would then validate as
+    fresh and serve stale.  This test REALLY appends a part-file between
+    the fingerprint snapshots (no mocked fingerprints) and asserts the
+    rebuilt index contains the appended value."""
+    from polars_w_inverted_index_spark.operators.inverted_index import (
+        postings,
+    )
+
+    src = str(tmp_path / "tbl")
+    out = str(tmp_path / "out_idx")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, v string"
+    ).write.mode("overwrite").parquet(src)
+    cat = IndexCatalog(spark, str(tmp_path / "idx"))
+
+    stale_frame = spark.read.parquet(src)  # listing pinned pre-append
+    calls = []
+
+    def write_fn(frame):
+        if not calls:
+            # a concurrent writer appends DURING the first build
+            spark.createDataFrame(
+                [(3, "appended")], "doc_id long, v string"
+            ).write.mode("append").parquet(src)
+        calls.append(1)
+        postings(frame, "v").write.mode("overwrite").parquet(out)
+
+    fp = cat._write_with_stable_fingerprint(src, stale_frame, write_fn)
+    assert len(calls) == 2  # mismatch detected, one rebuild
+    values = {r["value"] for r in spark.read.parquet(out).collect()}
+    assert "appended" in values, values
+    # the recorded fingerprint matches the settled post-append table
+    assert fp == cat._table_fingerprint(src)
+
+
 def test_chunked_index_merges_on_lookup(spark, tmp_path_factory):
     rows = [Row(doc_id=i, v="hot" if i < 90 else "cold") for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, v string")
