@@ -237,39 +237,53 @@ def q_index_catalog_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry assembly
 # --------------------------------------------------------------------------
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "field_values": q_field_values,
-    "field_values_by_doc_ids": q_field_values_by_doc_ids,
-    "numeric_stats": q_numeric_stats,
-    "numeric_stats_by_doc_ids": q_numeric_stats_by_doc_ids,
-    "index_value_lookup": q_value_lookup,
-    "postings_chunked_merged": q_postings_chunked,
-    "index_catalog_lookup": q_index_catalog_lookup,
-    "index_by_doc_ids_lookup": q_index_by_doc_ids,
-}
+from .registry_slot import Slot  # noqa: E402
 
-ORACLES: dict[str, str] = {
-    "field_values": SQL_FIELD_VALUES,
-    "field_values_by_doc_ids": SQL_FIELD_VALUES_BY_DOC_IDS,
-    "numeric_stats": SQL_NUMERIC_STATS,
-    "numeric_stats_by_doc_ids": SQL_NUMERIC_STATS_BY_DOC_IDS,
-    "index_value_lookup": SQL_VALUE_LOOKUP,
-    "postings_chunked_merged": SQL_FIELD_VALUES,
-    "index_catalog_lookup": SQL_FIELD_VALUES,
-    "index_by_doc_ids_lookup": SQL_INDEX_BY_DOC_IDS,
-}
+_CORE: list[Slot] = [
+    Slot("field_values", q_field_values, SQL_FIELD_VALUES),
+    Slot(
+        "field_values_by_doc_ids",
+        q_field_values_by_doc_ids,
+        SQL_FIELD_VALUES_BY_DOC_IDS,
+    ),
+    Slot("numeric_stats", q_numeric_stats, SQL_NUMERIC_STATS),
+    Slot(
+        "numeric_stats_by_doc_ids",
+        q_numeric_stats_by_doc_ids,
+        SQL_NUMERIC_STATS_BY_DOC_IDS,
+    ),
+    Slot("index_value_lookup", q_value_lookup, SQL_VALUE_LOOKUP),
+    Slot("postings_chunked_merged", q_postings_chunked, SQL_FIELD_VALUES),
+    Slot("index_catalog_lookup", q_index_catalog_lookup, SQL_FIELD_VALUES),
+    Slot("index_by_doc_ids_lookup", q_index_by_doc_ids, SQL_INDEX_BY_DOC_IDS),
+]
 
 # Extension operators (dedup / similarity / text analysis / SQL breadth)
 from . import registry_ext as _ext  # noqa: E402
 
-QUERIES.update(_ext.QUERIES)
-ORACLES.update(_ext.ORACLES)
-
 # Driver-verification round 2 (sources, predicates, paths, as-of join)
 from . import registry_round2 as _r2  # noqa: E402
 
-QUERIES.update(_r2.QUERIES)
-ORACLES.update(_r2.ORACLES)
+# ---------------------------------------------------------------------------
+# THE slot table (VERDICT r5 task 7): every candidate query across the
+# three declaration modules in one auditable list — name, fn, oracle,
+# registered (holds one of the ≤50 driver rows), and the evidence that
+# covers it.  Unregistered candidates (engine-path twins, folded
+# sub-sources, redundant set-ops) stay in the table with pointers to the
+# pytest/folded evidence that replaced their driver row, so a cap
+# rotation is a reviewable diff of `registered=` flags, never a silent
+# drop.
+# ---------------------------------------------------------------------------
+TABLE: list[Slot] = _CORE + _ext.CANDIDATES + _r2.CANDIDATES
+
+_names = [s.name for s in TABLE]
+assert len(_names) == len(set(_names)), (
+    f"duplicate slot names: {[n for n in _names if _names.count(n) > 1]}"
+)
+for _s in TABLE:
+    assert _s.registered is False or _s.oracle is not None, (
+        f"registered slot {_s.name} must carry a DuckDB oracle"
+    )
 
 # The driver's correctness sweep records at most 50 rows in registration
 # order (CORRECTNESS_r02 held exactly 50 of 51 registered entries; the
@@ -293,9 +307,26 @@ def _reorder(d: dict) -> dict:
     return head
 
 
-QUERIES = _reorder(QUERIES)
-ORACLES = _reorder(ORACLES)
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = _reorder(
+    {s.name: s.fn for s in TABLE if s.registered}
+)
+ORACLES: dict[str, str] = _reorder(
+    {s.name: s.oracle for s in TABLE if s.registered and s.oracle is not None}
+)
 assert len(QUERIES) <= 50, f"driver sweep caps at 50 rows, have {len(QUERIES)}"
+
+
+def slot_table() -> str:
+    """Human-readable audit of the full candidate table — one line per
+    slot: driver-registered or not, oracle presence, and evidence."""
+    lines = []
+    for s in TABLE:
+        mark = "DRIVER" if s.registered else "  --  "
+        orc = "sql" if s.oracle is not None else " - "
+        lines.append(f"{mark} [{orc}] {s.name:<40} {s.evidence}")
+    reg = sum(1 for s in TABLE if s.registered)
+    lines.append(f"{reg} registered of {len(TABLE)} candidates (cap 50)")
+    return "\n".join(lines)
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -24,14 +24,19 @@ from .operators import similarity as SIM
 from .operators.inverted_index import postings
 from .sources.tables import load_table
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+from .registry_slot import DRIVER_EVIDENCE, Slot
+
+CANDIDATES: list[Slot] = []
 
 
-def _register(name: str, fn: Callable, sql: str | None) -> None:
-    QUERIES[name] = fn
-    if sql is not None:
-        ORACLES[name] = sql
+def _register(
+    name: str,
+    fn: Callable,
+    sql: str | None,
+    registered: bool = True,
+    evidence: str = DRIVER_EVIDENCE,
+) -> None:
+    CANDIDATES.append(Slot(name, fn, sql, registered, evidence))
 
 
 # ---------------------------------------------------------------------------
@@ -411,11 +416,21 @@ def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ROTATED OUT of the 50-row driver registry (round 6, VERDICT r5 task 1):
 # the GEMM path answers the same query as similarity_bruteforce_topk by
-# construction, so its driver row duplicated evidence; the engine twin
-# stays pinned exactly equal to the expression path in
-# tests/test_dedup_similarity.py and its plan (MapInPandas) in
-# tests/test_plan_quality.py.  The freed row registers the span-dedup
-# family (q_span_dedup below), which previously had pytest-only evidence.
+# construction, so its driver row duplicated evidence.  The freed row
+# registers the span-dedup family (q_span_dedup below), which previously
+# had pytest-only evidence.
+_register(
+    "similarity_bruteforce_topk_gemm",
+    q_ann_gemm,
+    None,
+    registered=False,
+    evidence=(
+        "rotated out r6 (slot went to span_dedup_spans): pinned exactly "
+        "equal to similarity_bruteforce_topk in "
+        "tests/test_dedup_similarity.py; MapInPandas plan pinned in "
+        "tests/test_plan_quality.py"
+    ),
+)
 
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,13 +893,24 @@ def q_both_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # NOT registered: the driver sweep caps at 50 rows and the INTERSECT
 # evidence is redundant with sql_set_except (§2.6 set ops); its slot went
-# to dedup_minhash_clusters.  Still oracle-checked by
-# tests/test_property_oracle.py::test_set_intersect_oracle.
+# to dedup_minhash_clusters.
 SET_INTERSECT_SQL = """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     INTERSECT
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """
+
+_register(
+    "sql_set_intersect",
+    q_both_status_customers,
+    SET_INTERSECT_SQL,
+    registered=False,
+    evidence=(
+        "INTERSECT redundant with sql_set_except's driver row; "
+        "oracle-checked by tests/test_property_oracle.py"
+        "::test_set_intersect_oracle"
+    ),
+)
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

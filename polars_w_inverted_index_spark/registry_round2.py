@@ -24,14 +24,19 @@ from .operators.asof import asof_join
 from .operators.inverted_index import postings
 from .sources.tables import load_table
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+from .registry_slot import DRIVER_EVIDENCE, Slot
+
+CANDIDATES: list[Slot] = []
 
 
-def _register(name: str, fn: Callable, sql: str | None) -> None:
-    QUERIES[name] = fn
-    if sql is not None:
-        ORACLES[name] = sql
+def _register(
+    name: str,
+    fn: Callable,
+    sql: str | None,
+    registered: bool = True,
+    evidence: str = DRIVER_EVIDENCE,
+) -> None:
+    CANDIDATES.append(Slot(name, fn, sql, registered, evidence))
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +227,27 @@ _register(
            58890::BIGINT AS sum_msg_len,
            '1,3,6' AS inmem_a, '2,5' AS inmem_b
     """,
+)
+
+_register(
+    "source_inmemory_rows",
+    q_inmemory_rows,
+    None,
+    registered=False,
+    evidence=(
+        "folded into source_inmemory_json_roundtrip's driver row "
+        "(pivoted inmem_a/inmem_b columns pin its postings)"
+    ),
+)
+_register(
+    "source_json_roundtrip",
+    q_json_roundtrip,
+    None,
+    registered=False,
+    evidence=(
+        "folded into source_inmemory_json_roundtrip's driver row "
+        "(its nine aggregate columns are that row's oracle constants)"
+    ),
 )
 
 
