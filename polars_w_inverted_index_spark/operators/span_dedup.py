@@ -235,8 +235,16 @@ def scrub_repeated_spans_against(
     INNER join deliberately, not a left-outer: Spark can only broadcast
     the RIGHT side of a LeftOuter join, so batch-left-outer-corpus would
     sort-merge-shuffle the corpus-sized count table on EVERY batch; the
-    inner form lets AQE broadcast the small batch side and the
-    batch-only-hot windows come back via a cheap union.
+    inner form broadcasts the small batch side and the batch-only-hot
+    windows come back via a cheap union.  The batch side is broadcast
+    EXPLICITLY, not left to AQE: when the static planner's (rough)
+    estimate of the batch-count aggregation exceeds the broadcast
+    threshold it plans a sort-merge join, whose corpus-side shuffle has
+    already been materialized by the time runtime stats let AQE convert
+    the join — the corpus-sized shuffle this operator exists to avoid
+    would be paid anyway (observed in the skew-guard test pre-fix).
+    Batch windows are bounded by the ingest trigger, so the broadcast
+    is O(batch) by the operator's own contract.
     ``corpus_counts`` may hold MULTIPLE rows per ``sh`` (the streaming
     state stores per-batch delta partitions); occurrences are summed
     AFTER the join, so the aggregation stays batch-keyed — pre-summing
@@ -257,7 +265,7 @@ def scrub_repeated_spans_against(
     )
     batch_counts = win.groupBy("sh").agg(F.count("*").alias("bn"))
     corpus_hot = (
-        batch_counts.join(
+        F.broadcast(batch_counts).join(
             corpus_counts.select("sh", F.col("n").alias("cn")), "sh"
         )
         .groupBy("sh")

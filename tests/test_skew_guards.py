@@ -203,3 +203,124 @@ def test_boilerplate_line_stripped_at_50pct_df(skew_docs):
         assert rows[i]["n_removed_lines"] == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental span scrub vs a standing corpus (VERDICT r5 task 6): the
+# batch side broadcasts, the corpus-counts table is never reshuffled.
+# ---------------------------------------------------------------------------
+
+def _plan_depth(line: str) -> int:
+    import re
+
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else -1
+
+
+def _ancestor_chain(lines: list[str], idx: int) -> list[str]:
+    """Plan-tree ancestors of ``lines[idx]``: walk upward taking each
+    line whose node marker sits strictly left of the current one."""
+    chain = []
+    d = _plan_depth(lines[idx])
+    for j in range(idx - 1, -1, -1):
+        dj = _plan_depth(lines[j])
+        if dj < d:
+            chain.append(lines[j])
+            d = dj
+            if dj <= 0:
+                break
+    return chain
+
+
+def test_span_scrub_against_broadcasts_batch_not_corpus(spark, tmp_path):
+    """`scrub_repeated_spans_against` at a 50%-hot batch×corpus overlap:
+    the corpus occurrence-count table (the big side at any real scale)
+    must stream — no shuffle, no broadcast of it — while the O(batch)
+    count frame is the broadcast build side.  At the test's data size
+    BOTH sides fit under the default 10 MB broadcast threshold and AQE
+    happily broadcasts the corpus, so the threshold is pinned low enough
+    that only the genuinely batch-sized side qualifies — the same
+    relative-size regime a 100 TB corpus imposes for free."""
+    from polars_w_inverted_index_spark.operators.span_dedup import (
+        scrub_repeated_spans_against,
+        window_counts,
+    )
+
+    K = 8
+    tmpl = " ".join(f"hot{j}" for j in range(12))
+    rows = []
+    for i in range(2000):  # half the corpus carries the hot template
+        filler = " ".join(f"c{i}w{j}" for j in range(10))
+        rows.append((i, f"{filler} {tmpl}"))
+    for i in range(2000, 4000):
+        rows.append((i, " ".join(f"u{i}v{j}" for j in range(20))))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "corpus_counts")
+    window_counts(corpus, k=K).write.mode("overwrite").parquet(state)
+    cc = spark.read.parquet(state)
+
+    brows = []
+    for i in range(9000, 9030):  # 50% of the batch overlaps the hot span
+        filler = " ".join(f"b{i}w{j}" for j in range(10))
+        brows.append((i, f"{filler} {tmpl}"))
+    for i in range(9030, 9060):
+        brows.append((i, " ".join(f"x{i}y{j}" for j in range(20))))
+    batch = spark.createDataFrame(brows, "doc_id long, text string")
+
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": "65536",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "65536",
+    }
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    for k, v in thresholds.items():
+        spark.conf.set(k, v)
+    try:
+        out = scrub_repeated_spans_against(cc, batch, k=K, min_count=2)
+        got = {r["doc_id"]: r for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # correctness at the overlap: every hot batch doc loses exactly the
+    # 12-token template; clean docs pass through byte-identical
+    for i in range(9000, 9030):
+        assert got[i]["n_removed_tokens"] == 12, got[i]
+        assert "hot0" not in got[i]["text"]
+        assert got[i]["text"].startswith(f"b{i}w0 ")
+    for i in range(9030, 9060):
+        assert got[i]["n_removed_tokens"] == 0
+        assert got[i]["text"] == f"x{i}y0 " + " ".join(
+            f"x{i}y{j}" for j in range(1, 20)
+        )
+
+    # plan: consider only the FINAL adaptive plan, not the initial copy
+    final = plan.split("== Initial Plan ==")[0]
+    lines = final.splitlines()
+    # the corpus table is this plan's ONLY parquet scan (the batch is an
+    # in-memory frame); the FileScan line's Location string is truncated
+    # by maxMetadataStringLength, so match the scan's schema
+    scan_idxs = [i for i, ln in enumerate(lines)
+                 if "FileScan parquet [sh#" in ln]
+    assert scan_idxs, "corpus-counts scan missing from final plan"
+    saw_join = False
+    for idx in scan_idxs:
+        chain = _ancestor_chain(lines, idx)
+        # walk to the nearest join ancestor; the corpus side must reach
+        # it with no Exchange of any kind in between
+        below_join = []
+        for ln in chain:
+            if "Join" in ln:
+                assert "BroadcastHashJoin" in ln and "BuildLeft" in ln, ln
+                saw_join = True
+                break
+            below_join.append(ln)
+        offenders = [
+            ln for ln in below_join
+            if "Exchange" in ln or "BroadcastQueryStage" in ln
+        ]
+        assert not offenders, offenders
+    assert saw_join, "no join ancestor found above the corpus scan"
