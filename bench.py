@@ -551,13 +551,15 @@ def main() -> None:
     for name, fn in workload.items():
         if name in errors:
             continue  # warm-up already failed; don't re-raise in timing
-        # sf0.1 headline queries are sub-second: best-of-3 costs ~2 s
-        # total and shields the graded `value` from a transient landing
-        # in both of two reps (observed 1.75 s vs steady-state 0.45 s).
-        # Everything else gets best-of-2: single-shot timings showed
+        # Baseline-graded queries (ref_* AND logs10m_*) are sub-second:
+        # best-of-3 costs a few seconds total and shields the graded
+        # totals from a transient landing in both of two reps (observed
+        # 1.75 s vs steady-state 0.45 s; r6 saw all six ref_* entries
+        # drift +0.03-0.17 s in one direction on untouched code).
+        # Extension entries get best-of-2: single-shot timings showed
         # one-off 1 s→9 s transients (JIT/GC landing mid-query) that
         # would mislabel a tracked operator as a regression.
-        reps = 3 if name in headline else 2
+        reps = 3 if name in baseline_keys else 2
         best = float("inf")
         try:
             for _ in range(reps):
