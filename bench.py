@@ -587,6 +587,23 @@ def main() -> None:
         # apples-to-apples vs BASELINE.md: same 10 M-record workload
         out["logs10m_total"] = _total(logs)
         out["logs10m_rows"] = LOGS_N
+        # executor-side peak execution memory for the canonical postings
+        # query (QueryStats with job-group attribution, stats.py) — the
+        # number the reference's driver-RSS fields cannot give on a
+        # cluster; non-zero proves the metric works under the engine's
+        # own session (r6 VERDICT task 1 done-criterion)
+        try:
+            from polars_w_inverted_index_spark.engine import Engine
+
+            eng = Engine(
+                spark, df=spark.read.parquet(LOGS_DIR), doc_id_col="doc_id"
+            )
+            _, qs = eng.get_field_values_collected("level")
+            out["logs10m_exec_peak_mb"] = round(
+                qs.executor_peak_mem_kb / 1024.0, 1
+            )
+        except Exception as e:  # noqa: BLE001 - instrumentation only
+            errors["logs10m_exec_peak_mb"] = f"{type(e).__name__}: {e}"[:300]
     if errors:
         out["errors"] = errors
     # The driver captures a 2,000-byte stdout tail and parses its LAST

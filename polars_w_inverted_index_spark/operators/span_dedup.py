@@ -15,10 +15,11 @@ large pipelines replaces it with fixed-k rolling shingles:
 2. one groupBy counts window occurrences corpus-wide — uniform
    high-cardinality keys, partial aggregation, the corpus's ONE shuffle;
 3. windows with ``count >= min_count`` mark their [pos, pos+k) token
-   interval; per document the intervals merge into maximal spans (a
-   JVM-side fold over the sorted starts — per-doc work, no shuffle
-   beyond the doc_id groupBy);
-4. scrubbing rebuilds the text keeping tokens outside every span.
+   interval; per document the intervals merge into maximal spans
+   (row-based gaps-and-islands: gap flag + running sum + groupBy —
+   linear per-doc work on the one doc_id-keyed shuffle);
+4. scrubbing rebuilds the text at byte fidelity from the characters
+   outside every span (row-based linear offsets, `_boundary_offsets`).
 
 Any repeat of length >= k tokens is covered by at least one hot window
 (the windows tile it), so the k-gram form finds every repeat the suffix
