@@ -376,29 +376,39 @@ def _boundary_offsets(
         id_col,
         "left_semi",
     )
+    # chunk text reduces to (length, is-token) BEFORE the window's
+    # doc_id exchange — the shuffle then moves 3 numeric columns + a
+    # bool per run instead of the run strings themselves (the strings
+    # sum to the corpus's spanned-document bytes)
     ex = spanned.select(
         F.col(id_col).alias("_did"),
         F.posexplode(chunks).alias("_ci", "_ch"),
+    ).select(
+        "_did",
+        "_ci",
+        F.length("_ch").cast("long").alias("_len"),
+        (
+            (F.length("_ch") > 0) & ~F.col("_ch").rlike(r"^\s")
+        ).alias("_is_tok"),
     )
     w = Window.partitionBy("_did").orderBy("_ci")
     with_start = ex.select(
         "_did",
         "_ci",
-        "_ch",
+        "_len",
+        "_is_tok",
         F.coalesce(
-            F.sum(F.length("_ch")).over(
+            F.sum("_len").over(
                 w.rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).cast("long").alias("_s"),
     )
-    tok_rows = with_start.where(
-        (F.length("_ch") > 0) & ~F.col("_ch").rlike(r"^\s")
-    ).select(
+    tok_rows = with_start.where(F.col("_is_tok")).select(
         "_did",
         (F.row_number().over(w) - 1).cast("long").alias("tidx"),
         F.col("_s"),
-        (F.col("_s") + F.length("_ch")).cast("long").alias("_e"),
+        (F.col("_s") + F.col("_len")).cast("long").alias("_e"),
     )
     return (
         tok_rows.join(
