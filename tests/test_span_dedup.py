@@ -488,6 +488,29 @@ def test_scrub_long_document_near_linear(spark):
     assert t_big < 25 * max(t_small, 0.5), (t_small, t_big)
 
 
+def test_scrub_many_disjoint_spans_exact(spark):
+    """Boilerplate-dense documents: a doc alternating a hot k-gram with
+    unique separator tokens carries one disjoint span per repeat.  The
+    rebuild must keep exactly the separators (each interior span
+    swallows its FOLLOWING separator boundary, i.e. removal runs to the
+    next kept token's start) — and stay linear in span count (two
+    quadratics hid here historically: a concat-growing parts fold and
+    Spark map element_at's linear scan)."""
+    n_rep = 50
+    hot = " ".join(f"h{j}" for j in range(K))
+    d1 = " ".join(f"{hot} sep{i}" for i in range(n_rep))
+    d2 = " ".join(f"{hot} alt{i}" for i in range(n_rep))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_repeated_spans(docs, k=K, min_count=2).collect()
+    }
+    assert out[1] == (" ".join(f"sep{i}" for i in range(n_rep)), n_rep * K)
+    assert out[2] == (" ".join(f"alt{i}" for i in range(n_rep)), n_rep * K)
+
+
 # --- property-based: random corpora vs the independent reference -------
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
