@@ -118,15 +118,40 @@ def fingerprint(col: Column | str, n: int = 5, keep: int = 16) -> Column:
     """Document fingerprint: the ``keep`` smallest 60-bit hashes over the
     text's character n-grams (a min-k sketch — winnowing-style containment
     fingerprint), distinct, sorted ascending.  Documents sharing most text
-    share most fingerprint entries."""
-    expr = col if isinstance(col, str) else None
-    if expr is None:
-        raise ValueError("fingerprint needs a column name (uses SQL expr)")
-    return F.expr(
-        f"slice(array_sort(array_distinct(transform("
-        f"sequence(1, greatest(length({expr}) - {n - 1}, 1)),"
-        f" i -> cast(conv(substring(md5(substring({expr}, i, {n})), 1, 15),"
-        f" 16, 10) as bigint)))), 1, {keep})"
+    share most fingerprint entries.
+
+    Built from a one-time character split + the shifted-copies zip
+    (:func:`word_ngrams`' construction, on characters) — NOT
+    ``transform(positions, i -> substring(text, i, n))``: Spark's UTF-8
+    substring seeks code points from the START of the string on every
+    call, so the positional form is O(chars²) per document (measured
+    50 s on a single 200k-char doc; this form is linear).  Shorter-
+    than-n documents contribute their whole text as the one gram, the
+    empty string hashes as one "" gram — same values as the positional
+    definition and the DuckDB twin (:func:`fingerprint_sql`) for every
+    input."""
+    from .hashing import md5_long
+
+    c = _c(col)
+    chars = F.split(c, "")
+    acc: Column = chars
+    for i in range(1, n):
+        shifted = F.slice(
+            chars, i + 1, F.greatest(F.size(chars) - i, F.lit(0))
+        )
+        # zip_with pads the shorter side with null; concat_ws skips
+        # nulls, which builds the whole-text gram for shorter-than-n docs
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws("", a, b))
+    grams = F.slice(acc, 1, F.greatest(F.size(chars) - (n - 1), F.lit(1)))
+    # single-arg lambda, NOT bare md5_long: F.transform feeds 2-parameter
+    # callables (element, index), which would land the array index in
+    # md5_long's salt parameter
+    return F.slice(
+        F.array_sort(
+            F.array_distinct(F.transform(grams, lambda g: md5_long(g)))
+        ),
+        1,
+        keep,
     )
 
 
