@@ -321,45 +321,45 @@ def _scrub_with_marked(
     )
 
 
-def _span_char_ranges(
+_CHUNK_SPLIT = r"(?<=\s)(?=\S)|(?<=\S)(?=\s)"
+
+
+def _span_chunk_ranges(
     docs: DataFrame, span_df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
     """``[_did, rm_s, rm_e, n_rm]`` — each token-index span resolved to
-    the CHARACTER range the scrub removes from the original text
-    (``rm_e`` null = "to end of text", the tail-span case), plus the
-    span's token count for the audit column.
+    the CHUNK-INDEX range the scrub removes (``rm_e`` null = "to end of
+    text", the tail-span case), plus the span's token count for the
+    audit column.  Chunks are the alternating whitespace/non-whitespace
+    runs of the ORIGINAL text (split at the zero-width transitions);
+    every removal boundary the scrub semantics define falls ON a chunk
+    boundary, so each chunk is wholly kept or wholly removed and the
+    rebuild is pure array slicing — no character offsets, no UTF-8
+    substring seeks (Spark's substr scans code points from the string
+    start, O(chars) per call — the positional-rebuild quadratic killed
+    in r7 along with two siblings: an offsets-array fold that was
+    O(chars²), and a map-column lookup that was O(spans²) because map
+    ``element_at`` is a linear scan).
 
-    Token boundaries are the maximal non-whitespace runs of the ORIGINAL
-    text, index-aligned with :func:`..functions.text.tokens` (which
-    additionally lowercases — boundaries don't move).  Built ROW-BASED
-    and linear end to end (r6 VERDICT finding #2, then hardened twice in
-    r7 — the history is instructive: an expression fold concat-copying a
-    per-chunk offsets array was O(chars²); its replacement, a per-doc
-    ``map<tidx, range>`` column, hid a second quadratic because Spark's
-    map ``element_at`` is a linear scan, O(spans²) on boilerplate-dense
-    documents with thousands of spans):
+    ROW-BASED and linear end to end:
 
-    1. split at the zero-width whitespace↔non-whitespace transitions →
-       alternating runs; posexplode keeps run order; run text reduces to
-       (length, is-token) BEFORE any exchange, so the shuffle moves
-       numeric columns, not the corpus's spanned-document bytes;
-    2. a running-sum window per doc over run lengths is each run's start
-       offset (one doc_id-keyed sort — the same key the span merge
-       already shuffled on); ``row_number`` numbers the token runs;
-    3. each span explodes to ≤3 tagged boundary lookups — start (token
-       ``s``), prev (``s-1``, tail spans swallow the PRECEDING
-       separator), next (token ``e``) — ONE join against the token rows
-       resolves all of them, and one groupBy per span pivots the roles
-       back.  Tail-ness needs no token count: the ``next`` lookup
-       missing IS the tail condition.
+    1. posexplode the runs for spanned docs only; run text reduces to a
+       single is-token bool BEFORE any exchange, so the shuffle moves
+       (doc, index, bool), not the corpus's spanned-document bytes;
+    2. ``row_number`` over token runs (one doc_id-keyed sort — the same
+       key the span merge already shuffled on) pairs each token index
+       with its chunk index;
+    3. each span explodes to ≤3 tagged lookups — start (token ``s``'s
+       chunk), prev (token ``s-1``'s chunk, tail spans swallow the
+       PRECEDING separator), next (token ``e``'s chunk) — ONE join
+       against the token rows resolves all of them, and one groupBy per
+       span pivots the roles back.  Tail-ness needs no token count: the
+       ``next`` lookup missing IS the tail condition.
 
     Every step is a hash join / aggregation on row-level keys — no
     per-doc container is ever scanned per access."""
     from pyspark.sql import Window
 
-    chunks = F.split(
-        F.col(text_col), r"(?<=\s)(?=\S)|(?<=\S)(?=\s)"
-    )
     spanned = docs.join(
         span_df.select(F.col("doc_id").alias(id_col)).distinct(),
         id_col,
@@ -367,33 +367,21 @@ def _span_char_ranges(
     )
     ex = spanned.select(
         F.col(id_col).alias("_did"),
-        F.posexplode(chunks).alias("_ci", "_ch"),
+        F.posexplode(F.split(F.col(text_col), _CHUNK_SPLIT)).alias(
+            "_ci", "_ch"
+        ),
     ).select(
         "_did",
         "_ci",
-        F.length("_ch").cast("long").alias("_len"),
         (
             (F.length("_ch") > 0) & ~F.col("_ch").rlike(r"^\s")
         ).alias("_is_tok"),
     )
     w = Window.partitionBy("_did").orderBy("_ci")
-    with_start = ex.select(
-        "_did",
-        "_ci",
-        "_len",
-        "_is_tok",
-        F.coalesce(
-            F.sum("_len").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).cast("long").alias("_s"),
-    )
-    tok_rows = with_start.where(F.col("_is_tok")).select(
+    tok_rows = ex.where(F.col("_is_tok")).select(
         "_did",
         (F.row_number().over(w) - 1).cast("long").alias("tidx"),
-        F.col("_s"),
-        (F.col("_s") + F.col("_len")).cast("long").alias("_e"),
+        F.col("_ci").cast("long").alias("_tci"),
     )
 
     lookups = (
@@ -425,22 +413,22 @@ def _span_char_ranges(
         lookups.join(tok_rows, ["_did", "tidx"], "left")
         .groupBy("_did", "s", "e")
         .agg(
-            F.max(F.when(F.col("r") == "start", F.col("_s"))).alias("_start_s"),
-            F.max(F.when(F.col("r") == "prev", F.col("_e"))).alias("_prev_e"),
-            F.max(F.when(F.col("r") == "next", F.col("_s"))).alias("_next_s"),
+            F.max(F.when(F.col("r") == "start", F.col("_tci"))).alias("_start_c"),
+            F.max(F.when(F.col("r") == "prev", F.col("_tci"))).alias("_prev_c"),
+            F.max(F.when(F.col("r") == "next", F.col("_tci"))).alias("_next_c"),
         )
     )
-    tail = F.col("_next_s").isNull()  # token ``e`` doesn't exist ⇔ e == n_tok
-    rm_s = F.when(~tail, F.col("_start_s")).otherwise(
-        # tail spans swallow the PRECEDING separator (no following token
-        # exists to anchor the usual swallow); a whole-document span
-        # (s == 0, prev missing too) starts at char 0
-        F.coalesce(F.col("_prev_e"), F.lit(0).cast("long"))
+    tail = F.col("_next_c").isNull()  # token ``e`` doesn't exist ⇔ e == n_tok
+    rm_s = F.when(~tail, F.col("_start_c")).otherwise(
+        # tail spans swallow the PRECEDING separator: removal starts at
+        # the chunk AFTER token s-1; a whole-document span (s == 0, prev
+        # missing too) starts at chunk 0
+        F.coalesce(F.col("_prev_c") + 1, F.lit(0).cast("long"))
     )
     return resolved.select(
         "_did",
         rm_s.alias("rm_s"),
-        F.col("_next_s").alias("rm_e"),  # null = to end of text
+        F.col("_next_c").alias("rm_e"),  # null = to end of text
         (F.col("e") - F.col("s")).alias("n_rm"),
     )
 
@@ -448,20 +436,24 @@ def _span_char_ranges(
 def _scrub_with_spans(
     docs: DataFrame, span_df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    # Byte-fidelity rebuild from the GAPS BETWEEN spans — O(spans)
-    # substring slices of the ORIGINAL text per doc, never a per-token
-    # lambda (the per-token exists() form interprets a nested lambda for
-    # every token of every document; measured ~8 s at sf0.1 vs <1 s for
-    # gap slicing).  Spans arrive PRE-RESOLVED to char ranges
-    # (_span_char_ranges, linear row-level joins); the parts come from a
-    # TRANSFORM over gap indices — part j is the original chars between
-    # span j's removal end and span j+1's removal start, each an O(1)
-    # array element_at — never an array-accumulator fold or a map lookup
-    # (concat-growing ``parts`` is O(spans²) copies and Spark map
-    # element_at is a linear scan; a boilerplate-dense document carries
-    # O(tokens/k) disjoint spans, making either a hidden quadratic).
+    # Byte-fidelity rebuild from the GAPS BETWEEN spans — pure array
+    # slicing of the per-doc chunk array, never a per-token lambda (the
+    # per-token exists() form interprets a nested lambda for every token
+    # of every document; measured ~8 s at sf0.1 vs <1 s for gap
+    # slicing), never a char-offset substring (Spark's UTF-8 substr
+    # seeks from the string start — O(spans·chars) per doc), never an
+    # array-accumulator fold or map lookup (O(spans²) each; a
+    # boilerplate-dense document carries O(tokens/k) disjoint spans).
+    # Spans arrive PRE-RESOLVED to chunk-index ranges
+    # (_span_chunk_ranges, linear row-level joins); part j is
+    # array_join(slice(chunks, ...)) between span j's removal end and
+    # span j+1's removal start — O(gap) work per gap, O(chunks) total.
+    # ``_chunks`` and ``_spans`` are materialized columns (the split is
+    # non-cheap and multiply referenced, so CollapseProject keeps the
+    # Project boundary — the repetition_profile_df discipline): the
+    # lambdas index ATTRIBUTES, re-deriving nothing per element.
     spans = (
-        _span_char_ranges(docs, span_df, text_col, id_col)
+        _span_chunk_ranges(docs, span_df, text_col, id_col)
         .groupBy("_did")
         .agg(
             F.array_sort(
@@ -475,43 +467,48 @@ def _scrub_with_spans(
             ).alias("_spans")
         )
     )
-    joined = docs.join(
-        spans, docs[id_col] == spans["_did"], "left"
-    ).drop("_did")
     c = F.col(text_col)
-    text_len = F.length(c).cast("long")
-    sp = F.coalesce(
-        F.col("_spans"),
-        F.array().cast("array<struct<s:long,e:long,n:long>>"),
+    joined = (
+        docs.join(spans, docs[id_col] == spans["_did"], "left")
+        .drop("_did")
+        .withColumn("_chunks", F.split(c, _CHUNK_SPLIT))
     )
-    n_sp = F.size(sp)
+    sp = F.col("_spans")  # sorted at build; attribute = cheap per access
+    n_sp = F.coalesce(F.size(sp), F.lit(0))
+    n_chunks = F.size(F.col("_chunks")).cast("long")
 
     def _gap_start(j):
         # removal end of the span BEFORE gap j (null rm_e = tail span,
-        # removal runs to end of text); gap 0 starts at char 0
+        # removal runs to end of text); gap 0 starts at chunk 0
         return F.when(j == 0, F.lit(0).cast("long")).otherwise(
             F.coalesce(
-                F.element_at(sp, j.cast("int")).getField("e"), text_len
+                F.element_at(sp, j.cast("int")).getField("e"), n_chunks
             )
         )
 
     def _gap_end(j):
         # removal start of the span AFTER gap j; the last gap runs to
-        # the end of the text
-        return F.when(j == n_sp, text_len).otherwise(
+        # the end of the chunk array
+        return F.when(j == n_sp, n_chunks).otherwise(
             F.element_at(sp, (j + 1).cast("int")).getField("s")
         )
 
     parts = F.transform(
         F.sequence(F.lit(0), n_sp),  # n_spans + 1 gaps
-        lambda j: c.substr(
-            (_gap_start(j) + 1).cast("int"),
-            (_gap_end(j) - _gap_start(j)).cast("int"),
+        lambda j: F.array_join(
+            F.slice(
+                F.col("_chunks"),
+                (_gap_start(j) + 1).cast("int"),
+                (_gap_end(j) - _gap_start(j)).cast("int"),
+            ),
+            "",
         ),
     )
     rebuilt = F.array_join(parts, "")
     n_removed = F.aggregate(
-        sp,
+        F.coalesce(
+            sp, F.array().cast("array<struct<s:long,e:long,n:long>>")
+        ),
         F.lit(0).cast("long"),
         lambda acc, s: acc + s.getField("n"),
     )
