@@ -84,19 +84,33 @@ def _window_rows(
     """
     tok = tokens(text_col)
     if portable:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size(tok) - k),
-            lambda i: F.struct(
-                i.alias("pos"),
-                md5_long(
-                    F.array_join(F.slice(tok, i + 1, k), "\x1f")
-                ).alias("sh"),
+        # Shifted-copies zip (the word_ngrams construction), NOT
+        # ``transform(positions, i -> slice(tok, i, k))``: Spark does no
+        # CSE inside higher-order lambdas, so the positional form
+        # re-tokenizes the whole document once per window — O(tokens²)
+        # per doc, the same quadratic killed in the default path's
+        # tail guard.  This form costs k tokenizations total.
+        acc = tok
+        for j in range(1, k):
+            shifted = F.slice(
+                tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0))
+            )
+            acc = F.zip_with(
+                acc, shifted, lambda a, b: F.concat_ws("\x1f", a, b)
+            )
+        grams = F.slice(
+            acc, 1, F.greatest(F.size(tok) - (k - 1), F.lit(0))
+        )
+        wins = F.transform(
+            grams,
+            lambda g, i: F.struct(
+                i.alias("pos"), md5_long(g).alias("sh")
             ),
         )
         return (
             docs.where(F.size(tok) >= k)
             .select(
-                F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+                F.col(id_col).alias("doc_id"), F.explode(wins).alias("g")
             )
             .select("doc_id", "g.pos", "g.sh")
         )
