@@ -34,6 +34,7 @@ def interval_join(
     end_col: str = "end",
     bucket_width_sec: int = 3600,
     how: str = "inner",
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start <= ts < end`` (half-open, the time-window convention).
@@ -41,6 +42,13 @@ def interval_join(
     Returns all point columns + all interval columns.  ``how`` may be
     ``inner`` or ``left`` (unmatched points keep nulls).  Column name
     collisions between the two inputs are the caller's to resolve.
+
+    ``max_buckets_per_interval`` is the adversarial-row guard (the
+    resample operator's ``max_buckets_per_key`` discipline): one corrupt
+    interval spanning centuries would otherwise explode into hundreds of
+    millions of bucket rows inside a single task — a silent OOM blaming
+    the wrong operator.  Over-cap rows raise with the interval's bounds
+    in the message; the check is one comparison per interval row.
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
@@ -55,9 +63,29 @@ def interval_join(
     # end - 1µs; empty/negative intervals cover no bucket (sequence guard)
     first_b = F.floor(s_us / w)
     last_b = F.floor((e_us - F.lit(1)) / w)
+    guarded_first = F.when(
+        last_b - first_b < F.lit(max_buckets_per_interval), first_b
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join: interval spans more than "
+                    f"{max_buckets_per_interval} buckets at "
+                    f"bucket_width_sec={bucket_width_sec} (start="
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(", end="),
+                F.col(end_col).cast("string"),
+                F.lit(
+                    "); widen bucket_width_sec, raise "
+                    "max_buckets_per_interval, or filter corrupt rows."
+                ),
+            )
+        ).cast("long")
+    )
     ivs = (
         intervals.where(e_us > s_us)
-        .withColumn("_bucket", F.explode(F.sequence(first_b, last_b)))
+        .withColumn("_bucket", F.explode(F.sequence(guarded_first, last_b)))
     )
 
     exact = (

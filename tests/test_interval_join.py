@@ -130,3 +130,41 @@ def test_interval_join_random_vs_bruteforce(spark):
             for r in interval_join(pts, ivs, bucket_width_sec=bw).collect()
         }
         assert got == want, f"trial={trial} bucket={bw}"
+
+
+def test_interval_join_guards_adversarial_spans(spark):
+    """One corrupt interval spanning centuries must fail LOUDLY with the
+    offending bounds in the message (resample's max_buckets_per_key
+    discipline) — not explode into 10^8 bucket rows inside one task."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00")], "pid long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    bad = spark.createDataFrame(
+        [("huge", "1970-01-01 00:00:00", "2970-01-01 00:00:00")],
+        "name string, start string, end string",
+    ).select(
+        "name",
+        F.to_timestamp("start").alias("start"),
+        F.to_timestamp("end").alias("end"),
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(points, bad, bucket_width_sec=3600).collect()
+
+    # the same shape under the cap joins normally
+    ok = spark.createDataFrame(
+        [("day", "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        "name string, start string, end string",
+    ).select(
+        "name",
+        F.to_timestamp("start").alias("start"),
+        F.to_timestamp("end").alias("end"),
+    )
+    rows = interval_join(points, ok, bucket_width_sec=3600).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "day"
