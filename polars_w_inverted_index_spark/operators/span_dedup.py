@@ -18,8 +18,9 @@ large pipelines replaces it with fixed-k rolling shingles:
    interval; per document the intervals merge into maximal spans
    (row-based gaps-and-islands: gap flag + running sum + groupBy —
    linear per-doc work on the one doc_id-keyed shuffle);
-4. scrubbing rebuilds the text at byte fidelity from the characters
-   outside every span (row-based linear offsets, `_boundary_offsets`).
+4. scrubbing rebuilds the text at byte fidelity from the whitespace-run
+   chunks outside every span (row-based chunk-index resolution,
+   `_span_chunk_ranges`, then pure array slicing).
 
 Any repeat of length >= k tokens is covered by at least one hot window
 (the windows tile it), so the k-gram form finds every repeat the suffix
