@@ -523,6 +523,83 @@ _CORPUS = st.lists(
 )
 
 
+# Messy-whitespace corpus: tokens with mixed case separated by runs of
+# space/tab/newline (all of which mean "whitespace" to BOTH Java's and
+# Python's \s — exotic classes like NBSP/\x1f differ between the two
+# regex engines and are deliberately excluded), optional leading runs.
+_SEP = st.text(alphabet=" \t\n", min_size=1, max_size=3)
+_MESSY_TOKEN = st.sampled_from(["Aa", "bB", "cc", "DD"])
+_MESSY_DOC = st.builds(
+    lambda lead, pairs: lead + "".join(t + s for t, s in pairs),
+    st.sampled_from(["", " ", "\t "]),
+    st.lists(st.tuples(_MESSY_TOKEN, _SEP), min_size=0, max_size=10),
+)
+_MESSY_CORPUS = st.lists(_MESSY_DOC, min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_MESSY_CORPUS, k=st.integers(2, 3), min_count=st.integers(2, 3))
+def test_property_byte_fidelity_messy_whitespace(spark, texts, k, min_count):
+    """Byte-fidelity against an INDEPENDENT char-offset model on corpora
+    with tab/newline/run-length separators and mixed case.  The engine
+    resolves spans in CHUNK-INDEX space (whitespace-run slicing); the
+    model here works purely in character offsets (re.finditer token
+    spans), so a chunk-boundary arithmetic bug cannot hide in a shared
+    formulation."""
+    import re
+
+    rows = list(enumerate(texts))
+    parsed = {}
+    for i, t in rows:
+        spans = [(m.start(), m.end()) for m in re.finditer(r"\S+", t)]
+        parsed[i] = (t, spans, [t[a:b].lower() for a, b in spans])
+    cnt: Counter = Counter()
+    for _, (_, _, toks) in parsed.items():
+        for p in range(len(toks) - k + 1):
+            cnt[tuple(toks[p : p + k])] += 1
+    want = {}
+    for i, (t, spans, toks) in parsed.items():
+        n = len(toks)
+        marks = [False] * n
+        for p in range(n - k + 1):
+            if cnt[tuple(toks[p : p + k])] >= min_count:
+                for j in range(p, p + k):
+                    marks[j] = True
+        runs, s0 = [], None
+        for idx in range(n + 1):
+            m = idx < n and marks[idx]
+            if m and s0 is None:
+                s0 = idx
+            if not m and s0 is not None:
+                runs.append((s0, idx))
+                s0 = None
+        rem = []
+        for rs, re_ in runs:
+            if re_ < n:  # interior: through the next token's start
+                rem.append((spans[rs][0], spans[re_][0]))
+            else:  # tail: swallow the PRECEDING separator
+                rem.append((spans[rs - 1][1] if rs > 0 else 0, len(t)))
+        kept, cur = [], 0
+        for a, b in rem:
+            kept.append(t[cur:a])
+            cur = b
+        kept.append(t[cur:])
+        want[i] = ("".join(kept), sum(e - s for s, e in runs))
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_repeated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            k=k,
+            min_count=min_count,
+        ).collect()
+    }
+    assert got == want
+
+
 @settings(
     max_examples=10,
     deadline=None,
