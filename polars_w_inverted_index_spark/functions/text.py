@@ -164,11 +164,19 @@ def fingerprint_sql(expr: str, n: int = 5, keep: int = 16) -> str:
     )
 
 
-def quality_metrics(col: Column | str) -> list[Column]:
+def quality_metrics(
+    col: Column | str, tok: Column | None = None
+) -> list[Column]:
     """Length / punctuation / stopword-ratio / mean-token-length quality
-    signals, aliased for direct use in a select."""
+    signals, aliased for direct use in a select.
+
+    ``tok`` (optional) is a pre-tokenized array column: three of the
+    signals consume the token array, and each textual reference to
+    ``tokens(c)`` re-splits the document (no CSE across expression
+    trees) — a caller computing several signals in one pass (the corpus
+    report) materializes the array once and shares it."""
     c = _c(col)
-    t = tokens(c)
+    t = tok if tok is not None else tokens(c)
     n_chars = F.length(c).cast("long")
     n_tokens = F.size(t).cast("long")
     punct = (F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))).cast(
@@ -205,11 +213,13 @@ def quality_metrics_sql(expr: str) -> list[str]:
     ]
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, tok: Column | None = None) -> Column:
     """Predicted language: argmax of per-language stopword hit counts.
     Tie rule: highest score wins; among equal scores the lexicographically
-    LAST language code wins (struct max) — mirrored exactly in SQL."""
-    t = tokens(col)
+    LAST language code wins (struct max) — mirrored exactly in SQL.
+    ``tok`` shares a pre-tokenized array (see :func:`quality_metrics`) —
+    otherwise each language's hit counter re-splits the document."""
+    t = tok if tok is not None else tokens(col)
 
     def _hits(words: list[str]) -> Column:
         # NB: the filter lambda must be unary — PySpark passes (element,

@@ -534,12 +534,15 @@ _register(
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
-    return doc.select(
+    # one tokenize shared by every token-consuming signal (materialized
+    # column behind a kept Project boundary; see corpus_report)
+    tok = F.col("_toks")
+    return doc.withColumn("_toks", TX.tokens("text")).select(
         "doc_id",
-        TX.token_count("text").alias("n_tok"),
+        F.size(tok).cast("long").alias("n_tok"),
         TX.bpe_token_count("text").alias("n_bpe_tok"),
-        TX.lang_id("text").alias("pred_lang"),
-        *TX.quality_metrics("text"),
+        TX.lang_id("text", tok=tok).alias("pred_lang"),
+        *TX.quality_metrics("text", tok=tok),
     )
 
 

@@ -39,11 +39,21 @@ def corpus_report(
     that work.
     """
     spark = docs.sparkSession
+    # one tokenize per document, shared by every token-consuming signal:
+    # the materialized array is non-cheap and multiply referenced, so
+    # CollapseProject keeps the Project boundary (the
+    # repetition_profile_df discipline) — without it each signal's
+    # textual tokens() reference re-splits the text (~8× per row with
+    # the 4-language lang-id)
+    from .functions.text import tokens
+
+    toked = docs.withColumn("_toks", tokens(text_col))
+    tok = F.col("_toks")
     n_chars, n_tokens, punct_ratio, stop_ratio, mean_tok = quality_metrics(
-        text_col
+        text_col, tok=tok
     )
-    lang = F.col(lang_col) if lang_col else lang_id(text_col)
-    base = docs.select(
+    lang = F.col(lang_col) if lang_col else lang_id(text_col, tok=tok)
+    base = toked.select(
         F.col(id_col).alias("_id"),
         n_tokens.alias("_nt"),
         n_chars.alias("_nc"),
