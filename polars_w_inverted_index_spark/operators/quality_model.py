@@ -44,16 +44,26 @@ def weak_quality_labels(
     ratio — the quality_metrics trio); 0.0 otherwise.  Deliberately
     coarse: it is a *training prior*, not the filter itself.
     """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+
+    # shared tokenize (materialized column, kept Project boundary) —
+    # two of the three gate signals consume the token array
     n_chars, n_tokens, punct_ratio, stop_ratio, _ = quality_metrics(
-        text_col
+        text_col, tok=F.col("_qm_toks")
     )
-    return docs.withColumn(
-        "label",
-        (
-            (n_tokens >= min_tokens)
-            & (stop_ratio >= min_stopword_frac)
-            & (punct_ratio <= max_punct_frac)
-        ).cast("double"),
+    return (
+        docs.withColumn("_qm_toks", tokens(text_col))
+        .withColumn(
+            "label",
+            (
+                (n_tokens >= min_tokens)
+                & (stop_ratio >= min_stopword_frac)
+                & (punct_ratio <= max_punct_frac)
+            ).cast("double"),
+        )
+        .drop("_qm_toks")
     )
 
 
