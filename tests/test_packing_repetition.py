@@ -325,3 +325,32 @@ def test_materialize_packs_deterministic_and_complete(spark):
     # separator joins the right number of pieces
     any_multi = next(r for r in rows.values() if r["n_docs"] > 1)
     assert any_multi["text"].count("\n\n") >= any_multi["n_docs"] - 1
+
+
+def test_fingerprint_long_document_near_linear(spark):
+    """r7 regression gate: fingerprint() must stay near-linear in
+    document length.  The positional substring(text, i, n) form was
+    O(chars²) (UTF-8 substr seeks from the string start) — a single
+    200k-char document took ~50 s; the char-split + shifted-zip form is
+    linear.  Values are pinned against the positional DuckDB twin by the
+    driver's text_fingerprint oracle row; this test guards the cost
+    shape only."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.text import fingerprint
+
+    def run(n_tokens):
+        words = " ".join(f"w{i % 997}x{i % 31}" for i in range(n_tokens))
+        df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+        t0 = time.perf_counter()
+        df.select(fingerprint("text").alias("fp")).collect()
+        return time.perf_counter() - t0
+
+    run(1_000)  # warm codegen
+    t_small = run(10_000)
+    t_big = run(80_000)
+    # 8× the chars: generous constant allowance; the quadratic form was
+    # >30× here and ~minutes at the 80k size
+    assert t_big < 10 * max(t_small, 0.5), (t_small, t_big)
