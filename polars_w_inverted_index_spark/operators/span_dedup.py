@@ -12,15 +12,19 @@ large pipelines replaces it with fixed-k rolling shingles:
 
 1. every k-token window of every document is keyed (narrow transform —
    one 60-bit hash per window, positions kept);
-2. one groupBy counts window occurrences corpus-wide — uniform
-   high-cardinality keys, partial aggregation, the corpus's ONE shuffle;
+2. ``count(*) over (partition by sh)`` marks hot windows in place —
+   uniform high-cardinality keys, the corpus's ONE sh-keyed shuffle
+   (a groupBy + semi-join back would materialize the window frame
+   twice: a second full corpus scan);
 3. windows with ``count >= min_count`` mark their [pos, pos+k) token
    interval; per document the intervals merge into maximal spans
    (row-based gaps-and-islands: gap flag + running sum + groupBy —
    linear per-doc work on the one doc_id-keyed shuffle);
 4. scrubbing rebuilds the text at byte fidelity from the whitespace-run
-   chunks outside every span (row-based chunk-index resolution,
-   `_span_chunk_ranges`, then pure array slicing).
+   chunks outside every span — token↔chunk indices are affine
+   (alternating runs: token t is chunk c0 + 2t), so span resolution is
+   arithmetic inside the rebuild scan and the whole pipeline reads the
+   corpus text exactly TWICE (detect, rebuild).
 
 Any repeat of length >= k tokens is covered by at least one hot window
 (the windows tile it), so the k-gram form finds every repeat the suffix
@@ -160,17 +164,33 @@ def repeated_spans(
     """``[doc_id, span_start, span_end]`` — maximal merged token
     intervals (end exclusive) covered by k-token windows occurring
     >= ``min_count`` times corpus-wide (all occurrences, including
-    within-document repeats)."""
+    within-document repeats).
+
+    Hot marking is ``count(*) over (partition by sh)`` + filter, NOT a
+    ``groupBy`` + semi-join back: the semi-join form references the
+    window frame twice, and with the hot set past broadcast size (at
+    corpus scale it is) both references are materialized independently
+    — a SECOND full corpus scan + tokenize + hash pass.  The window
+    form shuffles the window rows on ``sh`` exactly once (the same
+    exchange the semi-join's shuffled build would pay) and keeps each
+    row's count with it.  Skew note: WindowExec buffers one ``sh``
+    group at a time in a spillable array, so a mega-hot window (one
+    boilerplate passage repeated 10^8 times corpus-wide) degrades to
+    disk-backed buffering of that one group, not OOM — and the groupBy
+    alternative's shuffled semi-join buffers the same hot key on the
+    build side anyway."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
     win = _window_rows(docs, k, text_col, id_col)
-    hot = (
-        win.groupBy("sh")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") >= min_count)
-        .select("sh")
+    marked = (
+        win.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("sh"))
+        )
+        .where(F.col("_n") >= min_count)
+        .select("doc_id", "pos")
     )
-    marked = win.join(hot, "sh", "left_semi")
     return _merge_marked_to_spans(marked, k)
 
 
@@ -339,115 +359,6 @@ def _scrub_with_marked(
 _CHUNK_SPLIT = r"(?<=\s)(?=\S)|(?<=\S)(?=\s)"
 
 
-def _span_chunk_ranges(
-    docs: DataFrame, span_df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """``[_did, rm_s, rm_e, n_rm]`` — each token-index span resolved to
-    the CHUNK-INDEX range the scrub removes (``rm_e`` null = "to end of
-    text", the tail-span case), plus the span's token count for the
-    audit column.  Chunks are the alternating whitespace/non-whitespace
-    runs of the ORIGINAL text (split at the zero-width transitions);
-    every removal boundary the scrub semantics define falls ON a chunk
-    boundary, so each chunk is wholly kept or wholly removed and the
-    rebuild is pure array slicing — no character offsets, no UTF-8
-    substring seeks (Spark's substr scans code points from the string
-    start, O(chars) per call — the positional-rebuild quadratic killed
-    in r7 along with two siblings: an offsets-array fold that was
-    O(chars²), and a map-column lookup that was O(spans²) because map
-    ``element_at`` is a linear scan).
-
-    ROW-BASED and linear end to end:
-
-    1. posexplode the runs for spanned docs only; run text reduces to a
-       single is-token bool BEFORE any exchange, so the shuffle moves
-       (doc, index, bool), not the corpus's spanned-document bytes;
-    2. ``row_number`` over token runs (one doc_id-keyed sort — the same
-       key the span merge already shuffled on) pairs each token index
-       with its chunk index;
-    3. each span explodes to ≤3 tagged lookups — start (token ``s``'s
-       chunk), prev (token ``s-1``'s chunk, tail spans swallow the
-       PRECEDING separator), next (token ``e``'s chunk) — ONE join
-       against the token rows resolves all of them, and one groupBy per
-       span pivots the roles back.  Tail-ness needs no token count: the
-       ``next`` lookup missing IS the tail condition.
-
-    Every step is a hash join / aggregation on row-level keys — no
-    per-doc container is ever scanned per access."""
-    from pyspark.sql import Window
-
-    spanned = docs.join(
-        span_df.select(F.col("doc_id").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
-    )
-    ex = spanned.select(
-        F.col(id_col).alias("_did"),
-        F.posexplode(F.split(F.col(text_col), _CHUNK_SPLIT)).alias(
-            "_ci", "_ch"
-        ),
-    ).select(
-        "_did",
-        "_ci",
-        (
-            (F.length("_ch") > 0) & ~F.col("_ch").rlike(r"^\s")
-        ).alias("_is_tok"),
-    )
-    w = Window.partitionBy("_did").orderBy("_ci")
-    tok_rows = ex.where(F.col("_is_tok")).select(
-        "_did",
-        (F.row_number().over(w) - 1).cast("long").alias("tidx"),
-        F.col("_ci").cast("long").alias("_tci"),
-    )
-
-    lookups = (
-        span_df.select(
-            F.col("doc_id").alias("_did"),
-            F.col("span_start").cast("long").alias("s"),
-            F.col("span_end").cast("long").alias("e"),
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("start").alias("r"),
-                        F.col("span_start").cast("long").alias("tidx"),
-                    ),
-                    F.struct(
-                        F.lit("prev").alias("r"),
-                        (F.col("span_start") - 1).cast("long").alias("tidx"),
-                    ),
-                    F.struct(
-                        F.lit("next").alias("r"),
-                        F.col("span_end").cast("long").alias("tidx"),
-                    ),
-                )
-            ).alias("_lk"),
-        )
-        .select("_did", "s", "e", "_lk.r", "_lk.tidx")
-        .where(F.col("tidx") >= 0)
-    )
-    resolved = (
-        lookups.join(tok_rows, ["_did", "tidx"], "left")
-        .groupBy("_did", "s", "e")
-        .agg(
-            F.max(F.when(F.col("r") == "start", F.col("_tci"))).alias("_start_c"),
-            F.max(F.when(F.col("r") == "prev", F.col("_tci"))).alias("_prev_c"),
-            F.max(F.when(F.col("r") == "next", F.col("_tci"))).alias("_next_c"),
-        )
-    )
-    tail = F.col("_next_c").isNull()  # token ``e`` doesn't exist ⇔ e == n_tok
-    rm_s = F.when(~tail, F.col("_start_c")).otherwise(
-        # tail spans swallow the PRECEDING separator: removal starts at
-        # the chunk AFTER token s-1; a whole-document span (s == 0, prev
-        # missing too) starts at chunk 0
-        F.coalesce(F.col("_prev_c") + 1, F.lit(0).cast("long"))
-    )
-    return resolved.select(
-        "_did",
-        rm_s.alias("rm_s"),
-        F.col("_next_c").alias("rm_e"),  # null = to end of text
-        (F.col("e") - F.col("s")).alias("n_rm"),
-    )
-
-
 def _scrub_with_spans(
     docs: DataFrame, span_df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -459,28 +370,42 @@ def _scrub_with_spans(
     # seeks from the string start — O(spans·chars) per doc), never an
     # array-accumulator fold or map lookup (O(spans²) each; a
     # boilerplate-dense document carries O(tokens/k) disjoint spans).
-    # Spans arrive PRE-RESOLVED to chunk-index ranges
-    # (_span_chunk_ranges, linear row-level joins); part j is
-    # array_join(slice(chunks, ...)) between span j's removal end and
-    # span j+1's removal start — O(gap) work per gap, O(chunks) total.
-    # ``_chunks`` and ``_spans`` are materialized columns (the split is
-    # non-cheap and multiply referenced, so CollapseProject keeps the
-    # Project boundary — the repetition_profile_df discipline): the
-    # lambdas index ATTRIBUTES, re-deriving nothing per element.
+    #
+    # Token-index spans resolve to chunk-index removal ranges by PURE
+    # ARITHMETIC inside this one scan — no extra corpus pass.  The
+    # chunk runs strictly alternate whitespace/non-whitespace (maximal
+    # runs split at zero-width transitions), so token ``t`` lives at
+    # chunk ``c0 + 2t`` where ``c0`` = 1 iff the text opens with
+    # whitespace, and the token count is ``floor((n_chunks-c0+1)/2)``
+    # — the r7 row-level join resolution (re-exploding every spanned
+    # document's runs: one more full text scan, a row_number sort and
+    # a join) computed exactly this affine map the hard way.  Removal
+    # semantics (see scrub_repeated_spans): a non-tail span [s, e)
+    # removes chunks [c0+2s, c0+2e) — its tokens, inner separators and
+    # the separator BEFORE token e; a tail span (e == n_tok) swallows
+    # its PRECEDING separator instead, removing [c0+2s-1, n_chunks)
+    # (from chunk 0 when s == 0: a whole-document span scrubs to "").
+    #
+    # Part j is array_join(slice(chunks, ...)) between span j's removal
+    # end and span j+1's removal start — O(gap) work per gap, O(chunks)
+    # total.  ``_chunks`` / ``_spans`` / ``_c0`` / ``_n_tok`` are
+    # materialized columns (non-cheap + multiply referenced, so
+    # CollapseProject keeps the Project boundary — the
+    # repetition_profile_df discipline): the lambdas index ATTRIBUTES,
+    # re-deriving nothing per element.
     spans = (
-        _span_chunk_ranges(docs, span_df, text_col, id_col)
-        .groupBy("_did")
+        span_df.groupBy("doc_id")
         .agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        F.col("rm_s").alias("s"),
-                        F.col("rm_e").alias("e"),
-                        F.col("n_rm").alias("n"),
+                        F.col("span_start").cast("long").alias("s"),
+                        F.col("span_end").cast("long").alias("e"),
                     )
                 )
             ).alias("_spans")
         )
+        .withColumnRenamed("doc_id", "_did")
     )
     c = F.col(text_col)
     joined = (
@@ -488,24 +413,46 @@ def _scrub_with_spans(
         .drop("_did")
         .withColumn("_chunks", F.split(c, _CHUNK_SPLIT))
     )
+    ch = F.col("_chunks")
+    first = F.element_at(ch, 1)
+    joined = joined.withColumn(
+        "_c0",
+        F.when(
+            (F.length(first) > 0) & ~first.rlike(r"^\s"), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .cast("long"),
+    )
+    n_chunks = F.size(ch).cast("long")
+    joined = joined.withColumn(
+        "_n_tok", F.floor((n_chunks - F.col("_c0") + 1) / F.lit(2))
+    )
     sp = F.col("_spans")  # sorted at build; attribute = cheap per access
     n_sp = F.coalesce(F.size(sp), F.lit(0))
-    n_chunks = F.size(F.col("_chunks")).cast("long")
+    c0, n_tok = F.col("_c0"), F.col("_n_tok")
+
+    def _rm_start(span):
+        # first removed chunk of a span struct (affine map above)
+        s, e = span.getField("s"), span.getField("e")
+        return F.when(e < n_tok, c0 + 2 * s).otherwise(
+            F.greatest(c0 + 2 * s - 1, F.lit(0).cast("long"))
+        )
+
+    def _rm_end(span):
+        s, e = span.getField("s"), span.getField("e")
+        return F.when(e < n_tok, c0 + 2 * e).otherwise(n_chunks)
 
     def _gap_start(j):
-        # removal end of the span BEFORE gap j (null rm_e = tail span,
-        # removal runs to end of text); gap 0 starts at chunk 0
+        # removal end of the span BEFORE gap j; gap 0 starts at chunk 0
         return F.when(j == 0, F.lit(0).cast("long")).otherwise(
-            F.coalesce(
-                F.element_at(sp, j.cast("int")).getField("e"), n_chunks
-            )
+            _rm_end(F.element_at(sp, j.cast("int")))
         )
 
     def _gap_end(j):
         # removal start of the span AFTER gap j; the last gap runs to
         # the end of the chunk array
         return F.when(j == n_sp, n_chunks).otherwise(
-            F.element_at(sp, (j + 1).cast("int")).getField("s")
+            _rm_start(F.element_at(sp, (j + 1).cast("int")))
         )
 
     parts = F.transform(
@@ -522,10 +469,10 @@ def _scrub_with_spans(
     rebuilt = F.array_join(parts, "")
     n_removed = F.aggregate(
         F.coalesce(
-            sp, F.array().cast("array<struct<s:long,e:long,n:long>>")
+            sp, F.array().cast("array<struct<s:long,e:long>>")
         ),
         F.lit(0).cast("long"),
-        lambda acc, s: acc + s.getField("n"),
+        lambda acc, s: acc + s.getField("e") - s.getField("s"),
     )
     out_cols = [col for col in docs.columns if col != text_col]
     return joined.select(
