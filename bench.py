@@ -237,6 +237,8 @@ def _extension_workload():
         ),
         "ext_streaming_near_dedup": _near_dedup_two_batches,
         "ext_streaming_drift": _drift_two_batches,
+        "ext_streaming_drift_batch": _drift_one_batch,
+        "ext_streaming_span_scrub": _span_scrub_one_batch,
         "ext_mixture_sample": lambda s, d: mixture_sample(
             _docs(s, d).select("doc_id", "lang"),
             "lang",
@@ -434,10 +436,102 @@ def _near_dedup_two_batches(s, d):
     return a2.select("doc_id")
 
 
+def _span_scrub_one_batch(s, d):
+    """Steady-state streaming span scrub: ONE micro-batch (10% of the
+    documents) scrubbed against a standing 90%-corpus window-count
+    state — the per-batch cost a production ingest stream pays
+    (tokenize+hash the batch, broadcast-join the corpus counts, rebuild
+    the batch text, commit the batch's own counts as an O(batch)
+    delta).  Mirrors the near-dedup harness: the corpus state build is
+    one-time (warm-up pass), each timed rep restores the pristine
+    snapshot so it ingests the identical batch against the identical
+    corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.registry import scratch_dir
+    from polars_w_inverted_index_spark.sources.tables import load_table
+    from polars_w_inverted_index_spark.streaming.span_scrub import (
+        span_scrub_batch,
+    )
+
+    docs = load_table(s, d, "documents")
+    st = os.stat(os.path.join(d, "documents.parquet"))
+    pristine = scratch_dir(
+        f"span_scrub_bench_state_{st.st_size}_{int(st.st_mtime)}", d
+    )
+    if not os.path.exists(os.path.join(pristine, "_LATEST")):
+        span_scrub_batch(
+            docs.where(F.col("doc_id") % 10 != 0), pristine, batch_id=0
+        )
+    work = scratch_dir("span_scrub_bench_work", d)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(pristine, work)
+    out = span_scrub_batch(
+        docs.where(F.col("doc_id") % 10 == 0), work, batch_id=1
+    )
+    # hash the rebuilt text so the byte-fidelity rebuild stays in the
+    # timed plan (the ext_span_dedup discipline)
+    return out.select(
+        "doc_id", F.xxhash64("text").alias("text_hash"),
+        "n_removed_tokens",
+    )
+
+
+# One-time cache for the drift decomposition entry: the reference LM and
+# the standing batch-0 state are SETUP (built on the warm-up pass, like
+# the ANN/postings index builds); the timed rep pays only the per-batch
+# cost.  Keyed by sf_dir so a testdata swap rebuilds.
+def _drift_one_batch(s, d):
+    """Per-batch cost of the streaming drift monitor in isolation:
+    ext_streaming_drift times ref-LM build + TWO batch commits in one
+    number (~0.3 s + 2×per-batch at sf0.1); this entry restores a
+    pristine batch-0 state and times ONE batch-1 commit against a
+    pre-built reference LM — the number that must stay flat as batches
+    accumulate (state is vocabulary-sized, merge is O(vocabulary))."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.registry import scratch_dir
+    from polars_w_inverted_index_spark.functions.text import unigram_lm
+    from polars_w_inverted_index_spark.sources.tables import load_table
+    from polars_w_inverted_index_spark.streaming import drift_monitor_batch
+
+    docs = load_table(s, d, "documents")
+    st = os.stat(os.path.join(d, "documents.parquet"))
+    key = f"{st.st_size}_{int(st.st_mtime)}"
+    ref_dir = scratch_dir(f"drift_bench_ref_{key}", d)
+    pristine = scratch_dir(f"drift_bench_state_{key}", d)
+    if not os.path.exists(os.path.join(ref_dir, "_SUCCESS")):
+        unigram_lm(docs).write.mode("overwrite").parquet(ref_dir)
+    ref = s.read.parquet(ref_dir)
+    if not os.path.exists(os.path.join(pristine, "_LATEST")):
+        drift_monitor_batch(
+            docs.where(F.col("doc_id") % 2 == 0), pristine, ref, batch_id=0
+        )
+    work = scratch_dir("drift_bench_work", d)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(pristine, work)
+    return drift_monitor_batch(
+        docs.where(F.col("doc_id") % 2 == 1), work, ref, batch_id=1
+    )
+
+
 def _drift_two_batches(s, d):
     """Streaming drift monitor over the documents table split in two
     micro-batches against its own full-corpus LM (fresh state per
-    run)."""
+    run).
+
+    Decomposition (r8, sf0.1): ref-LM build ~0.3 s + batch0 ~1.3 s +
+    batch1 ~1.5 s — the total is 2×(per-batch constant) + setup, and
+    the per-batch constant is fixed overhead (LM merge join, state
+    parquet write, divergence aggregations), flat batch-over-batch
+    (batch1, which merges against the standing state, costs the same
+    as batch0).  The r5→r7 2.13→2.51 s creep on unchanged code is
+    environment noise on that constant, not growth;
+    ext_streaming_drift_batch tracks the isolated per-batch number."""
     from pyspark.sql import functions as F
 
     from polars_w_inverted_index_spark.functions.text import unigram_lm

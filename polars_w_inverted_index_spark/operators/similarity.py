@@ -34,13 +34,33 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: ``[query_id, neighbor_id, cos_sim, rank]``.
 
     Self-matches (same id) are excluded.  Ranking is deterministic:
     (rounded sim DESC, neighbor_id ASC) — rounding before ranking keeps
     tie order identical across engines whose float sums differ in ulps.
+
+    This is the ground-truth TWIN (cost O(|queries|·|corpus|)), meant
+    for bounded corpora — recall measurement, tests, small serving
+    sets.  When the corpus side's optimizer size estimate exceeds the
+    broadcast threshold the call raises unless ``allow_full_scan=True``
+    (the interval_join raise-loudly discipline): a corpus that merely
+    LOOKS small must not silently become a shuffled cartesian.  The
+    scale paths are :func:`ivf_topk` / :func:`lsh_bucketed_topk` /
+    ``ann_index.ann_search``.
     """
+    if not allow_full_scan and not _is_small(corpus):
+        est = _plan_size_bytes(corpus)
+        raise ValueError(
+            "brute_force_topk is an exact O(|queries|*|corpus|) scan and "
+            f"the corpus side's optimizer estimate ({est} bytes) exceeds "
+            "the broadcast threshold - at scale this is a shuffled "
+            "cartesian. Pass allow_full_scan=True to acknowledge the "
+            "cost (ground-truth/recall runs), or use ivf_topk / "
+            "lsh_bucketed_topk / ann_index.ann_search."
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -72,10 +92,34 @@ def brute_force_topk(
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate (metadata only — file sizes for scans,
+    exact for local relations; no job runs)."""
+    size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # py4j maps BigInt to int for in-range values; fall back to string
+    # parse for a JavaObject
+    return size if isinstance(size, int) else int(size.toString())
+
+
 def _is_small(df: DataFrame) -> bool:
-    # Corpus side of the cross join: broadcast only when we know it's tiny.
-    # Callers at scale pass queries as the broadcast side instead.
-    return False
+    # Corpus side of the cross join: small = the optimizer's size
+    # estimate fits the session broadcast threshold (the same heuristic
+    # the planner itself would apply).  Frames with UNKNOWN stats (the
+    # defaultSizeInBytes Long.Max sentinel) and no file inputs are
+    # driver-materialized (createDataFrame) — they already fit the
+    # driver, bounded by construction.  Any other estimate failure
+    # counts as NOT small — the guard must fail loud, not open.
+    try:
+        thresh = int(
+            df.sparkSession._jsparkSession.sessionState().conf()
+            .autoBroadcastJoinThreshold()
+        )
+        size = _plan_size_bytes(df)
+        if size >= (1 << 62) and not df.inputFiles():
+            return True
+        return 0 < size <= max(thresh, 0)
+    except Exception:
+        return False
 
 
 def plane_weights(p: int, n_dims: int) -> list[int]:

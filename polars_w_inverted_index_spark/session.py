@@ -57,6 +57,12 @@ _DEFAULTS: dict[str, str] = {
     # (UnsafeShuffleWriter) path a production shuffle uses, and makes the
     # executor-memory instrumentation observe the memory that path really
     # acquires.  At production partition counts this config is a no-op.
+    # Measured local cost (r8, sf0.1 zorder roundtrip — the most
+    # shuffle-writer-bound entry — 4 runs per fresh JVM): threshold=1
+    # best 1.46 s / steady 1.5-2.0 s vs default-200 best 1.49 s /
+    # steady 1.5-1.9 s — indistinguishable at noise scale, so the r7
+    # ext_zorder_write +28% bench move was environment noise, not this
+    # pin.  Parity is free locally; keep the pin.
     "spark.shuffle.sort.bypassMergeThreshold": "1",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }

@@ -161,6 +161,30 @@ def test_brute_force_topk(spark, vectors):
     assert sims[2] == 0.0
 
 
+def test_brute_force_large_corpus_requires_explicit_opt_in(spark):
+    """A corpus past the broadcast-size heuristic must RAISE without
+    allow_full_scan=True — a misjudged 'small' corpus becomes a shuffled
+    cartesian silently otherwise (the interval_join raise-loudly
+    discipline).  Threshold pinned low so a modest local frame is
+    'large' — the same relative-size regime a real corpus imposes."""
+    import pytest
+
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 2)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        with pytest.raises(ValueError, match="allow_full_scan"):
+            SIM.brute_force_topk(emb, q, k=3)
+        # the acknowledged path still computes the exact answer
+        out = SIM.brute_force_topk(emb, q, k=3, allow_full_scan=True)
+        assert out.count() == 2 * 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_gemm_topk_matches_expression_path(spark):
     from polars_w_inverted_index_spark.sources.tables import load_table
 
