@@ -110,6 +110,41 @@ class Engine:
         filtered = filter_by_doc_ids(self._df, doc_ids, self.doc_id_col)
         return postings(filtered, field, self.doc_id_col)
 
+    def get_doc_ids_where(self, equals: dict[str, str]) -> DataFrame:
+        """``[doc_id]`` rows matching a CONJUNCTION of equality
+        predicates (``{"level": "error", "region": "eu"}``) —
+        multiplicity-preserving (one output row per matching base row,
+        the same contract as the id-set join, SURVEY §1.4.1).
+
+        Consults the catalog for a composite index over EXACTLY this
+        field set first (:meth:`~.plans.catalog.IndexCatalog
+        .lookup_composite`): a hit answers from the index's tuple-keyed
+        postings — each equality a parquet pushed filter on its own
+        ``v_<field>`` column, zero base-table scan.  Otherwise the
+        conjunction filters the base scan (all predicates pushed down).
+        The reference has no conjunctive restriction at all (its only
+        row filter is the id-set join, main.rs:310-318); this is the
+        log-exploration shape SURVEY §2.2 exposes Spark-first."""
+        from pyspark.sql import functions as F
+
+        if not equals:
+            raise ValueError("get_doc_ids_where needs >= 1 predicate")
+        if self.catalog is not None and len(equals) >= 2:
+            hit = self.catalog.lookup_composite(
+                self.table_name, equals, doc_id_col=self.doc_id_col
+            )
+            if hit is not None:
+                return hit.select(
+                    F.explode("doc_ids").alias(self.doc_id_col)
+                )
+        cond = None
+        for f, v in equals.items():
+            c = F.col(field_name_to_column(f)).cast("string") == str(v)
+            cond = c if cond is None else (cond & c)
+        return self._df.where(
+            cond & F.col(self.doc_id_col).isNotNull()
+        ).select(self.doc_id_col)
+
     def get_numeric_stats(self, field: str) -> DataFrame:
         """Whole-table min/max/avg (main.rs:611-689)."""
         return numeric_stats(self._df, field)
@@ -136,17 +171,22 @@ class Engine:
             field_name=field,
             doc_ids_count=len(doc_ids) if doc_ids is not None else None,
         ).attach_spark(self.spark)
-        with st.phase("setup"):
-            df = self._df
-        if doc_ids is not None:
-            with st.phase("filter_creation"):
-                pass
-            with st.phase("join_operation"):
-                df = filter_by_doc_ids(df, doc_ids, self.doc_id_col)
-        with st.phase("collect"):
-            vm = to_value_map_arrow(postings(df, field, self.doc_id_col))
-        with st.phase("processing"):
-            result = FieldValueResult(vm)
+        try:
+            with st.phase("setup"):
+                df = self._df
+            if doc_ids is not None:
+                with st.phase("filter_creation"):
+                    pass
+                with st.phase("join_operation"):
+                    df = filter_by_doc_ids(df, doc_ids, self.doc_id_col)
+            with st.phase("collect"):
+                vm = to_value_map_arrow(postings(df, field, self.doc_id_col))
+            with st.phase("processing"):
+                result = FieldValueResult(vm)
+        finally:
+            # a raising query must not leave the thread tagged with this
+            # query's job group (ADVICE r7) — finalize() won't run
+            st.restore_group()
         st.set_result_rows(sum(len(v) for v in result.value_map.values()))
         return result, st.finalize()
 
@@ -163,15 +203,18 @@ class Engine:
             field_name=field,
             doc_ids_count=len(doc_ids) if doc_ids is not None else None,
         ).attach_spark(self.spark)
-        with st.phase("setup"):
-            df = self._df
-        if doc_ids is not None:
-            with st.phase("join_operation"):
-                df = filter_by_doc_ids(df, doc_ids, self.doc_id_col)
-        with st.phase("collect"):
-            row = numeric_stats(df, field).collect()[0]
-        with st.phase("processing"):
-            result = NumericStats(row["min"], row["max"], row["avg"])
+        try:
+            with st.phase("setup"):
+                df = self._df
+            if doc_ids is not None:
+                with st.phase("join_operation"):
+                    df = filter_by_doc_ids(df, doc_ids, self.doc_id_col)
+            with st.phase("collect"):
+                row = numeric_stats(df, field).collect()[0]
+            with st.phase("processing"):
+                result = NumericStats(row["min"], row["max"], row["avg"])
+        finally:
+            st.restore_group()  # see get_field_values_collected
         # honest row count — the reference forgets this for the full-table
         # stats query (SURVEY.md §2.9/I4); we record 1.
         st.set_result_rows(1)

@@ -35,6 +35,20 @@ def tokens(col: Column | str) -> Column:
     )
 
 
+def free_col_name(df, base: str) -> str:
+    """``base`` or the first ``base_<i>`` not already a column of ``df``.
+
+    Operators that materialize a shared internal column (the
+    kept-Project tokenize discipline) must not silently overwrite —
+    and then drop — a caller's same-named column (ADVICE r7)."""
+    cols = set(df.columns)
+    name, i = base, 0
+    while name in cols:
+        i += 1
+        name = f"{base}_{i}"
+    return name
+
+
 def tokens_sql(expr: str) -> str:
     return (
         f"list_filter(regexp_split_to_array(lower(trim({expr})), '\\s+'),"

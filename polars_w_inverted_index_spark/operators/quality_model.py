@@ -46,15 +46,17 @@ def weak_quality_labels(
     """
     from pyspark.sql import functions as F
 
-    from ..functions.text import tokens
+    from ..functions.text import free_col_name, tokens
 
     # shared tokenize (materialized column, kept Project boundary) —
-    # two of the three gate signals consume the token array
+    # two of the three gate signals consume the token array; the name is
+    # picked collision-free so a caller's own '_qm_toks' column survives
+    tcol = free_col_name(docs, "_qm_toks")
     n_chars, n_tokens, punct_ratio, stop_ratio, _ = quality_metrics(
-        text_col, tok=F.col("_qm_toks")
+        text_col, tok=F.col(tcol)
     )
     return (
-        docs.withColumn("_qm_toks", tokens(text_col))
+        docs.withColumn(tcol, tokens(text_col))
         .withColumn(
             "label",
             (
@@ -63,7 +65,7 @@ def weak_quality_labels(
                 & (punct_ratio <= max_punct_frac)
             ).cast("double"),
         )
-        .drop("_qm_toks")
+        .drop(tcol)
     )
 
 

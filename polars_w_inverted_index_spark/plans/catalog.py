@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -462,6 +463,136 @@ class IndexCatalog:
             df.select("value", filtered.alias("doc_ids"))
             .where(F.size("doc_ids") > 0)
         )
+
+    # -- composite (multi-field) indexes ----------------------------------
+
+    @staticmethod
+    def _composite_field_key(fields) -> str:
+        # conjunctions are order-free: normalize so build(a,b) serves
+        # lookup(b,a)
+        return "+".join(sorted(fields))
+
+    def build_composite(
+        self,
+        df: DataFrame,
+        table: str,
+        fields: list[str],
+        doc_id_col: str = "doc_id",
+        num_buckets: int | None = None,
+    ) -> str:
+        """Materialize postings keyed by the VALUE TUPLE of ``fields``
+        — the index a conjunctive filter (level = 'error' AND region =
+        'eu') is served from with zero base-table scan.
+
+        Layout: one row per distinct tuple, ``[v_<f1>, v_<f2>, ...,
+        doc_ids array<long>]`` with the tuple values as SEPARATE string
+        columns (not a packed struct/string): each equality in a lookup
+        then reaches the parquet reader as its own pushed filter, so
+        row-group stats prune on every component independently.  The
+        write is clustered by the tuple (repartition + sort within
+        partitions) so each tuple's postings sit in few row groups.
+        Rows where ANY component is null are suppressed — equality
+        conjunctions cannot match null (the single-field null-pair
+        suppression, P5, extended to tuples).
+
+        Same source/fingerprint/doc_id identity discipline as
+        :meth:`build`; the entry lives in the same catalog metadata
+        under the order-normalized key ``table::f1+f2``."""
+        from pyspark.sql import functions as F
+
+        from ..functions.paths import field_name_to_column
+
+        if len(fields) < 2:
+            raise ValueError(
+                "build_composite needs >= 2 fields; use build() for one"
+            )
+        if len(set(fields)) != len(fields):
+            raise ValueError(f"duplicate fields in {fields}")
+        fkey = self._composite_field_key(fields)
+        path = self._path(table, fkey.replace("+", "__AND__"))
+        vcols = [f"v_{f}" for f in sorted(fields)]
+
+        def _build_and_write(frame: DataFrame) -> None:
+            sel = [
+                F.col(field_name_to_column(f)).cast("string").alias(f"v_{f}")
+                for f in sorted(fields)
+            ]
+            idx = (
+                frame.select(
+                    F.col(doc_id_col).cast("long").alias("_id"), *sel
+                )
+                .where(
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.col(c).isNotNull() for c in vcols],
+                        F.col("_id").isNotNull(),
+                    )
+                )
+                .groupBy(*vcols)
+                .agg(F.sort_array(F.collect_list("_id")).alias("doc_ids"))
+            )
+            if num_buckets:
+                idx = idx.repartition(
+                    num_buckets, *vcols
+                ).sortWithinPartitions(*vcols)
+            idx.write.mode("overwrite").parquet(path)
+
+        src = self._source_root(df) if self._is_plain_scan(df) else None
+        fp = self._write_with_stable_fingerprint(src, df, _build_and_write)
+        meta = {
+            "path": path,
+            "chunked": False,
+            "doc_id_col": doc_id_col,
+            "source": src,
+            "fingerprint": fp,
+            "composite_fields": sorted(fields),
+        }
+        if src is not None:
+            with open(os.path.join(path, "_index_source"), "w") as f:
+                f.write(src)
+            with open(os.path.join(path, "_index_meta.json"), "w") as f:
+                json.dump(meta, f)
+        self._meta[self._key(table, fkey)] = meta
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump(self._meta, f, indent=2)
+        return path
+
+    def lookup_composite(
+        self,
+        table: str,
+        equals: dict[str, str],
+        doc_id_col: str | None = None,
+    ) -> DataFrame | None:
+        """Postings row(s) for a conjunctive equality lookup, served
+        FROM the composite index: ``[v_<f1>, ..., doc_ids]`` filtered to
+        the requested tuple — every equality is a parquet pushed filter
+        on its own column, no base-table scan.  Returns None (caller
+        falls back to the base plan) when no composite index exists for
+        EXACTLY this field set (a (level, region) index cannot serve a
+        (level,)-only filter — its rows partition doc_ids by region
+        too, which a correct fallback must re-merge; the single-field
+        index or base scan owns that query), or on the usual identity /
+        staleness gates (see :meth:`lookup`)."""
+        from pyspark.sql import functions as F
+
+        fkey = self._composite_field_key(equals)
+        meta = self._meta.get(self._key(table, fkey))
+        if meta is None or not os.path.exists(meta["path"]):
+            return None
+        if meta.get("composite_fields") != sorted(equals):
+            return None
+        if doc_id_col is not None and meta.get("doc_id_col") != doc_id_col:
+            return None
+        fp = meta.get("fingerprint")
+        if fp is not None and self._table_fingerprint(
+            meta.get("source")
+        ) != fp:
+            return None  # base table changed since the build: stale
+        df = self.spark.read.parquet(meta["path"])
+        for f, v in equals.items():
+            df = df.where(F.col(f"v_{f}") == F.lit(str(v)))
+        return df
 
     def drop(self, table: str, field: str) -> None:
         self._meta.pop(self._key(table, field), None)

@@ -45,10 +45,11 @@ def corpus_report(
     # repetition_profile_df discipline) — without it each signal's
     # textual tokens() reference re-splits the text (~8× per row with
     # the 4-language lang-id)
-    from .functions.text import tokens
+    from .functions.text import free_col_name, tokens
 
-    toked = docs.withColumn("_toks", tokens(text_col))
-    tok = F.col("_toks")
+    tcol = free_col_name(docs, "_toks")  # don't clobber a caller's _toks
+    toked = docs.withColumn(tcol, tokens(text_col))
+    tok = F.col(tcol)
     n_chars, n_tokens, punct_ratio, stop_ratio, mean_tok = quality_metrics(
         text_col, tok=tok
     )
@@ -223,23 +224,27 @@ def dedup_eval_report(
     sh = simhash(docs, text_col, id_col)
     a = sh.selectExpr("doc_id as doc_a", "simhash as ha")
     b = sh.selectExpr("doc_id as doc_b", "simhash as hb")
-    ham_truth_n = (
+    ham_truth = (
         a.crossJoin(b)
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
         )
-        .count()
+        .select("doc_a", "doc_b")
     )
+    ham_truth_n = ham_truth.count()
     ham_cand = simhash_pairs(
         docs, text_col=text_col, id_col=id_col,
         n_bands=simhash_bands, max_hamming=max_hamming,
     )
     ham_cand_n = ham_cand.count()
     # simhash_pairs post-filters to true hamming <= max_hamming, so its
-    # pairs are a subset of brute truth: tp == cand_n by construction,
-    # and the measured number proves it
-    ham_tp = ham_cand_n
+    # pairs SHOULD be a subset of brute truth (precision 1.0) — but
+    # MEASURE the intersection rather than assume it (ADVICE r7): an
+    # out-of-contract candidate (hamming > max_hamming, or a pair
+    # ordered differently from truth) now shows up as precision < 1.0
+    # instead of being defined away.
+    ham_tp = ham_truth.join(ham_cand, pair_key, "left_semi").count()
 
     def _ratio(num: int, den: int) -> float | None:
         return round(num / den, 4) if den else None

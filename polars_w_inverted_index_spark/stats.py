@@ -132,6 +132,7 @@ class QueryStats:
     _stage_floor: int = field(default=-1, repr=False, compare=False)
     _group_id: str | None = field(default=None, repr=False, compare=False)
     _prev_group: str | None = field(default=None, repr=False, compare=False)
+    _group_restored: bool = field(default=False, repr=False, compare=False)
 
     def __post_init__(self) -> None:
         self.memory_before_kb = _mem_kb()
@@ -159,6 +160,29 @@ class QueryStats:
             self._group_id = None
         return self
 
+    def restore_group(self) -> None:
+        """Reset the thread's job-group tag to its pre-attach value.
+        IDEMPOTENT (second call is a no-op) and called from
+        :meth:`finalize` too — but a query that RAISES between attach
+        and finalize never reaches finalize, so the engine wraps query
+        execution in try/finally around this (ADVICE r7): otherwise the
+        thread stays tagged with a dead group id and later untracked
+        jobs inherit it (mis-attribution), and with non-LIFO
+        interleaving a stale value could be restored."""
+        if (
+            self._group_restored
+            or self._group_id is None
+            or self._spark is None
+        ):
+            return
+        try:
+            self._spark.sparkContext.setLocalProperty(
+                "spark.jobGroup.id", self._prev_group
+            )
+        except Exception:  # pragma: no cover - no JVM
+            pass
+        self._group_restored = True
+
     @contextmanager
     def phase(self, name: str):
         """``time_section!`` equivalent (query_stats.rs:169-178)."""
@@ -180,12 +204,7 @@ class QueryStats:
         if self._spark is not None:
             peaks: list[int] = []
             if self._group_id is not None:
-                try:
-                    self._spark.sparkContext.setLocalProperty(
-                        "spark.jobGroup.id", self._prev_group
-                    )
-                except Exception:  # pragma: no cover
-                    pass
+                self.restore_group()
                 sids = _group_stage_ids(self._spark, self._group_id)
                 if sids is not None:
                     by_id = dict(_stage_peaks(self._spark))

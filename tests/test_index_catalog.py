@@ -107,6 +107,74 @@ def test_lookup_by_doc_ids_served_from_index(
     assert _vm(out) == want
 
 
+def test_composite_index_serves_conjunction_index_only(
+    spark, lineitem, tmp_path_factory
+):
+    """build_composite → get_doc_ids_where: the conjunctive lookup is
+    answered FROM the tuple-keyed postings (base table untouched), each
+    equality reaching the index scan as a pushed filter, and equals the
+    base-table conjunction exactly — values AND multiplicity."""
+    root = str(tmp_path_factory.mktemp("idxc"))
+    cat = IndexCatalog(spark, root)
+    cat.build_composite(
+        lineitem, "lineitem", ["l_linestatus", "l_returnflag"],
+        doc_id_col="l_orderkey",
+    )
+    eng = Engine(
+        spark, df=lineitem, doc_id_col="l_orderkey",
+        index_catalog=cat, table_name="lineitem",
+    )
+    # field order in the lookup differs from the build order: the
+    # conjunction is order-free, the key is normalized
+    out = eng.get_doc_ids_where(
+        {"l_returnflag": "R", "l_linestatus": "F"}
+    )
+    files = out.inputFiles()
+    assert files and all(root in f for f in files)
+    assert not any("lineitem.parquet" in f for f in files)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "v_l_returnflag" in plan
+    want = sorted(
+        r["l_orderkey"]
+        for r in lineitem.where(
+            (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+        ).select("l_orderkey").collect()
+    )
+    got = sorted(r["l_orderkey"] for r in out.collect())
+    assert got == want and len(got) > 0
+
+
+def test_composite_index_declines_subset_and_mismatch(
+    spark, lineitem, tmp_path_factory
+):
+    """A (a, b) composite index must NOT serve a single-field or
+    differently-shaped lookup — those fall back to the base plan."""
+    root = str(tmp_path_factory.mktemp("idxc"))
+    cat = IndexCatalog(spark, root)
+    cat.build_composite(
+        lineitem, "lineitem", ["l_returnflag", "l_linestatus"],
+        doc_id_col="l_orderkey",
+    )
+    # subset of the indexed fields: decline
+    assert cat.lookup_composite("lineitem", {"l_returnflag": "R"}) is None
+    # different doc_id_col: decline
+    assert (
+        cat.lookup_composite(
+            "lineitem",
+            {"l_returnflag": "R", "l_linestatus": "F"},
+            doc_id_col="l_partkey",
+        )
+        is None
+    )
+    # engine falls back to the base scan for the subset conjunction
+    eng = Engine(
+        spark, df=lineitem, doc_id_col="l_orderkey",
+        index_catalog=cat, table_name="lineitem",
+    )
+    fb = eng.get_doc_ids_where({"l_returnflag": "R"})
+    assert any("lineitem.parquet" in f for f in fb.inputFiles())
+
+
 def test_lookup_declines_on_doc_id_col_mismatch(
     spark, lineitem, tmp_path_factory
 ):
@@ -449,6 +517,35 @@ def test_query_stats_job_group_scoped_attribution(spark):
     assert st2.executor_peak_mem_kb > 0
     # the thread's job-group property is restored after finalize
     assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+
+
+def test_query_stats_restores_group_when_query_raises(spark):
+    """ADVICE r7: a query raising between attach and finalize must not
+    leave the thread tagged with the dead group id (later untracked
+    jobs would inherit it).  The engine wraps execution in try/finally
+    around restore_group(); the restore is idempotent so finalize after
+    a manual restore stays correct."""
+    from polars_w_inverted_index_spark import Engine
+    from polars_w_inverted_index_spark.stats import QueryStats
+
+    prev = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+    eng = Engine(
+        spark,
+        df=spark.createDataFrame([(1, "a")], "doc_id long, f string"),
+    )
+    with pytest.raises(Exception):
+        eng.get_numeric_stats_collected("no_such_column")
+    assert (
+        spark.sparkContext.getLocalProperty("spark.jobGroup.id") == prev
+    )
+    # idempotence: restore + finalize double-call restores once
+    st = QueryStats("noop").attach_spark(spark)
+    st.restore_group()
+    st.restore_group()
+    st.finalize()
+    assert (
+        spark.sparkContext.getLocalProperty("spark.jobGroup.id") == prev
+    )
 
 
 def test_query_stats_printer_truncates_long_names(capsys):

@@ -54,6 +54,20 @@ def test_weak_labels_match_heuristics(train_docs):
         assert labels[i] == 0.0, (i, BAD[i - len(GOOD)])
 
 
+def test_weak_labels_do_not_clobber_caller_columns(spark):
+    """A caller whose frame already carries '_qm_toks' must get it back
+    untouched (ADVICE r7: the internal shared-tokenize column picks a
+    collision-free name instead of overwriting and dropping)."""
+    df = spark.createDataFrame(
+        [(0, GOOD[0], "keep-me")],
+        "doc_id long, text string, _qm_toks string",
+    )
+    out = weak_quality_labels(df)
+    row = out.collect()[0]
+    assert row["_qm_toks"] == "keep-me"
+    assert row["label"] == 1.0
+
+
 def test_scores_separate_good_from_bad(spark, model):
     held_out = spark.createDataFrame(
         [
