@@ -61,6 +61,21 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     )
 
 
+def state_file_count(state_path: str, meta: dict | None) -> int:
+    """Data files across the marker's live directories (metadata-only:
+    one listing per dir)."""
+    n = 0
+    for d in marker_dirs(meta):
+        p = os.path.join(state_path, d)
+        if os.path.isdir(p):
+            n += sum(
+                1
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+    return n
+
+
 def commit_delta(
     state_path: str,
     delta: DataFrame,
@@ -68,6 +83,7 @@ def commit_delta(
     meta: dict | None,
     extra_marker: dict,
     max_delta_dirs: int,
+    max_state_files: int | None = None,
 ) -> dict:
     """Write ``delta`` as the next ``v=`` directory (or ``compacted`` as
     the new single directory when the list is full), atomically swap the
@@ -75,12 +91,25 @@ def commit_delta(
     Returns the marker written.  ``compacted`` must be the caller's
     old-state ∪ delta merge — it is only evaluated (lazily, by the
     write) while the old directories still exist.
+
+    ``max_state_files`` adds a FILE-count compaction trigger on top of
+    the directory-count one: a long micro-batch sequence whose deltas
+    each land many small part-files (the object-store small-files
+    problem — every state read lists and opens all of them) compacts as
+    soon as the live listing exceeds the dial, even when the directory
+    list is still short.
     """
     old_dirs = marker_dirs(meta)
     next_v = (meta or {}).get("v", -1) + 1
     out_name = f"v={next_v}"
     out = os.path.join(state_path, out_name)
-    if compacted is not None and len(old_dirs) >= max_delta_dirs:
+    files_over = (
+        max_state_files is not None
+        and state_file_count(state_path, meta) >= max_state_files
+    )
+    if compacted is not None and (
+        len(old_dirs) >= max_delta_dirs or files_over
+    ):
         compacted.write.mode("overwrite").parquet(out)
         new_dirs = [out_name]
     else:

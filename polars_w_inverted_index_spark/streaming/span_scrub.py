@@ -53,6 +53,8 @@ def span_scrub_batch(
     id_col: str = "doc_id",
     batch_id: int | None = None,
     max_delta_dirs: int = 8,
+    delta_partitions: int = 4,
+    max_state_files: int | None = 256,
     sink=None,
 ) -> DataFrame:
     """Scrub one micro-batch against the accumulated window counts and
@@ -146,11 +148,18 @@ def span_scrub_batch(
 
     # commit the ORIGINAL batch's window counts (everything seen, not
     # the scrubbed remainder — future repeats of a passage seen once
-    # must reach min_count and be caught)
+    # must reach min_count and be caught).  The delta is O(batch) rows:
+    # coalesce to ``delta_partitions`` part-files so a long batch
+    # sequence is not a small-files factory (at the default shuffle
+    # width every tiny delta would land 32 part-files; every state read
+    # lists and opens all of them).  ``max_state_files`` compacts on the
+    # live-listing size even before the directory dial trips — the
+    # file-count bound a long run holds regardless of batch cadence
+    # (r7 VERDICT task 8; test_span_dedup pins the bound).
     batch_counts = win.groupBy("sh").agg(F.count("*").alias("n"))
     commit_delta(
         state_path,
-        delta=batch_counts,
+        delta=batch_counts.coalesce(max(1, delta_partitions)),
         compacted=(
             corpus.unionByName(batch_counts)
             .groupBy("sh")
@@ -166,6 +175,7 @@ def span_scrub_batch(
             "hash": HASH_XXH64,
         },
         max_delta_dirs=max_delta_dirs,
+        max_state_files=max_state_files,
     )
     win.unpersist()
     return scrubbed

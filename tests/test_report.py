@@ -141,6 +141,63 @@ def test_dedup_eval_simhash_pigeonhole_measured(dedup_eval):
     assert dedup_eval["simhash_banded_precision"]["value_num"] == 1.0
 
 
+@pytest.fixture(scope="module")
+def emb_eval(spark):
+    """Deterministic embedding corpus: 48 hash-derived pseudo-random
+    8-dim vectors (pairwise cosine well below 0.9) + 6 EXACT duplicate
+    pairs (cosine 1.0, same LSH bucket by construction)."""
+    import hashlib
+
+    from polars_w_inverted_index_spark.report import (
+        embedding_dedup_eval_report,
+    )
+
+    def vec(seed):
+        h = hashlib.md5(f"emb{seed}".encode()).digest()
+        return [((b / 255.0) * 2 - 1) for b in h[:8]]
+
+    rows = [(i, vec(i)) for i in range(48)]
+    rows += [(100 + j, vec(j)) for j in range(6)]  # exact dup of 0..5
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    rep = embedding_dedup_eval_report(df, threshold=0.9, topk=5)
+    return {r["metric"]: r for r in rep.collect()}
+
+
+def test_embedding_dedup_eval_measures_planted_duplicates(emb_eval):
+    """The 6 exact-duplicate pairs are the cosine truth; identical
+    vectors share every hyperplane sign, so the LSH-prefix generator
+    must find them all (recall 1.0) and within-bucket exact cosine at
+    the same threshold admits nothing else (precision 1.0) — both
+    MEASURED via the semi-join, not assumed."""
+    assert emb_eval["cosine_truth_pairs"]["value_num"] == 6.0
+    assert emb_eval["semantic_pair_recall"]["value_num"] == 1.0
+    assert emb_eval["semantic_pair_precision"]["value_num"] == 1.0
+    assert "planes=16" in emb_eval["semantic_pair_recall"]["value_str"]
+
+
+def test_embedding_dedup_eval_ivf_recall(emb_eval):
+    """IVF retrieval recall@k vs exact top-k: a real ratio in (0, 1],
+    over the full query set (n_queries x k exact pairs)."""
+    assert emb_eval["exact_topk_pairs"]["value_num"] == 10 * 5
+    rec = emb_eval["ivf_recall_at_k"]["value_num"]
+    assert rec is not None and 0.0 < rec <= 1.0
+    assert "nprobe=4" in emb_eval["ivf_recall_at_k"]["value_str"]
+
+
+def test_embedding_dedup_eval_guard(spark):
+    from polars_w_inverted_index_spark.report import (
+        embedding_dedup_eval_report,
+    )
+
+    big = spark.range(0, 60).selectExpr(
+        "id as vec_id", "array(cast(id as double)) as embedding"
+    )
+    with pytest.raises(ValueError, match="sample"):
+        embedding_dedup_eval_report(big, max_vecs=50)
+
+
 def test_dedup_eval_guard_rejects_unsampled_corpora(spark):
     from polars_w_inverted_index_spark.report import dedup_eval_report
 

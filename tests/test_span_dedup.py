@@ -280,6 +280,66 @@ def test_streaming_span_scrub_batches(spark, tmp_path):
     assert late["n_removed_tokens"] >= 15
 
 
+def test_streaming_state_file_count_bounded(spark, tmp_path):
+    """r7 VERDICT task 8: a LONG micro-batch sequence must keep the
+    window-count state's on-disk file count BOUNDED — deltas coalesce
+    to ``delta_partitions`` part-files and the ``max_state_files``
+    trigger compacts on the live listing even before the directory dial
+    trips.  Counts stay exact across every compaction."""
+    from polars_w_inverted_index_spark.streaming._delta_state import (
+        read_marker,
+        state_file_count,
+    )
+    from polars_w_inverted_index_spark.streaming.span_scrub import (
+        read_window_state,
+        span_scrub_batch,
+    )
+
+    state = str(tmp_path / "st")
+    n_batches = 14
+    all_rows = []
+    peak = 0
+    for b in range(n_batches):
+        rows = [
+            (
+                b * 10 + i,
+                " ".join(f"w{b}x{i}y{j}" for j in range(12)),
+            )
+            for i in range(3)
+        ]
+        all_rows += rows
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        span_scrub_batch(
+            batch, state, k=8, batch_id=b,
+            max_delta_dirs=6, delta_partitions=2, max_state_files=8,
+        )
+        peak = max(peak, state_file_count(state, read_marker(state)))
+    # bound independent of the batch count: at most the trigger's worth
+    # of delta files plus one compacted directory (width = shuffle
+    # partitions) plus the newest delta
+    shuffle_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert peak <= 8 + shuffle_width + 2, peak
+    # state is still exact after the compactions it went through
+    from polars_w_inverted_index_spark.operators.span_dedup import (
+        window_counts,
+    )
+
+    everything = spark.createDataFrame(
+        all_rows, "doc_id long, text string"
+    )
+    want = {
+        r["sh"]: r["n"] for r in window_counts(everything, k=8).collect()
+    }
+    got_df = read_window_state(spark, state)
+    got = {
+        r["sh"]: r["n"]
+        for r in got_df.groupBy("sh")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_sink_before_commit_crash_replay(spark, tmp_path):
     """Exactly-once across the sink/commit boundary: a crash AFTER the
     output write but BEFORE the state commit replays into identical
