@@ -71,6 +71,8 @@ def near_dedup_batch(
     num_bands: int = NUM_BANDS,
     shingle_k: int = 3,
     max_delta_dirs: int = 8,
+    delta_partitions: int = 4,
+    max_state_files: int | None = 256,
     sink=None,
 ) -> DataFrame:
     """Process one micro-batch; returns the ACCEPTED rows as a
@@ -167,9 +169,12 @@ def near_dedup_batch(
     # (amortized O(corpus / max_delta_dirs) per batch)
     acc_ids = accepted.select(F.col(id_col).alias("doc_id"))
     acc_bands = bands.join(acc_ids, "doc_id", "left_semi")
+    # deltas are O(batch) rows: coalesce so a long batch sequence is not
+    # a small-files factory, and compact on the live file listing too
+    # (max_state_files) — the span-scrub hygiene (r8), same rationale
     commit_delta(
         state_path,
-        delta=acc_bands,
+        delta=acc_bands.coalesce(max(1, delta_partitions)),
         compacted=(
             corpus.unionByName(acc_bands) if corpus is not None else None
         ),
@@ -183,6 +188,7 @@ def near_dedup_batch(
             "shingle_k": shingle_k,
         },
         max_delta_dirs=max_delta_dirs,
+        max_state_files=max_state_files,
     )
     bands.unpersist()
     return accepted
