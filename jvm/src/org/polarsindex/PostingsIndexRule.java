@@ -4,7 +4,9 @@ import java.io.File;
 import java.net.URI;
 import java.util.ArrayList;
 import java.util.Arrays;
+import java.util.LinkedHashMap;
 import java.util.List;
+import java.util.Map;
 
 import scala.Function1;
 import scala.Option;
@@ -29,10 +31,12 @@ import org.apache.spark.sql.catalyst.expressions.NamedExpression;
 import org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable;
 import org.apache.spark.sql.catalyst.expressions.Size;
 import org.apache.spark.sql.catalyst.expressions.SortArray;
+import org.apache.spark.sql.catalyst.expressions.Explode;
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression;
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList;
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate;
 import org.apache.spark.sql.catalyst.plans.logical.Filter;
+import org.apache.spark.sql.catalyst.plans.logical.Generate;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
 import org.apache.spark.sql.catalyst.plans.logical.Project;
 import org.apache.spark.sql.catalyst.rules.Rule;
@@ -118,20 +122,25 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
             new AbstractPartialFunction<LogicalPlan, LogicalPlan>() {
               @Override
               public boolean isDefinedAt(LogicalPlan p) {
-                return rewrite(p, root) != null;
+                return rewriteAny(p, root) != null;
               }
 
               @Override
               @SuppressWarnings("unchecked")
               public <A1 extends LogicalPlan, B1> B1 applyOrElse(
                   A1 p, Function1<A1, B1> dflt) {
-                LogicalPlan r = rewrite(p, root);
+                LogicalPlan r = rewriteAny(p, root);
                 if (r != null) {
                   return (B1) r;
                 }
                 return dflt.apply(p);
               }
             });
+  }
+
+  private LogicalPlan rewriteAny(LogicalPlan p, String root) {
+    LogicalPlan r = rewrite(p, root);
+    return (r != null) ? r : rewriteConjunctive(p, root);
   }
 
   /**
@@ -510,6 +519,260 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
                 + ") onto index "
                 + idxDir.getAbsolutePath());
     return new Project(projList, source);
+  }
+
+  /**
+   * Composite-index rewrite (r8): serve a CONJUNCTIVE doc-id lookup —
+   * the {@code Engine.get_doc_ids_where} fallback shape
+   *
+   * <pre>
+   * Project [doc_id]
+   *   +- Filter (pred(f1) AND pred(f2) AND isnotnull(doc_id) ...)
+   *     +- LogicalRelation parquet {table}
+   * </pre>
+   *
+   * — from a tuple-keyed composite index
+   * {@code <root>/<table>__<f1>__AND__<f2>} ({@code
+   * plans/catalog.IndexCatalog.build_composite}): predicates rebind
+   * onto the index's {@code v_<field>} string columns (each lands as
+   * its own parquet pushed filter) and the matching rows' postings
+   * explode back to one doc-id row per base row — multiplicity
+   * preserved, zero base-table I/O.
+   *
+   * <p>Gates: single-column Project resolving to a long-typed id with
+   * an {@code isnotnull(id)} guard present (the composite build
+   * suppressed null ids, so serving without the guard would drop rows
+   * the base plan keeps); every other conjunct deterministic and
+   * referencing exactly ONE string-typed column; the predicate column
+   * SET equals the index's recorded {@code composite_fields} exactly
+   * (a subset conjunction stays on the base plan — parity with the
+   * Python lookup's decline rule); same source-identity, doc_id_col
+   * and fingerprint-staleness gates as the postings rewrite.
+   */
+  private LogicalPlan rewriteConjunctive(LogicalPlan p, String root) {
+    if (!(p instanceof Project)) {
+      return null;
+    }
+    Project top = (Project) p;
+    if (top.projectList().size() != 1) {
+      return null;
+    }
+    NamedExpression idOut = (NamedExpression) top.projectList().apply(0);
+
+    List<Project> chain = new ArrayList<>();
+    List<Filter> filters = new ArrayList<>();
+    LogicalPlan node = top.child();
+    while (true) {
+      if (node instanceof Project) {
+        Project proj = (Project) node;
+        if (!passThrough(proj)) {
+          return null;
+        }
+        chain.add(proj);
+        node = proj.child();
+      } else if (node instanceof Filter) {
+        Filter f = (Filter) node;
+        filters.add(f);
+        node = f.child();
+      } else {
+        break;
+      }
+    }
+    if (filters.isEmpty() || !(node instanceof LogicalRelation)) {
+      return null;
+    }
+    LogicalRelation rel = (LogicalRelation) node;
+    if (!(rel.relation() instanceof HadoopFsRelation)) {
+      return null;
+    }
+    Expression idExpr =
+        (idOut instanceof Alias) ? ((Alias) idOut).child() : (Expression) idOut;
+    String idCol = resolveColumn(idExpr, chain);
+    if (idCol == null || !fieldIsLong(rel, idCol)) {
+      return null;
+    }
+
+    List<String> guarded = new ArrayList<>();
+    Map<String, List<Expression>> fieldPreds = new LinkedHashMap<>();
+    for (Filter f : filters) {
+      for (Expression c : splitConjuncts(f.condition())) {
+        if (c instanceof IsNotNull) {
+          String col = resolveColumn(((IsNotNull) c).child(), chain);
+          if (col == null) {
+            return null;
+          }
+          guarded.add(col);
+        } else if (c.deterministic()) {
+          String col = singleReferencedColumn(c, chain);
+          if (col == null || col.equals(idCol)
+              || !fieldIsString(rel, col)) {
+            return null;
+          }
+          fieldPreds.computeIfAbsent(col, k -> new ArrayList<>()).add(c);
+        } else {
+          return null;
+        }
+      }
+    }
+    if (fieldPreds.size() < 2 || !guarded.contains(idCol)) {
+      return null;
+    }
+    for (String g : guarded) {
+      if (!g.equals(idCol) && !fieldPreds.containsKey(g)) {
+        return null;
+      }
+    }
+
+    HadoopFsRelation fsRel = (HadoopFsRelation) rel.relation();
+    if (fsRel.location().rootPaths().size() != 1) {
+      return null;
+    }
+    URI base = fsRel.location().rootPaths().apply(0).toUri();
+    String stem = new File(base.getPath()).getName();
+    int dot = stem.lastIndexOf('.');
+    if (dot > 0) {
+      stem = stem.substring(0, dot);
+    }
+    List<String> sortedFields = new ArrayList<>(fieldPreds.keySet());
+    java.util.Collections.sort(sortedFields);
+    File idxDir =
+        new File(root, stem + "__" + String.join("__AND__", sortedFields));
+    if (!new File(idxDir, "_SUCCESS").exists()) {
+      return null;
+    }
+    File srcMarker = new File(idxDir, "_index_source");
+    if (!srcMarker.exists()) {
+      return null;
+    }
+    String recorded;
+    try {
+      recorded = new String(
+              java.nio.file.Files.readAllBytes(srcMarker.toPath()),
+              java.nio.charset.StandardCharsets.UTF_8)
+          .trim();
+    } catch (java.io.IOException ex) {
+      return null;
+    }
+    String scanned = base.getPath();
+    if (!(recorded.equals(scanned)
+        || recorded.startsWith(scanned + "/"))) {
+      return null;
+    }
+    File metaMarker = new File(idxDir, "_index_meta.json");
+    if (!metaMarker.exists()) {
+      return null;
+    }
+    try {
+      com.fasterxml.jackson.databind.JsonNode meta =
+          new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(metaMarker);
+      if (!idCol.equals(meta.path("doc_id_col").asText(""))) {
+        return null;
+      }
+      com.fasterxml.jackson.databind.JsonNode cf =
+          meta.path("composite_fields");
+      if (!cf.isArray() || cf.size() != sortedFields.size()) {
+        return null;
+      }
+      for (int i = 0; i < cf.size(); i++) {
+        if (!sortedFields.get(i).equals(cf.get(i).asText(""))) {
+          return null;
+        }
+      }
+      com.fasterxml.jackson.databind.JsonNode fpNode =
+          meta.path("fingerprint");
+      if (fpNode.isTextual()) {
+        String fp = tableFingerprint(new File(recorded));
+        if (fp == null || !fp.equals(fpNode.asText())) {
+          return null;
+        }
+      }
+    } catch (java.io.IOException ex) {
+      return null;
+    }
+
+    Dataset<Row> idx = session.read().parquet(idxDir.getAbsolutePath());
+    LogicalPlan idxPlan = idx.queryExecution().analyzed();
+    Attribute dAttr = findAttr(idxPlan, "doc_ids");
+    if (dAttr == null
+        || !(dAttr.dataType()
+            instanceof org.apache.spark.sql.types.ArrayType)) {
+      return null;
+    }
+    org.apache.spark.sql.types.ArrayType arrTy =
+        (org.apache.spark.sql.types.ArrayType) dAttr.dataType();
+    if (!(arrTy.elementType()
+        instanceof org.apache.spark.sql.types.LongType)) {
+      return null;
+    }
+    Expression cond = null;
+    for (Map.Entry<String, List<Expression>> en : fieldPreds.entrySet()) {
+      Attribute vAttr = findAttr(idxPlan, "v_" + en.getKey());
+      if (vAttr == null) {
+        return null;
+      }
+      for (Expression pred : en.getValue()) {
+        Expression onIndex = substituteAttrs(pred, vAttr);
+        cond = (cond == null)
+            ? onIndex
+            : new org.apache.spark.sql.catalyst.expressions.And(
+                cond, onIndex);
+      }
+    }
+    LogicalPlan source = new Filter(cond, idxPlan);
+
+    // explode the matching rows' postings back to one id row per base
+    // row; the Generate output takes the ORIGINAL Project's exprId via
+    // the final aliasing Project so parents re-resolve untouched
+    Attribute genOut = new AttributeReference(
+        "pidx_id",
+        arrTy.elementType(),
+        arrTy.containsNull(),
+        org.apache.spark.sql.types.Metadata.empty(),
+        org.apache.spark.sql.catalyst.expressions.NamedExpression$
+            .MODULE$.newExprId(),
+        CollectionConverters.asScala(new ArrayList<String>()).toSeq());
+    List<Attribute> genOutList = new ArrayList<>();
+    genOutList.add(genOut);
+    Generate gen = new Generate(
+        new Explode(dAttr),
+        CollectionConverters.asScala(new ArrayList<Object>()).toSeq(),
+        false,
+        Option.empty(),
+        CollectionConverters.asScala(genOutList).toSeq(),
+        source);
+    Seq<String> noQual = CollectionConverters.asScala(
+        new ArrayList<String>()).toSeq();
+    NamedExpression out = new Alias(
+        genOut, idOut.name(), idOut.exprId(), noQual,
+        Option.empty(), noQual);
+    List<NamedExpression> projList = new ArrayList<>();
+    projList.add(out);
+    final String fieldsDesc = String.join(",", sortedFields);
+    logInfo(
+        () ->
+            "PostingsIndexRule: rewrote conjunctive lookup ("
+                + fieldsDesc
+                + ") onto composite index "
+                + idxDir.getAbsolutePath());
+    return new Project(
+        CollectionConverters.asScala(projList).toSeq(), gen);
+  }
+
+  /** The single base-relation column {@code e} references, or null when
+   * it references zero or several. */
+  private static String singleReferencedColumn(
+      Expression e, List<Project> chain) {
+    scala.collection.Iterator<Attribute> it = e.references().iterator();
+    String col = null;
+    while (it.hasNext()) {
+      String r = resolveColumn(it.next(), chain);
+      if (r == null || (col != null && !col.equals(r))) {
+        return null;
+      }
+      col = r;
+    }
+    return col;
   }
 
   /** Every attribute referenced by {@code e} resolves to {@code field}. */

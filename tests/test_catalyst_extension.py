@@ -263,3 +263,121 @@ def test_index_rewrite_end_to_end():
         "exotic_listing_serves": True,
         "flag_off_keeps_base": True,
     }, res
+
+
+_COMPOSITE_DRIVER = textwrap.dedent(
+    """
+    import json, os, sys, tempfile
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="idxroot_")
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.jars", {jar!r})
+        .config("spark.driver.extraClassPath", {jar!r})
+        .config("spark.sql.extensions",
+                "org.polarsindex.PostingsIndexExtensions")
+        .config("spark.polars.index.root", root)
+        .getOrCreate()
+    )
+    from polars_w_inverted_index_spark import Engine
+    from polars_w_inverted_index_spark.plans.catalog import IndexCatalog
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    IndexCatalog(spark, root).build_composite(
+        df, "lineitem", ["l_returnflag", "l_linestatus"],
+        doc_id_col="l_orderkey",
+    )
+
+    def physical(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    out = {{}}
+    # Engine WITHOUT a catalog: the base-path conjunctive plan — the
+    # JVM rule must serve it transparently from the composite index.
+    eng = Engine(spark, df=df, doc_id_col="l_orderkey")
+    q = eng.get_doc_ids_where(
+        {{"l_returnflag": "R", "l_linestatus": "F"}}
+    )
+    p = physical(q)
+    out["conj_scans_index"] = "__AND__" in p
+    out["conj_no_base_scan"] = "lineitem.parquet" not in p
+    out["conj_pushed_filters"] = (
+        "PushedFilters" in p and "v_l_returnflag" in p
+    )
+    got = sorted(r[0] for r in q.collect())
+    want = sorted(
+        r[0]
+        for r in df.where(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_linestatus") == "F")
+            & F.col("l_orderkey").isNotNull()
+        ).select("l_orderkey").collect()
+    )
+    out["conj_results_match"] = got == want and len(got) > 0
+
+    # subset conjunction: no composite index for (l_returnflag,) alone
+    # — decline to the base plan (parity with lookup_composite)
+    q2 = eng.get_doc_ids_where({{"l_returnflag": "R"}})
+    out["subset_keeps_base"] = "lineitem.parquet" in physical(q2)
+
+    # staleness: tampered fingerprint must decline; restored re-serves
+    idx = os.path.join(
+        root, "lineitem__l_linestatus__AND__l_returnflag"
+    )
+    meta_p = os.path.join(idx, "_index_meta.json")
+    meta_orig = open(meta_p).read()
+    tam = json.loads(meta_orig)
+    tam["fingerprint"] = "0" * 64
+    with open(meta_p, "w") as fh:
+        json.dump(tam, fh)
+    out["stale_declines"] = "lineitem.parquet" in physical(
+        eng.get_doc_ids_where(
+            {{"l_returnflag": "R", "l_linestatus": "F"}}
+        )
+    )
+    with open(meta_p, "w") as fh:
+        fh.write(meta_orig)
+    out["fresh_serves"] = "__AND__" in physical(
+        eng.get_doc_ids_where(
+            {{"l_returnflag": "R", "l_linestatus": "F"}}
+        )
+    )
+    print("RESULT_JSON:" + json.dumps(out))
+    """
+)
+
+
+def test_composite_conjunctive_rewrite_end_to_end():
+    proc = subprocess.run(
+        [sys.executable, "-c", _COMPOSITE_DRIVER.format(repo=REPO, jar=JAR)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = next(
+        (
+            ln
+            for ln in proc.stdout.splitlines()
+            if ln.startswith("RESULT_JSON:")
+        ),
+        None,
+    )
+    assert line, proc.stdout[-4000:]
+    import json
+
+    res = json.loads(line[len("RESULT_JSON:"):])
+    assert res == {
+        "conj_scans_index": True,
+        "conj_no_base_scan": True,
+        "conj_pushed_filters": True,
+        "conj_results_match": True,
+        "subset_keeps_base": True,
+        "stale_declines": True,
+        "fresh_serves": True,
+    }, res
