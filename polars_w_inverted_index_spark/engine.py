@@ -137,6 +137,18 @@ class Engine:
                 return hit.select(
                     F.explode("doc_ids").alias(self.doc_id_col)
                 )
+        if self.catalog is not None and len(equals) == 1:
+            # single-equality lookups ride the single-field postings
+            # index: value point-filter (pushed to the index scan) +
+            # explode — same zero-base-scan serving as the composite
+            (field, value), = equals.items()
+            hit = self.catalog.lookup(
+                self.table_name, field, doc_id_col=self.doc_id_col
+            )
+            if hit is not None:
+                return hit.where(
+                    F.col("value") == F.lit(str(value))
+                ).select(F.explode("doc_ids").alias(self.doc_id_col))
         cond = None
         for f, v in equals.items():
             c = F.col(field_name_to_column(f)).cast("string") == str(v)

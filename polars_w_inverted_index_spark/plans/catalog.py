@@ -412,6 +412,12 @@ class IndexCatalog:
         meta = self._meta.get(self._key(table, field))
         if meta is None or not os.path.exists(meta["path"]):
             return None
+        if meta.get("composite_fields"):
+            # a composite entry (tuple-keyed v_<f> columns) must never be
+            # served as a single-field postings table — the schema
+            # differs; reachable when a literal field name collides with
+            # an order-normalized composite key
+            return None
         if (
             doc_id_col is not None
             and meta.get("doc_id_col") != doc_id_col
@@ -508,6 +514,15 @@ class IndexCatalog:
             )
         if len(set(fields)) != len(fields):
             raise ValueError(f"duplicate fields in {fields}")
+        for f in fields:
+            if "+" in f:
+                # '+' joins the order-normalized catalog key — a field
+                # containing it would make (a+b) ambiguous with the
+                # composite of (a, b)
+                raise ValueError(
+                    f"composite field name {f!r} contains '+'; rename "
+                    "or use a single-field build()"
+                )
         fkey = self._composite_field_key(fields)
         path = self._path(table, fkey.replace("+", "__AND__"))
         vcols = [f"v_{f}" for f in sorted(fields)]

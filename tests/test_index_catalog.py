@@ -167,12 +167,48 @@ def test_composite_index_declines_subset_and_mismatch(
         is None
     )
     # engine falls back to the base scan for the subset conjunction
+    # (no single-field index exists in this catalog)
     eng = Engine(
         spark, df=lineitem, doc_id_col="l_orderkey",
         index_catalog=cat, table_name="lineitem",
     )
     fb = eng.get_doc_ids_where({"l_returnflag": "R"})
     assert any("lineitem.parquet" in f for f in fb.inputFiles())
+    # '+' in a composite field name is rejected loudly (it would alias
+    # the order-normalized catalog key)
+    with pytest.raises(ValueError, match=r"\+"):
+        cat.build_composite(
+            lineitem, "lineitem", ["a+b", "l_returnflag"],
+            doc_id_col="l_orderkey",
+        )
+
+
+def test_single_equality_served_from_single_field_index(
+    spark, lineitem, tmp_path_factory
+):
+    """get_doc_ids_where with ONE equality rides the single-field
+    postings index (value point-filter + explode) — zero base-table
+    scan, multiplicity preserved."""
+    root = str(tmp_path_factory.mktemp("idx1"))
+    cat = IndexCatalog(spark, root)
+    cat.build(
+        lineitem, "lineitem", "l_returnflag", doc_id_col="l_orderkey"
+    )
+    eng = Engine(
+        spark, df=lineitem, doc_id_col="l_orderkey",
+        index_catalog=cat, table_name="lineitem",
+    )
+    out = eng.get_doc_ids_where({"l_returnflag": "R"})
+    files = out.inputFiles()
+    assert files and all(root in f for f in files)
+    want = sorted(
+        r["l_orderkey"]
+        for r in lineitem.where(
+            (F.col("l_returnflag") == "R")
+            & F.col("l_orderkey").isNotNull()
+        ).select("l_orderkey").collect()
+    )
+    assert sorted(r["l_orderkey"] for r in out.collect()) == want
 
 
 def test_lookup_declines_on_doc_id_col_mismatch(
