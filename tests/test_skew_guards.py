@@ -232,6 +232,52 @@ def _ancestor_chain(lines: list[str], idx: int) -> list[str]:
     return chain
 
 
+def test_span_hot_window_count_is_skew_safe(spark):
+    """r8: hot-window marking is count(*) over (partition by sh) —
+    WindowExec buffers one sh group at a time in a spillable array, so
+    a mega-hot window (here: ONE 8-token passage shared by every
+    document, giving a single sh key with n_docs occurrences while all
+    other keys have 1) must complete and mark exactly the shared
+    passage in every document.  Measured wall-clock on the skewed
+    corpus must stay within a small factor of a uniform corpus of the
+    same size (the buffer degrades gracefully, it does not blow up)."""
+    import time
+
+    from polars_w_inverted_index_spark.operators.span_dedup import (
+        repeated_spans,
+    )
+
+    n = 1500
+    hot = " ".join(f"hot{j}" for j in range(8))
+    skew_rows = [
+        (i, " ".join(f"s{i}f{j}" for j in range(12)) + " " + hot)
+        for i in range(n)
+    ]
+    uni_rows = [
+        (i, " ".join(f"u{i}f{j}" for j in range(21))) for i in range(n)
+    ]
+    skew = spark.createDataFrame(skew_rows, "doc_id long, text string")
+    uni = spark.createDataFrame(uni_rows, "doc_id long, text string")
+
+    t0 = time.perf_counter()
+    got = repeated_spans(skew, k=8).collect()
+    t_skew = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    repeated_spans(uni, k=8).collect()
+    t_uni = time.perf_counter() - t0
+
+    # every document carries exactly the one shared span, at the tail
+    # (12 filler tokens then the 8 hot ones)
+    assert len(got) == n
+    assert all(
+        (r["span_start"], r["span_end"]) == (12, 20) for r in got
+    ), got[:3]
+    # one 1500-row window group vs 1500 singleton groups: same order of
+    # magnitude (generous 5x bound — a quadratic or non-spilling buffer
+    # would blow far past it; typical observed ratio ~1x)
+    assert t_skew < 5 * max(t_uni, 0.5), (t_skew, t_uni)
+
+
 def test_span_scrub_against_broadcasts_batch_not_corpus(spark, tmp_path):
     """`scrub_repeated_spans_against` at a 50%-hot batch×corpus overlap:
     the corpus occurrence-count table (the big side at any real scale)
