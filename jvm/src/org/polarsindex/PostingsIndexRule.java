@@ -622,6 +622,20 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
         return null;
       }
     }
+    // Null-semantics gate: the composite build SUPPRESSED null-component
+    // tuples, so a predicate that can be TRUE on a null field value
+    // (IS NULL, <=> null, coalesce tricks) would lose rows the base plan
+    // returns.  Requiring an isnotnull(f) guard for EVERY predicate
+    // field makes the base plan exclude exactly the suppressed rows:
+    // Catalyst infers isnotnull from null-intolerant predicates
+    // (equality and friends), so the intended conjunctive shapes carry
+    // the guards for free, while null-matching plans never do — they
+    // decline to the base plan instead of silently dropping rows.
+    for (String f : fieldPreds.keySet()) {
+      if (!guarded.contains(f)) {
+        return null;
+      }
+    }
 
     HadoopFsRelation fsRel = (HadoopFsRelation) rel.relation();
     if (fsRel.location().rootPaths().size() != 1) {

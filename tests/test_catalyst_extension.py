@@ -325,6 +325,17 @@ _COMPOSITE_DRIVER = textwrap.dedent(
     q2 = eng.get_doc_ids_where({{"l_returnflag": "R"}})
     out["subset_keeps_base"] = "lineitem.parquet" in physical(q2)
 
+    # null-matching conjunct: the build suppressed null tuples, so an
+    # IS NULL predicate (true on exactly those rows) must DECLINE —
+    # no isnotnull(l_returnflag) guard exists in this plan, which is
+    # the gate
+    qn = df.where(
+        F.col("l_returnflag").isNull()
+        & (F.col("l_linestatus") == "F")
+        & F.col("l_orderkey").isNotNull()
+    ).select("l_orderkey")
+    out["isnull_keeps_base"] = "lineitem.parquet" in physical(qn)
+
     # staleness: tampered fingerprint must decline; restored re-serves
     idx = os.path.join(
         root, "lineitem__l_linestatus__AND__l_returnflag"
@@ -378,6 +389,7 @@ def test_composite_conjunctive_rewrite_end_to_end():
         "conj_pushed_filters": True,
         "conj_results_match": True,
         "subset_keeps_base": True,
+        "isnull_keeps_base": True,
         "stale_declines": True,
         "fresh_serves": True,
     }, res
