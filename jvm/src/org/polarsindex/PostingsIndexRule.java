@@ -239,6 +239,23 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
         || !"doc_ids".equals(docIdsOut.name())) {
       return null;
     }
+    // Output-type safety (r8): the index serves `value` as STRING and
+    // `doc_ids` as ARRAY<LONG> under the aggregate's exprIds.  The
+    // postings operator always casts that way, but a hand-written
+    // aggregate grouping a raw non-string field (or collecting a
+    // non-long id) would have fixed a different schema at analysis —
+    // rewriting it would silently change the plan's output types.
+    if (!(((Expression) valueOut).dataType()
+        instanceof org.apache.spark.sql.types.StringType)) {
+      return null;
+    }
+    if (!(docIdsOut.dataType()
+            instanceof org.apache.spark.sql.types.ArrayType)
+        || !(((org.apache.spark.sql.types.ArrayType) docIdsOut.dataType())
+                .elementType()
+            instanceof org.apache.spark.sql.types.LongType)) {
+      return null;
+    }
     // doc_ids = collect_list(idExpr), optionally wrapped in an ASCENDING
     // sort_array (index postings are stored ascending; a descending
     // request must not be silently served in the wrong order).
@@ -587,7 +604,19 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
     }
     Expression idExpr =
         (idOut instanceof Alias) ? ((Alias) idOut).child() : (Expression) idOut;
-    String idCol = resolveColumn(idExpr, chain);
+    // Output-type safety: the served Generate emits LONG ids under the
+    // original output exprId.  resolveColumn looks THROUGH casts, so a
+    // cast-wrapped id projection (select(col("doc_id").cast("string")))
+    // would pass the relation-type gate while the analyzed plan's
+    // output type is string — the rewrite would silently change the
+    // plan's schema post-analysis (downstream UnsafeRow readers would
+    // misread the long).  Require the projected expression to be a
+    // CAST-FREE column chain AND long-typed end to end.
+    if (!(((Expression) idOut).dataType()
+        instanceof org.apache.spark.sql.types.LongType)) {
+      return null;
+    }
+    String idCol = resolveColumnNoCast(idExpr, chain);
     if (idCol == null || !fieldIsLong(rel, idCol)) {
       return null;
     }
@@ -771,6 +800,41 @@ public class PostingsIndexRule extends Rule<LogicalPlan> {
                 + idxDir.getAbsolutePath());
     return new Project(
         CollectionConverters.asScala(projList).toSeq(), gen);
+  }
+
+  /** Like {@link #resolveColumn} but REFUSES casts anywhere on the
+   * substitution path — for outputs whose runtime TYPE must equal the
+   * relation column's (the conjunctive id projection). */
+  private static String resolveColumnNoCast(
+      Expression e, List<Project> chain) {
+    int depth = 0;
+    while (true) {
+      if (e instanceof Alias) {
+        e = ((Alias) e).child();
+        continue;
+      }
+      if (!(e instanceof AttributeReference)) {
+        return null;
+      }
+      AttributeReference attr = (AttributeReference) e;
+      Expression next = null;
+      for (int i = depth; i < chain.size() && next == null; i++) {
+        Project proj = chain.get(i);
+        for (int j = 0; j < proj.projectList().size(); j++) {
+          NamedExpression ne = (NamedExpression) proj.projectList().apply(j);
+          if (ne instanceof Alias
+              && ne.exprId().equals(attr.exprId())) {
+            next = ((Alias) ne).child();
+            depth = i + 1;
+            break;
+          }
+        }
+      }
+      if (next == null) {
+        return attr.name();
+      }
+      e = next;
+    }
   }
 
   /** The single base-relation column {@code e} references, or null when

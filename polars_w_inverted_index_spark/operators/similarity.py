@@ -52,10 +52,13 @@ def brute_force_topk(
     ``ann_index.ann_search``.
     """
     if not allow_full_scan and not _is_small(corpus):
-        est = _plan_size_bytes(corpus)
+        try:
+            est = f"{_plan_size_bytes(corpus)} bytes"
+        except Exception:  # pragma: no cover - stats access failed
+            est = "unavailable"
         raise ValueError(
             "brute_force_topk is an exact O(|queries|*|corpus|) scan and "
-            f"the corpus side's optimizer estimate ({est} bytes) exceeds "
+            f"the corpus side's optimizer estimate ({est}) exceeds "
             "the broadcast threshold - at scale this is a shuffled "
             "cartesian. Pass allow_full_scan=True to acknowledge the "
             "cost (ground-truth/recall runs), or use ivf_topk / "
@@ -101,14 +104,20 @@ def _plan_size_bytes(df: DataFrame) -> int:
     return size if isinstance(size, int) else int(size.toString())
 
 
+_PROBE_ROWS = 10_000
+
+
 def _is_small(df: DataFrame) -> bool:
     # Corpus side of the cross join: small = the optimizer's size
     # estimate fits the session broadcast threshold (the same heuristic
     # the planner itself would apply).  Frames with UNKNOWN stats (the
-    # defaultSizeInBytes Long.Max sentinel) and no file inputs are
-    # driver-materialized (createDataFrame) — they already fit the
-    # driver, bounded by construction.  Any other estimate failure
-    # counts as NOT small — the guard must fail loud, not open.
+    # defaultSizeInBytes Long.Max sentinel, no file inputs — python- or
+    # RDD-backed plans) get a BOUNDED row probe instead: limit(N+1)
+    # reads at most N+1 rows however large the frame is, so an
+    # arbitrarily large RDD-backed corpus cannot fail OPEN into a
+    # broadcast (the r8 review finding) while tiny createDataFrame
+    # test corpora still count as small.  Any estimate failure counts
+    # as NOT small — the guard must fail loud, not open.
     try:
         thresh = int(
             df.sparkSession._jsparkSession.sessionState().conf()
@@ -116,8 +125,8 @@ def _is_small(df: DataFrame) -> bool:
         )
         size = _plan_size_bytes(df)
         if size >= (1 << 62) and not df.inputFiles():
-            return True
-        return 0 < size <= max(thresh, 0)
+            return df.limit(_PROBE_ROWS + 1).count() <= _PROBE_ROWS
+        return 0 <= size <= max(thresh, 0)
     except Exception:
         return False
 

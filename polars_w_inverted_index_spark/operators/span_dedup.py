@@ -393,6 +393,16 @@ def _scrub_with_spans(
     # CollapseProject keeps the Project boundary — the
     # repetition_profile_df discipline): the lambdas index ATTRIBUTES,
     # re-deriving nothing per element.
+    from ..functions.text import free_col_name
+
+    # internal column names picked collision-free so a caller's own
+    # '_spans'/'_chunks'/... columns survive (the free_col_name
+    # discipline, ADVICE r7)
+    spans_c = free_col_name(docs, "_spans")
+    did_c = free_col_name(docs, "_did")
+    chunks_c = free_col_name(docs, "_chunks")
+    c0_c = free_col_name(docs, "_c0")
+    ntok_c = free_col_name(docs, "_n_tok")
     spans = (
         span_df.groupBy("doc_id")
         .agg(
@@ -403,20 +413,20 @@ def _scrub_with_spans(
                         F.col("span_end").cast("long").alias("e"),
                     )
                 )
-            ).alias("_spans")
+            ).alias(spans_c)
         )
-        .withColumnRenamed("doc_id", "_did")
+        .withColumnRenamed("doc_id", did_c)
     )
     c = F.col(text_col)
     joined = (
-        docs.join(spans, docs[id_col] == spans["_did"], "left")
-        .drop("_did")
-        .withColumn("_chunks", F.split(c, _CHUNK_SPLIT))
+        docs.join(spans, docs[id_col] == spans[did_c], "left")
+        .drop(did_c)
+        .withColumn(chunks_c, F.split(c, _CHUNK_SPLIT))
     )
-    ch = F.col("_chunks")
+    ch = F.col(chunks_c)
     first = F.element_at(ch, 1)
     joined = joined.withColumn(
-        "_c0",
+        c0_c,
         F.when(
             (F.length(first) > 0) & ~first.rlike(r"^\s"), F.lit(0)
         )
@@ -425,11 +435,11 @@ def _scrub_with_spans(
     )
     n_chunks = F.size(ch).cast("long")
     joined = joined.withColumn(
-        "_n_tok", F.floor((n_chunks - F.col("_c0") + 1) / F.lit(2))
+        ntok_c, F.floor((n_chunks - F.col(c0_c) + 1) / F.lit(2))
     )
-    sp = F.col("_spans")  # sorted at build; attribute = cheap per access
+    sp = F.col(spans_c)  # sorted at build; attribute = cheap per access
     n_sp = F.coalesce(F.size(sp), F.lit(0))
-    c0, n_tok = F.col("_c0"), F.col("_n_tok")
+    c0, n_tok = F.col(c0_c), F.col(ntok_c)
 
     def _rm_start(span):
         # first removed chunk of a span struct (affine map above)
@@ -459,7 +469,7 @@ def _scrub_with_spans(
         F.sequence(F.lit(0), n_sp),  # n_spans + 1 gaps
         lambda j: F.array_join(
             F.slice(
-                F.col("_chunks"),
+                ch,
                 (_gap_start(j) + 1).cast("int"),
                 (_gap_end(j) - _gap_start(j)).cast("int"),
             ),

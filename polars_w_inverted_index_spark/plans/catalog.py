@@ -473,10 +473,18 @@ class IndexCatalog:
     # -- composite (multi-field) indexes ----------------------------------
 
     @staticmethod
-    def _composite_field_key(fields) -> str:
-        # conjunctions are order-free: normalize so build(a,b) serves
-        # lookup(b,a)
-        return "+".join(sorted(fields))
+    def _composite_fields(fields) -> list[str]:
+        # conjunctions are order-free and dotted paths alias their
+        # flattened column (paths.field_name_to_column): normalize BOTH
+        # so build(a.b, c) serves lookup(c, a_b) and the value columns
+        # are legal unquoted names (v_a.b would parse as struct access)
+        from ..functions.paths import field_name_to_column
+
+        return sorted(field_name_to_column(f) for f in fields)
+
+    @classmethod
+    def _composite_field_key(cls, fields) -> str:
+        return "+".join(cls._composite_fields(fields))
 
     def build_composite(
         self,
@@ -512,9 +520,10 @@ class IndexCatalog:
             raise ValueError(
                 "build_composite needs >= 2 fields; use build() for one"
             )
-        if len(set(fields)) != len(fields):
+        norm = self._composite_fields(fields)
+        if len(set(norm)) != len(norm):
             raise ValueError(f"duplicate fields in {fields}")
-        for f in fields:
+        for f in norm:
             if "+" in f:
                 # '+' joins the order-normalized catalog key — a field
                 # containing it would make (a+b) ambiguous with the
@@ -525,12 +534,12 @@ class IndexCatalog:
                 )
         fkey = self._composite_field_key(fields)
         path = self._path(table, fkey.replace("+", "__AND__"))
-        vcols = [f"v_{f}" for f in sorted(fields)]
+        vcols = [f"v_{f}" for f in norm]
 
         def _build_and_write(frame: DataFrame) -> None:
+            # norm entries ARE the flattened column names
             sel = [
-                F.col(field_name_to_column(f)).cast("string").alias(f"v_{f}")
-                for f in sorted(fields)
+                F.col(f).cast("string").alias(f"v_{f}") for f in norm
             ]
             idx = (
                 frame.select(
@@ -560,7 +569,7 @@ class IndexCatalog:
             "doc_id_col": doc_id_col,
             "source": src,
             "fingerprint": fp,
-            "composite_fields": sorted(fields),
+            "composite_fields": norm,
         }
         if src is not None:
             with open(os.path.join(path, "_index_source"), "w") as f:
@@ -591,11 +600,18 @@ class IndexCatalog:
         staleness gates (see :meth:`lookup`)."""
         from pyspark.sql import functions as F
 
+        norm_eq = {
+            nf: v
+            for nf, v in zip(
+                (self._composite_fields([f])[0] for f in equals),
+                equals.values(),
+            )
+        }
         fkey = self._composite_field_key(equals)
         meta = self._meta.get(self._key(table, fkey))
         if meta is None or not os.path.exists(meta["path"]):
             return None
-        if meta.get("composite_fields") != sorted(equals):
+        if meta.get("composite_fields") != sorted(norm_eq):
             return None
         if doc_id_col is not None and meta.get("doc_id_col") != doc_id_col:
             return None
@@ -605,7 +621,7 @@ class IndexCatalog:
         ) != fp:
             return None  # base table changed since the build: stale
         df = self.spark.read.parquet(meta["path"])
-        for f, v in equals.items():
+        for f, v in norm_eq.items():
             df = df.where(F.col(f"v_{f}") == F.lit(str(v)))
         return df
 

@@ -255,8 +255,13 @@ TOPK = 5
 
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # THE documented exact-baseline row: the full scan is its purpose,
+    # so acknowledge the O(|Q|x|corpus|) guard explicitly — at a large
+    # sf or with broadcasts disabled the row must stay the baseline,
+    # not become a ValueError
     return SIM.brute_force_topk(
-        emb, emb.where(F.col("vec_id") < N_QUERY_VECS), k=TOPK
+        emb, emb.where(F.col("vec_id") < N_QUERY_VECS), k=TOPK,
+        allow_full_scan=True,
     )
 
 

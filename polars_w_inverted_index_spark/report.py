@@ -217,11 +217,15 @@ def embedding_dedup_eval_report(
     cos = F.when(
         (norm_a > 0) & (norm_b > 0), dot / (norm_a * norm_b)
     ).otherwise(F.lit(0.0))
+    # persist the expensive frames: each is consumed twice (count +
+    # semi-join) and truth/exact are the O(n²) / full-scan halves — the
+    # dedup_eval_report discipline
     truth = (
         a.crossJoin(b)
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(F.round(cos, 5) >= threshold)
         .select("doc_a", "doc_b")
+        .persist()
     )
     truth_n = truth.count()
     cand = embedding_cosine_pairs_gemm(
@@ -231,16 +235,21 @@ def embedding_dedup_eval_report(
         prefix_bits=prefix_bits,
         id_col=id_col,
         vec_col=vec_col,
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").persist()
     cand_n = cand.count()
     tp = truth.join(cand, pair_key, "left_semi").count()
+    truth.unpersist()
+    cand.unpersist()
 
     # -- ANN retrieval eval (recall@k of IVF vs exact) -----------------
-    queries = embeddings.where(F.col(id_col) < n_query_vecs)
+    # query set = the n smallest ids (TakeOrdered, cheap) — dense-id
+    # assumptions like `id < n` silently yield an EMPTY query set on
+    # sparse or offset id spaces and the report would measure nothing
+    queries = embeddings.orderBy(F.col(id_col)).limit(n_query_vecs)
     exact = brute_force_topk(
         embeddings, queries, k=topk, id_col=id_col, vec_col=vec_col,
         allow_full_scan=True,  # bounded by the max_vecs gate above
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
     approx = ivf_topk(
         embeddings, queries, k=topk, n_centroids=n_centroids,
         nprobe=nprobe, id_col=id_col, vec_col=vec_col,
@@ -249,6 +258,7 @@ def embedding_dedup_eval_report(
     ann_tp = exact.join(
         approx, ["query_id", "neighbor_id"], "left_semi"
     ).count()
+    exact.unpersist()
 
     def _ratio(num: int, den: int) -> float | None:
         return round(num / den, 4) if den else None

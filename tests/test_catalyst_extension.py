@@ -211,6 +211,42 @@ _DRIVER = textwrap.dedent(
         postings(df_exo, "l_returnflag", doc_id_col="l_orderkey")
     )
 
+    # 12. output-type gates (r8): the index serves value as STRING and
+    #     doc_ids as ARRAY<LONG>.  A hand-written postings-shaped
+    #     aggregate whose analyzed output types differ must DECLINE —
+    #     a rewrite would change the plan's schema post-analysis
+    #     (resolveColumn looks through casts, so only the type gate
+    #     stands between these plans and a silently-retyped rewrite).
+    IndexCatalog(spark, root).build(
+        df, "lineitem", "l_suppkey", doc_id_col="l_orderkey"
+    )
+    out["numeric_postings_serves"] = "lineitem__l_suppkey" in physical(
+        postings(df, "l_suppkey", doc_id_col="l_orderkey")
+    )
+    raw_val = (
+        df.where(
+            F.col("l_suppkey").isNotNull() & F.col("l_orderkey").isNotNull()
+        )
+        .groupBy(F.col("l_suppkey").alias("value"))  # no string cast
+        .agg(
+            F.collect_list(F.col("l_orderkey").cast("long")).alias("doc_ids")
+        )
+        .withColumn("doc_ids", F.sort_array("doc_ids"))
+    )
+    out["raw_value_type_declines"] = "lineitem.parquet" in physical(raw_val)
+    int_ids = (
+        df.where(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_orderkey").isNotNull()
+        )
+        .groupBy(F.col("l_returnflag").cast("string").alias("value"))
+        .agg(
+            F.collect_list(F.col("l_orderkey").cast("int")).alias("doc_ids")
+        )
+        .withColumn("doc_ids", F.sort_array("doc_ids"))
+    )
+    out["int_ids_type_declines"] = "lineitem.parquet" in physical(int_ids)
+
     # 10. flag off: same session semantics, rule inert.
     spark.conf.unset("spark.polars.index.root")
     out["flag_off_keeps_base"] = "lineitem.parquet" in physical(
@@ -261,6 +297,9 @@ def test_index_rewrite_end_to_end():
         "stale_fingerprint_declines": True,
         "fresh_fingerprint_serves": True,
         "exotic_listing_serves": True,
+        "numeric_postings_serves": True,
+        "raw_value_type_declines": True,
+        "int_ids_type_declines": True,
         "flag_off_keeps_base": True,
     }, res
 
@@ -336,6 +375,28 @@ _COMPOSITE_DRIVER = textwrap.dedent(
     ).select("l_orderkey")
     out["isnull_keeps_base"] = "lineitem.parquet" in physical(qn)
 
+    # output-type safety (r8): a cast-wrapped id projection passes the
+    # relation-type gate (resolveColumn looks through casts) but fixes
+    # a DIFFERENT analyzed output type — the rewrite would retype the
+    # plan's schema.  Both a string-typed output and a value-changing
+    # long->int->long round-trip (output type long, values truncated)
+    # must keep the base scan.
+    conj = (
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_linestatus") == "F")
+        & F.col("l_orderkey").isNotNull()
+    )
+    out["cast_id_keeps_base"] = "lineitem.parquet" in physical(
+        df.where(conj).select(
+            F.col("l_orderkey").cast("string").alias("l_orderkey")
+        )
+    )
+    out["roundtrip_cast_id_keeps_base"] = "lineitem.parquet" in physical(
+        df.where(conj).select(
+            F.col("l_orderkey").cast("int").cast("long").alias("l_orderkey")
+        )
+    )
+
     # staleness: tampered fingerprint must decline; restored re-serves
     idx = os.path.join(
         root, "lineitem__l_linestatus__AND__l_returnflag"
@@ -390,6 +451,8 @@ def test_composite_conjunctive_rewrite_end_to_end():
         "conj_results_match": True,
         "subset_keeps_base": True,
         "isnull_keeps_base": True,
+        "cast_id_keeps_base": True,
+        "roundtrip_cast_id_keeps_base": True,
         "stale_declines": True,
         "fresh_serves": True,
     }, res

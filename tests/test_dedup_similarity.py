@@ -185,6 +185,27 @@ def test_brute_force_large_corpus_requires_explicit_opt_in(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_unknown_stats_corpus_probed_not_assumed_small(spark):
+    """An RDD-backed frame carries the Long.Max defaultSizeInBytes
+    sentinel and no input files — the pre-r8 guard treated that as
+    'driver-materialized, bounded' and failed OPEN.  The guard now runs
+    a bounded limit(N+1) row probe instead: a >10k-row unknown-stats
+    corpus must RAISE without allow_full_scan=True."""
+    import pytest
+
+    big = spark.createDataFrame(
+        spark.range(10_001).withColumnRenamed("id", "vec_id").rdd
+    )
+    q = big.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        SIM.brute_force_topk(big, q, k=3)
+    # a genuinely small unknown-stats frame still counts as small
+    small = spark.createDataFrame(spark.range(50).rdd)
+    from polars_w_inverted_index_spark.operators.similarity import _is_small
+
+    assert _is_small(small)
+
+
 def test_gemm_topk_matches_expression_path(spark):
     from polars_w_inverted_index_spark.sources.tables import load_table
 
