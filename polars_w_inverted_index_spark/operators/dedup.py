@@ -762,6 +762,8 @@ def embedding_cosine_pairs_gemm(
     vec_col: str = "embedding",
     round_digits: int = 5,
     n_dims: int = 64,
+    max_bucket_rows: int = 1 << 17,
+    score_block_rows: int = 2048,
 ) -> DataFrame:
     """GEMM engine path for :func:`embedding_cosine_pairs` — same bucketed
     candidate generation and identical result contract, different
@@ -776,11 +778,22 @@ def embedding_cosine_pairs_gemm(
     (``applyInPandas`` after the one shuffle on bucket) — the same
     justified-Python trade as ``similarity.brute_force_topk_gemm``.
 
-    Scale shape is unchanged: signature work is per-row, pair work and
-    memory are per-bucket (a bucket of m vectors is an m×d matrix and an
-    m×m score triangle), so ``prefix_bits`` remains the dial that bounds
-    per-task cost as the corpus grows — identical contract to the
-    expression form, which stays available as the pure-JVM verifier.
+    Scale shape is unchanged: signature work is per-row, pair work is
+    per-bucket, so ``prefix_bits`` remains the dial that bounds per-task
+    cost as the corpus grows — identical contract to the expression
+    form, which stays available as the pure-JVM verifier.  Two
+    hot-bucket defenses (a skewed corpus — near-identical embeddings,
+    all-zero rows — lands disproportionately in ONE bucket = ONE task):
+
+    - scoring is ROW-BLOCK TILED (``score_block_rows`` × m per GEMM
+      call), so peak task memory is O(block·m + m·d), never the m×m
+      triangle the naive call materializes (m = 100k would be an 80 GB
+      array inside one Python worker);
+    - a bucket larger than ``max_bucket_rows`` raises loudly with the
+      fix spelled out (raise ``prefix_bits``; each extra bit halves the
+      expected bucket) instead of letting one straggler task absorb an
+      O(m²) score pass nothing sized — the interval-join
+      ``max_buckets_per_interval`` discipline.
 
     Contract note: both paths bucket on the PREFIX ``min(len, n_dims)``
     of each vector (the expression path slices both zip sides, this path
@@ -832,13 +845,25 @@ def embedding_cosine_pairs_gemm(
         import numpy as np
         import pandas as pd
 
-        if len(pdf) < 2:
+        m = len(pdf)
+        if m < 2:
             return pd.DataFrame(
                 {
                     "doc_a": pd.Series(dtype="int64"),
                     "doc_b": pd.Series(dtype="int64"),
                     "cos_sim": pd.Series(dtype="float64"),
                 }
+            )
+        if m > max_bucket_rows:
+            raise ValueError(
+                f"embedding LSH bucket {int(pdf['bucket'].iloc[0])} "
+                f"holds {m} vectors (> max_bucket_rows="
+                f"{max_bucket_rows}): its pairwise scoring is O(m^2) "
+                "inside ONE task — a skewed corpus (near-identical or "
+                "all-zero embeddings) is collapsing into one bucket. "
+                "Raise prefix_bits to split buckets (each extra bit "
+                "halves the expected bucket), or pass a larger "
+                "max_bucket_rows to acknowledge the cost explicitly."
             )
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         vecs = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -850,17 +875,27 @@ def embedding_cosine_pairs_gemm(
             mat[i, : len(v)] = v
         norms = np.linalg.norm(mat, axis=1)
         safe = np.where(norms > 0, norms, 1.0)
-        sims = (mat @ mat.T) / np.outer(safe, safe)
-        sims[norms == 0, :] = 0.0
-        sims[:, norms == 0] = 0.0
-        sims = np.round(sims, round_digits)
-        ia, ib = np.nonzero(sims >= threshold)
-        keep = ids[ia] < ids[ib]  # strict id order = dedup'd triangle
+        # row-block tiling: each GEMM emits a block×m slab of the score
+        # matrix — identical per-element FP ops to the one-shot m×m call
+        # (same dot, same divide, same round), O(block·m) peak instead
+        blk = max(int(score_block_rows), 1)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, m, blk):
+            i1 = min(i0 + blk, m)
+            sims = (mat[i0:i1] @ mat.T) / np.outer(safe[i0:i1], safe)
+            sims[norms[i0:i1] == 0, :] = 0.0
+            sims[:, norms == 0] = 0.0
+            sims = np.round(sims, round_digits)
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ids[i0:i1][ia] < ids[ib]  # strict order = triangle
+            out_a.append(ids[i0:i1][ia][keep])
+            out_b.append(ids[ib][keep])
+            out_s.append(sims[ia, ib][keep])
         return pd.DataFrame(
             {
-                "doc_a": ids[ia][keep],
-                "doc_b": ids[ib][keep],
-                "cos_sim": sims[ia, ib][keep],
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
             }
         )
 

@@ -244,6 +244,48 @@ def test_embedding_cosine_gemm_matches_expression_path(spark):
     assert got == want and len(got) > 0
 
 
+def test_embedding_cosine_gemm_tiled_scoring_identical(spark):
+    """Forcing a tiny score block (3 rows per GEMM slab) must reproduce
+    the default (one-slab-per-bucket at this size) output EXACTLY —
+    same FP ops per element, just computed in row blocks."""
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    want = sorted(
+        map(
+            tuple,
+            DD.embedding_cosine_pairs_gemm(emb, threshold=0.2).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            DD.embedding_cosine_pairs_gemm(
+                emb, threshold=0.2, score_block_rows=3
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_embedding_cosine_gemm_hot_bucket_raises(spark):
+    """A bucket over max_bucket_rows = one task absorbing an O(m^2)
+    score pass nothing sized for.  Identical vectors all land in the
+    same LSH-prefix bucket — the guard must raise loudly, naming the
+    prefix_bits dial."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+    )
+    with pytest.raises(PythonException, match="prefix_bits"):
+        DD.embedding_cosine_pairs_gemm(
+            emb, threshold=0.9, max_bucket_rows=10
+        ).collect()
+
+
 def test_ivf_topk_recall(spark):
     # real-ish fixture: the driver embeddings at sf0.001
     from polars_w_inverted_index_spark.sources.tables import load_table
