@@ -134,35 +134,47 @@ def fingerprint(col: Column | str, n: int = 5, keep: int = 16) -> Column:
     fingerprint), distinct, sorted ascending.  Documents sharing most text
     share most fingerprint entries.
 
-    Built from a one-time character split + the shifted-copies zip
-    (:func:`word_ngrams`' construction, on characters) — NOT
+    Built from a one-time character split + ONE ``arrays_zip`` of the
+    n shifted copies + ONE fused hash transform — NOT
     ``transform(positions, i -> substring(text, i, n))``: Spark's UTF-8
     substring seeks code points from the START of the string on every
     call, so the positional form is O(chars²) per document (measured
-    50 s on a single 200k-char doc; this form is linear).  Shorter-
-    than-n documents contribute their whole text as the one gram, the
-    empty string hashes as one "" gram — same values as the positional
-    definition and the DuckDB twin (:func:`fingerprint_sql`) for every
-    input."""
+    50 s on a single 200k-char doc; this form is linear).  And NOT a
+    chain of n-1 ``zip_with(.., concat_ws)`` passes: higher-order
+    lambdas are interpreted (never codegen), so each pass costs ~1 µs
+    per element — the chain was 4.8 s at sf0.1 where this form
+    (``arrays_zip`` and ``slice`` ARE codegen; only the single fused
+    concat+hash lambda is interpreted) is 3.3 s, value-identical.
+    Shorter-than-n documents contribute their whole text as the one
+    gram (``arrays_zip`` pads the short shifts with null, ``concat_ws``
+    skips nulls — exactly the old zip_with padding), the empty string
+    hashes as one "" gram — same values as the positional definition
+    and the DuckDB twin (:func:`fingerprint_sql`) for every input."""
     from .hashing import md5_long
 
     c = _c(col)
     chars = F.split(c, "")
-    acc: Column = chars
-    for i in range(1, n):
-        shifted = F.slice(
-            chars, i + 1, F.greatest(F.size(chars) - i, F.lit(0))
-        )
-        # zip_with pads the shorter side with null; concat_ws skips
-        # nulls, which builds the whole-text gram for shorter-than-n docs
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws("", a, b))
-    grams = F.slice(acc, 1, F.greatest(F.size(chars) - (n - 1), F.lit(1)))
+    shifts = [chars] + [
+        F.slice(chars, i + 1, F.greatest(F.size(chars) - i, F.lit(0)))
+        for i in range(1, n)
+    ]
+    # unnamed expression inputs → arrays_zip names the struct fields by
+    # POSITION ("0".."n-1"); the lambda indexes those names
+    zipped = F.arrays_zip(*shifts)
+    grams = F.slice(zipped, 1, F.greatest(F.size(chars) - (n - 1), F.lit(1)))
     # single-arg lambda, NOT bare md5_long: F.transform feeds 2-parameter
     # callables (element, index), which would land the array index in
     # md5_long's salt parameter
     return F.slice(
         F.array_sort(
-            F.array_distinct(F.transform(grams, lambda g: md5_long(g)))
+            F.array_distinct(
+                F.transform(
+                    grams,
+                    lambda s: md5_long(
+                        F.concat_ws("", *[s[str(i)] for i in range(n)])
+                    ),
+                )
+            )
         ),
         1,
         keep,

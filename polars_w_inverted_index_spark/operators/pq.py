@@ -1,0 +1,350 @@
+"""Product quantization (PQ) — the memory-bounded ANN scale path.
+
+At 100 TB the embedding column IS the storage problem: a 64-dim float64
+vector is 512 bytes/row, while its PQ code (``m_subspaces`` uint8 ids)
+is ``m`` bytes — a 64× compression at m=8.  The IVF family
+(:mod:`.similarity`, :mod:`.ann_index`) prunes which rows a query
+touches; PQ shrinks what each touched row costs, and asymmetric-
+distance scoring (ADC) never decompresses: each query precomputes an
+(m × n_codes) lookup table of subspace dot products and scores a code
+by ``m`` table reads.  Jégou/Douze/Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — public method, numpy-expressed.
+
+Pipeline shape (all Spark-side work is narrow or the standard
+bounded-query top-k):
+
+- :func:`pq_train` — ONE bounded TakeOrdered sample to the driver,
+  per-subspace Lloyd k-means in numpy (deterministic lowest-id seeding,
+  no RNG — the :func:`.ann_index.kmeans_centroids` discipline).
+  Codebooks are tiny (m·k·dsub floats) and ship in task closures.
+- :func:`pq_encode` — one narrow ``mapInPandas`` pass over the corpus:
+  argmin subspace centroid per vector → ``codes array<int>`` + the
+  exact vector norm (kept so approximate cosine divides by the TRUE
+  norm — only the dot product is quantized).
+- :func:`pq_topk` — ADC scan of the encoded corpus: per Arrow batch,
+  score = LUT[m, code].sum over subspaces, local top-k per batch, so
+  only |Q|·k rows per batch reach the global rank — the
+  :func:`.similarity.brute_force_topk_gemm` shuffle shape.
+- :func:`pq_topk_rerank` — PQ recalls a candidate set ``k·factor``
+  wide, then ONE corpus join (broadcast candidate ids) rescores
+  exactly; with ``factor`` covering the corpus this EQUALS brute force,
+  which is the test oracle pinning the whole path.
+
+No counterpart in the reference (its engine has no vector ops); this
+extends the directed similarity-search surface (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_with_norms, norm
+
+__all__ = [
+    "PQCodebooks",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "pq_topk_rerank",
+]
+
+
+@dataclass(frozen=True)
+class PQCodebooks:
+    """Trained PQ codebooks: ``books[s][c]`` is centroid ``c`` of
+    subspace ``s`` (a list of ``dsub`` floats).  Plain lists so the
+    object is picklable into task closures and JSON-serializable for
+    catalog persistence; materialized to numpy once per task."""
+
+    books: tuple  # (m_subspaces, n_codes, dsub) nested tuples
+    n_dims: int
+
+    @property
+    def m_subspaces(self) -> int:
+        return len(self.books)
+
+    @property
+    def n_codes(self) -> int:
+        return len(self.books[0])
+
+    def as_array(self):
+        import numpy as np
+
+        return np.asarray(self.books, dtype=np.float64)
+
+
+def _pad_matrix(vecs, n_dims):
+    """(n, n_dims) float64: truncate to n_dims, zero-pad short vectors
+    (zero dims contribute nothing to dot or norm — the dedup/GEMM
+    padding contract)."""
+    import numpy as np
+
+    mat = np.zeros((len(vecs), n_dims), dtype=np.float64)
+    for i, v in enumerate(vecs):
+        a = np.asarray(v, dtype=np.float64)[:n_dims]
+        mat[i, : len(a)] = a
+    return mat
+
+
+def _subspace_slices(n_dims: int, m_subspaces: int):
+    """Contiguous subspace bounds; widths differ by at most one when
+    m doesn't divide n_dims (same convention as simhash band widths)."""
+    w = n_dims // m_subspaces
+    widths = [
+        w + (1 if i < n_dims % m_subspaces else 0)
+        for i in range(m_subspaces)
+    ]
+    offs = [sum(widths[:i]) for i in range(m_subspaces)]
+    return [(o, o + ww) for o, ww in zip(offs, widths)]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 65_536,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int = 64,
+) -> PQCodebooks:
+    """Train PQ codebooks on a BOUNDED deterministic sample.
+
+    The sample is the ``sample_rows`` lowest-id vectors (TakeOrdered —
+    no full sort, no RNG), collected once to the driver: k-means over a
+    bounded sample is the standard PQ training regime (codebook quality
+    saturates long before the corpus is exhausted), and the collect is
+    O(sample), never O(corpus).  Per subspace: Lloyd iterations seeded
+    by the first ``n_codes`` sample subvectors, empty cells keep their
+    previous centroid (the :func:`.ann_index.kmeans_centroids` rule).
+    """
+    import numpy as np
+
+    if not 1 <= m_subspaces <= n_dims:
+        raise ValueError(f"need 1 <= m_subspaces <= n_dims={n_dims}")
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_rows)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_train needs >= n_codes={n_codes} sample vectors, "
+            f"got {len(rows)}"
+        )
+    mat = _pad_matrix([r[vec_col] for r in rows], n_dims)
+    books = []
+    for lo, hi in _subspace_slices(n_dims, m_subspaces):
+        sub = mat[:, lo:hi]
+        cent = sub[:n_codes].copy()  # deterministic lowest-id seed
+        for _ in range(n_iters):
+            # assign: argmin L2 == argmax (dot - |c|^2/2)
+            d2 = (
+                (sub**2).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cent.T)
+                + (cent**2).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                pts = sub[assign == c]
+                if len(pts):  # empty cell keeps previous centroid
+                    cent[c] = pts.mean(axis=0)
+        books.append(tuple(tuple(float(x) for x in c) for c in cent))
+    return PQCodebooks(books=tuple(books), n_dims=n_dims)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cb: PQCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``[vec_id, codes array<int>, vnorm double]`` — one narrow
+    Arrow-batched pass, no shuffle.  ``vnorm`` is the EXACT vector norm
+    (cosine denominators are not quantized; only the dot is), so a
+    zero vector stays exactly representable (scores 0 downstream)."""
+    slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
+    books = cb.books
+    n_dims = cb.n_dims
+
+    def _enc(it):
+        import numpy as np
+        import pandas as pd
+
+        cents = [np.asarray(b, dtype=np.float64) for b in books]
+        cent_sq = [(c**2).sum(axis=1) for c in cents]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _pad_matrix(list(pdf[vec_col]), n_dims)
+            codes = np.empty((len(mat), len(slices)), dtype=np.int64)
+            for s, (lo, hi) in enumerate(slices):
+                sub = mat[:, lo:hi]
+                d2 = cent_sq[s][None, :] - 2.0 * (sub @ cents[s].T)
+                codes[:, s] = d2.argmin(axis=1)  # |x|^2 const per row
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "vnorm": np.linalg.norm(mat, axis=1),
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _enc, "vec_id long, codes array<long>, vnorm double"
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    cb: PQCodebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Approximate cosine top-k by ADC over PQ codes:
+    ``[query_id, neighbor_id, cos_sim, rank]`` (``cos_sim`` is the
+    QUANTIZED estimate — rerank via :func:`pq_topk_rerank` for exact
+    scores).  Each query precomputes an (m × n_codes) dot-product
+    lookup table; a code row scores in m table reads — the corpus scan
+    never touches float vectors.  Same bounded-query contract and
+    per-batch local top-k shuffle shape as ``brute_force_topk_gemm``."""
+    import numpy as np
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pq_topk collects the query set to the driver; got > "
+            f"max_query_rows={max_query_rows} rows. Batch the queries "
+            "or raise max_query_rows explicitly."
+        )
+    if not q_rows:
+        return encoded.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_mat = _pad_matrix([r["qv"] for r in q_rows], cb.n_dims)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm_safe = np.where(q_norm > 0, q_norm, 1.0)
+    slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
+    books = cb.books
+
+    def _scan(it):
+        import pandas as pd
+
+        cents = [np.asarray(b, dtype=np.float64) for b in books]
+        # luts[s]: (n_codes, n_queries) — approx_dot(x, q) =
+        # sum_s luts[s][code_s(x), q]
+        luts = [
+            cents[s] @ q_mat[:, lo:hi].T
+            for s, (lo, hi) in enumerate(slices)
+        ]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.vstack(pdf["codes"].to_numpy())
+            vnorm = pdf["vnorm"].to_numpy(dtype=np.float64)
+            dots = luts[0][codes[:, 0]]
+            for s in range(1, len(slices)):
+                dots = dots + luts[s][codes[:, s]]
+            vsafe = np.where(vnorm > 0, vnorm, 1.0)
+            sims = dots / np.outer(vsafe, q_norm_safe)
+            sims[vnorm == 0, :] = 0.0
+            sims[:, q_norm == 0] = 0.0
+            sims = np.round(sims, round_digits)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                idx = np.nonzero(c_ids != q_ids[j])[0]
+                if not len(idx):
+                    continue
+                top = idx[np.lexsort((c_ids[idx], -col[idx]))[:k]]
+                out_q.extend([q_ids[j]] * len(top))
+                out_n.extend(c_ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    scored = encoded.select("vec_id", "codes", "vnorm").mapInPandas(
+        _scan, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    encoded: DataFrame,
+    queries: DataFrame,
+    cb: PQCodebooks,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """PQ-recall + exact re-rank: ADC proposes ``k·rerank_factor``
+    candidates per query, ONE corpus join (broadcast candidate ids —
+    |Q|·k·factor rows, tiny by the bounded-query contract) fetches the
+    true vectors, exact cosine re-scores, window keeps the final top-k.
+    With ``k·rerank_factor >= |corpus|`` this equals brute force exactly
+    — the property the tests pin.  The corpus is scanned once for the
+    candidate fetch; the ADC scan reads only the compressed codes."""
+    cand = pq_topk(
+        encoded,
+        queries,
+        cb,
+        k=max(k * rerank_factor, k),
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        max_query_rows=max_query_rows,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    exact = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
