@@ -89,27 +89,34 @@ def _window_rows(
     """
     tok = tokens(text_col)
     if portable:
-        # Shifted-copies zip (the word_ngrams construction), NOT
+        # One arrays_zip of the k shifted copies + one fused
+        # concat+hash transform (the word_ngrams construction), NOT
         # ``transform(positions, i -> slice(tok, i, k))``: Spark does no
         # CSE inside higher-order lambdas, so the positional form
         # re-tokenizes the whole document once per window — O(tokens²)
         # per doc, the same quadratic killed in the default path's
-        # tail guard.  This form costs k tokenizations total.
-        acc = tok
-        for j in range(1, k):
-            shifted = F.slice(
-                tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0))
-            )
-            acc = F.zip_with(
-                acc, shifted, lambda a, b: F.concat_ws("\x1f", a, b)
-            )
+        # tail guard.  And not a chain of k-1 zip_with passes: each
+        # higher-order pass is interpreted while arrays_zip/slice are
+        # codegen, so one fused lambda pays the interpreter once.
+        shifts = [tok] + [
+            F.slice(tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0)))
+            for j in range(1, k)
+        ]
+        # unnamed expression inputs → positional field names "0".."k-1"
         grams = F.slice(
-            acc, 1, F.greatest(F.size(tok) - (k - 1), F.lit(0))
+            F.arrays_zip(*shifts),
+            1,
+            F.greatest(F.size(tok) - (k - 1), F.lit(0)),
         )
         wins = F.transform(
             grams,
-            lambda g, i: F.struct(
-                i.alias("pos"), md5_long(g).alias("sh")
+            lambda s, i: F.struct(
+                i.alias("pos"),
+                md5_long(
+                    F.concat_ws(
+                        "\x1f", *[s[str(j)] for j in range(k)]
+                    )
+                ).alias("sh"),
             ),
         )
         return (
