@@ -471,3 +471,306 @@ def ann_search(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes sidecar over the cell layout
+# ---------------------------------------------------------------------------
+
+def _cells_fingerprint(root: str) -> str:
+    """Content identity of the cells tree: sha256 over the sorted
+    (relative path, size) listing.  Any build/ingest/compaction changes
+    the file set, so a stale codes sidecar can never serve silently —
+    the IndexCatalog staleness discipline applied to the vector side."""
+    import hashlib
+
+    cells_dir = os.path.join(root, "cells")
+    entries = []
+    for dirpath, _dirs, files in os.walk(cells_dir):
+        for name in files:
+            p = os.path.join(dirpath, name)
+            entries.append(
+                (os.path.relpath(p, cells_dir), os.path.getsize(p))
+            )
+    h = hashlib.sha256()
+    for rel, size in sorted(entries):
+        h.update(f"{rel}\x00{size}\n".encode())
+    return h.hexdigest()
+
+
+def pq_augment_ann_index(
+    spark: SparkSession,
+    root: str,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 4,
+    sample_rows: int = 65_536,
+) -> str:
+    """Encode the index's cell-partitioned corpus into a PQ codes
+    sidecar (``pq_codes/cell=<c>/``) + codebooks; returns root.
+
+    One corpus pass (narrow — the encode keeps each row's cell key, no
+    shuffle), after which :func:`ann_search_pq` serves the ADC scan
+    from the 64×-smaller codes and touches float vectors only for the
+    re-rank candidates.  The sidecar is pinned to the EXACT current
+    cells tree by fingerprint: any later build/ingest/compaction makes
+    it stale and serving raises loudly — re-run this augmentation on
+    the same cadence as compaction.  Crash-safe: codes land in a tmp
+    dir swapped in by rename, and the meta file (fingerprint +
+    codebooks) is written LAST — a crash between the two leaves a
+    sidecar that fails the fingerprint gate, never a wrong answer.
+    """
+    import shutil
+
+    from .pq import pq_train, pq_encode
+
+    _recover_cells(root)
+    cells = spark.read.parquet(os.path.join(root, "cells"))
+    cell_ddl = cells.schema["cell"].dataType.simpleString()
+    cb = pq_train(
+        cells,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        sample_rows=sample_rows,
+        n_iters=n_iters,
+        id_col="vec_id",
+        vec_col="cv",
+    )
+    fp = _cells_fingerprint(root)
+    codes_dir = os.path.join(root, "pq_codes")
+    tmp_dir = codes_dir + "__tmp"
+    old_dir = codes_dir + "__old"
+    for d in (tmp_dir, old_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    meta_path = os.path.join(root, "_pq_meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)  # serving gate off during the swap
+    (
+        pq_encode(
+            cells,
+            cb,
+            id_col="vec_id",
+            vec_col="cv",
+            extra_cols={"cell": cell_ddl},
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp_dir)
+    )
+    if os.path.exists(codes_dir):
+        os.rename(codes_dir, old_dir)
+    os.rename(tmp_dir, codes_dir)
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    with open(meta_path, "w") as f:
+        json.dump(
+            {
+                "books": cb.books,
+                "n_dims": cb.n_dims,
+                "cells_fingerprint": fp,
+            },
+            f,
+        )
+    return root
+
+
+def ann_search_pq(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    max_probe_cells: int = 10_000,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Serve cosine top-k from the PQ sidecar: probe-pruned ADC scan
+    over codes, exact re-rank over candidates only.
+
+    Same contract as :func:`ann_search` (``[query_id, neighbor_id,
+    cos_sim, rank]``, exact scores — the ADC estimate only RANKS the
+    candidate pool).  I/O per query: the probed cells' CODES
+    (~9 B/row vs 512 B/row of floats) plus the k·rerank_factor
+    candidates' float vectors — at 100 TB of embeddings that is the
+    difference between re-reading the corpus slice and reading 2 % of
+    it.  With ``nprobe >= n_centroids`` and ``k·rerank_factor >=
+    |corpus|`` the result EQUALS :func:`ann_search`'s full probe ==
+    brute force (pinned by test).  Raises if the sidecar is missing or
+    stale (cells tree changed since :func:`pq_augment_ann_index`).
+    """
+    import numpy as np
+
+    from .pq import PQCodebooks, _pad_matrix, _subspace_slices
+
+    _recover_cells(root)
+    meta_path = os.path.join(root, "_pq_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"ann_search_pq: no PQ sidecar at {root} — run "
+            "pq_augment_ann_index(spark, root) first."
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta["cells_fingerprint"] != _cells_fingerprint(root):
+        raise ValueError(
+            f"ann_search_pq: the cells tree at {root} changed since the "
+            "PQ sidecar was built (ingest/compaction/rebuild) — the "
+            "codes are STALE. Re-run pq_augment_ann_index(spark, root)."
+        )
+    cb = PQCodebooks(
+        books=tuple(tuple(tuple(c) for c in b) for b in meta["books"]),
+        n_dims=meta["n_dims"],
+    )
+    ann_meta_path = os.path.join(root, "_ann_meta.json")
+    if os.path.exists(ann_meta_path):
+        with open(ann_meta_path) as f:
+            ann_meta = json.load(f)
+        want = ann_meta.get("dims")
+        got = queries.select(F.size(vec_col).alias("d")).first()
+        if want is not None and got is not None and got["d"] != want:
+            raise ValueError(
+                f"ann_search_pq: index at {root} was built over "
+                f"{want}-dim vectors; query column {vec_col!r} has "
+                f"{got['d']} dims."
+            )
+
+    # -- probe: rank centroids per query (centroid-sized work) ---------
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    probes = _assign_cells(
+        queries, cent, id_col, vec_col, keep_n=nprobe,
+        round_digits=round_digits,
+    ).select(F.col("_id").alias("query_id"), "cell")
+    cell_rows = (
+        probes.select("cell").distinct().limit(max_probe_cells + 1).collect()
+    )
+    if len(cell_rows) > max_probe_cells:
+        raise ValueError(
+            f"ann_search_pq probes > max_probe_cells={max_probe_cells} "
+            "cells; shrink the query set / nprobe or raise the cap "
+            "explicitly"
+        )
+    probe_cells = [r["cell"] for r in cell_rows]
+
+    # -- per-query ADC lookup tables (bounded query collect) -----------
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ann_search_pq collects the query set to the driver; got > "
+            f"max_query_rows={max_query_rows} rows."
+        )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
+    books = cb.books
+    q_mat = _pad_matrix([r["qv"] for r in q_rows], cb.n_dims)
+    q_ids = [int(r["qid"]) for r in q_rows]
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    luts = {}
+    for j, qid in enumerate(q_ids):
+        cents = [np.asarray(b, dtype=np.float64) for b in books]
+        lut = np.stack(
+            [cents[s] @ q_mat[j, lo:hi] for s, (lo, hi) in enumerate(slices)]
+        )  # (m, n_codes)
+        qn = q_norm[j] if q_norm[j] > 0 else 1.0
+        luts[qid] = (lut, qn, q_norm[j] == 0)
+
+    def _adc(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            codes = np.vstack(pdf["codes"].to_numpy())
+            vnorm = pdf["vnorm"].to_numpy(dtype=np.float64)
+            sims = np.zeros(len(pdf), dtype=np.float64)
+            m = codes.shape[1]
+            for qid in np.unique(qids):
+                lut, qn, qzero = luts[int(qid)]
+                rows = np.nonzero(qids == qid)[0]
+                if qzero:
+                    continue  # zero-norm query scores 0 everywhere
+                dots = np.zeros(len(rows), dtype=np.float64)
+                sub = codes[rows]
+                for s in range(m):
+                    dots += lut[s][sub[:, s]]
+                vsafe = np.where(vnorm[rows] > 0, vnorm[rows], 1.0)
+                vals = dots / (vsafe * qn)
+                vals[vnorm[rows] == 0] = 0.0
+                sims[rows] = vals
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(
+                        dtype=np.int64
+                    ),
+                    "adc_sim": np.round(sims, round_digits),
+                }
+            )
+
+    codes_df = (
+        spark.read.parquet(os.path.join(root, "pq_codes"))
+        .where(F.col("cell").isin(probe_cells))  # static partition prune
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    pairs = (
+        probes.join(codes_df, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes", "vnorm")
+    )
+    scored = pairs.mapInPandas(
+        _adc, "query_id long, neighbor_id long, adc_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= max(k * rerank_factor, k))
+        .select("query_id", "neighbor_id")
+    )
+
+    # -- exact re-rank: floats fetched for candidates only -------------
+    qframe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    floats = (
+        spark.read.parquet(os.path.join(root, "cells"))
+        .where(F.col("cell").isin(probe_cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cv"),
+            F.col("cn"),
+        )
+    )
+    exact = (
+        floats.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qframe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

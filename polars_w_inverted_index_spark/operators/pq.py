@@ -162,14 +162,21 @@ def pq_encode(
     cb: PQCodebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """``[vec_id, codes array<int>, vnorm double]`` — one narrow
     Arrow-batched pass, no shuffle.  ``vnorm`` is the EXACT vector norm
     (cosine denominators are not quantized; only the dot is), so a
-    zero vector stays exactly representable (scores 0 downstream)."""
+    zero vector stays exactly representable (scores 0 downstream).
+
+    ``extra_cols`` ({name: ddl_type}) passes input columns through
+    unchanged — the IVF-PQ augmentation keeps the ``cell`` partition
+    key beside each code row so the codes sidecar prunes identically
+    to the float cells."""
     slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
     books = cb.books
     n_dims = cb.n_dims
+    extra = dict(extra_cols or {})
 
     def _enc(it):
         import numpy as np
@@ -186,17 +193,20 @@ def pq_encode(
                 sub = mat[:, lo:hi]
                 d2 = cent_sq[s][None, :] - 2.0 * (sub @ cents[s].T)
                 codes[:, s] = d2.argmin(axis=1)  # |x|^2 const per row
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "codes": list(codes),
-                    "vnorm": np.linalg.norm(mat, axis=1),
-                }
-            )
+            out = {
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "codes": list(codes),
+                "vnorm": np.linalg.norm(mat, axis=1),
+            }
+            for name in extra:
+                out[name] = pdf[name]
+            yield pd.DataFrame(out)
 
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _enc, "vec_id long, codes array<long>, vnorm double"
+    schema = "vec_id long, codes array<long>, vnorm double" + "".join(
+        f", {name} {ddl}" for name, ddl in extra.items()
     )
+    sel = [F.col(id_col), F.col(vec_col)] + [F.col(n) for n in extra]
+    return corpus.select(*sel).mapInPandas(_enc, schema)
 
 
 def pq_topk(

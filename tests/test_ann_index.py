@@ -390,3 +390,105 @@ def test_legacy_layout_gate_migration_and_swap_recovery(spark, emb, tmp_path):
     _os.rename(cells, _os.path.join(root, "cells__compacting"))
     assert _key(ann_search(spark, root, queries, k=5, nprobe=6)) == exact
     assert _os.path.isdir(cells)  # recovery promoted the staging dir
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ sidecar
+# ---------------------------------------------------------------------------
+
+def test_pq_sidecar_full_probe_full_rerank_equals_brute_force(
+    spark, emb, queries, index_root
+):
+    """nprobe >= n_centroids probes every cell and k*factor covering
+    the corpus reranks every candidate exactly — the PQ path's answer
+    must EQUAL ann_search's full probe == brute force, row for row."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+
+    pq_augment_ann_index(spark, index_root, m_subspaces=8, n_codes=16)
+    n = emb.count()
+    exact = brute_force_topk(emb, queries, k=5)
+    served = ann_search_pq(
+        spark, index_root, queries, k=5, nprobe=8,
+        rerank_factor=(n // 5) + 1,
+    )
+    assert _key(served) == _key(exact)
+
+
+def test_pq_sidecar_modest_rerank_recall(spark, emb, queries, index_root):
+    """At a realistic candidate width the exact re-rank must (a) return
+    only true cosine scores (every served row matches brute force's
+    score for that pair) and (b) recall a usable fraction of the exact
+    top-k.  Floor is conservative: random gaussian embeddings are the
+    PQ-adversarial case and the corpus regenerates between rounds."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+
+    pq_augment_ann_index(spark, index_root, m_subspaces=8, n_codes=16)
+    k = 5
+    exact = brute_force_topk(emb, queries, k=k)
+    served = ann_search_pq(
+        spark, index_root, queries, k=k, nprobe=8, rerank_factor=8
+    )
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in exact.collect()
+    }
+    served_rows = served.collect()
+    n_queries = queries.count()
+    assert 0 < len(served_rows) <= n_queries * k
+    hits = sum(
+        1 for r in served_rows
+        if (r["query_id"], r["neighbor_id"]) in exact_pairs
+    )
+    # scores of true hits are EXACT (re-rank is never the ADC estimate)
+    for r in served_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_pairs:
+            assert r["cos_sim"] == exact_pairs[key]
+    assert hits / len(exact_pairs) >= 0.3, hits / len(exact_pairs)
+
+
+def test_pq_sidecar_staleness_and_missing_gates(spark, emb, tmp_path):
+    """Missing sidecar raises with the augment instruction; ingest
+    after augmentation makes the sidecar STALE (fingerprint gate);
+    re-augmenting serves again."""
+    import pytest as _pytest
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_index_add_batch,
+        ann_search_pq,
+        build_ann_index,
+        pq_augment_ann_index,
+    )
+
+    root = str(tmp_path / "pq_stale")
+    build_ann_index(emb.where(F.col("vec_id") < 300), root, n_centroids=4)
+    q = emb.where(F.col("vec_id") < 3)
+    with _pytest.raises(ValueError, match="pq_augment_ann_index"):
+        ann_search_pq(spark, root, q, k=3)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    assert ann_search_pq(spark, root, q, k=3, nprobe=4).count() > 0
+    ann_index_add_batch(
+        spark, root, emb.where(F.col("vec_id").between(300, 320)),
+        batch_tag=1,
+    )
+    with _pytest.raises(ValueError, match="STALE"):
+        ann_search_pq(spark, root, q, k=3)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    served = ann_search_pq(
+        spark, root, q, k=3, nprobe=4,
+        rerank_factor=1000,
+    )
+    # full probe + full rerank over the INGESTED corpus: the appended
+    # vectors are servable
+    got_ids = {r["neighbor_id"] for r in served.collect()}
+    exact = brute_force_topk(
+        emb.where(F.col("vec_id") <= 320), q, k=3
+    )
+    assert _key(served) == _key(exact)
+    assert got_ids  # non-empty
