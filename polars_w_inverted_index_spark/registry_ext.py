@@ -255,13 +255,36 @@ TOPK = 5
 
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # THE documented exact-baseline row: the full scan is its purpose,
-    # so acknowledge the O(|Q|x|corpus|) guard explicitly — at a large
-    # sf or with broadcasts disabled the row must stay the baseline,
-    # not become a ValueError
+    # the documented exact baseline: the full scan is its purpose, so
+    # acknowledge the O(|Q|x|corpus|) guard explicitly — at a large
+    # sf or with broadcasts disabled it must stay the baseline, not
+    # become a ValueError
     return SIM.brute_force_topk(
         emb, emb.where(F.col("vec_id") < N_QUERY_VECS), k=TOPK,
         allow_full_scan=True,
+    )
+
+
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k served THROUGH the PQ path: train codebooks on the
+    corpus (deterministic, no RNG), encode, ADC-rank, exact-rerank with
+    the candidate width covering the whole corpus — by construction the
+    result EQUALS the brute-force contract (operators/pq.py docstring),
+    so the brute SQL is this row's oracle while the driver gate drives
+    the full train→encode→ADC→rerank machinery every round."""
+    from .operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.pq_train(emb, m_subspaces=8, n_codes=16, n_iters=4)
+    enc = PQ.pq_encode(emb, cb)
+    return PQ.pq_topk_rerank(
+        emb,
+        enc,
+        emb.where(F.col("vec_id") < N_QUERY_VECS),
+        cb,
+        k=TOPK,
+        # k*factor = 1M >> any sweep corpus: full coverage = exactness
+        rerank_factor=200_000,
     )
 
 
@@ -283,7 +306,26 @@ _BRUTE_SQL = f"""
     FROM ranked WHERE rank <= {TOPK}
     """
 
-_register("similarity_bruteforce_topk", q_ann_brute, _BRUTE_SQL)
+# r8 rotation: the exact-top-k contract keeps ONE driver row, and it
+# moved to the PQ full-coverage path — same oracle, strictly more
+# machinery under the driver gate (pq_train/pq_encode/ADC/rerank).
+# brute_force_topk itself stays the pytest truth anchor: it is the
+# comparison side of the gemm-equivalence, ANN full-probe, and PQ
+# full-coverage tests, so a regression in it still fails four suites.
+_register(
+    "similarity_bruteforce_topk",
+    q_ann_brute,
+    _BRUTE_SQL,
+    registered=False,
+    evidence=(
+        "rotated out r8 (slot went to similarity_pq_rerank_topk, whose "
+        "oracle it shares): brute_force_topk is the truth side of "
+        "tests/test_dedup_similarity.py (gemm equivalence), "
+        "tests/test_ann_index.py (full-probe + PQ-sidecar equality) and "
+        "tests/test_pq.py (full-coverage rerank equality)"
+    ),
+)
+_register("similarity_pq_rerank_topk", q_ann_pq_rerank, _BRUTE_SQL)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,9 +473,10 @@ _register(
     registered=False,
     evidence=(
         "rotated out r6 (slot went to span_dedup_spans): pinned exactly "
-        "equal to similarity_bruteforce_topk in "
-        "tests/test_dedup_similarity.py; MapInPandas plan pinned in "
-        "tests/test_plan_quality.py"
+        "equal to similarity.brute_force_topk in "
+        "tests/test_dedup_similarity.py (whose contract the registered "
+        "similarity_pq_rerank_topk row drives through the PQ path since "
+        "r8); MapInPandas plan pinned in tests/test_plan_quality.py"
     ),
 )
 

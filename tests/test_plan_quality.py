@@ -19,6 +19,7 @@ PYTHON_OK = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "dedup_embedding_cosine_pairs",  # GEMM-per-bucket applyInPandas
+    "similarity_pq_rerank_topk",  # PQ encode + ADC scan (mapInPandas)
 }
 
 
