@@ -128,11 +128,17 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 
 
 def word_shingles_sql(expr: str, k: int = 3) -> str:
+    # coalesce matches Spark's concat_ws on the ZERO-TOKEN doc: DuckDB's
+    # array_to_string([]) is NULL where concat_ws is '' — without it an
+    # empty/whitespace-only doc yields [] here but [''] in the engine
+    # (found by the r8 property fuzz; the contract is ONE '' shingle,
+    # same as fingerprint's '' gram, so empty docs still pair as dups)
     t = tokens_sql(expr)
     return (
         f"list_distinct(list_transform("
         f"range(1, greatest(length({t}) - {k - 1}, 1) + 1),"
-        f" i -> array_to_string(list_slice({t}, i, i + {k - 1}), ' ')))"
+        f" i -> coalesce("
+        f"array_to_string(list_slice({t}, i, i + {k - 1}), ' '), '')))"
     )
 
 

@@ -126,3 +126,84 @@ def test_set_intersect_oracle(spark, sf_dir):
     )
     want = sorted(r[0] for r in con.execute(SET_INTERSECT_SQL).fetchall())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# N-gram construction vs the DuckDB twins (r8: the arrays_zip rewrite)
+# ---------------------------------------------------------------------------
+# fingerprint()/word_shingles() were rewritten from zip_with chains to a
+# single arrays_zip + fused lambda; the driver oracle pins them on the
+# (ASCII-ish) corpus, this fuzz pins the edge semantics the rewrite
+# could have bent: empty text, whitespace-only, runs of separators,
+# shorter-than-n docs, multi-byte code points (both engines split and
+# substring by CODE POINT and hash UTF-8 bytes, so values must agree).
+
+_TEXT_ALPHABET = (
+    "ab z09.,!?  \t\n" + "éÜß中ø"  # ascii + separators + multi-byte
+)
+TEXTS = st.lists(
+    st.text(alphabet=_TEXT_ALPHABET, min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _text_frames(texts):
+    spark = get_session("property_tests")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    return spark, sdf, con
+
+
+@_SETTINGS
+@given(texts=TEXTS)
+def test_fingerprint_matches_duckdb(texts):
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.text import (
+        fingerprint,
+        fingerprint_sql,
+    )
+
+    spark, sdf, con = _text_frames(texts)
+    got = {
+        r["doc_id"]: list(r["fp"])
+        for r in sdf.select(
+            "doc_id", fingerprint("text").alias("fp")
+        ).collect()
+    }
+    want = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {fingerprint_sql('text')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@_SETTINGS
+@given(texts=TEXTS)
+def test_word_shingles_match_duckdb(texts):
+    from polars_w_inverted_index_spark.functions.text import (
+        word_shingles,
+        word_shingles_sql,
+    )
+
+    spark, sdf, con = _text_frames(texts)
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in sdf.select(
+            "doc_id", word_shingles("text").alias("sh")
+        ).collect()
+    }
+    want = {
+        r[0]: sorted(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {word_shingles_sql('text')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
