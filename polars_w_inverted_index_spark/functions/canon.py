@@ -28,6 +28,15 @@ def csv_array(df: DataFrame, col: str, sort: bool = True) -> DataFrame:
 
 
 def csv_array_sql(expr: str, sort: bool = True) -> str:
-    """DuckDB twin of :func:`csv_array` for an array-valued SQL expr."""
+    """DuckDB twin of :func:`csv_array` for an array-valued SQL expr.
+
+    Spark's ``array_join([]) = ''`` but DuckDB's ``array_to_string([])``
+    is NULL (same trap the r8 shingle fuzz caught in word_shingles_sql),
+    so the empty list is coalesced to ``''`` — while a NULL INPUT stays
+    NULL on both engines (the CASE guards the coalesce from
+    converting it)."""
     inner = f"list_sort({expr})" if sort else expr
-    return f"array_to_string({inner}, ',')"
+    return (
+        f"(CASE WHEN ({expr}) IS NOT NULL THEN "
+        f"coalesce(array_to_string({inner}, ','), '') END)"
+    )

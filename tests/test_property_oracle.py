@@ -207,3 +207,31 @@ def test_word_shingles_match_duckdb(texts):
         ).fetchall()
     }
     assert got == want
+
+
+def test_csv_array_twin_empty_and_null(spark):
+    """The csv canonicalizer's DuckDB twin must agree with Spark's
+    array_join on the edges: empty array -> '' (DuckDB's raw
+    array_to_string is NULL there), NULL input -> NULL on both, null
+    ELEMENTS skipped on both."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.canon import (
+        csv_array,
+        csv_array_sql,
+    )
+
+    rows = [(0, []), (1, None), (2, ["b", None, "a"])]
+    sdf = spark.createDataFrame(rows, "doc_id long, xs array<string>")
+    got = {
+        r["doc_id"]: r["xs"] for r in csv_array(sdf, "xs").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "xs"]))
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {csv_array_sql('xs')} FROM t"
+        ).fetchall()
+    }
+    assert got == want == {0: "", 1: None, 2: "a,b"}
