@@ -46,6 +46,12 @@ def chunk_documents(
         raise ValueError("window and stride must be >= 1")
     if stride > window:
         raise ValueError("stride > window would skip tokens")
+    if min_tokens < 1:
+        # a zero-token chunk is meaningless AND sits exactly on the
+        # engines' one join-semantics divergence (Spark array_join([])
+        # = '' vs DuckDB array_to_string([]) = NULL — the r8 fuzz
+        # finding), so refuse rather than emit oracle-unstable rows
+        raise ValueError("min_tokens must be >= 1")
     toks = tokens(text_col)
     n = F.size("toks")
     starts = F.when(
