@@ -248,7 +248,10 @@ def quality_metrics_sql(expr: str) -> list[str]:
         f" / greatest(length({expr}), 1), 6) AS punct_ratio",
         f"ROUND(length(list_filter({t}, x -> x IN ({stop})))"
         f" / greatest(length({t}), 1), 6) AS stopword_ratio",
-        f"ROUND(list_sum(list_transform({t}, x -> length(x)))"
+        # coalesce: DuckDB list_sum([]) is NULL where Spark's 0-seeded
+        # aggregate is 0.0 (the r8 empty-input twin family) — a
+        # zero-token doc must profile as mean 0, not NULL
+        f"ROUND(coalesce(list_sum(list_transform({t}, x -> length(x))), 0)"
         f" / greatest(length({t}), 1), 6) AS mean_token_len",
     ]
 

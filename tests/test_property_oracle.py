@@ -235,3 +235,45 @@ def test_csv_array_twin_empty_and_null(spark):
         ).fetchall()
     }
     assert got == want == {0: "", 1: None, 2: "a,b"}
+
+
+@_SETTINGS
+@given(texts=TEXTS)
+def test_text_profile_matches_duckdb(texts):
+    """Full text-profile row (token counts, BPE-ish count, lang-id,
+    quality metrics) vs the DuckDB twins on adversarial text — empty
+    docs, whitespace-only, separator runs, multi-byte code points.
+    Ratio metrics divide by token/char counts, so the zero-token edge
+    is exactly where an engine-side guard could silently differ."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions import text as TX
+
+    spark, sdf, con = _text_frames(texts)
+    tok = F.col("_toks")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in sdf.withColumn("_toks", TX.tokens("text"))
+        .select(
+            "doc_id",
+            F.size(tok).cast("long").alias("n_tok"),
+            TX.bpe_token_count("text").alias("n_bpe_tok"),
+            TX.lang_id("text", tok=tok).alias("pred_lang"),
+            *TX.quality_metrics("text", tok=tok),
+        )
+        .collect()
+    }
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in con.execute(
+            f"""
+            SELECT doc_id,
+                   {TX.token_count_sql('text')} AS n_tok,
+                   {TX.bpe_token_count_sql('text')} AS n_bpe_tok,
+                   {TX.lang_id_sql('text')} AS pred_lang,
+                   {', '.join(TX.quality_metrics_sql('text'))}
+            FROM t
+            """
+        ).fetchall()
+    }
+    assert got == want
