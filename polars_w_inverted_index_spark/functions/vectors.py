@@ -126,16 +126,28 @@ def random_projection(
 
 
 def cosine_sql(a: str, b: str) -> str:
-    """DuckDB twin — same zero-norm rule, double accumulation."""
+    """DuckDB twin — same zero-norm rule, double accumulation, and the
+    same out-of-contract behavior: RAGGED lengths yield NULL (Spark's
+    zip_with null-pads and one null poisons the fold; DuckDB's
+    list_sum would silently SKIP the null products and return a
+    partial prefix dot — the r8 fuzz finding), unless a zero norm
+    already forces the 0.0 branch.  Callers are expected to pre-slice
+    to a common width (similarity.py does); the twin just must not
+    disagree when they don't."""
     def _dot(x: str, y: str) -> str:
         return (
             f"list_sum(list_transform(range(1, length({x}) + 1),"
             f" i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
         )
 
+    # NULL (not partial) when lengths differ — matches the Spark fold
+    ab = (
+        f"(CASE WHEN length({a}) = length({b})"
+        f" THEN {_dot(a, b)} END)"
+    )
     na = f"sqrt({_dot(a, a)})"
     nb = f"sqrt({_dot(b, b)})"
     return (
         f"(CASE WHEN {na} > 0 AND {nb} > 0"
-        f" THEN {_dot(a, b)} / ({na} * {nb}) ELSE 0.0 END)"
+        f" THEN {ab} / ({na} * {nb}) ELSE 0.0 END)"
     )

@@ -277,3 +277,68 @@ def test_text_profile_matches_duckdb(texts):
         ).fetchall()
     }
     assert got == want
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-4.0, max_value=4.0,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@_SETTINGS
+@given(vecs=VECS)
+def test_cosine_twin_matches_duckdb(vecs):
+    """cosine() vs cosine_sql on adversarial vectors: zero vectors,
+    EMPTY vectors, and RAGGED length pairs (out of contract — both
+    engines must answer NULL there, not a silent partial prefix dot,
+    unless a zero norm forces the 0.0 branch first)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.vectors import (
+        cosine,
+        cosine_sql,
+    )
+
+    spark = get_session("property_tests")
+    pairs = [
+        (i, a, b)
+        for i, (a, b) in enumerate(
+            (x, y) for x in vecs for y in vecs
+        )
+    ]
+    sdf = spark.createDataFrame(
+        pairs, "pid long, a array<double>, b array<double>"
+    )
+    got = {
+        r["pid"]: r["cos"]
+        for r in sdf.select(
+            "pid", F.round(cosine("a", "b"), 6).alias("cos")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(pairs, columns=["pid", "a", "b"]))
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT pid, ROUND({cosine_sql('a', 'b')}, 6) FROM t"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for pid, g in got.items():
+        w = want[pid]
+        if g is None or w is None:
+            assert g == w, (pid, g, w)
+        else:
+            assert math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-9), (
+                pid, g, w,
+            )
