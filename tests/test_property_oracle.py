@@ -342,3 +342,58 @@ def test_cosine_twin_matches_duckdb(vecs):
             assert math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-9), (
                 pid, g, w,
             )
+
+
+EPOCH_US = st.lists(
+    st.integers(
+        min_value=-2_208_988_800_000_000,  # 1900-01-01
+        max_value=4_102_444_800_000_000,   # 2100-01-01
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_SETTINGS
+@given(micros=EPOCH_US)
+def test_hour_bucket_and_epoch_twins_match_duckdb(micros):
+    """The events rows bucket on strftime(date_trunc('hour')) and the
+    asof/interval/resample family on epoch microseconds — testdata ts
+    TYPES drift between rounds (NTZ vs TZ), so pin the twins across a
+    wide epoch range including pre-1970 (where floor-vs-truncate
+    divides engines) and exact hour boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.functions.timeutil import epoch_us
+
+    spark = get_session("property_tests")
+    rows = [
+        (i, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us))
+        for i, us in enumerate(micros)
+    ]
+    sdf = spark.createDataFrame(rows, "rid long, ts timestamp")
+    got = {
+        r["rid"]: (r["hour"], r["us"])
+        for r in sdf.select(
+            "rid",
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            epoch_us("ts").alias("us"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["rid", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    con.register("t", pdf)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT rid,"
+            " strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),"
+            " epoch_us(ts) FROM t"
+        ).fetchall()
+    }
+    assert got == want
