@@ -20,7 +20,12 @@ from polars_w_inverted_index_spark.session import get_session
 ROWS = st.lists(
     st.tuples(
         st.one_of(st.none(), st.integers(0, 15)),            # doc_id
-        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # value
+        st.one_of(
+            st.none(),
+            # '' and multi-byte are legal field values the log fixtures
+            # never contain — the postings contract must not bend there
+            st.sampled_from(["a", "b", "c", "", "é中", " a "]),
+        ),  # value
         st.one_of(st.none(), st.integers(-5, 5)),            # metric
     ),
     min_size=0,
