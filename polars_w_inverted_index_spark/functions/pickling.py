@@ -37,11 +37,35 @@ def by_value(fn):
     repo-global reference fails loudly at pickle/run time instead of
     resolving silently on the driver.
     """
-    g = {
-        k: fn.__globals__[k]
-        for k in fn.__code__.co_names
-        if k in fn.__globals__
-    }
+    pkg = __name__.split(".")[0]
+
+    def _check(kind, name, v):
+        mod = getattr(v, "__module__", "") or ""
+        if mod == pkg or mod.startswith(pkg + "."):
+            raise ValueError(
+                f"by_value({fn.__name__}): it references repo "
+                f"{kind} {name!r} ({mod}), which would re-ship BY "
+                "REFERENCE and reintroduce the worker-import trap. "
+                "Inline that helper or wrap it with by_value too."
+            )
+
+    g = {}
+    for k in fn.__code__.co_names:
+        if k not in fn.__globals__:
+            continue
+        v = fn.__globals__[k]
+        _check("global", k, v)
+        g[k] = v
+    # freevars carry the same hazard through closure cells
+    for name, cell in zip(
+        fn.__code__.co_freevars, fn.__closure__ or ()
+    ):
+        try:
+            _check("closure variable", name, cell.cell_contents)
+        except ValueError:
+            raise
+        except Exception:  # pragma: no cover - empty cell
+            pass
     g["__builtins__"] = __builtins__
     copy = types.FunctionType(
         fn.__code__, g, fn.__name__, fn.__defaults__, fn.__closure__

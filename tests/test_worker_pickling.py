@@ -118,3 +118,38 @@ def test_python_closure_operators_run_with_foreign_cwd(tmp_path):
     )
     res = eval(line[len("RESULT "):])  # noqa: S307 - our own output
     assert all(v > 0 for v in res.values()), res
+
+
+def test_by_value_is_callable_and_rejects_repo_globals():
+    """by_value copies stdlib-only helpers verbatim and REFUSES one
+    that references a repo global (which would re-ship by reference
+    and silently reintroduce the worker-import trap)."""
+    import pytest
+
+    from polars_w_inverted_index_spark.functions.pickling import by_value
+    from polars_w_inverted_index_spark.operators.packing import bfd_assign
+
+    copy = by_value(bfd_assign)
+    assert copy([5, 3, 9, 2], 10) == bfd_assign([5, 3, 9, 2], 10)
+
+    # a helper that leans on a repo object must be refused — both when
+    # it arrives via a closure cell (nested def, the common shape) ...
+    def leaky_closure(counts, budget):
+        return bfd_assign(counts, budget)  # freevar -> closure cell
+
+    with pytest.raises(ValueError, match="worker-import trap"):
+        by_value(leaky_closure)
+
+    # ... and via a module global (top-level def shape)
+    import polars_w_inverted_index_spark.operators.packing as packing_mod
+
+    code = compile(
+        "def leaky_global(counts, budget):\n"
+        "    return bfd_assign(counts, budget)\n",
+        "<test>",
+        "exec",
+    )
+    ns = {"bfd_assign": packing_mod.bfd_assign}
+    exec(code, ns)
+    with pytest.raises(ValueError, match="worker-import trap"):
+        by_value(ns["leaky_global"])
