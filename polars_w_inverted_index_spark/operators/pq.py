@@ -179,15 +179,28 @@ def pq_encode(
     extra = dict(extra_cols or {})
 
     def _enc(it):
+        # SELF-CONTAINED worker closure (repo convention): referencing
+        # a module-level helper here would make cloudpickle serialize
+        # it BY REFERENCE and the executor-side Python worker would
+        # try `import polars_w_inverted_index_spark` — which only
+        # resolves when the driver's cwd happens to be the repo root.
+        # Everything this touches is an import or a closure VALUE.
         import numpy as np
         import pandas as pd
+
+        def _pad(vecs, nd):
+            m = np.zeros((len(vecs), nd), dtype=np.float64)
+            for i, v in enumerate(vecs):
+                a = np.asarray(v, dtype=np.float64)[:nd]
+                m[i, : len(a)] = a
+            return m
 
         cents = [np.asarray(b, dtype=np.float64) for b in books]
         cent_sq = [(c**2).sum(axis=1) for c in cents]
         for pdf in it:
             if not len(pdf):
                 continue
-            mat = _pad_matrix(list(pdf[vec_col]), n_dims)
+            mat = _pad(list(pdf[vec_col]), n_dims)
             codes = np.empty((len(mat), len(slices)), dtype=np.int64)
             for s, (lo, hi) in enumerate(slices):
                 sub = mat[:, lo:hi]
