@@ -269,6 +269,7 @@ def _extension_workload():
         ),
         "ext_ann_index_search": _ann_build_and_search,
         "ext_pq_search": _pq_encode_and_search,
+        "ext_ann_pq_search": _ann_pq_search,
         "ext_bpe_train_encode": _bpe_train_encode,
         "ext_heavy_hitters_approx": lambda s, d: __import__(
             "polars_w_inverted_index_spark.operators.sketches",
@@ -394,6 +395,35 @@ def _pq_encode_and_search(s, d):
     enc = s.read.parquet(enc_path)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return pq_topk_rerank(emb, enc, q, cb, k=5, rerank_factor=4)
+
+
+def _ann_pq_search(s, d):
+    """Serve the same 40-query top-5 from the IVF-PQ composition:
+    probe-pruned ADC over the cell-partitioned codes sidecar + exact
+    re-rank of candidates only.  Reuses the ANN bench index (same
+    file-identity key) and augments it with the PQ sidecar on the
+    warm-up pass; the timed number is probe + codes-scan + rerank —
+    the plan whose per-query I/O is codes-of-probed-cells plus
+    candidates' floats."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        build_ann_index,
+        pq_augment_ann_index,
+    )
+    from polars_w_inverted_index_spark.registry import scratch_dir
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(s, d, "embeddings")
+    st = os.stat(os.path.join(d, "embeddings.parquet"))
+    root = scratch_dir(f"ann_bench_{st.st_size}_{int(st.st_mtime)}", d)
+    if not os.path.exists(os.path.join(root, "_ann_meta.json")):
+        build_ann_index(emb, root, n_centroids=16, n_iters=1)
+    if not os.path.exists(os.path.join(root, "_pq_meta.json")):
+        pq_augment_ann_index(s, root, m_subspaces=8, n_codes=16)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return ann_search_pq(s, root, q, k=5, nprobe=4, rerank_factor=4)
 
 
 def _ann_build_and_search(s, d):
