@@ -625,17 +625,35 @@ def ann_search_pq(
         books=tuple(tuple(tuple(c) for c in b) for b in meta["books"]),
         n_dims=meta["n_dims"],
     )
+    # -- bounded query collect FIRST: the dims gate reads the width off
+    # the collected rows instead of paying its own .first() Spark job
+    # per serve (the float path keeps a standalone gate — it never
+    # collects queries)
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ann_search_pq collects the query set to the driver; got > "
+            f"max_query_rows={max_query_rows} rows."
+        )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     ann_meta_path = os.path.join(root, "_ann_meta.json")
     if os.path.exists(ann_meta_path):
         with open(ann_meta_path) as f:
             ann_meta = json.load(f)
         want = ann_meta.get("dims")
-        got = queries.select(F.size(vec_col).alias("d")).first()
-        if want is not None and got is not None and got["d"] != want:
+        got_d = len(q_rows[0]["qv"])
+        if want is not None and got_d != want:
             raise ValueError(
                 f"ann_search_pq: index at {root} was built over "
                 f"{want}-dim vectors; query column {vec_col!r} has "
-                f"{got['d']} dims."
+                f"{got_d} dims."
             )
 
     # -- probe: rank centroids per query (centroid-sized work) ---------
@@ -655,21 +673,7 @@ def ann_search_pq(
         )
     probe_cells = [r["cell"] for r in cell_rows]
 
-    # -- per-query ADC lookup tables (bounded query collect) -----------
-    q_rows = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .limit(max_query_rows + 1)
-        .collect()
-    )
-    if len(q_rows) > max_query_rows:
-        raise ValueError(
-            f"ann_search_pq collects the query set to the driver; got > "
-            f"max_query_rows={max_query_rows} rows."
-        )
-    if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank int"
-        )
+    # -- per-query ADC lookup tables (from the collected query set) ----
     slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
     books = cb.books
     q_mat = _pad_matrix([r["qv"] for r in q_rows], cb.n_dims)
