@@ -25,11 +25,21 @@ query at 16.8 s from exactly that bleed.
 
 Output discipline: the driver captures a 2,000-byte tail of stdout and
 parses the LAST JSON line; round 2's single line outgrew the capture
-and the headline was lost.  Emission is therefore two lines: full
-per-query detail first (human/judge-facing; may straddle the tail
-boundary harmlessly), then a compact final line carrying the headline
-and only the baseline-graded per-query timings, which always fits
-whole inside the tail.
+and the headline was lost.  Emission is therefore layered back-to-front
+by importance (the tail truncates from the HEAD): full per-query detail
+first (human-facing; may straddle the boundary harmlessly), then the
+untracked registry timings, then the tracked ``ext_*`` timings in
+bounded chunks (r8 lost five ext entries to the tail cut — these are
+the round-over-round drift record, so they sit just before the end),
+then the compact headline line, which always fits whole.
+
+Machine-drift calibration (r8 VERDICT task 1): two rounds of judging
+were burned classifying uniform bench drift as environment noise vs
+regression.  ``_calibration`` times a FIXED synthetic probe (no
+testdata, no repo operators) at bench start and end;
+``calibration_s`` rides the final line so any cross-round headline
+move can be read against the machine's same-round speed, and
+``logs10m_total_norm`` pre-divides the headline by the probe ratio.
 """
 
 from __future__ import annotations
@@ -236,6 +246,7 @@ def _extension_workload():
             _docs(s, d).select("doc_id", "text")
         ),
         "ext_streaming_near_dedup": _near_dedup_two_batches,
+        "ext_streaming_near_dedup_batch": _near_dedup_next_batch,
         "ext_streaming_drift": _drift_two_batches,
         "ext_streaming_drift_batch": _drift_one_batch,
         "ext_streaming_span_scrub": _span_scrub_one_batch,
@@ -510,6 +521,47 @@ def _near_dedup_two_batches(s, d):
     return a2.select("doc_id")
 
 
+def _near_dedup_next_batch(s, d):
+    """Flatness probe for the streaming near-dedup per-batch constant
+    (r8 VERDICT task 5): identical harness to ext_streaming_near_dedup
+    but the standing state has ALREADY absorbed batch 1, and the timed
+    commit ingests batch 2.  Read the two entries together: per-batch
+    cost is O(batch) delta commits, so this entry must track
+    ext_streaming_near_dedup (same-shaped batch, one-delta-larger
+    state) — divergence would mean per-batch cost grows with the
+    accumulated corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.registry import scratch_dir
+    from polars_w_inverted_index_spark.sources.tables import load_table
+    from polars_w_inverted_index_spark.streaming import near_dedup_batch
+
+    docs = load_table(s, d, "documents")
+    st = os.stat(os.path.join(d, "documents.parquet"))
+    key = f"{st.st_size}_{int(st.st_mtime)}"
+    pristine = scratch_dir(f"near_dedup_bench_state_{key}", d)
+    if not os.path.exists(os.path.join(pristine, "_LATEST")):
+        near_dedup_batch(
+            docs.where(F.col("doc_id") % 10 != 0), pristine, batch_id=0
+        )
+    pristine2 = scratch_dir(f"near_dedup_bench_state2_{key}", d)
+    if not os.path.exists(os.path.join(pristine2, "_LATEST")):
+        shutil.rmtree(pristine2, ignore_errors=True)
+        shutil.copytree(pristine, pristine2)
+        near_dedup_batch(
+            docs.where(F.col("doc_id") % 10 == 0), pristine2, batch_id=1
+        )
+    work = scratch_dir("near_dedup_bench_work2", d)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(pristine2, work)
+    a3 = near_dedup_batch(
+        docs.where(F.col("doc_id") % 10 == 1), work, batch_id=2
+    )
+    return a3.select("doc_id")
+
+
 def _span_scrub_one_batch(s, d):
     """Steady-state streaming span scrub: ONE micro-batch (10% of the
     documents) scrubbed against a standing 90%-corpus window-count
@@ -635,6 +687,40 @@ def _materialize(df) -> int:
         return len(df.collect())
 
 
+# Probe time on the reference machine (measured 2026-08-15, round 9,
+# best-of-3 on the idle grading box).  logs10m_total_norm =
+# logs10m_total * (CALIB_REF / calibration_s): a normalized value that
+# moves while the raw value tracks the probe is a code change; both
+# moving together is machine drift.
+CALIB_REF = 0.55
+
+
+def _calibration(spark) -> float:
+    """Fixed-cost machine-speed probe: one 50 M-row codegen aggregate
+    plus one 32-partition shuffle of 2 M constant rows — touches no
+    testdata and no repo operator, so its timing can ONLY move with the
+    machine/JVM, never with this repo's code.  Best-of-3, same
+    discipline as the graded queries."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).select(
+            F.sum(F.col("id") % 7).alias("s")
+        ).collect()
+        (
+            spark.range(2_000_000)
+            .select((F.col("id") % 97).alias("k"))
+            .repartition(32, "k")
+            .groupBy("k")
+            .count()
+            .collect()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     from polars_w_inverted_index_spark import registry
     from polars_w_inverted_index_spark.session import get_session
@@ -663,10 +749,16 @@ def main() -> None:
             "spark.sql.extensions": EXTENSION_CLASS,
         }
         if jar_available()
+        # SPARK_GRAFT_NO_EXT=1 runs the identical suite with the
+        # Catalyst extension unbound — the A/B knob for isolating the
+        # rule's per-query planning overhead (r8 VERDICT task 2); the
+        # catalyst-served entry then falls back to the unserved plan.
+        and not os.environ.get("SPARK_GRAFT_NO_EXT")
         else {}
     )
     spark = get_session("bench", extra_conf=ext_conf)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up JVM
+    calib_start = _calibration(spark)
 
     headline = _reference_workload()
     if os.environ.get("SPARK_GRAFT_SKIP_LOGS10M"):
@@ -744,17 +836,32 @@ def main() -> None:
             return -1.0  # a graded query failed: poison, don't fake
         return round(sum(timings[n] for n in names), 4)
 
+    calib_end = _calibration(spark)
+    calibration_s = min(calib_start, calib_end)
+
     total = _total(headline)
     out = {
         "metric": "reference_workload_total",
         "value": total,
         "unit": "sec",
         "sf": sf_val,
+        # machine-speed probe at bench start/end (see module docstring);
+        # best-of-both is the round's calibration constant
+        "calibration_s": calibration_s,
+        "calib_start": calib_start,
+        "calib_end": calib_end,
     }
     if logs:
         # apples-to-apples vs BASELINE.md: same 10 M-record workload
         out["logs10m_total"] = _total(logs)
         out["logs10m_rows"] = LOGS_N
+        if out["logs10m_total"] > 0 and calibration_s > 0:
+            # headline re-based to the reference machine speed: raw and
+            # normalized moving together = machine drift; normalized
+            # moving alone = a real code change
+            out["logs10m_total_norm"] = round(
+                out["logs10m_total"] * (CALIB_REF / calibration_s), 4
+            )
         # executor-side peak execution memory for the canonical postings
         # query (QueryStats with job-group attribution, stats.py) — the
         # number the reference's driver-RSS fields cannot give on a
@@ -775,13 +882,40 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     # The driver captures a 2,000-byte stdout tail and parses its LAST
-    # JSON line (BENCH_r1-r3 all show tail_len=2000).  Emit full detail
-    # on its own line FIRST (for humans; may straddle the tail
-    # boundary), then a compact final line — headline plus only the
-    # baseline-graded per-query timings — that always fits whole.
+    # JSON line (BENCH_r1-r3 all show tail_len=2000).  The tail cuts
+    # from the HEAD, so emission is layered by importance, least first:
+    # full detail, then registry timings, then the tracked ext_* entries
+    # in bounded chunks (r8 lost five ext numbers to the cut — VERDICT
+    # r8 task 4), then the compact headline line that always fits whole.
     detail = dict(out)
     detail["queries"] = {k: round(v, 2) for k, v in timings.items()}
     print(json.dumps(detail))
+
+    reg = {
+        k: round(v, 2)
+        for k, v in sorted(timings.items())
+        if k not in baseline_keys and not k.startswith("ext_")
+    }
+    if reg:
+        print(json.dumps({"reg": reg}))
+    ext = {
+        k[len("ext_"):]: round(v, 2)
+        for k, v in sorted(timings.items())
+        if k.startswith("ext_")
+    }
+    # chunk so a mid-line cut costs at most one bounded chunk, never
+    # the whole dict; ~900 B/chunk keeps chunk + headline under 2000
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for k, v in ext.items():
+        chunk[k] = v
+        if len(json.dumps({"ext": chunk})) > 900:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    for c in chunks:
+        print(json.dumps({"ext": c}))
 
     out["queries"] = {
         k: round(timings[k], 2)

@@ -49,8 +49,21 @@ def by_value(fn):
                 "Inline that helper or wrap it with by_value too."
             )
 
+    def _all_names(code):
+        # Union co_names across the code object AND every nested code
+        # object (defs/lambdas/comprehensions in co_consts, recursively):
+        # a global referenced only inside a nested function would
+        # otherwise be neither copied into the restricted globals
+        # (NameError on executors) nor checked for repo references
+        # (silent guard bypass through a nested def).
+        names = set(code.co_names)
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                names |= _all_names(const)
+        return names
+
     g = {}
-    for k in fn.__code__.co_names:
+    for k in sorted(_all_names(fn.__code__)):
         if k not in fn.__globals__:
             continue
         v = fn.__globals__[k]

@@ -505,6 +505,7 @@ def pq_augment_ann_index(
     n_codes: int = 16,
     n_iters: int = 4,
     sample_rows: int = 65_536,
+    n_dims: int | None = None,
 ) -> str:
     """Encode the index's cell-partitioned corpus into a PQ codes
     sidecar (``pq_codes/cell=<c>/``) + codebooks; returns root.
@@ -519,12 +520,33 @@ def pq_augment_ann_index(
     dir swapped in by rename, and the meta file (fingerprint +
     codebooks) is written LAST — a crash between the two leaves a
     sidecar that fails the fingerprint gate, never a wrong answer.
+
+    ``n_dims`` defaults to the dims recorded in ``_ann_meta.json`` at
+    build time — NOT a fixed constant, or a >64-dim index would be
+    silently encoded over a 64-dim prefix (``_pad_matrix`` truncates)
+    and ADC ranking would quietly degrade.  Raises if the meta is
+    missing dims and no explicit override is given.
     """
     import shutil
 
     from .pq import pq_train, pq_encode
 
     _recover_cells(root)
+    if n_dims is None:
+        ann_meta_path = os.path.join(root, "_ann_meta.json")
+        try:
+            with open(ann_meta_path) as f:
+                recorded = json.load(f).get("dims")
+        except OSError:
+            recorded = None
+        if recorded is None:
+            raise ValueError(
+                f"pq_augment_ann_index: {root}/_ann_meta.json does not "
+                "record the index dims (empty-corpus build or pre-dims "
+                "index) — pass n_dims explicitly so PQ covers the full "
+                "vector width."
+            )
+        n_dims = int(recorded)
     cells = spark.read.parquet(os.path.join(root, "cells"))
     cell_ddl = cells.schema["cell"].dataType.simpleString()
     cb = pq_train(
@@ -535,6 +557,7 @@ def pq_augment_ann_index(
         n_iters=n_iters,
         id_col="vec_id",
         vec_col="cv",
+        n_dims=n_dims,
     )
     fp = _cells_fingerprint(root)
     codes_dir = os.path.join(root, "pq_codes")
@@ -587,9 +610,17 @@ def ann_search_pq(
     round_digits: int = 5,
     max_probe_cells: int = 10_000,
     max_query_rows: int = 100_000,
+    _stop_after: str | None = None,
 ) -> DataFrame:
     """Serve cosine top-k from the PQ sidecar: probe-pruned ADC scan
     over codes, exact re-rank over candidates only.
+
+    ``_stop_after`` is bench instrumentation (phase decomposition, r8
+    VERDICT task 6): ``"probe"`` returns the per-query probed-cell
+    frame (centroid ranking only), ``"adc"`` returns the ADC candidate
+    frame (probe + codes scan + candidate top-k, no float fetch).
+    Phase costs read as deltas: rerank = full − adc, adc-scan = adc −
+    probe.  Not part of the serving contract.
 
     Same contract as :func:`ann_search` (``[query_id, neighbor_id,
     cos_sim, rank]``, exact scores — the ADC estimate only RANKS the
@@ -672,25 +703,30 @@ def ann_search_pq(
             "explicitly"
         )
     probe_cells = [r["cell"] for r in cell_rows]
+    if _stop_after == "probe":
+        return probes
 
-    # -- per-query ADC lookup tables (from the collected query set) ----
+    # -- compact query shipment: the closure carries q_mat/books/q_norm
+    # (n_queries × n_dims floats + the tiny codebooks), NOT the expanded
+    # per-query (m × n_codes) LUT dict — at max_query_rows=100k that
+    # dict is ~100+ MB serialized into EVERY task.  LUTs are built once
+    # per worker from the compact arrays (the pq_topk._scan shape).
     slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
     books = cb.books
     q_mat = _pad_matrix([r["qv"] for r in q_rows], cb.n_dims)
-    q_ids = [int(r["qid"]) for r in q_rows]
+    q_index = {int(r["qid"]): j for j, r in enumerate(q_rows)}
     q_norm = np.linalg.norm(q_mat, axis=1)
-    luts = {}
-    for j, qid in enumerate(q_ids):
-        cents = [np.asarray(b, dtype=np.float64) for b in books]
-        lut = np.stack(
-            [cents[s] @ q_mat[j, lo:hi] for s, (lo, hi) in enumerate(slices)]
-        )  # (m, n_codes)
-        qn = q_norm[j] if q_norm[j] > 0 else 1.0
-        luts[qid] = (lut, qn, q_norm[j] == 0)
 
     def _adc(it):
         import pandas as pd
 
+        cents = [np.asarray(b, dtype=np.float64) for b in books]
+        # luts[s]: (n_codes, n_queries) — built once per worker;
+        # approx_dot(x, q) = sum_s luts[s][code_s(x), q_index[q]]
+        luts = [
+            cents[s] @ q_mat[:, lo:hi].T
+            for s, (lo, hi) in enumerate(slices)
+        ]
         for pdf in it:
             if not len(pdf):
                 continue
@@ -700,16 +736,16 @@ def ann_search_pq(
             sims = np.zeros(len(pdf), dtype=np.float64)
             m = codes.shape[1]
             for qid in np.unique(qids):
-                lut, qn, qzero = luts[int(qid)]
-                rows = np.nonzero(qids == qid)[0]
-                if qzero:
+                j = q_index[int(qid)]
+                if q_norm[j] == 0:
                     continue  # zero-norm query scores 0 everywhere
-                dots = np.zeros(len(rows), dtype=np.float64)
+                rows = np.nonzero(qids == qid)[0]
                 sub = codes[rows]
-                for s in range(m):
-                    dots += lut[s][sub[:, s]]
+                dots = luts[0][sub[:, 0], j]
+                for s in range(1, m):
+                    dots = dots + luts[s][sub[:, s], j]
                 vsafe = np.where(vnorm[rows] > 0, vnorm[rows], 1.0)
-                vals = dots / (vsafe * qn)
+                vals = dots / (vsafe * q_norm[j])
                 vals[vnorm[rows] == 0] = 0.0
                 sims[rows] = vals
             yield pd.DataFrame(
@@ -743,6 +779,8 @@ def ann_search_pq(
         .where(F.col("crank") <= max(k * rerank_factor, k))
         .select("query_id", "neighbor_id")
     )
+    if _stop_after == "adc":
+        return cand
 
     # -- exact re-rank: floats fetched for candidates only -------------
     qframe = queries.select(

@@ -51,7 +51,14 @@ def brute_force_topk(
     scale paths are :func:`ivf_topk` / :func:`lsh_bucketed_topk` /
     ``ann_index.ann_search``.
     """
-    if not allow_full_scan and not _is_small(corpus):
+    # ONE smallness probe per call, reused for both the guard and the
+    # broadcast choice: for stats-less python/RDD-backed frames each
+    # _is_small is a limit(N+1).count() Spark job, so evaluating it
+    # twice doubled the probe cost on every serve.  (The corpus
+    # estimate is >= the projected-c estimate, so deciding broadcast on
+    # it is the conservative direction.)
+    small = _is_small(corpus)
+    if not allow_full_scan and not small:
         try:
             est = f"{_plan_size_bytes(corpus)} bytes"
         except Exception:  # pragma: no cover - stats access failed
@@ -75,7 +82,7 @@ def brute_force_topk(
         norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
-        q.crossJoin(F.broadcast(c) if _is_small(c) else c)
+        q.crossJoin(F.broadcast(c) if small else c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

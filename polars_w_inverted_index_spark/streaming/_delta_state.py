@@ -110,6 +110,14 @@ def commit_delta(
     if compacted is not None and (
         len(old_dirs) >= max_delta_dirs or files_over
     ):
+        if max_state_files is not None:
+            # The compacted write itself must land UNDER the file-count
+            # trigger, or a wide corpus read/union that emits >=
+            # max_state_files part-files would re-trigger compaction on
+            # every subsequent commit — each micro-batch an O(corpus)
+            # rewrite.  Half the dial leaves headroom for new deltas;
+            # coalesce (not repartition) keeps it shuffle-free.
+            compacted = compacted.coalesce(max(1, max_state_files // 2))
         compacted.write.mode("overwrite").parquet(out)
         new_dirs = [out_name]
     else:

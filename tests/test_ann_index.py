@@ -453,6 +453,71 @@ def test_pq_sidecar_modest_rerank_recall(spark, emb, queries, index_root):
     assert hits / len(exact_pairs) >= 0.3, hits / len(exact_pairs)
 
 
+def test_pq_augment_covers_recorded_dims(spark, emb, tmp_path):
+    """r8 ADVICE (medium): pq_augment_ann_index used pq_train's default
+    n_dims=64, silently PQ-encoding only the first 64 dims of a wider
+    index (_pad_matrix truncates) — ADC ranking degraded with no error.
+    It must read dims from _ann_meta.json.  Adversarial corpus: the
+    FIRST 64 dims are a shared constant, so prefix-only codes collapse
+    to ONE code for every row."""
+    import json as _json
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        build_ann_index,
+        pq_augment_ann_index,
+    )
+
+    wide = emb.where(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.concat(
+            F.array(*[F.lit(0.5)] * 64).cast("array<double>"),
+            F.slice("embedding", 1, 32).cast("array<double>"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "pq_wide")
+    build_ann_index(wide, root, n_centroids=4, n_iters=1)
+    pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=8)
+    with open(os.path.join(root, "_pq_meta.json")) as f:
+        assert _json.load(f)["n_dims"] == 96
+    codes = spark.read.parquet(os.path.join(root, "pq_codes"))
+    # truncated-to-prefix codes would be identical for every row
+    assert codes.select("codes").distinct().count() > 1
+    q = wide.where(F.col("vec_id") < 2)
+    exact = brute_force_topk(wide, q, k=3)
+    served = ann_search_pq(
+        spark, root, q, k=3, nprobe=4, rerank_factor=1000
+    )
+    assert _key(served) == _key(exact)
+
+
+def test_pq_augment_missing_dims_raises(spark, emb, tmp_path):
+    """An index whose meta lacks dims must refuse augmentation rather
+    than guess a width; an explicit n_dims override unblocks it."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        build_ann_index,
+        pq_augment_ann_index,
+    )
+
+    root = str(tmp_path / "pq_nodims")
+    build_ann_index(emb.where(F.col("vec_id") < 100), root, n_centroids=2)
+    meta_path = os.path.join(root, "_ann_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta.pop("dims")
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    with _pytest.raises(ValueError, match="dims"):
+        pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8, n_dims=64)
+    with open(os.path.join(root, "_pq_meta.json")) as f:
+        assert _json.load(f)["n_dims"] == 64
+
+
 def test_pq_sidecar_staleness_and_missing_gates(spark, emb, tmp_path):
     """Missing sidecar raises with the augment instruction; ingest
     after augmentation makes the sidecar STALE (fingerprint gate);

@@ -164,3 +164,43 @@ def test_interleaved_readers_never_observe_a_mix(spark, tmp_path, monkeypatch):
     for obs in observations:
         assert obs in valid, (obs, valid)
     assert _totals(spark, state) == prefix_totals(len(history))
+
+
+def test_compaction_write_is_file_bounded_no_retrigger(spark, tmp_path):
+    """r8 ADVICE: the file-count trigger counted the live listing, but
+    the compacted write was not coalesced — a compaction landing >=
+    max_state_files part-files re-triggered compaction on EVERY
+    subsequent commit (each micro-batch an O(corpus) rewrite).  The
+    compacted directory must land under half the dial, and the next
+    commit must be a plain delta append, not another compaction."""
+    state = str(tmp_path / "state_bounded")
+    os.makedirs(state)
+    max_state_files = 8
+
+    def commit(rows, compact_wide=False):
+        meta = DS.read_marker(state)
+        delta = _mk(spark, rows)
+        old = DS.read_state(spark, state)
+        compacted = delta if old is None else old.unionByName(delta)
+        if compact_wide:
+            # a wide corpus union: without the coalesce this lands
+            # >= max_state_files part-files
+            compacted = compacted.repartition(2 * max_state_files)
+        return DS.commit_delta(
+            state, delta, compacted, meta, {},
+            max_delta_dirs=2, max_state_files=max_state_files,
+        )
+
+    commit([("a", 1)])
+    commit([("b", 2)])
+    # delta list full (max_delta_dirs=2) -> this commit compacts, and
+    # the compacted frame is deliberately 16-partition wide
+    meta = commit([("c", 3)], compact_wide=True)
+    assert len(DS.marker_dirs(meta)) == 1  # it DID compact
+    assert (
+        DS.state_file_count(state, meta) <= max_state_files // 2
+    ), DS.state_file_count(state, meta)
+    # the very next commit must append a delta, NOT re-compact
+    meta2 = commit([("d", 4)])
+    assert len(DS.marker_dirs(meta2)) == 2, meta2
+    assert _totals(spark, state) == {"a": 1, "b": 2, "c": 3, "d": 4}

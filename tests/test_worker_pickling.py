@@ -153,3 +153,47 @@ def test_by_value_is_callable_and_rejects_repo_globals():
     exec(code, ns)
     with pytest.raises(ValueError, match="worker-import trap"):
         by_value(ns["leaky_global"])
+
+
+def test_by_value_sees_through_nested_defs():
+    """r8 ADVICE: by_value scanned only the top-level co_names, so a
+    global referenced ONLY inside a nested def was (a) dropped from the
+    restricted globals (NameError on executors) and (b) never checked
+    for repo references (silent guard bypass).  Both paths must recurse
+    through nested code objects."""
+    import math
+
+    import pytest
+
+    from polars_w_inverted_index_spark.functions.pickling import by_value
+    import polars_w_inverted_index_spark.operators.packing as packing_mod
+
+    # (a) a stdlib global used only inside a nested def must survive
+    # into the copy's restricted globals
+    code = compile(
+        "def outer_ok(xs):\n"
+        "    def inner(x):\n"
+        "        return math.sqrt(x)\n"
+        "    return [inner(x) for x in xs]\n",
+        "<test>",
+        "exec",
+    )
+    ns = {"math": math}
+    exec(code, ns)
+    copy = by_value(ns["outer_ok"])
+    assert copy([4.0, 9.0]) == [2.0, 3.0]
+
+    # (b) a repo global reachable only through a nested def must be
+    # refused, not silently shipped by reference
+    code = compile(
+        "def outer_leaky(counts, budget):\n"
+        "    def inner():\n"
+        "        return bfd_assign(counts, budget)\n"
+        "    return inner()\n",
+        "<test>",
+        "exec",
+    )
+    ns = {"bfd_assign": packing_mod.bfd_assign}
+    exec(code, ns)
+    with pytest.raises(ValueError, match="worker-import trap"):
+        by_value(ns["outer_leaky"])
