@@ -281,6 +281,8 @@ def _extension_workload():
         "ext_ann_index_search": _ann_build_and_search,
         "ext_pq_search": _pq_encode_and_search,
         "ext_ann_pq_search": _ann_pq_search,
+        "ext_ann_pq_probe": _ann_pq_phase("probe"),
+        "ext_ann_pq_adc": _ann_pq_phase("adc"),
         "ext_bpe_train_encode": _bpe_train_encode,
         "ext_heavy_hitters_approx": lambda s, d: __import__(
             "polars_w_inverted_index_spark.operators.sketches",
@@ -435,6 +437,41 @@ def _ann_pq_search(s, d):
         pq_augment_ann_index(s, root, m_subspaces=8, n_codes=16)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return ann_search_pq(s, root, q, k=5, nprobe=4, rerank_factor=4)
+
+
+def _ann_pq_phase(stop_after):
+    """Phase decomposition of ext_ann_pq_search (r8 VERDICT task 6):
+    identical serve, stopped after the named phase.  Read as deltas —
+    probe = ext_ann_pq_probe, ADC codes-scan + candidate top-k =
+    ext_ann_pq_adc − probe, exact rerank = ext_ann_pq_search − adc.
+    (Cumulative timings of one lazy plan, so each entry re-executes the
+    earlier phases; the deltas are the honest per-phase costs.)"""
+
+    def _run(s, d):
+        from pyspark.sql import functions as F
+
+        from polars_w_inverted_index_spark.operators.ann_index import (
+            ann_search_pq,
+            build_ann_index,
+            pq_augment_ann_index,
+        )
+        from polars_w_inverted_index_spark.registry import scratch_dir
+        from polars_w_inverted_index_spark.sources.tables import load_table
+
+        emb = load_table(s, d, "embeddings")
+        st = os.stat(os.path.join(d, "embeddings.parquet"))
+        root = scratch_dir(f"ann_bench_{st.st_size}_{int(st.st_mtime)}", d)
+        if not os.path.exists(os.path.join(root, "_ann_meta.json")):
+            build_ann_index(emb, root, n_centroids=16, n_iters=1)
+        if not os.path.exists(os.path.join(root, "_pq_meta.json")):
+            pq_augment_ann_index(s, root, m_subspaces=8, n_codes=16)
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        return ann_search_pq(
+            s, root, q, k=5, nprobe=4, rerank_factor=4,
+            _stop_after=stop_after,
+        )
+
+    return _run
 
 
 def _ann_build_and_search(s, d):

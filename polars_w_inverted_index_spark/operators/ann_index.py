@@ -477,14 +477,12 @@ def ann_search(
 # IVF-PQ: product-quantized codes sidecar over the cell layout
 # ---------------------------------------------------------------------------
 
-def _cells_fingerprint(root: str) -> str:
-    """Content identity of the cells tree: sha256 over the sorted
-    (relative path, size) listing.  Any build/ingest/compaction changes
-    the file set, so a stale codes sidecar can never serve silently —
-    the IndexCatalog staleness discipline applied to the vector side."""
+def _cells_walk(cells_dir: str) -> str:
+    """Full O(#files) digest of the cells tree: sha256 over the sorted
+    (relative path, size) listing.  Module-level so tests can interpose
+    it (warm serves must not re-walk)."""
     import hashlib
 
-    cells_dir = os.path.join(root, "cells")
     entries = []
     for dirpath, _dirs, files in os.walk(cells_dir):
         for name in files:
@@ -496,6 +494,24 @@ def _cells_fingerprint(root: str) -> str:
     for rel, size in sorted(entries):
         h.update(f"{rel}\x00{size}\n".encode())
     return h.hexdigest()
+
+
+def _cells_fingerprint(root: str, use_cache: bool = True) -> str:
+    """Content identity of the cells tree.  Any build/ingest/compaction
+    changes the file set, so a stale codes sidecar can never serve
+    silently — the IndexCatalog staleness discipline applied to the
+    vector side.  Serving memoizes the walk behind the O(#dirs) mtime
+    token (functions/listing.py); the augmentation passes
+    ``use_cache=False`` so the PINNED fingerprint always comes from a
+    real walk."""
+    from ..functions.listing import cached_listing_digest
+
+    return cached_listing_digest(
+        os.path.join(root, "cells"),
+        _cells_walk,
+        "cells",
+        use_cache=use_cache,
+    )
 
 
 def pq_augment_ann_index(
@@ -559,7 +575,7 @@ def pq_augment_ann_index(
         vec_col="cv",
         n_dims=n_dims,
     )
-    fp = _cells_fingerprint(root)
+    fp = _cells_fingerprint(root, use_cache=False)
     codes_dir = os.path.join(root, "pq_codes")
     tmp_dir = codes_dir + "__tmp"
     old_dir = codes_dir + "__old"

@@ -453,6 +453,50 @@ def test_pq_sidecar_modest_rerank_recall(spark, emb, queries, index_root):
     assert hits / len(exact_pairs) >= 0.3, hits / len(exact_pairs)
 
 
+def test_pq_cells_fingerprint_cached_on_warm_serve(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The cells-tree staleness fingerprint must not re-walk the cells
+    listing on every warm serve (same r9 listing-cache contract as the
+    postings gate); ingest still flips it to STALE through the cache."""
+    import time
+
+    import pytest as _pytest
+
+    from polars_w_inverted_index_spark.functions.listing import (
+        invalidate_listing_cache,
+    )
+    from polars_w_inverted_index_spark.operators import ann_index as ai
+
+    root = str(tmp_path / "pq_cache")
+    ai.build_ann_index(
+        emb.where(F.col("vec_id") < 300), root, n_centroids=4
+    )
+    ai.pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    t = time.time() - 10.0
+    for dp, _dn, _fn in os.walk(root):
+        os.utime(dp, (t, t))
+
+    invalidate_listing_cache()
+    walks: list[str] = []
+    real_walk = ai._cells_walk
+    monkeypatch.setattr(
+        ai, "_cells_walk", lambda p: (walks.append(p), real_walk(p))[1]
+    )
+    q = emb.where(F.col("vec_id") < 3)
+    for _ in range(3):
+        assert ai.ann_search_pq(spark, root, q, k=3, nprobe=4).count() > 0
+    assert len(walks) == 1, walks  # one cold walk, then token hits
+
+    # ingest moves a cell dir mtime: the gate flips THROUGH the cache
+    ai.ann_index_add_batch(
+        spark, root, emb.where(F.col("vec_id").between(300, 310)),
+        batch_tag=1,
+    )
+    with _pytest.raises(ValueError, match="STALE"):
+        ai.ann_search_pq(spark, root, q, k=3)
+
+
 def test_pq_augment_covers_recorded_dims(spark, emb, tmp_path):
     """r8 ADVICE (medium): pq_augment_ann_index used pq_train's default
     n_dims=64, silently PQ-encoding only the first 64 dims of a wider

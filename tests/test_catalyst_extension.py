@@ -247,6 +247,46 @@ _DRIVER = textwrap.dedent(
     )
     out["int_ids_type_declines"] = "lineitem.parquet" in physical(int_ids)
 
+    # 13. fingerprint-walk caching (r9 VERDICT task 3): warm indexed
+    #     planning must NOT re-walk the base table's file listing (the
+    #     O(#files) cost that grows with corpus size at 100 TB); an
+    #     append must still flip the gate through the cache.  The table
+    #     is backdated past the 2 s race window so caching engages.
+    import time
+    cache_tbl = os.path.join(root, "cache_tbl")
+    df.limit(400).write.mode("overwrite").parquet(cache_tbl)
+    df_c = spark.read.parquet(cache_tbl)
+    IndexCatalog(spark, root).build(
+        df_c, "cache_tbl", "l_returnflag", doc_id_col="l_orderkey"
+    )
+    def backdate(p, secs=10.0):
+        t = time.time() - secs
+        for dp, _dn, _fn in os.walk(p):
+            os.utime(dp, (t, t))
+    backdate(cache_tbl)
+    Rule = spark._jvm.org.polarsindex.PostingsIndexRule
+    Rule.invalidateFingerprintCache()
+    # py4j converts the AtomicLong (a java.lang.Number) to a plain int
+    w0 = Rule.FULL_WALKS
+    p13 = physical(postings(df_c, "l_returnflag", doc_id_col="l_orderkey"))
+    out["cache_cold_serves"] = "cache_tbl__l_returnflag" in p13
+    w1 = Rule.FULL_WALKS
+    out["cache_cold_walked"] = w1 > w0
+    out["cache_warm_serves"] = all(
+        "cache_tbl__l_returnflag"
+        in physical(postings(df_c, "l_returnflag", doc_id_col="l_orderkey"))
+        for _ in range(2)
+    )
+    out["cache_warm_no_rewalk"] = Rule.FULL_WALKS == w1
+    df.limit(10).write.mode("append").parquet(cache_tbl)
+    spark.catalog.refreshByPath(cache_tbl)
+    out["cache_append_declines"] = "cache_tbl__l_returnflag" not in physical(
+        postings(
+            spark.read.parquet(cache_tbl), "l_returnflag",
+            doc_id_col="l_orderkey",
+        )
+    )
+
     # 10. flag off: same session semantics, rule inert.
     spark.conf.unset("spark.polars.index.root")
     out["flag_off_keeps_base"] = "lineitem.parquet" in physical(
@@ -300,6 +340,11 @@ def test_index_rewrite_end_to_end():
         "numeric_postings_serves": True,
         "raw_value_type_declines": True,
         "int_ids_type_declines": True,
+        "cache_cold_serves": True,
+        "cache_cold_walked": True,
+        "cache_warm_serves": True,
+        "cache_warm_no_rewalk": True,
+        "cache_append_declines": True,
         "flag_off_keeps_base": True,
     }, res
 

@@ -373,7 +373,7 @@ def test_build_closes_fingerprint_toctou(spark, lineitem, tmp_path):
     real_tf = IndexCatalog.__dict__["_table_fingerprint"]
     seq = iter(["A", "B", "B"])
     IndexCatalog._table_fingerprint = staticmethod(
-        lambda src: next(seq)
+        lambda src, use_cache=True: next(seq)
     )
     try:
         cat.build(tbl, "tbl", "l_returnflag", doc_id_col="l_orderkey")
@@ -384,7 +384,7 @@ def test_build_closes_fingerprint_toctou(spark, lineitem, tmp_path):
     # a table that never settles: loud failure, not a silent stale stamp
     seq2 = iter(["A", "B", "C", "D"])
     IndexCatalog._table_fingerprint = staticmethod(
-        lambda src: next(seq2)
+        lambda src, use_cache=True: next(seq2)
     )
     try:
         with pytest.raises(RuntimeError, match="raced concurrent writes"):
@@ -395,6 +395,73 @@ def test_build_closes_fingerprint_toctou(spark, lineitem, tmp_path):
     # the undisturbed path still records the REAL fingerprint and serves
     cat.build(tbl, "tbl", "l_returnflag", doc_id_col="l_orderkey")
     assert cat.lookup("tbl", "l_returnflag") is not None
+
+
+def test_fingerprint_cache_no_rewalk_and_append_flips(
+    spark, lineitem, tmp_path, monkeypatch
+):
+    """r8 VERDICT task 3: the O(#files) fingerprint walk must be cached
+    behind the O(#dirs) mtime token — (a) a warm lookup does NOT
+    re-walk (interposed _fingerprint_walk, the os.replace-interposition
+    pattern from test_delta_state_chaos), (b) an append to the base
+    table still flips the gate, and the stale verdict itself is then
+    served from cache, (c) a racily-fresh tree (modified inside the
+    2 s window) is never cached, so active ingest can't be masked."""
+    import os
+    import time
+
+    from polars_w_inverted_index_spark.functions.listing import (
+        invalidate_listing_cache,
+    )
+    from polars_w_inverted_index_spark.plans import catalog as catalog_mod
+
+    def backdate(path, secs=10.0):
+        # age every dir mtime past the race window so caching engages
+        t = time.time() - secs
+        for dirpath, _dn, _fn in os.walk(path):
+            os.utime(dirpath, (t, t))
+
+    base = str(tmp_path / "tbl")
+    lineitem.limit(200).write.mode("overwrite").parquet(base)
+    cat = IndexCatalog(spark, str(tmp_path / "idx"))
+    cat.build(
+        spark.read.parquet(base), "tbl", "l_returnflag",
+        doc_id_col="l_orderkey",
+    )
+
+    invalidate_listing_cache()
+    walks: list[str] = []
+    real_walk = catalog_mod._fingerprint_walk
+    monkeypatch.setattr(
+        catalog_mod,
+        "_fingerprint_walk",
+        lambda src: (walks.append(src), real_walk(src))[1],
+    )
+
+    # (c) freshly-written tree: inside the race window, NEVER cached
+    assert cat.lookup("tbl", "l_returnflag") is not None
+    assert cat.lookup("tbl", "l_returnflag") is not None
+    assert len(walks) == 2, walks
+
+    # (a) settled tree: one cold walk, then token hits — no re-walk
+    backdate(base)
+    walks.clear()
+    for _ in range(3):
+        assert cat.lookup("tbl", "l_returnflag") is not None
+    assert len(walks) == 1, walks
+
+    # (b) an append moves a dir mtime -> token changes -> real walk ->
+    # digest mismatch -> gate DECLINES (fail-closed through the cache)
+    lineitem.limit(50).write.mode("append").parquet(base)
+    assert cat.lookup("tbl", "l_returnflag") is None
+
+    # ... and once the appended tree settles, the STALE verdict is
+    # itself served from cache without re-walking
+    backdate(base)
+    walks.clear()
+    assert cat.lookup("tbl", "l_returnflag") is None
+    assert cat.lookup("tbl", "l_returnflag") is None
+    assert len(walks) == 1, walks
 
 
 def test_fingerprint_toctou_rebuild_reads_appended_files(spark, tmp_path):
