@@ -284,6 +284,41 @@ class IndexCatalog:
         with open(self._meta_path, "w") as f:
             json.dump(self._meta, f, indent=2)
 
+    def adopt_streaming_composite(
+        self,
+        table: str,
+        fields: list[str],
+        index_path: str,
+        doc_id_col: str = "doc_id",
+    ) -> None:
+        """Register a streaming-maintained COMPOSITE index
+        (streaming/index_maintenance.merge_composite_postings_batch
+        layout) so :meth:`lookup_composite` serves conjunctive equality
+        lookups from it — freshness is then the STREAM's contract
+        (every committed micro-batch is visible on the next lookup via
+        the re-resolved pointer), not the static fingerprint gate, which
+        is exactly what closes r8 VERDICT task 8: a statically-built
+        composite index is de-served by ANY base append until rebuilt.
+        Python-planner only, like :meth:`adopt_streaming`."""
+        norm = self._composite_fields(fields)
+        if len(norm) < 2:
+            raise ValueError(
+                "adopt_streaming_composite needs >= 2 fields; use "
+                "adopt_streaming for one"
+            )
+        fkey = self._composite_field_key(fields)
+        self._meta[self._key(table, fkey)] = {
+            "path": index_path,
+            "chunked": False,
+            "doc_id_col": doc_id_col,
+            "source": None,
+            "streaming": True,
+            "composite_fields": norm,
+        }
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump(self._meta, f, indent=2)
+
     def _write_with_stable_fingerprint(self, src, frame, write_fn) -> str | None:
         """Materialize an index (``write_fn(frame)`` builds and writes it
         from the given base frame) and return the base-table fingerprint
@@ -650,7 +685,14 @@ class IndexCatalog:
             meta.get("source")
         ) != fp:
             return None  # base table changed since the build: stale
-        df = self.spark.read.parquet(meta["path"])
+        if meta.get("streaming"):
+            from ..streaming.index_maintenance import read_composite_index
+
+            df = read_composite_index(self.spark, meta["path"])
+            if df is None:
+                return None
+        else:
+            df = self.spark.read.parquet(meta["path"])
         for f, v in norm_eq.items():
             df = df.where(F.col(f"v_{f}") == F.lit(str(v)))
         return df

@@ -103,6 +103,12 @@ def read_index_postings(
     should use :func:`read_index`'s raw chunk rows instead.
     """
     meta = _read_marker(index_path)
+    if meta is not None and meta.get("composite_fields"):
+        raise ValueError(
+            f"index at {index_path} is COMPOSITE (tuple-keyed over "
+            f"{meta['composite_fields']}); read it with "
+            "read_composite_index."
+        )
     df = read_index(spark, index_path)
     if df is None:
         return None
@@ -178,6 +184,30 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
     )
 
 
+def _replayed(meta: dict | None, batch_id: int | None) -> bool:
+    """foreachBatch at-least-once guard (shared by the single-field and
+    composite merges): True for an exact replay of the committed batch
+    (no-op), raise for a batch BEHIND the marker (reset/rewound
+    checkpoint — silently skipping would freeze the index forever)."""
+    if (
+        batch_id is None
+        or meta is None
+        or meta.get("batch_id") is None
+    ):
+        return False
+    if batch_id == meta["batch_id"]:
+        return True
+    if batch_id < meta["batch_id"]:
+        raise ValueError(
+            f"batch_id {batch_id} is behind the index's committed "
+            f"batch_id {meta['batch_id']}: the streaming checkpoint "
+            f"was reset or replaced. Use a fresh index_path for the "
+            f"new stream, or merge with batch_id=None for a manual "
+            f"backfill."
+        )
+    return False
+
+
 def merge_postings_batch(
     batch_df: DataFrame,
     field: str,
@@ -215,21 +245,14 @@ def merge_postings_batch(
     """
     spark = batch_df.sparkSession
     meta = _read_marker(index_path)
-    if (
-        batch_id is not None
-        and meta is not None
-        and meta.get("batch_id") is not None
-    ):
-        if batch_id == meta["batch_id"]:
-            return  # replayed micro-batch — already merged and committed
-        if batch_id < meta["batch_id"]:
-            raise ValueError(
-                f"batch_id {batch_id} is behind the index's committed "
-                f"batch_id {meta['batch_id']}: the streaming checkpoint "
-                f"was reset or replaced. Use a fresh index_path for the "
-                f"new stream, or merge with batch_id=None for a manual "
-                f"backfill."
-            )
+    if meta is not None and meta.get("composite_fields"):
+        raise ValueError(
+            f"index at {index_path} is COMPOSITE (tuple-keyed over "
+            f"{meta['composite_fields']}); merge with "
+            "merge_composite_postings_batch, not the single-field merge."
+        )
+    if _replayed(meta, batch_id):
+        return  # replayed micro-batch — already merged and committed
     if meta is not None:
         n_buckets = meta["n_buckets"]
         max_postings_per_row = meta.get("max_postings_per_row")
@@ -351,6 +374,7 @@ def _commit(
     next_m: int | None = None,
     max_rows: int | None = None,
     replace_buckets: bool = False,
+    composite_fields: list[str] | None = None,
 ) -> None:
     buckets = {} if replace_buckets else dict((meta or {}).get("buckets", {}))
     buckets.update(new_pointers)
@@ -364,6 +388,8 @@ def _commit(
         "max_postings_per_row": max_rows,
         "buckets": buckets,
     }
+    if composite_fields:
+        marker["composite_fields"] = composite_fields
     tmp = _latest_path(index_path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(marker, f)
@@ -389,6 +415,180 @@ def _prune(index_path: str, buckets: dict[str, str]) -> None:
                 shutil.rmtree(os.path.join(m_path, b_dir), ignore_errors=True)
         if not any(n.startswith("bucket=") for n in os.listdir(m_path)):
             shutil.rmtree(m_path, ignore_errors=True)
+
+
+def merge_composite_postings_batch(
+    batch_df: DataFrame,
+    fields: list[str],
+    index_path: str,
+    doc_id_col: str = "doc_id",
+    batch_id: int | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> None:
+    """Merge one micro-batch into a COMPOSITE (tuple-keyed) postings
+    index: rows ``[v_<f1>, ..., v_<fn>, doc_ids]``, one per distinct
+    value tuple — the streaming counterpart of
+    ``IndexCatalog.build_composite`` (r8 VERDICT task 8: composite
+    indexes were rebuild-only, so ANY base append de-served them until
+    a full rebuild; this keeps them fresh at O(batch) per micro-batch).
+
+    Same commit/layout/replay discipline as
+    :func:`merge_postings_batch` — value-hash buckets
+    (``pmod(xxhash64(v_f1, ..., v_fn), B)``: a tuple's postings always
+    live in one bucket), per-merge cost O(batch + touched buckets),
+    atomic ``_LATEST`` pointer swap, exact-replay no-op,
+    behind-the-marker raise.  Field set is order-normalized (sorted
+    flattened names, the ``build_composite`` convention) and recorded
+    in the marker; merging with a different field set raises.  Rows
+    where ANY component is null are suppressed (equality conjunctions
+    cannot match null — P5 extended to tuples).  Chunked rows are not
+    supported for composite indexes (hot TUPLES are rare by
+    construction; use more fields or the single-field chunked index).
+    """
+    from functools import reduce
+
+    from ..functions.paths import field_name_to_column
+
+    spark = batch_df.sparkSession
+    norm = sorted(field_name_to_column(f) for f in fields)
+    if len(norm) < 2:
+        raise ValueError(
+            "merge_composite_postings_batch needs >= 2 fields; use "
+            "merge_postings_batch for one"
+        )
+    if len(set(norm)) != len(norm):
+        raise ValueError(f"duplicate fields in {fields}")
+    vcols = [f"v_{f}" for f in norm]
+    meta = _read_marker(index_path)
+    if meta is not None and meta.get("composite_fields") != norm:
+        raise ValueError(
+            f"index at {index_path} is keyed over "
+            f"{meta.get('composite_fields') or 'a single field'}; this "
+            f"merge is over {norm}. One index, one key."
+        )
+    if _replayed(meta, batch_id):
+        return
+    if meta is not None:
+        n_buckets = meta["n_buckets"]
+
+    sel = [F.col(f).cast("string").alias(f"v_{f}") for f in norm]
+    bucket = F.pmod(F.xxhash64(*vcols), F.lit(n_buckets))
+    new = (
+        batch_df.select(
+            F.col(doc_id_col).cast("long").alias("_id"), *sel
+        )
+        .where(
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c).isNotNull() for c in vcols],
+                F.col("_id").isNotNull(),
+            )
+        )
+        .groupBy(*vcols)
+        .agg(F.collect_list("_id").alias("doc_ids"))
+        .withColumn("bucket", bucket)
+        .persist()
+    )
+    touched = sorted(
+        r["bucket"] for r in new.select("bucket").distinct().collect()
+    )
+    if not touched:
+        new.unpersist()
+        _commit(
+            index_path, meta, {}, batch_id, n_buckets,
+            composite_fields=norm,
+        )
+        return
+    old_buckets = (meta or {}).get("buckets", {})
+    old_paths = [
+        os.path.join(index_path, old_buckets[str(b)])
+        for b in touched
+        if str(b) in old_buckets
+    ]
+    if old_paths:
+        old = spark.read.parquet(*old_paths).withColumn("bucket", bucket)
+        merged = (
+            old.select("bucket", *vcols, "doc_ids")
+            .unionByName(new.select("bucket", *vcols, "doc_ids"))
+            .groupBy("bucket", *vcols)
+            .agg(
+                F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
+                    "doc_ids"
+                )
+            )
+        )
+    else:
+        merged = new.select(
+            "bucket", *vcols, F.sort_array("doc_ids").alias("doc_ids")
+        )
+    next_m = (meta or {}).get("merge", -1) + 1
+    out = os.path.join(index_path, f"m={next_m}")
+    merged.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out)
+    new.unpersist()
+    new_pointers = {
+        str(b): os.path.join(f"m={next_m}", f"bucket={b}") for b in touched
+    }
+    _commit(
+        index_path,
+        meta,
+        new_pointers,
+        batch_id,
+        n_buckets,
+        next_m,
+        composite_fields=norm,
+    )
+
+
+def read_composite_index(
+    spark: SparkSession, index_path: str
+) -> DataFrame | None:
+    """Committed ``[v_<f1>, ..., doc_ids]`` snapshot of a streaming
+    composite index, or None if empty.  Raises on a single-field index
+    (schemas must never cross)."""
+    meta = _read_marker(index_path)
+    if meta is None or not meta["buckets"]:
+        return None
+    if not meta.get("composite_fields"):
+        raise ValueError(
+            f"index at {index_path} is single-field; read it with "
+            "read_index_postings."
+        )
+    df = read_index(spark, index_path)
+    return df.drop("bucket") if df is not None else None
+
+
+def start_composite_index_maintenance(
+    stream_df: DataFrame,
+    fields: list[str],
+    index_path: str,
+    checkpoint: str,
+    doc_id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+):
+    """Attach the composite merge to a streaming source; returns the
+    StreamingQuery (the :func:`start_index_maintenance` twin)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_composite_postings_batch(
+            batch_df,
+            fields,
+            index_path,
+            doc_id_col,
+            batch_id=batch_id,
+            n_buckets=n_buckets,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_index_maintenance(

@@ -719,3 +719,140 @@ def test_adopt_streaming_index_serves_engine_queries(spark, tmp_path):
     )
     # identity gate: a different doc_id_col declines the adopted index
     assert cat.lookup("events", "event_type", doc_id_col="other") is None
+
+
+def test_static_composite_deserved_on_append_pinned(spark, lineitem, tmp_path):
+    """r8 VERDICT task 8 (contract half): a statically-built composite
+    index is REBUILD-ONLY — any base append flips its staleness gate and
+    every conjunctive lookup visibly falls back to the base plan (None /
+    base-scan answer), never a silently-stale tuple serve."""
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.engine import Engine
+
+    base = str(tmp_path / "tbl")
+    lineitem.limit(300).write.mode("overwrite").parquet(base)
+    tbl = spark.read.parquet(base)
+    cat = IndexCatalog(spark, str(tmp_path / "idx"))
+    cat.build_composite(
+        tbl, "tbl", ["l_returnflag", "l_linestatus"],
+        doc_id_col="l_orderkey",
+    )
+    eq = {"l_returnflag": "R", "l_linestatus": "F"}
+    assert cat.lookup_composite("tbl", eq) is not None
+
+    lineitem.limit(50).write.mode("append").parquet(base)
+    assert cat.lookup_composite("tbl", eq) is None  # visible fallback
+
+    # the engine path stays green (and post-append CORRECT) via the base
+    eng = Engine(
+        spark, df=spark.read.parquet(base), doc_id_col="l_orderkey",
+        index_catalog=cat, table_name="tbl",
+    )
+    got = sorted(
+        r["l_orderkey"] for r in eng.get_doc_ids_where(eq).collect()
+    )
+    want = sorted(
+        r["l_orderkey"]
+        for r in spark.read.parquet(base)
+        .where(
+            (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+            & F.col("l_orderkey").isNotNull()
+        )
+        .select("l_orderkey")
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_streaming_composite_index_serves_and_stays_fresh(spark, tmp_path):
+    """r8 VERDICT task 8 (maintenance half): tuple-keyed postings kept
+    current by foreachBatch merges — adopted into the catalog, a
+    post-append (second micro-batch) conjunctive lookup serves the
+    UPDATED postings with no rebuild; replay is a no-op; a rewound
+    batch raises; the single-field read/merge paths refuse the
+    composite layout."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from polars_w_inverted_index_spark.engine import Engine
+    from polars_w_inverted_index_spark.streaming.index_maintenance import (
+        merge_composite_postings_batch,
+        merge_postings_batch,
+        read_composite_index,
+        read_index_postings,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    fields = ["event_type", "user_id"]
+
+    idx = str(tmp_path / "stream_cidx")
+    merge_composite_postings_batch(
+        half1, fields, idx, "event_id", batch_id=0
+    )
+    cat = IndexCatalog(spark, str(tmp_path / "cat"))
+    cat.adopt_streaming_composite(
+        "events", fields, idx, doc_id_col="event_id"
+    )
+    eng = Engine(
+        spark, df=events, doc_id_col="event_id",
+        index_catalog=cat, table_name="events",
+    )
+
+    def truth(df, eq):
+        cond = F.col("event_id").isNotNull()
+        for f, v in eq.items():
+            cond = cond & (F.col(f).cast("string") == str(v))
+        return sorted(r["event_id"] for r in df.where(cond).collect())
+
+    # pick a tuple that actually occurs
+    sample = events.select("event_type", "user_id").first()
+    eq = {
+        "event_type": sample["event_type"],
+        "user_id": str(sample["user_id"]),
+    }
+
+    hit = cat.lookup_composite("events", eq, doc_id_col="event_id")
+    assert hit is not None
+    got1 = sorted(
+        r["event_id"] for r in eng.get_doc_ids_where(eq).collect()
+    )
+    assert got1 == truth(half1, eq)
+
+    # second micro-batch: SAME catalog entry now serves the full corpus
+    merge_composite_postings_batch(
+        half2, fields, idx, "event_id", batch_id=1
+    )
+    got2 = sorted(
+        r["event_id"] for r in eng.get_doc_ids_where(eq).collect()
+    )
+    assert got2 == truth(events, eq) and len(got2) > len(got1)
+
+    # exact replay: no-op (not a double merge)
+    merge_composite_postings_batch(
+        half2, fields, idx, "event_id", batch_id=1
+    )
+    assert sorted(
+        r["event_id"] for r in eng.get_doc_ids_where(eq).collect()
+    ) == got2
+    # rewound checkpoint: loud
+    with _pytest.raises(ValueError, match="behind"):
+        merge_composite_postings_batch(
+            half1, fields, idx, "event_id", batch_id=0
+        )
+    # field-set and layout cross-guards
+    with _pytest.raises(ValueError, match="one key"):
+        merge_composite_postings_batch(
+            half1, ["event_type", "value"], idx, "event_id", batch_id=2
+        )
+    with _pytest.raises(ValueError, match="COMPOSITE"):
+        merge_postings_batch(half1, "event_type", idx, "event_id")
+    with _pytest.raises(ValueError, match="COMPOSITE"):
+        read_index_postings(spark, idx)
+    # subset lookups must not be answered by the composite entry
+    assert cat.lookup_composite(
+        "events", {"event_type": eq["event_type"]}
+    ) is None
+    assert read_composite_index(spark, idx).count() > 0
