@@ -156,6 +156,9 @@ def embedding_dedup_eval_report(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_vecs: int = 5_000,
+    pq_m: int = 8,
+    pq_codes: int = 16,
+    pq_rerank_factors: tuple[int, ...] = (2, 4, 8),
 ) -> DataFrame:
     """``[section='embedding_dedup_eval', metric, value_num,
     value_str]`` — measured recall/precision of the EMBEDDING-space
@@ -174,6 +177,13 @@ def embedding_dedup_eval_report(
       centroid/nprobe dials) vs brute-force exact top-k — neighbor-set
       recall@k averaged over the query set, the number that tells you
       whether nprobe is high enough for the corpus's cluster shape.
+    - PQ recall at REALISTIC rerank factors (r8 VERDICT task 7: the
+      driver row only pins the full-coverage identity): for each
+      ``pq_rerank_factors`` entry, ADC over (``pq_m``, ``pq_codes``)
+      codes proposes ``k·factor`` candidates and exact re-rank keeps
+      top-k — the recall-vs-candidate-width dial a deployment actually
+      tunes (factor == |corpus|/k degenerates to brute force; these
+      rows show what factor 2/4/8 trade away on THIS corpus).
 
     SAMPLED-CORPUS diagnostic like its text twin: pair truth is
     O(n²/2), so corpora past ``max_vecs`` fail loudly — sample
@@ -258,6 +268,31 @@ def embedding_dedup_eval_report(
     ann_tp = exact.join(
         approx, ["query_id", "neighbor_id"], "left_semi"
     ).count()
+
+    # -- PQ dial eval (ADC recall + exact rerank at realistic factors) -
+    from .operators.pq import pq_encode, pq_topk_rerank, pq_train
+
+    dims = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    cb = pq_train(
+        embeddings,
+        m_subspaces=min(pq_m, dims),
+        n_codes=pq_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_dims=dims,
+    )
+    enc = pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col).persist()
+    enc.count()
+    pq_tp = {}
+    for factor in pq_rerank_factors:
+        served = pq_topk_rerank(
+            embeddings, enc, queries, cb,
+            k=topk, rerank_factor=factor, id_col=id_col, vec_col=vec_col,
+        ).select("query_id", "neighbor_id")
+        pq_tp[factor] = exact.join(
+            served, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+    enc.unpersist()
     exact.unpersist()
 
     def _ratio(num: int, den: int) -> float | None:
@@ -294,6 +329,16 @@ def embedding_dedup_eval_report(
             ann_dials,
         ),
     ]
+    for factor in pq_rerank_factors:
+        rows.append(
+            (
+                "embedding_dedup_eval",
+                f"pq_rerank_recall_at_k[factor={factor}]",
+                _ratio(pq_tp[factor], exact_n),
+                f"k={topk},m={min(pq_m, dims)},codes={pq_codes},"
+                f"factor={factor},queries={n_query_vecs}",
+            )
+        )
     return spark.createDataFrame(
         rows, "section string, metric string, value_num double, value_str string"
     )

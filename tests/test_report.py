@@ -206,3 +206,39 @@ def test_dedup_eval_guard_rejects_unsampled_corpora(spark):
     )
     with pytest.raises(ValueError, match="sample"):
         dedup_eval_report(big, max_docs=50)
+
+
+def test_embedding_dedup_eval_pq_dial_rows(emb_eval):
+    """r8 VERDICT task 7: PQ recall rows at realistic rerank factors.
+    Candidates at factor f1 < f2 are a PREFIX of the same ADC ranking,
+    so recall must be monotone non-decreasing in the factor; every row
+    is a real ratio in (0, 1] with the dials recorded."""
+    recs = [
+        emb_eval[f"pq_rerank_recall_at_k[factor={f}]"]["value_num"]
+        for f in (2, 4, 8)
+    ]
+    assert all(r is not None and 0.0 < r <= 1.0 for r in recs), recs
+    assert recs[0] <= recs[1] <= recs[2], recs
+    assert (
+        "m=8" in emb_eval["pq_rerank_recall_at_k[factor=4]"]["value_str"]
+    )
+
+
+def test_pq_dial_factor4_floor_matches_pq_gate(spark, sf_dir):
+    """The report's factor-4 recall on the REAL sf corpus (random
+    gaussian embeddings — the PQ-adversarial case) must clear the same
+    conservative floor test_pq pins for the rerank path, tying the
+    report's dial rows to the operator gate."""
+    from test_pq import RER_FLOOR
+
+    from polars_w_inverted_index_spark.report import (
+        embedding_dedup_eval_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rep = embedding_dedup_eval_report(emb, threshold=0.2, topk=5)
+    rows = {r["metric"]: r for r in rep.collect()}
+    f4 = rows["pq_rerank_recall_at_k[factor=4]"]["value_num"]
+    f8 = rows["pq_rerank_recall_at_k[factor=8]"]["value_num"]
+    assert f8 is not None and f8 >= RER_FLOOR, (f4, f8)
+    assert f4 is not None and 0.0 < f4 <= f8 + 1e-9, (f4, f8)
