@@ -725,11 +725,12 @@ def _materialize(df) -> int:
 
 
 # Probe time on the reference machine (measured 2026-08-15, round 9,
-# best-of-3 on the idle grading box).  logs10m_total_norm =
-# logs10m_total * (CALIB_REF / calibration_s): a normalized value that
-# moves while the raw value tracks the probe is a code change; both
-# moving together is machine drift.
-CALIB_REF = 0.55
+# best-of-3 on the idle grading box: 0.3436 / 0.3563 s on consecutive
+# JVMs).  logs10m_total_norm = logs10m_total * (CALIB_REF /
+# calibration_s): a normalized value that moves while the raw value
+# tracks the probe is a code change; both moving together is machine
+# drift.
+CALIB_REF = 0.345
 
 
 def _calibration(spark) -> float:
@@ -778,7 +779,14 @@ def main() -> None:
     # When the jar is built, bind the Catalyst index-rewrite extension to
     # the bench JVM (extensions attach at JVM creation only).  The rule
     # stays dormant — it fires only while an entry sets the runtime
-    # index-root conf — so every other timing is unaffected.
+    # index-root conf — so every other timing is unaffected.  MEASURED
+    # (r9 A/B, SPARK_GRAFT_HEADLINE_ONLY with/without SPARK_GRAFT_NO_EXT,
+    # best-of-3 per query): common-entry graded totals 4.33 s bound vs
+    # 4.32 s unbound (0.2%, inside noise; the calibration probe moved
+    # 3.7% the OTHER way between the two JVMs) — the rule's per-query
+    # planning cost is below measurement because apply() returns on the
+    # empty ROOT_KEY conf before any tree traversal.  The r8 uniform
+    # drift is therefore environment noise, not the extension.
     ext_conf = (
         {
             "spark.jars": DEFAULT_JAR,
@@ -804,13 +812,15 @@ def main() -> None:
         logs, logs_extra = _logs_workload(spark)
     # Heavy 10 M-row queries run LAST so their memory pressure can't
     # bleed into the small-query timings.
-    workload: dict = {
-        **headline,
-        **registry.QUERIES,
-        **_extension_workload(),
-        **logs,
-        **logs_extra,
-    }
+    workload: dict = dict(headline)
+    # SPARK_GRAFT_HEADLINE_ONLY=1 times only the baseline-graded suite —
+    # the fast loop for the extension-bound vs unbound A/B (pair it with
+    # SPARK_GRAFT_NO_EXT) and for calibration-probe experiments.
+    if not os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        workload.update(registry.QUERIES)
+        workload.update(_extension_workload())
+    workload.update(logs)
+    workload.update(logs_extra)
 
     import gc
 

@@ -268,6 +268,45 @@ WHERE CAST(l_returnflag AS VARCHAR) = 'R'
 """
 
 
+def q_index_composite_streaming_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r9 streaming-maintained composite index serving the SAME
+    conjunctive lookup as ``index_composite_lookup``: the tuple postings
+    are built by TWO foreachBatch-style merges (halves of lineitem)
+    instead of a static build, adopted into the catalog, and served via
+    the re-resolved pointer — same oracle (the conjunctive base filter),
+    so a hash match proves the incremental merge converges to the static
+    build's answer."""
+    from .plans.catalog import IndexCatalog
+    from .streaming.index_maintenance import (
+        merge_composite_postings_batch,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    idx = scratch_dir("idxcat_comp_stream_idx", sf_dir, wipe=True)
+    fields = ["l_returnflag", "l_linestatus"]
+    merge_composite_postings_batch(
+        li.where(F.col("l_orderkey") % 2 == 0), fields, idx,
+        "l_orderkey", batch_id=0,
+    )
+    merge_composite_postings_batch(
+        li.where(F.col("l_orderkey") % 2 == 1), fields, idx,
+        "l_orderkey", batch_id=1,
+    )
+    cat = IndexCatalog(spark, scratch_dir("idxcat_comp_stream", sf_dir))
+    cat.adopt_streaming_composite(
+        "lineitem", fields, idx, doc_id_col="l_orderkey"
+    )
+    eng = Engine(
+        spark, df=li, doc_id_col="l_orderkey", index_catalog=cat,
+        table_name="lineitem",
+    )
+    return eng.get_doc_ids_where(
+        {"l_returnflag": "R", "l_linestatus": "F"}
+    ).withColumnRenamed("l_orderkey", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Registry assembly
 # --------------------------------------------------------------------------
@@ -310,6 +349,21 @@ _CORE: list[Slot] = [
         "index_composite_lookup",
         q_index_composite_lookup,
         SQL_INDEX_COMPOSITE,
+    ),
+    # r9 candidate (registry at the 50-row cap): the STREAMING-maintained
+    # composite index serving the same conjunctive lookup; ready to
+    # register on the next rotation.
+    Slot(
+        "index_composite_streaming_lookup",
+        q_index_composite_streaming_lookup,
+        SQL_INDEX_COMPOSITE,
+        registered=False,
+        evidence=(
+            "tests/test_index_catalog.py::"
+            "test_streaming_composite_index_serves_and_stays_fresh "
+            "(two-batch merge -> adopt -> serve == base truth; replay "
+            "no-op; rewound batch raises; layout cross-guards)"
+        ),
     ),
 ]
 
