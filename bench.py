@@ -724,13 +724,14 @@ def _materialize(df) -> int:
         return len(df.collect())
 
 
-# Probe time on the reference machine (measured 2026-08-15, round 9,
-# best-of-3 on the idle grading box: 0.3436 / 0.3563 s on consecutive
-# JVMs).  logs10m_total_norm = logs10m_total * (CALIB_REF /
-# calibration_s): a normalized value that moves while the raw value
-# tracks the probe is a code change; both moving together is machine
-# drift.
-CALIB_REF = 0.345
+# Probe time on the reference machine (measured 2026-08-15, round 9, on
+# a FULL bench run — the driver's shape; the probe reads ~0.28 s on a
+# fully C2-warmed JVM vs ~0.35 s after a short headline-only run, so the
+# pin must come from the full-run regime the per-round record uses).
+# logs10m_total_norm = logs10m_total * (CALIB_REF / calibration_s): a
+# normalized value that moves while the raw value tracks the probe is a
+# code change; both moving together is machine drift.
+CALIB_REF = 0.278
 
 
 def _calibration(spark) -> float:

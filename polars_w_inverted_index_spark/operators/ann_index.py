@@ -32,8 +32,10 @@ O(corpus · nprobe / n_centroids) regardless of corpus size.
 
 Centroid training is Lloyd's refinement written as DataFrame ops:
 
-- assignment: corpus ⋈ broadcast(centroids), argmax cosine — one narrow
-  pass, the only corpus-wide work per iteration;
+- assignment: one narrow Arrow-batched GEMM pass (collected bounded
+  centroid matrix in the closure, per-batch numpy matmul + argmax —
+  zero shuffle; see ``_assign_cells``), the only corpus-wide work per
+  iteration;
 - update: ``posexplode`` the assigned vectors, average per (cell, dim),
   re-assemble — shuffle keys bounded by n_centroids × dims, independent
   of corpus size;
@@ -126,6 +128,9 @@ def kmeans_centroids(
     return cent.select("cid", "centv", norm(F.col("centv")).alias("centn"))
 
 
+_MAX_COLLECTED_CENTROIDS = 65_536
+
+
 def _assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -136,65 +141,111 @@ def _assign_cells(
 ) -> DataFrame:
     """``[<id>, cell, crank, v, vn]`` — each vector's ``keep_n`` best
     centroids by cosine (ties → lowest cid, rounding before ranking for
-    cross-engine tie stability — same discipline as similarity.py).
+    tie stability — same discipline as similarity.py).
 
-    ``keep_n == 1`` — the CORPUS-WIDE pass (training assignment, index
-    build, batch ingest) — is an argmax aggregation, ``max(struct(ccos,
-    -cell, ...))``: partial aggregation collapses each map task's
-    |rows|×|centroids| scored rows to ONE row per vector before the
-    exchange, so the shuffle carries |corpus| rows.  A ranking window
-    (``partitionBy(_id)``) would shuffle the full scored cross product —
-    |corpus|×|centroids| rows — which at 100 TB × 4096 centroids is the
-    difference between a plan that runs and one that doesn't.  The
-    window path remains for ``keep_n > 1``, used only on QUERY sets
-    (small by contract: probes).
+    ONE vectorized Arrow pass (r9): the centroid matrix is collected
+    once (bounded — a loud guard at 65,536; 4096 × 64-dim doubles is
+    2 MB) and each batch scores as a single numpy GEMM,
+    ``(batch × dims) @ (dims × n_centroids)``.  ZERO shuffle —
+    the previous form crossJoined the corpus against the broadcast
+    centroid frame and folded every pair through interpreted
+    ``zip_with``/``aggregate`` lambdas (higher-order expressions never
+    enter whole-stage codegen), which measured out at tens of MINUTES
+    for 1M rows × 32 centroids on local[32] (r9 crossover run) and
+    then still paid a |corpus|-row shuffle for the argmax.  The inline
+    ``similarity.ivf_topk`` keeps the pure-SQL-expression form — it is
+    the cross-engine-oracled twin; this operator is the scale path.
+
+    Vectors are zero-pad/truncated to the centroid width (the
+    ``_pad_matrix`` contract); zero-norm rows/centroids score 0.0.
     """
-    scored = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("vn"),
-        )
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "_id",
-            "v",
-            "vn",
-            F.col("cid").alias("cell"),
-            F.round(
-                cosine_with_norms("v", "centv", F.col("vn"), F.col("centn")),
-                round_digits,
-            ).alias("ccos"),
-        )
+    cent_rows = (
+        centroids.select("cid", "centv", "centn")
+        .limit(_MAX_COLLECTED_CENTROIDS + 1)
+        .collect()
     )
-    if keep_n == 1:
-        # struct comparison is field-ordered: ccos desc ≡ max ccos;
-        # ties → max(-cell) ≡ min cell — the window's exact tie rule
-        best = scored.groupBy("_id").agg(
-            F.max(
-                F.struct(
-                    F.col("ccos"),
-                    (-F.col("cell")).alias("negcell"),
-                    F.col("cell"),
-                    F.col("v"),
-                    F.col("vn"),
+    if len(cent_rows) > _MAX_COLLECTED_CENTROIDS:
+        raise ValueError(
+            f"_assign_cells collects the centroid frame; got > "
+            f"{_MAX_COLLECTED_CENTROIDS} centroids — shard the index."
+        )
+    if not cent_rows:
+        raise ValueError("_assign_cells: empty centroid frame")
+    cent_rows.sort(key=lambda r: r["cid"])  # argmax first-hit == lowest cid
+    cids = [r["cid"] for r in cent_rows]
+    cmat = [[float(x) for x in r["centv"]] for r in cent_rows]
+    cns = [float(r["centn"]) for r in cent_rows]
+    n_dims = max(len(c) for c in cmat)
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    vec_ddl = df.schema[vec_col].dataType.simpleString()
+    cell_ddl = centroids.schema["cid"].dataType.simpleString()
+    kn, rd = int(keep_n), int(round_digits)
+
+    def _gemm(it):
+        # SELF-CONTAINED worker closure (repo convention: imports inside,
+        # everything else a closure VALUE — a module-level helper would
+        # pickle by reference and executors would need the repo on path)
+        import numpy as np
+        import pandas as pd
+
+        C = np.zeros((len(cmat), n_dims), dtype=np.float64)
+        for i, c in enumerate(cmat):
+            C[i, : len(c)] = c[:n_dims]
+        cn = np.asarray(cns, dtype=np.float64)
+        cn_safe = np.where(cn > 0, cn, 1.0)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.zeros((len(pdf), n_dims), dtype=np.float64)
+            for i, v in enumerate(pdf["v"]):
+                a = np.asarray(v, dtype=np.float64)[:n_dims]
+                mat[i, : len(a)] = a
+            vn = np.linalg.norm(mat, axis=1)
+            vn_safe = np.where(vn > 0, vn, 1.0)
+            cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
+            cos[vn == 0, :] = 0.0
+            cos[:, cn == 0] = 0.0
+            cos = np.round(cos, rd)
+            if kn == 1:
+                best = cos.argmax(axis=1)  # first max == lowest cid
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"],
+                        "cell": [cids[i] for i in best],
+                        "crank": np.ones(len(pdf), dtype=np.int32),
+                        "v": pdf["v"],
+                        "vn": vn,
+                    }
                 )
-            ).alias("b")
-        )
-        return best.select(
-            "_id",
-            F.col("b.cell").alias("cell"),
-            F.lit(1).alias("crank"),
-            F.col("b.v").alias("v"),
-            F.col("b.vn").alias("vn"),
-        )
-    w = Window.partitionBy("_id").orderBy(
-        F.col("ccos").desc(), F.col("cell").asc()
+                continue
+            k = min(kn, len(cids))
+            # stable sort on -cos keeps index (== cid) order on ties
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+            out_id, out_cell, out_rank, out_v, out_vn = [], [], [], [], []
+            for j in range(len(pdf)):
+                for r in range(k):
+                    out_id.append(pdf["_id"].iloc[j])
+                    out_cell.append(cids[top[j, r]])
+                    out_rank.append(r + 1)
+                    out_v.append(pdf["v"].iloc[j])
+                    out_vn.append(vn[j])
+            yield pd.DataFrame(
+                {
+                    "_id": out_id,
+                    "cell": out_cell,
+                    "crank": out_rank,
+                    "v": out_v,
+                    "vn": out_vn,
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
     )
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") <= keep_n)
-        .select("_id", "cell", "crank", "v", "vn")
+    return base.mapInPandas(
+        _gemm,
+        f"_id {id_ddl}, cell {cell_ddl}, crank int, v {vec_ddl}, "
+        "vn double",
     )
 
 

@@ -320,13 +320,13 @@ def test_argmax_assignment_equals_window_path(emb):
     assert got == ref
 
     plan = fast._jdf.queryExecution().executedPlan().toString()
-    # struct-with-array agg buffers plan as SortAggregate/ObjectHash —
-    # any Aggregate node does partial (map-side) collapse; the banned
-    # shape is the Window over the scored cross product
-    assert any(
-        m in plan
-        for m in ("SortAggregate", "HashAggregate", "ObjectHashAggregate")
-    ), plan
+    # r9: the corpus-wide assignment is ONE narrow Arrow GEMM pass —
+    # no shuffle at all (the pre-r9 argmax aggregation still exchanged
+    # |corpus| rows, and its zip_with scoring was interpreted per pair);
+    # the banned shapes are any Exchange and the Window over the scored
+    # cross product
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
     assert "Window" not in plan
 
 

@@ -70,9 +70,9 @@ def main() -> None:
                 id_col="vec_id", vec_col="embedding",
             )
             pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=16)
-            q = emb.where(F.col("vec_id") % 1250 == 0).select(
+            q = emb.where(F.col("vec_id") % 50 == 0).select(
                 (F.col("vec_id") * mult).alias("vec_id"), "embedding"
-            ) if scale > 1 else emb.where(F.col("vec_id") % 1250 == 0)
+            ) if scale > 1 else emb.where(F.col("vec_id") % 50 == 0)
             nq = q.count()
             for nprobe in (4, 8):
                 out[f"{scale}x_float_nprobe{nprobe}"] = _best_of(
