@@ -448,72 +448,137 @@ def ann_search(
     vec_col: str = "embedding",
     round_digits: int = 5,
     max_probe_cells: int = 10_000,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Serve cosine top-k from a materialized index: zero corpus I/O.
 
     ``[query_id, neighbor_id, cos_sim, rank]`` — the contract of
     ``similarity.brute_force_topk`` / ``ivf_topk``.  Per query the
     ``nprobe`` best cells are searched; the union of probe cells across
-    the query set is collected (it is bounded by |Q|·nprobe ≤
-    ``max_probe_cells`` — the centroid ranking is centroid-sized work,
-    never corpus-sized) and pushed as a literal partition predicate, so
-    the cells read prunes to the probed directories at file-listing
-    time.  With ``nprobe >= n_centroids`` every cell is probed and the
-    result is EXACTLY brute force (same rounding, same tie order) — the
-    equivalence tests pin that.
+    the query set is collected (bounded by ``max_probe_cells``) and
+    pushed as a literal partition predicate, so the cells read prunes
+    to the probed directories at file-listing time.  With ``nprobe >=
+    n_centroids`` every cell is probed and the result is EXACTLY brute
+    force (same rounding, same tie order) — the equivalence tests pin
+    that.
+
+    Scoring is one vectorized Arrow pass over the probed cells (r9 —
+    the pq_topk batch shape): the BOUNDED query set is collected
+    (``max_query_rows`` guard, the PQ-path contract) and each cells
+    batch scores as a numpy GEMM against the queries probing its cell,
+    keeping a per-batch local top-k so only |Q|·k rows per batch reach
+    the global rank.  The previous per-pair ``zip_with`` cosine was
+    interpreted (higher-order exprs skip codegen) and measured 122 s
+    for 40 queries × 1 M rows at nprobe=4 on local[32] — this form
+    serves the same query set in well under a tenth of that (see
+    SCALE.md's crossover table).
     """
+    import numpy as np
+
     _recover_cells(root)  # finish any crash-interrupted compaction swap
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ann_search collects the query set to the driver; got > "
+            f"max_query_rows={max_query_rows} rows. Batch the queries "
+            "or raise max_query_rows explicitly."
+        )
+    q_id_ddl = queries.schema[id_col].dataType.simpleString()
+    empty_schema = (
+        f"query_id {q_id_ddl}, neighbor_id long, cos_sim double, rank int"
+    )
+    if not q_rows:
+        return spark.createDataFrame([], empty_schema)
     # identity gate (the IndexCatalog discipline): an index built over
-    # d-dim vectors must not score d'-dim queries — zip_with would
-    # silently truncate to the shorter prefix and return plausible
-    # nonsense.  The meta file records the build-time width.
+    # d-dim vectors must not score d'-dim queries — a silent truncation
+    # would return plausible nonsense.  Width read off the collected
+    # rows (no extra Spark job).
     meta_path = os.path.join(root, "_ann_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         want = meta.get("dims")
-        got = queries.select(F.size(vec_col).alias("d")).first()
-        if want is not None and got is not None and got["d"] != want:
+        got_d = len(q_rows[0]["qv"])
+        if want is not None and got_d != want:
             raise ValueError(
                 f"ann_search: index at {root} was built over {want}-dim "
-                f"vectors; query column {vec_col!r} has {got['d']} dims."
+                f"vectors; query column {vec_col!r} has {got_d} dims."
             )
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     probes = _assign_cells(
-        queries, cent, id_col, vec_col, keep_n=nprobe, round_digits=round_digits
-    ).select(
-        F.col("_id").alias("query_id"),
-        "cell",
-        F.col("v").alias("qv"),
-        F.col("vn").alias("qn"),
-    )
-    cell_rows = (
-        probes.select("cell").distinct().limit(max_probe_cells + 1).collect()
-    )
-    if len(cell_rows) > max_probe_cells:
+        queries, cent, id_col, vec_col, keep_n=nprobe,
+        round_digits=round_digits,
+    ).select(F.col("_id").alias("query_id"), "cell")
+    # |Q| is bounded by the guard above, so this collect is ≤ |Q|·nprobe
+    probe_rows = probes.collect()
+    probe_cells = sorted({r["cell"] for r in probe_rows})
+    if len(probe_cells) > max_probe_cells:
         raise ValueError(
             f"ann_search probes > max_probe_cells={max_probe_cells} cells; "
             "shrink the query set / nprobe or raise the cap explicitly"
         )
-    probe_cells = [r["cell"] for r in cell_rows]
+    n_dims = max(len(r["qv"]) for r in q_rows)
+    q_mat = np.zeros((len(q_rows), n_dims), dtype=np.float64)
+    for i, r in enumerate(q_rows):
+        a = np.asarray(r["qv"], dtype=np.float64)[:n_dims]
+        q_mat[i, : len(a)] = a
+    q_ids = [r["qid"] for r in q_rows]
+    q_index = {qid: j for j, qid in enumerate(q_ids)}
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    cell_qidx: dict = {}
+    for r in probe_rows:
+        cell_qidx.setdefault(r["cell"], []).append(q_index[r["query_id"]])
+
+    def _score(it):
+        import numpy as np
+        import pandas as pd
+
+        qn_safe = np.where(q_norm > 0, q_norm, 1.0)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out_q, out_n, out_s = [], [], []
+            for cell, grp in pdf.groupby("cell", sort=False):
+                qidx = cell_qidx.get(cell)
+                if not qidx:
+                    continue
+                mat = np.zeros((len(grp), n_dims), dtype=np.float64)
+                for i, v in enumerate(grp["cv"]):
+                    a = np.asarray(v, dtype=np.float64)[:n_dims]
+                    mat[i, : len(a)] = a
+                c_ids = grp["vec_id"].to_numpy()
+                vn = np.linalg.norm(mat, axis=1)
+                vn_safe = np.where(vn > 0, vn, 1.0)
+                qi = np.asarray(qidx, dtype=np.int64)
+                sims = (mat @ q_mat[qi].T) / np.outer(vn_safe, qn_safe[qi])
+                sims[vn == 0, :] = 0.0
+                sims[:, q_norm[qi] == 0] = 0.0
+                sims = np.round(sims, round_digits)
+                for col, j in enumerate(qi):
+                    qid = q_ids[j]
+                    keep = np.nonzero(c_ids != qid)[0]  # no self-match
+                    if not len(keep):
+                        continue
+                    vals = sims[keep, col]
+                    top = keep[np.lexsort((c_ids[keep], -vals))[:k]]
+                    out_q.extend([qid] * len(top))
+                    out_n.extend(c_ids[top])
+                    out_s.extend(sims[top, col])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
     cells = (
         spark.read.parquet(os.path.join(root, "cells"))
         .where(F.col("cell").isin(probe_cells))  # static partition pruning
-        .withColumnRenamed("vec_id", "neighbor_id")
+        .select("cell", "vec_id", "cv")
     )
-    scored = (
-        probes.join(cells, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_with_norms(
-                    "qv", "cv", F.col("qn"), F.col("cn")
-                ),
-                round_digits,
-            ).alias("cos_sim"),
-        )
+    scored = cells.mapInPandas(
+        _score, f"query_id {q_id_ddl}, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
