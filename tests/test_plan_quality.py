@@ -230,14 +230,15 @@ def test_round4_operator_plan_shapes(spark, sf_dir, tmp_path):
     )
     plan = _plan(served)
     assert "CartesianProduct" not in plan
-    # the ONLY nested-loop joins are the deliberate broadcast crosses
-    # against the n_centroids-row centroid frame (bounded by contract);
-    # the probe⋈cells join must be a hash join, never nested-loop
-    import re as _re
-
-    bnlj = _re.findall(r"BroadcastNestedLoopJoin [^\n]*", plan)
-    assert all("BuildRight, Cross" in b for b in bnlj), bnlj
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    # r9 serve shape: ONE Arrow GEMM pass over the partition-pruned
+    # cells (no probe⋈cells join at all — the query set ships in the
+    # closure), then the global top-k window.  Banned: any join, any
+    # interpreted per-pair scoring; required: the partition filter
+    # proving the cells read pruned to the probed cells.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan
+    assert "PartitionFilters: [cell#" in plan, plan
 
     cur = curriculum_order(
         doc.select("doc_id", "n_chars"), "n_chars", n_stages=3
