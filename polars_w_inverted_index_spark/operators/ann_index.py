@@ -825,16 +825,15 @@ def ann_search_pq(
         queries, cent, id_col, vec_col, keep_n=nprobe,
         round_digits=round_digits,
     ).select(F.col("_id").alias("query_id"), "cell")
-    cell_rows = (
-        probes.select("cell").distinct().limit(max_probe_cells + 1).collect()
-    )
-    if len(cell_rows) > max_probe_cells:
+    # |Q| is bounded by the guard above, so this collect is ≤ |Q|·nprobe
+    probe_rows = probes.collect()
+    probe_cells = sorted({r["cell"] for r in probe_rows})
+    if len(probe_cells) > max_probe_cells:
         raise ValueError(
             f"ann_search_pq probes > max_probe_cells={max_probe_cells} "
             "cells; shrink the query set / nprobe or raise the cap "
             "explicitly"
         )
-    probe_cells = [r["cell"] for r in cell_rows]
     if _stop_after == "probe":
         return probes
 
@@ -843,72 +842,86 @@ def ann_search_pq(
     # per-query (m × n_codes) LUT dict — at max_query_rows=100k that
     # dict is ~100+ MB serialized into EVERY task.  LUTs are built once
     # per worker from the compact arrays (the pq_topk._scan shape).
+    # The ADC scan itself is JOIN-FREE (r9): the previous form joined
+    # probes onto the codes and windowed over the full |Q|-duplicated
+    # pair frame — 10 M shuffled rows for 40 queries × 1 M codes; now
+    # one Arrow pass over the pruned codes scores each batch against
+    # the queries probing its cell and keeps a LOCAL top-(k·factor), so
+    # only |Q|·k·factor rows per batch reach the global rank (the
+    # ann_search/pq_topk shape).
     slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
     books = cb.books
     q_mat = _pad_matrix([r["qv"] for r in q_rows], cb.n_dims)
-    q_index = {int(r["qid"]): j for j, r in enumerate(q_rows)}
+    q_ids = [r["qid"] for r in q_rows]
+    q_index = {qid: j for j, qid in enumerate(q_ids)}
     q_norm = np.linalg.norm(q_mat, axis=1)
+    cell_qidx: dict = {}
+    for r in probe_rows:
+        cell_qidx.setdefault(r["cell"], []).append(q_index[r["query_id"]])
+    n_cand = max(k * rerank_factor, k)
+    q_id_ddl = queries.schema[id_col].dataType.simpleString()
 
     def _adc(it):
         import pandas as pd
 
         cents = [np.asarray(b, dtype=np.float64) for b in books]
         # luts[s]: (n_codes, n_queries) — built once per worker;
-        # approx_dot(x, q) = sum_s luts[s][code_s(x), q_index[q]]
+        # approx_dot(x, q) = sum_s luts[s][code_s(x), j]
         luts = [
             cents[s] @ q_mat[:, lo:hi].T
             for s, (lo, hi) in enumerate(slices)
         ]
+        m = len(luts)
         for pdf in it:
             if not len(pdf):
                 continue
-            qids = pdf["query_id"].to_numpy(dtype=np.int64)
-            codes = np.vstack(pdf["codes"].to_numpy())
-            vnorm = pdf["vnorm"].to_numpy(dtype=np.float64)
-            sims = np.zeros(len(pdf), dtype=np.float64)
-            m = codes.shape[1]
-            for qid in np.unique(qids):
-                j = q_index[int(qid)]
-                if q_norm[j] == 0:
-                    continue  # zero-norm query scores 0 everywhere
-                rows = np.nonzero(qids == qid)[0]
-                sub = codes[rows]
-                dots = luts[0][sub[:, 0], j]
+            out_q, out_n, out_s = [], [], []
+            for cell, grp in pdf.groupby("cell", sort=False):
+                qidx = cell_qidx.get(cell)
+                if not qidx:
+                    continue
+                qi = np.asarray(qidx, dtype=np.int64)
+                codes = np.vstack(grp["codes"].to_numpy())
+                c_ids = grp["vec_id"].to_numpy()
+                vnorm = grp["vnorm"].to_numpy(dtype=np.float64)
+                vn_safe = np.where(vnorm > 0, vnorm, 1.0)
+                qn = q_norm[qi]
+                qn_safe = np.where(qn > 0, qn, 1.0)
+                dots = luts[0][codes[:, 0]][:, qi]
                 for s in range(1, m):
-                    dots = dots + luts[s][sub[:, s], j]
-                vsafe = np.where(vnorm[rows] > 0, vnorm[rows], 1.0)
-                vals = dots / (vsafe * q_norm[j])
-                vals[vnorm[rows] == 0] = 0.0
-                sims[rows] = vals
+                    dots = dots + luts[s][codes[:, s]][:, qi]
+                sims = dots / np.outer(vn_safe, qn_safe)
+                sims[vnorm == 0, :] = 0.0
+                sims[:, qn == 0] = 0.0
+                sims = np.round(sims, round_digits)
+                for col, j in enumerate(qi):
+                    qid = q_ids[j]
+                    keep = np.nonzero(c_ids != qid)[0]  # no self-match
+                    if not len(keep):
+                        continue
+                    vals = sims[keep, col]
+                    top = keep[np.lexsort((c_ids[keep], -vals))[:n_cand]]
+                    out_q.extend([qid] * len(top))
+                    out_n.extend(c_ids[top])
+                    out_s.extend(sims[top, col])
             yield pd.DataFrame(
-                {
-                    "query_id": qids,
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(
-                        dtype=np.int64
-                    ),
-                    "adc_sim": np.round(sims, round_digits),
-                }
+                {"query_id": out_q, "neighbor_id": out_n, "adc_sim": out_s}
             )
 
     codes_df = (
         spark.read.parquet(os.path.join(root, "pq_codes"))
         .where(F.col("cell").isin(probe_cells))  # static partition prune
-        .withColumnRenamed("vec_id", "neighbor_id")
+        .select("cell", "vec_id", "codes", "vnorm")
     )
-    pairs = (
-        probes.join(codes_df, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "codes", "vnorm")
-    )
-    scored = pairs.mapInPandas(
-        _adc, "query_id long, neighbor_id long, adc_sim double"
+    scored = codes_df.mapInPandas(
+        _adc, f"query_id {q_id_ddl}, neighbor_id long, adc_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id").asc()
     )
     cand = (
         scored.withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") <= max(k * rerank_factor, k))
+        .where(F.col("crank") <= n_cand)
         .select("query_id", "neighbor_id")
     )
     if _stop_after == "adc":
