@@ -94,20 +94,32 @@ def kmeans_centroids(
         c = cent.select(
             "cid", "centv", norm(F.col("centv")).alias("centn")
         )
-        assigned = _assign_cells(
-            corpus, c, id_col, vec_col, keep_n=1, round_digits=round_digits
-        ).select("cell", F.col("v").alias("vec"))
-        dims = assigned.select(
-            "cell", F.posexplode("vec").alias("pos", "x")
-        )
+        # Update step (r9): per-PARTITION partial sums instead of
+        # exploding the assigned corpus.  The pre-r9 form posexploded
+        # |corpus| × dims rows into the (cell, pos) shuffle — at 10⁹
+        # rows × 64 dims that is a 64-billion-row exchange per Lloyd
+        # iteration.  _cell_partial_sums accumulates (cell → Σvec, n)
+        # across every Arrow batch of a partition and emits ≤
+        # n_centroids rows per partition, so the shuffle carries
+        # partitions × cells × dims rows pre-combine (map-side combine
+        # collapses further) — independent of corpus row count.
+        sums = _cell_partial_sums(corpus, c, id_col, vec_col)
+        counts = sums.groupBy("cell").agg(F.sum("n").alias("cnt"))
         means = (
-            dims.groupBy("cell", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            sums.select("cell", F.posexplode("psum").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("sx"))
+            .join(counts, "cell")
             .groupBy("cell")
             .agg(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("pos", "m"))
+                        F.collect_list(
+                            F.struct(
+                                "pos",
+                                (F.col("sx") / F.col("cnt")).alias("m"),
+                            )
+                        )
                     ),
                     lambda s: s.getField("m"),
                 ).alias("centv")
@@ -129,6 +141,89 @@ def kmeans_centroids(
 
 
 _MAX_COLLECTED_CENTROIDS = 65_536
+
+
+def _collect_centroids(centroids: DataFrame):
+    """Bounded driver-side centroid matrix for the GEMM closures:
+    ``(cids, cmat, cns, n_dims)`` sorted by cid (argmax first-hit ==
+    lowest cid).  Loud guard — 4096 × 64-dim doubles is 2 MB."""
+    cent_rows = (
+        centroids.select("cid", "centv", "centn")
+        .limit(_MAX_COLLECTED_CENTROIDS + 1)
+        .collect()
+    )
+    if len(cent_rows) > _MAX_COLLECTED_CENTROIDS:
+        raise ValueError(
+            f"centroid frame collected for GEMM scoring exceeds "
+            f"{_MAX_COLLECTED_CENTROIDS} rows — shard the index."
+        )
+    if not cent_rows:
+        raise ValueError("empty centroid frame")
+    cent_rows.sort(key=lambda r: r["cid"])
+    cids = [r["cid"] for r in cent_rows]
+    cmat = [[float(x) for x in r["centv"]] for r in cent_rows]
+    cns = [float(r["centn"]) for r in cent_rows]
+    n_dims = max(len(c) for c in cmat)
+    return cids, cmat, cns, n_dims
+
+
+def _cell_partial_sums(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int = 5,
+) -> DataFrame:
+    """``[cell, psum array<double>, n long]`` — the Lloyd update's
+    map side: assign each row to its best cell (same GEMM + tie rule
+    as ``_assign_cells`` keep_n=1) and accumulate per-cell vector sums
+    ACROSS every Arrow batch of the partition, emitting at most
+    ``n_centroids`` rows per partition.  The reduce side then sums ≤
+    partitions × cells × dims rows — independent of corpus size."""
+    cids, cmat, cns, n_dims = _collect_centroids(centroids)
+    cell_ddl = centroids.schema["cid"].dataType.simpleString()
+    rd = int(round_digits)
+
+    def _sums(it):
+        # SELF-CONTAINED worker closure (repo convention)
+        import numpy as np
+        import pandas as pd
+
+        C = np.zeros((len(cmat), n_dims), dtype=np.float64)
+        for i, c in enumerate(cmat):
+            C[i, : len(c)] = c[:n_dims]
+        cn = np.asarray(cns, dtype=np.float64)
+        cn_safe = np.where(cn > 0, cn, 1.0)
+        acc = np.zeros((len(cmat), n_dims), dtype=np.float64)
+        cnt = np.zeros(len(cmat), dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.zeros((len(pdf), n_dims), dtype=np.float64)
+            for i, v in enumerate(pdf["v"]):
+                a = np.asarray(v, dtype=np.float64)[:n_dims]
+                mat[i, : len(a)] = a
+            vn = np.linalg.norm(mat, axis=1)
+            vn_safe = np.where(vn > 0, vn, 1.0)
+            cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
+            cos[vn == 0, :] = 0.0
+            cos[:, cn == 0] = 0.0
+            best = np.round(cos, rd).argmax(axis=1)
+            np.add.at(acc, best, mat)
+            np.add.at(cnt, best, 1)
+        hit = np.nonzero(cnt > 0)[0]
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    "cell": [cids[i] for i in hit],
+                    "psum": [acc[i].tolist() for i in hit],
+                    "n": cnt[hit],
+                }
+            )
+
+    return df.select(F.col(vec_col).alias("v")).mapInPandas(
+        _sums, f"cell {cell_ddl}, psum array<double>, n long"
+    )
 
 
 def _assign_cells(
@@ -159,23 +254,7 @@ def _assign_cells(
     Vectors are zero-pad/truncated to the centroid width (the
     ``_pad_matrix`` contract); zero-norm rows/centroids score 0.0.
     """
-    cent_rows = (
-        centroids.select("cid", "centv", "centn")
-        .limit(_MAX_COLLECTED_CENTROIDS + 1)
-        .collect()
-    )
-    if len(cent_rows) > _MAX_COLLECTED_CENTROIDS:
-        raise ValueError(
-            f"_assign_cells collects the centroid frame; got > "
-            f"{_MAX_COLLECTED_CENTROIDS} centroids — shard the index."
-        )
-    if not cent_rows:
-        raise ValueError("_assign_cells: empty centroid frame")
-    cent_rows.sort(key=lambda r: r["cid"])  # argmax first-hit == lowest cid
-    cids = [r["cid"] for r in cent_rows]
-    cmat = [[float(x) for x in r["centv"]] for r in cent_rows]
-    cns = [float(r["centn"]) for r in cent_rows]
-    n_dims = max(len(c) for c in cmat)
+    cids, cmat, cns, n_dims = _collect_centroids(centroids)
     id_ddl = df.schema[id_col].dataType.simpleString()
     vec_ddl = df.schema[vec_col].dataType.simpleString()
     cell_ddl = centroids.schema["cid"].dataType.simpleString()
