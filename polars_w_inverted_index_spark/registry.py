@@ -327,7 +327,29 @@ _CORE: list[Slot] = [
         SQL_NUMERIC_STATS_BY_DOC_IDS,
     ),
     Slot("index_value_lookup", q_value_lookup, SQL_VALUE_LOOKUP),
-    Slot("postings_chunked_merged", q_postings_chunked, SQL_FIELD_VALUES),
+    # ROTATED OUT r9 (slot went to index_composite_streaming_lookup):
+    # its oracle is literally SQL_FIELD_VALUES (chunked == unchunked,
+    # so the driver row duplicated field_values' check), and the
+    # chunked machinery is pinned by
+    # tests/test_reference_queries.py::test_postings_chunked_bounded_rows
+    # (row-bound invariant), tests/test_plan_quality.py (no static
+    # broadcast of per-value counts),
+    # tests/test_index_catalog.py::test_chunked_index_merges_on_lookup
+    # (catalog merge), and the JVM chunked-declines gate in
+    # tests/test_catalyst_extension.py.
+    Slot(
+        "postings_chunked_merged",
+        q_postings_chunked,
+        SQL_FIELD_VALUES,
+        registered=False,
+        evidence=(
+            "rotated out r9 (slot went to "
+            "index_composite_streaming_lookup): oracle duplicated "
+            "field_values by construction; chunked path pinned in "
+            "tests/test_reference_queries.py, tests/test_plan_quality.py, "
+            "tests/test_index_catalog.py, tests/test_catalyst_extension.py"
+        ),
+    ),
     # ROTATED OUT r8 (slot went to index_composite_lookup): the
     # single-field build→lookup roundtrip duplicated field_values'
     # oracle, is plan-pinned index-only in tests/test_index_catalog.py,
@@ -350,20 +372,16 @@ _CORE: list[Slot] = [
         q_index_composite_lookup,
         SQL_INDEX_COMPOSITE,
     ),
-    # r9 candidate (registry at the 50-row cap): the STREAMING-maintained
-    # composite index serving the same conjunctive lookup; ready to
-    # register on the next rotation.
+    # REGISTERED r9 (slot from postings_chunked_merged): the
+    # STREAMING-maintained composite index serving the same conjunctive
+    # lookup — two foreachBatch-style merges must converge to the
+    # static build's answer (hash-matched against the conjunctive base
+    # oracle).  Also pinned by tests/test_index_catalog.py::
+    # test_streaming_composite_index_serves_and_stays_fresh.
     Slot(
         "index_composite_streaming_lookup",
         q_index_composite_streaming_lookup,
         SQL_INDEX_COMPOSITE,
-        registered=False,
-        evidence=(
-            "tests/test_index_catalog.py::"
-            "test_streaming_composite_index_serves_and_stays_fresh "
-            "(two-batch merge -> adopt -> serve == base truth; replay "
-            "no-op; rewound batch raises; layout cross-guards)"
-        ),
     ),
 ]
 
@@ -401,6 +419,7 @@ for _s in TABLE:
 # rows that most need fresh evidence (previously missing or failed, newly
 # added) run first; the registry itself is kept to ≤50 entries.
 _PRIORITY = [
+    "index_composite_streaming_lookup",  # newly registered r9
     "index_composite_lookup",
     "span_dedup_spans",
     "events_asof_join",
