@@ -103,7 +103,7 @@ def kmeans_centroids(
         # n_centroids rows per partition, so the shuffle carries
         # partitions × cells × dims rows pre-combine (map-side combine
         # collapses further) — independent of corpus row count.
-        sums = _cell_partial_sums(corpus, c, id_col, vec_col)
+        sums = _cell_partial_sums(corpus, c, vec_col)
         counts = sums.groupBy("cell").agg(F.sum("n").alias("cnt"))
         means = (
             sums.select("cell", F.posexplode("psum").alias("pos", "x"))
@@ -170,7 +170,6 @@ def _collect_centroids(centroids: DataFrame):
 def _cell_partial_sums(
     df: DataFrame,
     centroids: DataFrame,
-    id_col: str,
     vec_col: str,
     round_digits: int = 5,
 ) -> DataFrame:
