@@ -30,6 +30,19 @@ Fail-closed discipline preserved:
 - builds pass ``use_cache=False`` (explicit invalidation): recorded
   fingerprints always come from a real walk.
 
+CONTRACT — write-once files (documented limit, r9 review): the token
+sees entry adds/removes/renames (directory mtime moves) but NOT an
+in-place rewrite of an existing file under the same name — no
+directory entry changes, so a warm cache would keep serving the
+pre-rewrite digest.  Spark never does this (appends add part-files,
+overwrites write new names), and Spark's own shared file-status /
+footer caches make the SAME write-once assumption (a non-Spark
+in-place rewriter already breaks them until ``refreshByPath``).  A
+pipeline that rewrites files in place must call
+:func:`invalidate_listing_cache` (or rebuild the index, which passes
+``use_cache=False``) — the same refresh discipline Spark itself
+requires.
+
 The JVM twin lives in PostingsIndexRule.listingToken — same token
 construction, same race window, so the two planners cache-hit and
 cache-miss identically.

@@ -103,7 +103,9 @@ def kmeans_centroids(
         # n_centroids rows per partition, so the shuffle carries
         # partitions × cells × dims rows pre-combine (map-side combine
         # collapses further) — independent of corpus row count.
-        sums = _cell_partial_sums(corpus, c, vec_col)
+        sums = _cell_partial_sums(
+            corpus, c, vec_col, round_digits=round_digits
+        )
         counts = sums.groupBy("cell").agg(F.sum("n").alias("cnt"))
         means = (
             sums.select("cell", F.posexplode("psum").alias("pos", "x"))
@@ -167,6 +169,34 @@ def _collect_centroids(centroids: DataFrame):
     return cids, cmat, cns, n_dims
 
 
+def _probe_rank(q_mat, cmat, cns, nprobe: int, round_digits: int):
+    """Driver-side probe ranking: ``(|Q|, min(nprobe, n_cells))``
+    CENTROID INDICES (index order == sorted-cid order), same GEMM +
+    tie rule as ``_assign_cells`` (round before rank, stable sort →
+    lowest cid wins ties).  Runs on the ALREADY-collected query matrix
+    so serving never executes the query plan a second time — a
+    nondeterministic query frame (sample/limit/rand) would otherwise
+    return different ids on the probe pass than on the collect
+    (r9 review finding)."""
+    import numpy as np
+
+    n_dims = q_mat.shape[1]
+    C = np.zeros((len(cmat), n_dims), dtype=np.float64)
+    for i, c in enumerate(cmat):
+        a = np.asarray(c, dtype=np.float64)[:n_dims]
+        C[i, : len(a)] = a
+    cn = np.asarray(cns, dtype=np.float64)
+    cn_safe = np.where(cn > 0, cn, 1.0)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn_safe = np.where(qn > 0, qn, 1.0)
+    cos = (q_mat @ C.T) / np.outer(qn_safe, cn_safe)
+    cos[qn == 0, :] = 0.0
+    cos[:, cn == 0] = 0.0
+    cos = np.round(cos, round_digits)
+    k = min(int(nprobe), len(cmat))
+    return np.argsort(-cos, axis=1, kind="stable")[:, :k]
+
+
 def _cell_partial_sums(
     df: DataFrame,
     centroids: DataFrame,
@@ -200,6 +230,8 @@ def _cell_partial_sums(
                 continue
             mat = np.zeros((len(pdf), n_dims), dtype=np.float64)
             for i, v in enumerate(pdf["v"]):
+                if v is None:  # NULL vec -> zero vector (scores 0.0)
+                    continue
                 a = np.asarray(v, dtype=np.float64)[:n_dims]
                 mat[i, : len(a)] = a
             vn = np.linalg.norm(mat, axis=1)
@@ -276,6 +308,8 @@ def _assign_cells(
                 continue
             mat = np.zeros((len(pdf), n_dims), dtype=np.float64)
             for i, v in enumerate(pdf["v"]):
+                if v is None:  # NULL vec -> zero vector (scores 0.0)
+                    continue
                 a = np.asarray(v, dtype=np.float64)[:n_dims]
                 mat[i, : len(a)] = a
             vn = np.linalg.norm(mat, axis=1)
@@ -580,36 +614,34 @@ def ann_search(
         with open(meta_path) as f:
             meta = json.load(f)
         want = meta.get("dims")
-        got_d = len(q_rows[0]["qv"])
-        if want is not None and got_d != want:
+        widths = [len(r["qv"]) for r in q_rows if r["qv"] is not None]
+        got_d = widths[0] if widths else None
+        if want is not None and got_d is not None and got_d != want:
             raise ValueError(
                 f"ann_search: index at {root} was built over {want}-dim "
                 f"vectors; query column {vec_col!r} has {got_d} dims."
             )
+    from .pq import _pad_matrix
+
     cent = spark.read.parquet(os.path.join(root, "centroids"))
-    probes = _assign_cells(
-        queries, cent, id_col, vec_col, keep_n=nprobe,
-        round_digits=round_digits,
-    ).select(F.col("_id").alias("query_id"), "cell")
-    # |Q| is bounded by the guard above, so this collect is ≤ |Q|·nprobe
-    probe_rows = probes.collect()
-    probe_cells = sorted({r["cell"] for r in probe_rows})
+    cids, cmat, cns, n_dims = _collect_centroids(cent)
+    q_mat = _pad_matrix([r["qv"] for r in q_rows], n_dims)
+    q_ids = [r["qid"] for r in q_rows]
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    # probe ranking runs driver-side over the ALREADY-collected matrix
+    # (same GEMM + tie rule as _assign_cells): no second execution of
+    # the query plan, no KeyError on a nondeterministic query frame
+    ranked = _probe_rank(q_mat, cmat, cns, nprobe, round_digits)
+    cell_qidx: dict = {}
+    for j in range(len(q_ids)):
+        for ci in ranked[j]:
+            cell_qidx.setdefault(cids[int(ci)], []).append(j)
+    probe_cells = sorted(cell_qidx)
     if len(probe_cells) > max_probe_cells:
         raise ValueError(
             f"ann_search probes > max_probe_cells={max_probe_cells} cells; "
             "shrink the query set / nprobe or raise the cap explicitly"
         )
-    n_dims = max(len(r["qv"]) for r in q_rows)
-    q_mat = np.zeros((len(q_rows), n_dims), dtype=np.float64)
-    for i, r in enumerate(q_rows):
-        a = np.asarray(r["qv"], dtype=np.float64)[:n_dims]
-        q_mat[i, : len(a)] = a
-    q_ids = [r["qid"] for r in q_rows]
-    q_index = {qid: j for j, qid in enumerate(q_ids)}
-    q_norm = np.linalg.norm(q_mat, axis=1)
-    cell_qidx: dict = {}
-    for r in probe_rows:
-        cell_qidx.setdefault(r["cell"], []).append(q_index[r["query_id"]])
 
     def _score(it):
         import numpy as np
@@ -626,6 +658,8 @@ def ann_search(
                     continue
                 mat = np.zeros((len(grp), n_dims), dtype=np.float64)
                 for i, v in enumerate(grp["cv"]):
+                    if v is None:  # NULL vec -> zero vector (scores 0)
+                        continue
                     a = np.asarray(v, dtype=np.float64)[:n_dims]
                     mat[i, : len(a)] = a
                 c_ids = grp["vec_id"].to_numpy()
@@ -674,12 +708,21 @@ def ann_search(
 def _cells_walk(cells_dir: str) -> str:
     """Full O(#files) digest of the cells tree: sha256 over the sorted
     (relative path, size) listing.  Module-level so tests can interpose
-    it (warm serves must not re-walk)."""
+    it (warm serves must not re-walk).  Hidden (``.``/``_``) entries
+    are skipped — they are markers/in-flight writer state, not data,
+    and the cache's mtime token (functions/listing.py) deliberately
+    does not descend into hidden directories, so digesting them would
+    open a token-blind staleness channel (r9 review finding)."""
     import hashlib
 
     entries = []
-    for dirpath, _dirs, files in os.walk(cells_dir):
+    for dirpath, dirnames, files in os.walk(cells_dir):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith((".", "_"))
+        ]
         for name in files:
+            if name.startswith((".", "_")):
+                continue
             p = os.path.join(dirpath, name)
             entries.append(
                 (os.path.relpath(p, cells_dir), os.path.getsize(p))
@@ -880,32 +923,40 @@ def ann_search_pq(
             f"ann_search_pq collects the query set to the driver; got > "
             f"max_query_rows={max_query_rows} rows."
         )
+    q_id_ddl = queries.schema[id_col].dataType.simpleString()
     if not q_rows:
+        # schema matches the non-empty path (q_id_ddl, not a hardcoded
+        # long) so per-batch unions don't flip types on an empty batch
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            [],
+            f"query_id {q_id_ddl}, neighbor_id long, cos_sim double, "
+            "rank int",
         )
     ann_meta_path = os.path.join(root, "_ann_meta.json")
     if os.path.exists(ann_meta_path):
         with open(ann_meta_path) as f:
             ann_meta = json.load(f)
         want = ann_meta.get("dims")
-        got_d = len(q_rows[0]["qv"])
-        if want is not None and got_d != want:
+        widths = [len(r["qv"]) for r in q_rows if r["qv"] is not None]
+        got_d = widths[0] if widths else None
+        if want is not None and got_d is not None and got_d != want:
             raise ValueError(
                 f"ann_search_pq: index at {root} was built over "
                 f"{want}-dim vectors; query column {vec_col!r} has "
                 f"{got_d} dims."
             )
 
-    # -- probe: rank centroids per query (centroid-sized work) ---------
+    # -- probe: rank centroids per query, driver-side over the
+    # already-collected matrix (see _probe_rank) -----------------------
     cent = spark.read.parquet(os.path.join(root, "centroids"))
-    probes = _assign_cells(
-        queries, cent, id_col, vec_col, keep_n=nprobe,
-        round_digits=round_digits,
-    ).select(F.col("_id").alias("query_id"), "cell")
-    # |Q| is bounded by the guard above, so this collect is ≤ |Q|·nprobe
-    probe_rows = probes.collect()
-    probe_cells = sorted({r["cell"] for r in probe_rows})
+    cids, cmat, cns, cent_dims = _collect_centroids(cent)
+    probe_mat = _pad_matrix([r["qv"] for r in q_rows], cent_dims)
+    ranked = _probe_rank(probe_mat, cmat, cns, nprobe, round_digits)
+    cell_qidx: dict = {}
+    for j in range(len(q_rows)):
+        for ci in ranked[j]:
+            cell_qidx.setdefault(cids[int(ci)], []).append(j)
+    probe_cells = sorted(cell_qidx)
     if len(probe_cells) > max_probe_cells:
         raise ValueError(
             f"ann_search_pq probes > max_probe_cells={max_probe_cells} "
@@ -913,7 +964,15 @@ def ann_search_pq(
             "explicitly"
         )
     if _stop_after == "probe":
-        return probes
+        cell_ddl = cent.schema["cid"].dataType.simpleString()
+        return spark.createDataFrame(
+            [
+                (q_rows[j]["qid"], cids[int(ci)])
+                for j in range(len(q_rows))
+                for ci in ranked[j]
+            ],
+            f"query_id {q_id_ddl}, cell {cell_ddl}",
+        )
 
     # -- compact query shipment: the closure carries q_mat/books/q_norm
     # (n_queries × n_dims floats + the tiny codebooks), NOT the expanded
@@ -931,13 +990,8 @@ def ann_search_pq(
     books = cb.books
     q_mat = _pad_matrix([r["qv"] for r in q_rows], cb.n_dims)
     q_ids = [r["qid"] for r in q_rows]
-    q_index = {qid: j for j, qid in enumerate(q_ids)}
     q_norm = np.linalg.norm(q_mat, axis=1)
-    cell_qidx: dict = {}
-    for r in probe_rows:
-        cell_qidx.setdefault(r["cell"], []).append(q_index[r["query_id"]])
     n_cand = max(k * rerank_factor, k)
-    q_id_ddl = queries.schema[id_col].dataType.simpleString()
 
     def _adc(it):
         import pandas as pd
@@ -965,9 +1019,13 @@ def ann_search_pq(
                 vn_safe = np.where(vnorm > 0, vnorm, 1.0)
                 qn = q_norm[qi]
                 qn_safe = np.where(qn > 0, qn, 1.0)
-                dots = luts[0][codes[:, 0]][:, qi]
+                # slice each LUT to this cell's probing queries BEFORE
+                # the code gather: gathering first materializes a
+                # (batch × |Q_total|) temporary per subspace — 8 GB at
+                # the documented max_query_rows (r9 review finding)
+                dots = luts[0][:, qi][codes[:, 0]]
                 for s in range(1, m):
-                    dots = dots + luts[s][codes[:, s]][:, qi]
+                    dots = dots + luts[s][:, qi][codes[:, s]]
                 sims = dots / np.outer(vn_safe, qn_safe)
                 sims[vnorm == 0, :] = 0.0
                 sims[:, qn == 0] = 0.0

@@ -79,11 +79,15 @@ class PQCodebooks:
 def _pad_matrix(vecs, n_dims):
     """(n, n_dims) float64: truncate to n_dims, zero-pad short vectors
     (zero dims contribute nothing to dot or norm — the dedup/GEMM
-    padding contract)."""
+    padding contract).  A NULL vector becomes the zero vector: its norm
+    is 0, so downstream zero-norm rules score it 0.0 everywhere — the
+    loud-degradation analog of the SQL paths' NULL cosine."""
     import numpy as np
 
     mat = np.zeros((len(vecs), n_dims), dtype=np.float64)
     for i, v in enumerate(vecs):
+        if v is None:
+            continue
         a = np.asarray(v, dtype=np.float64)[:n_dims]
         mat[i, : len(a)] = a
     return mat

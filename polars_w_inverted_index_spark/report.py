@@ -270,29 +270,41 @@ def embedding_dedup_eval_report(
     ).count()
 
     # -- PQ dial eval (ADC recall + exact rerank at realistic factors) -
+    # guarded: pq_train needs >= n_codes sample vectors, and a tiny
+    # corpus must degrade to null PQ rows, not kill the whole report
+    # (the pre-existing pair/ANN sections still carry value)
     from .operators.pq import pq_encode, pq_topk_rerank, pq_train
 
-    dims = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
-    cb = pq_train(
-        embeddings,
-        m_subspaces=min(pq_m, dims),
-        n_codes=pq_codes,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_dims=dims,
-    )
-    enc = pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col).persist()
-    enc.count()
-    pq_tp = {}
-    for factor in pq_rerank_factors:
-        served = pq_topk_rerank(
-            embeddings, enc, queries, cb,
-            k=topk, rerank_factor=factor, id_col=id_col, vec_col=vec_col,
-        ).select("query_id", "neighbor_id")
-        pq_tp[factor] = exact.join(
-            served, ["query_id", "neighbor_id"], "left_semi"
-        ).count()
-    enc.unpersist()
+    pq_tp: dict[int, int | None] = {f: None for f in pq_rerank_factors}
+    pq_dims = None
+    if n >= pq_codes:
+        dims_row = embeddings.select(
+            F.size(vec_col).alias("d")
+        ).first()
+        pq_dims = int(dims_row["d"]) if dims_row["d"] is not None else None
+    if pq_dims is not None:
+        cb = pq_train(
+            embeddings,
+            m_subspaces=min(pq_m, pq_dims),
+            n_codes=pq_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_dims=pq_dims,
+        )
+        enc = pq_encode(
+            embeddings, cb, id_col=id_col, vec_col=vec_col
+        ).persist()
+        enc.count()
+        for factor in pq_rerank_factors:
+            served = pq_topk_rerank(
+                embeddings, enc, queries, cb,
+                k=topk, rerank_factor=factor,
+                id_col=id_col, vec_col=vec_col,
+            ).select("query_id", "neighbor_id")
+            pq_tp[factor] = exact.join(
+                served, ["query_id", "neighbor_id"], "left_semi"
+            ).count()
+        enc.unpersist()
     exact.unpersist()
 
     def _ratio(num: int, den: int) -> float | None:
@@ -334,9 +346,17 @@ def embedding_dedup_eval_report(
             (
                 "embedding_dedup_eval",
                 f"pq_rerank_recall_at_k[factor={factor}]",
-                _ratio(pq_tp[factor], exact_n),
-                f"k={topk},m={min(pq_m, dims)},codes={pq_codes},"
-                f"factor={factor},queries={n_query_vecs}",
+                (
+                    _ratio(pq_tp[factor], exact_n)
+                    if pq_tp[factor] is not None
+                    else None
+                ),
+                (
+                    f"k={topk},m={min(pq_m, pq_dims)},codes={pq_codes},"
+                    f"factor={factor},queries={n_query_vecs}"
+                    if pq_dims is not None
+                    else f"skipped: corpus n={n} < n_codes={pq_codes}"
+                ),
             )
         )
     return spark.createDataFrame(

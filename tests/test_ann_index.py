@@ -601,3 +601,50 @@ def test_pq_sidecar_staleness_and_missing_gates(spark, emb, tmp_path):
     )
     assert _key(served) == _key(exact)
     assert got_ids  # non-empty
+
+
+def test_null_vectors_degrade_to_zero_not_crash(spark, emb, tmp_path):
+    """r9 review: a NULL embedding row must not crash the GEMM closures
+    (np.asarray(None) raises) — it becomes the zero vector, scores 0.0
+    everywhere (the zero-norm rule), and never outranks a real match."""
+    rows = emb.where(F.col("vec_id") < 100).select("vec_id", "embedding")
+    with_null = rows.unionByName(
+        spark.createDataFrame([(99999, None)], schema=rows.schema)
+    )
+    root = str(tmp_path / "ann_null")
+    build_ann_index(with_null, root, n_centroids=4, n_iters=1)
+    q = emb.where(F.col("vec_id") < 3)
+    served = ann_search(spark, root, q, k=3, nprobe=4)
+    got = served.collect()
+    assert len(got) > 0
+    # the null row can only appear with cos_sim 0.0, never above a
+    # genuine neighbor
+    for r in got:
+        if r["neighbor_id"] == 99999:
+            assert r["cos_sim"] == 0.0
+    # a NULL query vector also degrades (scores 0) instead of crashing
+    qn = spark.createDataFrame(
+        [(77777, None)], schema=q.select("vec_id", "embedding").schema
+    )
+    out = ann_search(spark, root, qn, k=2, nprobe=4).collect()
+    assert all(r["cos_sim"] == 0.0 for r in out)
+
+
+def test_pq_empty_query_schema_matches_nonempty(spark, emb, tmp_path):
+    """r9 review: the empty-query early return must carry the query id
+    column's REAL type (a string-keyed caller unioning per-batch
+    results must not see the schema flip on an empty batch)."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+
+    root = str(tmp_path / "pq_schema")
+    build_ann_index(emb.where(F.col("vec_id") < 200), root, n_centroids=2)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    str_q = emb.where(F.col("vec_id") < 0).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    out = ann_search_pq(spark, root, str_q, k=2)
+    assert out.schema["query_id"].dataType.simpleString() == "string"
+    assert out.count() == 0
