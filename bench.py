@@ -430,7 +430,10 @@ def _ann_pq_search(s, d):
 
     emb = load_table(s, d, "embeddings")
     st = os.stat(os.path.join(d, "embeddings.parquet"))
-    root = scratch_dir(f"ann_bench_{st.st_size}_{int(st.st_mtime)}", d)
+    # key suffix v2: r9 changed the cells-fingerprint format (hidden
+    # entries skipped), so a pre-r9 sidecar under the old key would
+    # raise STALE at serve; the new key rebuilds once
+    root = scratch_dir(f"ann_bench_v2_{st.st_size}_{int(st.st_mtime)}", d)
     if not os.path.exists(os.path.join(root, "_ann_meta.json")):
         build_ann_index(emb, root, n_centroids=16, n_iters=1)
     if not os.path.exists(os.path.join(root, "_pq_meta.json")):
@@ -460,7 +463,7 @@ def _ann_pq_phase(stop_after):
 
         emb = load_table(s, d, "embeddings")
         st = os.stat(os.path.join(d, "embeddings.parquet"))
-        root = scratch_dir(f"ann_bench_{st.st_size}_{int(st.st_mtime)}", d)
+        root = scratch_dir(f"ann_bench_v2_{st.st_size}_{int(st.st_mtime)}", d)
         if not os.path.exists(os.path.join(root, "_ann_meta.json")):
             build_ann_index(emb, root, n_centroids=16, n_iters=1)
         if not os.path.exists(os.path.join(root, "_pq_meta.json")):
@@ -496,7 +499,7 @@ def _ann_build_and_search(s, d):
     # key the cached index by the source file's identity so a driver
     # testdata regeneration can never serve a stale index silently
     st = os.stat(os.path.join(d, "embeddings.parquet"))
-    root = scratch_dir(f"ann_bench_{st.st_size}_{int(st.st_mtime)}", d)
+    root = scratch_dir(f"ann_bench_v2_{st.st_size}_{int(st.st_mtime)}", d)
     if not os.path.exists(os.path.join(root, "_ann_meta.json")):
         build_ann_index(emb, root, n_centroids=16, n_iters=1)
     q = emb.where(F.col("vec_id") % 50 == 0)
