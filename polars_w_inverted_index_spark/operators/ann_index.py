@@ -145,6 +145,21 @@ def kmeans_centroids(
 _MAX_COLLECTED_CENTROIDS = 65_536
 
 
+def _half_up(a, digits: int):
+    """Round half AWAY FROM ZERO, like Spark's ``F.round`` (BigDecimal
+    HALF_UP).  ``np.round`` is half-to-even, which diverges from the SQL
+    twins on cosines landing exactly on a .5 boundary at round_digits —
+    reachable with dyadic-rational vectors (e.g. cos = 0.25 rounded to 1
+    digit: np.round → 0.2, F.round → 0.3) — flipping the last digit and
+    potentially the rank/tie order vs a hash-matched oracle (r9 ADVICE).
+    Worker closures inline the same two-line formula (self-contained
+    pickling convention, functions/pickling.py)."""
+    import numpy as np
+
+    p = 10.0 ** int(digits)
+    return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
+
+
 def _collect_centroids(centroids: DataFrame):
     """Bounded driver-side centroid matrix for the GEMM closures:
     ``(cids, cmat, cns, n_dims)`` sorted by cid (argmax first-hit ==
@@ -192,7 +207,7 @@ def _probe_rank(q_mat, cmat, cns, nprobe: int, round_digits: int):
     cos = (q_mat @ C.T) / np.outer(qn_safe, cn_safe)
     cos[qn == 0, :] = 0.0
     cos[:, cn == 0] = 0.0
-    cos = np.round(cos, round_digits)
+    cos = _half_up(cos, round_digits)
     k = min(int(nprobe), len(cmat))
     return np.argsort(-cos, axis=1, kind="stable")[:, :k]
 
@@ -225,21 +240,35 @@ def _cell_partial_sums(
         cn_safe = np.where(cn > 0, cn, 1.0)
         acc = np.zeros((len(cmat), n_dims), dtype=np.float64)
         cnt = np.zeros(len(cmat), dtype=np.int64)
+        p = 10.0 ** rd
         for pdf in it:
             if not len(pdf):
                 continue
             mat = np.zeros((len(pdf), n_dims), dtype=np.float64)
+            # NULL vecs are EXCLUDED from the Lloyd update (numerator
+            # AND denominator) — the pre-r9 posexplode form emitted no
+            # rows for them, and counting a zero row dilutes the
+            # lowest-cid centroid's mean toward zero (r9 ADVICE).
+            # Genuine zero VECTORS still count (they did pre-r9 too).
+            live = np.ones(len(pdf), dtype=bool)
             for i, v in enumerate(pdf["v"]):
-                if v is None:  # NULL vec -> zero vector (scores 0.0)
+                if v is None:
+                    live[i] = False
                     continue
                 a = np.asarray(v, dtype=np.float64)[:n_dims]
                 mat[i, : len(a)] = a
+            if not live.any():
+                continue
+            mat = mat[live]
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
             cos[vn == 0, :] = 0.0
             cos[:, cn == 0] = 0.0
-            best = np.round(cos, rd).argmax(axis=1)
+            # half-up round: matches F.round / BigDecimal HALF_UP (see
+            # _half_up; inlined — self-contained closure convention)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
+            best = cos.argmax(axis=1)
             np.add.at(acc, best, mat)
             np.add.at(cnt, best, 1)
         hit = np.nonzero(cnt > 0)[0]
@@ -317,7 +346,9 @@ def _assign_cells(
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
             cos[vn == 0, :] = 0.0
             cos[:, cn == 0] = 0.0
-            cos = np.round(cos, rd)
+            # half-up round, matches F.round (see _half_up; inlined)
+            p = 10.0 ** rd
+            cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
             if kn == 1:
                 best = cos.argmax(axis=1)  # first max == lowest cid
                 yield pd.DataFrame(
@@ -657,8 +688,15 @@ def ann_search(
                 if not qidx:
                     continue
                 mat = np.zeros((len(grp), n_dims), dtype=np.float64)
+                # NULL corpus vectors are never EMITTED as neighbors:
+                # the SQL twin scores them NULL (sorted last under desc),
+                # so a 0.0 emission would outrank genuine negative-sim
+                # matches (r9 ADVICE).  Genuine zero VECTORS keep the
+                # 0.0 zero-norm rule (the twin rounds them to 0.0 too).
+                live = np.ones(len(grp), dtype=bool)
                 for i, v in enumerate(grp["cv"]):
-                    if v is None:  # NULL vec -> zero vector (scores 0)
+                    if v is None:
+                        live[i] = False
                         continue
                     a = np.asarray(v, dtype=np.float64)[:n_dims]
                     mat[i, : len(a)] = a
@@ -669,10 +707,12 @@ def ann_search(
                 sims = (mat @ q_mat[qi].T) / np.outer(vn_safe, qn_safe[qi])
                 sims[vn == 0, :] = 0.0
                 sims[:, q_norm[qi] == 0] = 0.0
-                sims = np.round(sims, round_digits)
+                # half-up round, matches F.round (see _half_up; inlined)
+                p = 10.0 ** round_digits
+                sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
                 for col, j in enumerate(qi):
                     qid = q_ids[j]
-                    keep = np.nonzero(c_ids != qid)[0]  # no self-match
+                    keep = np.nonzero((c_ids != qid) & live)[0]
                     if not len(keep):
                         continue
                     vals = sims[keep, col]
@@ -704,6 +744,11 @@ def ann_search(
 # ---------------------------------------------------------------------------
 # IVF-PQ: product-quantized codes sidecar over the cell layout
 # ---------------------------------------------------------------------------
+
+# Bump when _cells_walk's digest input changes (v2 = r9's hidden-entry
+# skip).  Recorded in _pq_meta.json so a mismatch can name its cause.
+_FINGERPRINT_VERSION = 2
+
 
 def _cells_walk(cells_dir: str) -> str:
     """Full O(#files) digest of the cells tree: sha256 over the sorted
@@ -845,6 +890,11 @@ def pq_augment_ann_index(
                 "books": cb.books,
                 "n_dims": cb.n_dims,
                 "cells_fingerprint": fp,
+                # v2 (r9): hidden ('.'/'_') entries are skipped by the
+                # walk — versioned so serving can tell "format changed,
+                # re-augment" from "cells tree really changed" when an
+                # older sidecar mismatches (r9 ADVICE)
+                "fingerprint_version": _FINGERPRINT_VERSION,
             },
             f,
         )
@@ -900,6 +950,20 @@ def ann_search_pq(
     with open(meta_path) as f:
         meta = json.load(f)
     if meta["cells_fingerprint"] != _cells_fingerprint(root):
+        if meta.get("fingerprint_version") != _FINGERPRINT_VERSION:
+            # an older sidecar whose recorded digest predates the
+            # current walk format mismatches on EVERY serve even when
+            # the cells tree is untouched — name the real cause so
+            # operators don't chase a phantom ingest race (r9 ADVICE)
+            raise ValueError(
+                f"ann_search_pq: the PQ sidecar at {root} records a "
+                f"v{meta.get('fingerprint_version', 1)} cells "
+                f"fingerprint but this engine computes "
+                f"v{_FINGERPRINT_VERSION} (the digest format changed: "
+                "hidden '.'/'_' entries are no longer walked). The "
+                "codes may be fine but cannot be verified — re-run "
+                "pq_augment_ann_index(spark, root) once to re-pin."
+            )
         raise ValueError(
             f"ann_search_pq: the cells tree at {root} changed since the "
             "PQ sidecar was built (ingest/compaction/rebuild) — the "
@@ -1016,6 +1080,13 @@ def ann_search_pq(
                 codes = np.vstack(grp["codes"].to_numpy())
                 c_ids = grp["vec_id"].to_numpy()
                 vnorm = grp["vnorm"].to_numpy(dtype=np.float64)
+                # NaN vnorm marks a NULL source vector (pq_encode): it
+                # must never surface as an ADC candidate — the SQL twin
+                # scores NULLs NULL (sorted last), so a 0.0 emission
+                # would outrank genuine negative sims (r9 ADVICE).
+                # Pre-r10 sidecars encoded NULLs as vnorm=0.0; those
+                # keep the old zero-score behavior until re-augmented.
+                live = ~np.isnan(vnorm)
                 vn_safe = np.where(vnorm > 0, vnorm, 1.0)
                 qn = q_norm[qi]
                 qn_safe = np.where(qn > 0, qn, 1.0)
@@ -1029,10 +1100,12 @@ def ann_search_pq(
                 sims = dots / np.outer(vn_safe, qn_safe)
                 sims[vnorm == 0, :] = 0.0
                 sims[:, qn == 0] = 0.0
-                sims = np.round(sims, round_digits)
+                # half-up round, matches F.round (see _half_up; inlined)
+                p = 10.0 ** round_digits
+                sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
                 for col, j in enumerate(qi):
                     qid = q_ids[j]
-                    keep = np.nonzero(c_ids != qid)[0]  # no self-match
+                    keep = np.nonzero((c_ids != qid) & live)[0]
                     if not len(keep):
                         continue
                     vals = sims[keep, col]

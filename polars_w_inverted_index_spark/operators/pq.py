@@ -193,8 +193,13 @@ def pq_encode(
         import pandas as pd
 
         def _pad(vecs, nd):
+            # None → zero row (np.asarray(None)[:nd] would raise); the
+            # caller marks those rows' vnorm NaN so serving can tell a
+            # NULL source from a genuine zero vector (r9 ADVICE)
             m = np.zeros((len(vecs), nd), dtype=np.float64)
             for i, v in enumerate(vecs):
+                if v is None:
+                    continue
                 a = np.asarray(v, dtype=np.float64)[:nd]
                 m[i, : len(a)] = a
             return m
@@ -204,16 +209,21 @@ def pq_encode(
         for pdf in it:
             if not len(pdf):
                 continue
-            mat = _pad(list(pdf[vec_col]), n_dims)
+            vec_list = list(pdf[vec_col])
+            mat = _pad(vec_list, n_dims)
             codes = np.empty((len(mat), len(slices)), dtype=np.int64)
             for s, (lo, hi) in enumerate(slices):
                 sub = mat[:, lo:hi]
                 d2 = cent_sq[s][None, :] - 2.0 * (sub @ cents[s].T)
                 codes[:, s] = d2.argmin(axis=1)  # |x|^2 const per row
+            vnorm = np.linalg.norm(mat, axis=1)
+            for i, v in enumerate(vec_list):
+                if v is None:
+                    vnorm[i] = np.nan  # NULL marker (zero vec stays 0.0)
             out = {
                 "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
                 "codes": list(codes),
-                "vnorm": np.linalg.norm(mat, axis=1),
+                "vnorm": vnorm,
             }
             for name in extra:
                 out[name] = pdf[name]
@@ -286,15 +296,22 @@ def pq_topk(
             dots = luts[0][codes[:, 0]]
             for s in range(1, len(slices)):
                 dots = dots + luts[s][codes[:, s]]
+            # NaN vnorm = NULL source vector: never a candidate (the
+            # SQL twin scores NULLs NULL, sorted last; r9 ADVICE).
+            # Pre-r10 encodes carry 0.0 → old zero-score behavior.
+            live = ~np.isnan(vnorm)
             vsafe = np.where(vnorm > 0, vnorm, 1.0)
             sims = dots / np.outer(vsafe, q_norm_safe)
             sims[vnorm == 0, :] = 0.0
             sims[:, q_norm == 0] = 0.0
-            sims = np.round(sims, round_digits)
+            # half-up round, matches F.round (r9 ADVICE; see
+            # ann_index._half_up — inlined, self-contained closure)
+            p = 10.0 ** round_digits
+            sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
                 col = sims[:, j]
-                idx = np.nonzero(c_ids != q_ids[j])[0]
+                idx = np.nonzero((c_ids != q_ids[j]) & live)[0]
                 if not len(idx):
                     continue
                 top = idx[np.lexsort((c_ids[idx], -col[idx]))[:k]]

@@ -267,17 +267,33 @@ def brute_force_topk_gemm(
             if not len(pdf):
                 continue
             c_ids = pdf["nid"].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            vec_list = list(pdf["cv"])
+            # NULL corpus vectors never surface as neighbors — the SQL
+            # twin scores them NULL (sorted last under desc); a 0.0
+            # emission would outrank genuine negative sims (r9 ADVICE).
+            # (np.array(list-with-None) would also raise.)
+            live = np.ones(len(vec_list), dtype=bool)
+            nd = q_mat.shape[1]
+            c_mat = np.zeros((len(vec_list), nd), dtype=np.float64)
+            for i, v in enumerate(vec_list):
+                if v is None:
+                    live[i] = False
+                    continue
+                a = np.asarray(v, dtype=np.float64)[:nd]
+                c_mat[i, : len(a)] = a
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm_safe = np.where(c_norm > 0, c_norm, 1.0)
             sims = (c_mat @ q_mat.T) / np.outer(c_norm_safe, q_norm_safe)
             sims[c_norm == 0, :] = 0.0
             sims[:, q_norm == 0] = 0.0
-            sims = np.round(sims, round_digits)
+            # half-up round, matches F.round (r9 ADVICE; see
+            # ann_index._half_up — inlined, self-contained closure)
+            p = 10.0 ** round_digits
+            sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
                 col = sims[:, j]
-                mask = c_ids != q_ids[j]
+                mask = (c_ids != q_ids[j]) & live
                 idx = np.nonzero(mask)[0]
                 if not len(idx):
                     continue

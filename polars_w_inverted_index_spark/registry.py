@@ -277,18 +277,21 @@ def q_index_composite_streaming_lookup(
     instead of a static build, adopted into the catalog, and served via
     the re-resolved pointer — same oracle (the conjunctive base filter),
     so a hash match proves the incremental merge converges to the static
-    build's answer."""
+    build's answer.  r10: the merges run in the chunked/LSM mode
+    (``max_postings_per_row``) so the hash match now ALSO pins the
+    segment-append path — per-merge bytes track the batch, not the
+    index (streaming/index_maintenance.py module docstring)."""
     from .plans.catalog import IndexCatalog
     from .streaming.index_maintenance import (
         merge_composite_postings_batch,
     )
 
     li = _lineitem(spark, sf_dir)
-    idx = scratch_dir("idxcat_comp_stream_idx", sf_dir, wipe=True)
+    idx = scratch_dir("idxcat_comp_stream_idx2", sf_dir, wipe=True)
     fields = ["l_returnflag", "l_linestatus"]
     merge_composite_postings_batch(
         li.where(F.col("l_orderkey") % 2 == 0), fields, idx,
-        "l_orderkey", batch_id=0,
+        "l_orderkey", batch_id=0, max_postings_per_row=4096,
     )
     merge_composite_postings_batch(
         li.where(F.col("l_orderkey") % 2 == 1), fields, idx,

@@ -3,6 +3,8 @@
 from .dedup import batch_dedup_exact, streaming_dedup_exact
 from .ann_ingest import (
     ann_ingest_batch,
+    mark_rebuilt,
+    should_rebuild,
     start_ann_ingest,
 )
 from .drift import (
@@ -12,9 +14,13 @@ from .drift import (
 )
 from .index_maintenance import (
     compact_index,
+    merge_composite_postings_batch,
     merge_postings_batch,
+    read_composite_index,
     read_index,
     read_index_postings,
+    rebucket_index,
+    start_composite_index_maintenance,
     start_index_maintenance,
 )
 from .near_dedup import (
@@ -40,18 +46,24 @@ __all__ = [
     "boolean_search_from_index",
     "compact_index",
     "ann_ingest_batch",
+    "mark_rebuilt",
+    "should_rebuild",
     "start_ann_ingest",
     "drift_monitor_batch",
     "merge_term_index_batch",
     "start_term_index_maintenance",
     "read_ingest_lm",
     "start_drift_monitor",
+    "merge_composite_postings_batch",
     "merge_postings_batch",
     "near_dedup_batch",
+    "read_composite_index",
     "read_corpus_bands",
     "read_index",
+    "rebucket_index",
     "start_near_dedup",
     "read_index_postings",
+    "start_composite_index_maintenance",
     "start_index_maintenance",
     "read_window_state",
     "span_scrub_batch",

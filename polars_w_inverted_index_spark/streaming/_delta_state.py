@@ -115,9 +115,14 @@ def commit_delta(
             # trigger, or a wide corpus read/union that emits >=
             # max_state_files part-files would re-trigger compaction on
             # every subsequent commit — each micro-batch an O(corpus)
-            # rewrite.  Half the dial leaves headroom for new deltas;
-            # coalesce (not repartition) keeps it shuffle-free.
-            compacted = compacted.coalesce(max(1, max_state_files // 2))
+            # rewrite.  Half the dial leaves headroom for new deltas.
+            # repartition, NOT coalesce: coalesce propagates its
+            # narrowing upstream, so the whole old∪delta merge would
+            # COMPUTE on max_state_files/2 tasks — a small dial (8)
+            # puts a corpus-sized merge on ~4 tasks (slow compactions,
+            # task memory pressure at scale).  The shuffle is bounded
+            # and paid once per rare compaction (r9 ADVICE).
+            compacted = compacted.repartition(max(1, max_state_files // 2))
         compacted.write.mode("overwrite").parquet(out)
         new_dirs = [out_name]
     else:

@@ -6,20 +6,37 @@ a full-table shuffle per refresh; the streaming path amortizes it: each
 micro-batch contributes only its own (value → doc_ids) postings, merged
 into the materialized index.
 
-Storage layout — value-hash buckets with per-bucket version pointers:
-    <index_path>/m=<n>/bucket=<k>/...parquet   bucket k as of merge n
+Storage layout — value-hash buckets, each a LIST of immutable segment
+directories behind one pointer file:
+    <index_path>/m=<n>/bucket=<k>/...parquet   segment written by merge n
     <index_path>/_LATEST   JSON {"merge": n, "batch_id": b,
-                                 "n_buckets": B, "buckets": {"k": "m=i/bucket=k", ...}}
+                                 "n_buckets": B,
+                                 "buckets": {"k": ["m=i/bucket=k", ...]}}
+(legacy markers stored one string per bucket; readers normalize to a
+1-element list.)
 
 Bucket = ``pmod(xxhash64(value), B)`` — a pure function of the value, so
 a value's postings always live in one bucket and a merge knows exactly
-which buckets its batch touches.  The merge then reads ONLY those
-buckets' current postings, merges in the batch contribution, and writes
-ONLY those buckets under a fresh ``m=<n>`` directory; every untouched
-bucket keeps its existing pointer.  Per-merge cost is
-O(batch + touched-bucket postings), independent of total index size —
-the property a v1 of this module lacked (it unioned and rewrote the
-whole index per micro-batch, i.e. O(index) writes per merge).
+which buckets its batch touches.
+
+Two merge shapes:
+
+- **plain rows** (``max_postings_per_row`` unset): one row per value,
+  so the merge must read the touched buckets' current postings, merge
+  in the batch contribution, and write those buckets whole under a
+  fresh ``m=<n>`` directory (their pointer lists are REPLACED with the
+  new segment; untouched buckets keep theirs).  Per-merge cost is
+  O(batch + touched-bucket postings) — fine while buckets are small,
+  but a diverse batch touching every bucket pays O(index) writes.
+- **chunked rows** (``max_postings_per_row`` set): the LSM mode.  The
+  merge writes ONLY the batch's own bounded chunk rows as a new
+  segment and APPENDS it to the touched buckets' lists — committed
+  segments are never re-read or re-written, so per-merge bytes (read
+  AND written) track the BATCH, not the index (r9 VERDICT: the
+  full-bucket rewrite was the one remaining growth-proportional cost).
+  Segment count grows with merge count until :func:`compact_index`
+  folds every bucket back to one segment in one explicit O(index) job
+  — the LSM append+compact trade, on your schedule.
 
 Why pointers instead of in-place overwrite: Spark cannot atomically
 overwrite a parquet directory it is concurrently reading (the merge
@@ -30,13 +47,17 @@ stand-in — a reader resolves _LATEST once and then reads immutable
 directories.  Directories no longer referenced are pruned after commit,
 which also collects orphans from merges that crashed before commit.
 
-Hot values: pass ``max_postings_per_row`` and the index stores bounded
-chunk rows ``(value, chunk, doc_ids)`` instead of one unbounded array
-per value — merges APPEND new chunks (no hot-value rewrite per batch,
-the LSM trade) and :func:`compact_index` re-chunks fragmentation away
-in one explicit O(index) job, exactly like an LSM compaction.
+Hot values: chunked rows are ``(value, chunk, doc_ids)`` with every
+array bounded by the cap, so no single row outgrows a task either.
+``(value, chunk)`` is unique within one segment only — readers merge by
+value and compaction re-chunks, so cross-segment chunk-id collisions
+are harmless by construction.
+
 Bucket-count is the skew dial (B grows with corpus so no bucket's
-postings outgrow a task).
+postings outgrow a task); it is fixed at the first merge and re-dialed
+explicitly with :func:`rebucket_index` — one O(index) job with the same
+pointer-swap commit as compaction, so lookups are identical before and
+after and a mid-rebucket crash leaves the old marker serving.
 """
 
 from __future__ import annotations
@@ -69,6 +90,13 @@ def _read_marker(index_path: str) -> dict | None:
             f"(pre-bucketed marker {sorted(meta)}); rebuild it into a "
             f"fresh index_path (batch backfill with batch_id=None)."
         )
+    # legacy (pre-segment-list) markers stored one path string per
+    # bucket; normalize to the 1-element list form so every consumer
+    # sees one shape
+    meta["buckets"] = {
+        k: ([v] if isinstance(v, str) else list(v))
+        for k, v in meta["buckets"].items()
+    }
     return meta
 
 
@@ -85,7 +113,11 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame | None:
     meta = _read_marker(index_path)
     if meta is None or not meta["buckets"]:
         return None
-    paths = [os.path.join(index_path, rel) for rel in meta["buckets"].values()]
+    paths = [
+        os.path.join(index_path, rel)
+        for segs in meta["buckets"].values()
+        for rel in segs
+    ]
     return spark.read.parquet(*paths)
 
 
@@ -124,12 +156,33 @@ def read_index_postings(
     return df
 
 
+def _key_cols(meta: dict) -> list[str]:
+    """The index's key columns: ``["value"]`` or the composite
+    ``["v_<f1>", ...]``."""
+    comp = meta.get("composite_fields")
+    return [f"v_{f}" for f in comp] if comp else ["value"]
+
+
+def _meta_bucket_col(meta: dict, n_buckets: int):
+    """Bucket expression matching the index's key shape (single-field
+    and composite merges must hash identically to their writers)."""
+    comp = meta.get("composite_fields")
+    if comp:
+        return F.pmod(
+            F.xxhash64(*[f"v_{f}" for f in comp]), F.lit(n_buckets)
+        )
+    return _bucket_col(n_buckets)
+
+
 def compact_index(spark: SparkSession, index_path: str) -> None:
-    """Squash chunk fragmentation: re-chunk every value to the minimal
-    ``ceil(n/max)`` rows — the explicit O(index) compaction that pays
+    """Squash segment + chunk fragmentation: re-chunk every key to the
+    minimal ``ceil(n/max)`` rows and fold every bucket's segment list
+    back to ONE directory — the explicit O(index) compaction that pays
     down the append-only merges (LSM discipline: merges stay O(batch),
     compaction runs on your schedule, readers never block — they follow
-    the pointer swap).  No-op for non-chunked indexes.
+    the pointer swap).  No-op for non-chunked indexes (their buckets
+    are always single-segment).  Works for single-field AND composite
+    (tuple-keyed) chunked indexes.
 
     Chunk assignment is the same doc_id hash ``postings_chunked`` uses,
     so chunk sizes are ``max`` in expectation with multiplicative
@@ -145,21 +198,22 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
         return
     m = int(meta["max_postings_per_row"])
     n_buckets = meta["n_buckets"]
-    exploded = df.select("value", F.explode("doc_ids").alias("doc_id"))
-    counts = exploded.groupBy("value").agg(F.count("*").alias("n"))
+    keys = _key_cols(meta)
+    exploded = df.select(*keys, F.explode("doc_ids").alias("doc_id"))
+    counts = exploded.groupBy(*keys).agg(F.count("*").alias("n"))
     sized = counts.select(
-        "value",
+        *keys,
         F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(m))).alias("_nc"),
     )
     # same hash-chunk assignment as operators/inverted_index.postings_chunked
     compacted = (
-        exploded.join(sized, "value")
+        exploded.join(sized, keys)
         .withColumn(
             "chunk", F.pmod(F.xxhash64("doc_id"), F.col("_nc")).cast("long")
         )
-        .groupBy("value", "chunk")
+        .groupBy(*keys, "chunk")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
-        .withColumn("bucket", _bucket_col(n_buckets))
+        .withColumn("bucket", _meta_bucket_col(meta, n_buckets))
     )
     next_m = meta.get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
@@ -181,6 +235,68 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
         next_m=next_m,
         max_rows=m,
         replace_buckets=True,
+        composite_fields=meta.get("composite_fields"),
+    )
+
+
+def rebucket_index(
+    spark: SparkSession, index_path: str, new_n_buckets: int
+) -> None:
+    """Re-dial the bucket count — the skew dial the module docstring
+    promises ("B grows with corpus").  ``n_buckets`` is otherwise frozen
+    at the first merge (bucket assignment must stay stable across the
+    index's life), so growth used to require a from-scratch rebuild at
+    100 TB (r9 VERDICT task 3).  This is one explicit O(index) job with
+    the exact commit discipline of :func:`compact_index`: every row is
+    re-hashed into the new bucket space and written under a fresh
+    ``m=<n>`` directory, then the pointer swap replaces all bucket
+    lists atomically — lookups are identical before and after (bucket
+    assignment is invisible to readers; they resolve the marker), and a
+    crash before the swap leaves the OLD marker serving with the
+    half-written ``m=`` directory collected as an orphan by the next
+    commit's prune.  Works for single-field and composite, plain and
+    chunked (chunk rows pass through unchanged).  Run between merges
+    (same single-writer contract as compaction).
+    """
+    new_n = int(new_n_buckets)
+    if new_n < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    meta = _read_marker(index_path)
+    if meta is None:
+        raise ValueError(
+            f"no index at {index_path} — nothing to rebucket; the first "
+            "merge takes n_buckets directly."
+        )
+    df = read_index(spark, index_path)
+    if df is None:  # committed-but-empty index: just re-dial the marker
+        _commit(
+            index_path, meta, {}, None, new_n,
+            next_m=meta.get("merge", -1) + 1,
+            max_rows=meta.get("max_postings_per_row"),
+            replace_buckets=True,
+            composite_fields=meta.get("composite_fields"),
+        )
+        return
+    rebucketed = df.withColumn("bucket", _meta_bucket_col(meta, new_n))
+    next_m = meta.get("merge", -1) + 1
+    out = os.path.join(index_path, f"m={next_m}")
+    rebucketed.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out)
+    written = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    new_pointers = {
+        d.split("=", 1)[1]: os.path.join(f"m={next_m}", d) for d in written
+    }
+    _commit(
+        index_path,
+        meta,
+        new_pointers,
+        batch_id=None,
+        n_buckets=new_n,
+        next_m=next_m,
+        max_rows=meta.get("max_postings_per_row"),
+        replace_buckets=True,
+        composite_fields=meta.get("composite_fields"),
     )
 
 
@@ -227,11 +343,12 @@ def merge_postings_batch(
 
     ``max_postings_per_row`` set ⇒ chunked row shape
     ``(value, chunk, doc_ids)`` with every array bounded: the merge
-    APPENDS the batch's postings as new chunk rows after each value's
-    current highest chunk — existing chunk rows are carried over
-    unmodified, so a hot value's accumulated postings are never
-    re-assembled per batch.  Chunk counts grow with merge count until
-    :func:`compact_index` squashes them (the LSM append+compact trade).
+    writes ONLY the batch's own chunk rows as a new SEGMENT appended to
+    each touched bucket's segment list — committed segments are never
+    re-read or re-written, so per-merge bytes (read and written) track
+    the batch, not the index.  Segment and chunk counts grow with merge
+    count until :func:`compact_index` squashes both (the LSM
+    append+compact trade).
 
     Idempotence: foreachBatch is at-least-once — after a failure between
     this commit and Spark's checkpoint commit, the same micro-batch is
@@ -260,15 +377,16 @@ def merge_postings_batch(
     new = postings(batch_df, field, doc_id_col, sort_postings=False)
     if max_postings_per_row is not None:
         # bounded pieces: a batch value with n postings becomes
-        # ceil(n/max) rows; piece index i is LOCAL (rebased onto the
-        # value's committed chunk count at merge time below)
+        # ceil(n/max) rows; the piece index is segment-LOCAL — readers
+        # merge by value and compaction re-chunks, so chunk-id
+        # collisions across segments are harmless by construction
         m = int(max_postings_per_row)
         pieces = F.ceil(F.size("doc_ids") / F.lit(m)).cast("int")
         new = (
             new.withColumn("_i", F.explode(F.sequence(F.lit(0), pieces - 1)))
             .select(
                 "value",
-                "_i",
+                F.col("_i").cast("long").alias("chunk"),
                 F.sort_array(
                     F.slice("doc_ids", F.col("_i") * m + 1, m)
                 ).alias("doc_ids"),
@@ -289,60 +407,35 @@ def merge_postings_batch(
         )
         return
 
-    old_buckets = (meta or {}).get("buckets", {})
-    old_paths = [
-        os.path.join(index_path, old_buckets[str(b)])
-        for b in touched
-        if str(b) in old_buckets
-    ]
-    old = (
-        spark.read.parquet(*old_paths).withColumn(
-            "bucket", _bucket_col(n_buckets)
-        )
-        if old_paths
-        else None
-    )
     if max_postings_per_row is not None:
-        # append-only: rebase the batch's local piece index onto each
-        # value's committed chunk count; old chunk rows pass through
-        # untouched (no hot-value re-assembly)
-        if old is not None:
-            base = old.groupBy("value").agg(
-                (F.max("chunk") + 1).alias("_base")
+        # SEGMENT APPEND (LSM): only the batch's own chunk rows are
+        # written; committed segments are never re-read or re-written,
+        # so per-merge bytes track the batch, not the index
+        merged = new.select("bucket", "value", "chunk", "doc_ids")
+    else:
+        old_buckets = (meta or {}).get("buckets", {})
+        old_paths = [
+            os.path.join(index_path, rel)
+            for b in touched
+            for rel in old_buckets.get(str(b), [])
+        ]
+        if old_paths:
+            old = spark.read.parquet(*old_paths).withColumn(
+                "bucket", _bucket_col(n_buckets)
             )
-            rebased = (
-                new.join(base, "value", "left")
-                .select(
-                    "bucket",
-                    "value",
-                    (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_i"))
-                    .cast("long")
-                    .alias("chunk"),
-                    "doc_ids",
+            merged = (
+                old.unionByName(new)
+                .groupBy("bucket", "value")
+                .agg(
+                    F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
+                        "doc_ids"
+                    )
                 )
             )
-            merged = old.select(
-                "bucket", "value", "chunk", "doc_ids"
-            ).unionByName(rebased)
         else:
             merged = new.select(
-                "bucket", "value", F.col("_i").cast("long").alias("chunk"),
-                "doc_ids",
+                "bucket", "value", F.sort_array("doc_ids").alias("doc_ids")
             )
-    elif old is not None:
-        merged = (
-            old.unionByName(new)
-            .groupBy("bucket", "value")
-            .agg(
-                F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
-                    "doc_ids"
-                )
-            )
-        )
-    else:
-        merged = new.select(
-            "bucket", "value", F.sort_array("doc_ids").alias("doc_ids")
-        )
     next_m = (meta or {}).get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
     # one file-per-bucket layout: repartition on bucket so each partition
@@ -362,6 +455,7 @@ def merge_postings_batch(
         n_buckets,
         next_m,
         max_rows=max_postings_per_row,
+        append=max_postings_per_row is not None,
     )
 
 
@@ -375,9 +469,22 @@ def _commit(
     max_rows: int | None = None,
     replace_buckets: bool = False,
     composite_fields: list[str] | None = None,
+    append: bool = False,
 ) -> None:
-    buckets = {} if replace_buckets else dict((meta or {}).get("buckets", {}))
-    buckets.update(new_pointers)
+    """``append=True`` adds each new pointer to its bucket's segment
+    list (the chunked/LSM merge); otherwise the list is REPLACED with
+    the single new segment (plain merges, compaction, rebucket)."""
+    if replace_buckets:
+        buckets: dict[str, list[str]] = {}
+    else:
+        buckets = {
+            k: list(v) for k, v in (meta or {}).get("buckets", {}).items()
+        }
+    for k, rel in new_pointers.items():
+        if append:
+            buckets.setdefault(k, []).append(rel)
+        else:
+            buckets[k] = [rel]
     committed = batch_id if batch_id is not None else (
         (meta or {}).get("batch_id")
     )
@@ -397,13 +504,13 @@ def _commit(
     _prune(index_path, buckets)
 
 
-def _prune(index_path: str, buckets: dict[str, str]) -> None:
-    """Remove bucket directories no longer referenced by the marker (and
-    merge directories left empty).  Also collects orphans from merges
-    that failed before commit."""
+def _prune(index_path: str, buckets: dict[str, list[str]]) -> None:
+    """Remove segment directories no longer referenced by the marker
+    (and merge directories left empty).  Also collects orphans from
+    merges that failed before commit."""
     import shutil
 
-    live = {rel for rel in buckets.values()}
+    live = {rel for segs in buckets.values() for rel in segs}
     for m_dir in os.listdir(index_path):
         if not m_dir.startswith("m="):
             continue
@@ -424,6 +531,7 @@ def merge_composite_postings_batch(
     doc_id_col: str = "doc_id",
     batch_id: int | None = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    max_postings_per_row: int | None = None,
 ) -> None:
     """Merge one micro-batch into a COMPOSITE (tuple-keyed) postings
     index: rows ``[v_<f1>, ..., v_<fn>, doc_ids]``, one per distinct
@@ -435,15 +543,21 @@ def merge_composite_postings_batch(
     Same commit/layout/replay discipline as
     :func:`merge_postings_batch` — value-hash buckets
     (``pmod(xxhash64(v_f1, ..., v_fn), B)``: a tuple's postings always
-    live in one bucket), per-merge cost O(batch + touched buckets),
-    atomic ``_LATEST`` pointer swap, exact-replay no-op,
-    behind-the-marker raise.  Field set is order-normalized (sorted
-    flattened names, the ``build_composite`` convention) and recorded
-    in the marker; merging with a different field set raises.  Rows
-    where ANY component is null are suppressed (equality conjunctions
-    cannot match null — P5 extended to tuples).  Chunked rows are not
-    supported for composite indexes (hot TUPLES are rare by
-    construction; use more fields or the single-field chunked index).
+    live in one bucket), atomic ``_LATEST`` pointer swap, exact-replay
+    no-op, behind-the-marker raise.  Field set is order-normalized
+    (sorted flattened names, the ``build_composite`` convention) and
+    recorded in the marker; merging with a different field set raises.
+    Rows where ANY component is null are suppressed (equality
+    conjunctions cannot match null — P5 extended to tuples).
+
+    ``max_postings_per_row`` set ⇒ the chunked/LSM row shape
+    ``(v_<f1>, ..., chunk, doc_ids)`` with segment-append merges —
+    per-merge bytes track the batch, not the index (r9 VERDICT task 1:
+    the plain composite merge rewrites every touched bucket whole, so a
+    diverse batch touching all buckets paid O(index) writes per batch).
+    Like the single-field path it applies to the FIRST merge only;
+    later merges inherit the committed value.  :func:`compact_index`
+    squashes the accumulated segments/chunks.
     """
     from functools import reduce
 
@@ -470,6 +584,7 @@ def merge_composite_postings_batch(
         return
     if meta is not None:
         n_buckets = meta["n_buckets"]
+        max_postings_per_row = meta.get("max_postings_per_row")
 
     sel = [F.col(f).cast("string").alias(f"v_{f}") for f in norm]
     bucket = F.pmod(F.xxhash64(*vcols), F.lit(n_buckets))
@@ -486,9 +601,24 @@ def merge_composite_postings_batch(
         )
         .groupBy(*vcols)
         .agg(F.collect_list("_id").alias("doc_ids"))
-        .withColumn("bucket", bucket)
-        .persist()
     )
+    if max_postings_per_row is not None:
+        # bounded pieces, segment-local chunk ids (see the single-field
+        # merge: collisions across segments are harmless — readers
+        # merge by key, compaction re-chunks)
+        m = int(max_postings_per_row)
+        pieces = F.ceil(F.size("doc_ids") / F.lit(m)).cast("int")
+        new = (
+            new.withColumn("_i", F.explode(F.sequence(F.lit(0), pieces - 1)))
+            .select(
+                *vcols,
+                F.col("_i").cast("long").alias("chunk"),
+                F.sort_array(
+                    F.slice("doc_ids", F.col("_i") * m + 1, m)
+                ).alias("doc_ids"),
+            )
+        )
+    new = new.withColumn("bucket", bucket).persist()
     touched = sorted(
         r["bucket"] for r in new.select("bucket").distinct().collect()
     )
@@ -496,31 +626,36 @@ def merge_composite_postings_batch(
         new.unpersist()
         _commit(
             index_path, meta, {}, batch_id, n_buckets,
-            composite_fields=norm,
+            max_rows=max_postings_per_row, composite_fields=norm,
         )
         return
-    old_buckets = (meta or {}).get("buckets", {})
-    old_paths = [
-        os.path.join(index_path, old_buckets[str(b)])
-        for b in touched
-        if str(b) in old_buckets
-    ]
-    if old_paths:
-        old = spark.read.parquet(*old_paths).withColumn("bucket", bucket)
-        merged = (
-            old.select("bucket", *vcols, "doc_ids")
-            .unionByName(new.select("bucket", *vcols, "doc_ids"))
-            .groupBy("bucket", *vcols)
-            .agg(
-                F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
-                    "doc_ids"
+    if max_postings_per_row is not None:
+        # SEGMENT APPEND (LSM): only the batch's own chunk rows are
+        # written; committed segments are never re-read or re-written
+        merged = new.select("bucket", *vcols, "chunk", "doc_ids")
+    else:
+        old_buckets = (meta or {}).get("buckets", {})
+        old_paths = [
+            os.path.join(index_path, rel)
+            for b in touched
+            for rel in old_buckets.get(str(b), [])
+        ]
+        if old_paths:
+            old = spark.read.parquet(*old_paths).withColumn("bucket", bucket)
+            merged = (
+                old.select("bucket", *vcols, "doc_ids")
+                .unionByName(new.select("bucket", *vcols, "doc_ids"))
+                .groupBy("bucket", *vcols)
+                .agg(
+                    F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
+                        "doc_ids"
+                    )
                 )
             )
-        )
-    else:
-        merged = new.select(
-            "bucket", *vcols, F.sort_array("doc_ids").alias("doc_ids")
-        )
+        else:
+            merged = new.select(
+                "bucket", *vcols, F.sort_array("doc_ids").alias("doc_ids")
+            )
     next_m = (meta or {}).get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
     merged.repartition("bucket").write.mode("overwrite").partitionBy(
@@ -537,7 +672,9 @@ def merge_composite_postings_batch(
         batch_id,
         n_buckets,
         next_m,
+        max_rows=max_postings_per_row,
         composite_fields=norm,
+        append=max_postings_per_row is not None,
     )
 
 
@@ -546,7 +683,13 @@ def read_composite_index(
 ) -> DataFrame | None:
     """Committed ``[v_<f1>, ..., doc_ids]`` snapshot of a streaming
     composite index, or None if empty.  Raises on a single-field index
-    (schemas must never cross)."""
+    (schemas must never cross).  For a CHUNKED composite index the
+    chunk rows are merged back into one sorted array per tuple — same
+    scale guard as :func:`read_index_postings`: safe when the consumer
+    filters by key first (Catalyst pushes equality predicates below the
+    merge because the keys are grouping columns) or the result set is
+    small; whole-index consumers at scale should read the raw chunk
+    rows via :func:`read_index`."""
     meta = _read_marker(index_path)
     if meta is None or not meta["buckets"]:
         return None
@@ -556,7 +699,17 @@ def read_composite_index(
             "read_index_postings."
         )
     df = read_index(spark, index_path)
-    return df.drop("bucket") if df is not None else None
+    if df is None:
+        return None
+    df = df.drop("bucket")
+    if meta.get("max_postings_per_row") is not None:
+        keys = _key_cols(meta)
+        df = df.groupBy(*keys).agg(
+            F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
+                "doc_ids"
+            )
+        )
+    return df
 
 
 def start_composite_index_maintenance(
@@ -567,6 +720,7 @@ def start_composite_index_maintenance(
     doc_id_col: str = "doc_id",
     trigger_available_now: bool = True,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    max_postings_per_row: int | None = None,
 ):
     """Attach the composite merge to a streaming source; returns the
     StreamingQuery (the :func:`start_index_maintenance` twin)."""
@@ -579,6 +733,7 @@ def start_composite_index_maintenance(
             doc_id_col,
             batch_id=batch_id,
             n_buckets=n_buckets,
+            max_postings_per_row=max_postings_per_row,
         )
 
     writer = (
@@ -599,6 +754,7 @@ def start_index_maintenance(
     doc_id_col: str = "doc_id",
     trigger_available_now: bool = True,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    max_postings_per_row: int | None = None,
 ):
     """Attach the merge to a streaming source; returns the StreamingQuery.
 
@@ -614,6 +770,7 @@ def start_index_maintenance(
             doc_id_col,
             batch_id=batch_id,
             n_buckets=n_buckets,
+            max_postings_per_row=max_postings_per_row,
         )
 
     writer = (

@@ -605,8 +605,10 @@ def test_pq_sidecar_staleness_and_missing_gates(spark, emb, tmp_path):
 
 def test_null_vectors_degrade_to_zero_not_crash(spark, emb, tmp_path):
     """r9 review: a NULL embedding row must not crash the GEMM closures
-    (np.asarray(None) raises) — it becomes the zero vector, scores 0.0
-    everywhere (the zero-norm rule), and never outranks a real match."""
+    (np.asarray(None) raises).  r10 (r9 ADVICE): a NULL corpus vector is
+    never EMITTED as a neighbor — the SQL twin scores it NULL (sorted
+    last under desc), so a 0.0 emission would outrank genuine
+    negative-sim matches."""
     rows = emb.where(F.col("vec_id") < 100).select("vec_id", "embedding")
     with_null = rows.unionByName(
         spark.createDataFrame([(99999, None)], schema=rows.schema)
@@ -617,11 +619,8 @@ def test_null_vectors_degrade_to_zero_not_crash(spark, emb, tmp_path):
     served = ann_search(spark, root, q, k=3, nprobe=4)
     got = served.collect()
     assert len(got) > 0
-    # the null row can only appear with cos_sim 0.0, never above a
-    # genuine neighbor
-    for r in got:
-        if r["neighbor_id"] == 99999:
-            assert r["cos_sim"] == 0.0
+    # the null row is excluded from candidates entirely
+    assert all(r["neighbor_id"] != 99999 for r in got)
     # a NULL query vector also degrades (scores 0) instead of crashing
     qn = spark.createDataFrame(
         [(77777, None)], schema=q.select("vec_id", "embedding").schema
@@ -648,3 +647,125 @@ def test_pq_empty_query_schema_matches_nonempty(spark, emb, tmp_path):
     out = ann_search_pq(spark, root, str_q, k=2)
     assert out.schema["query_id"].dataType.simpleString() == "string"
     assert out.count() == 0
+
+
+def test_null_corpus_vector_never_displaces_negative_sim(spark, tmp_path):
+    """r9 ADVICE: with only negative-similarity real matches, the NULL
+    row must not win a rank slot with a fabricated 0.0 — across the
+    float serve AND the PQ sidecar serve."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(1, [-1.0, 0.0]), (2, None)], schema
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0])], schema)
+    root = str(tmp_path / "ann_neg")
+    build_ann_index(corpus, root, n_centroids=1, n_iters=0)
+    got = ann_search(spark, root, q, k=2, nprobe=1).collect()
+    assert [r["neighbor_id"] for r in got] == [1]
+    assert got[0]["cos_sim"] == -1.0
+    pq_augment_ann_index(spark, root, m_subspaces=2, n_codes=2)
+    got_pq = ann_search_pq(
+        spark, root, q, k=2, nprobe=1, rerank_factor=2
+    ).collect()
+    assert [r["neighbor_id"] for r in got_pq] == [1]
+    assert got_pq[0]["cos_sim"] == -1.0
+
+
+def test_gemm_rounding_matches_sql_half_up(spark, tmp_path):
+    """r9 ADVICE (medium): cos = 0.25 exactly (dyadic: dot 1, norms
+    1 x 4) sits ON the .5 boundary at round_digits=1 — np.round
+    (half-to-even) gives 0.2, Spark F.round (HALF_UP) gives 0.3.  The
+    numpy serve paths must match the SQL twins on this class."""
+    from polars_w_inverted_index_spark.operators.ann_index import _half_up
+    from polars_w_inverted_index_spark.operators.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 3.0, 2.0, 1.0, 1.0])], schema  # |c| = sqrt(16) = 4
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0, 0.0, 0.0, 0.0])], schema)
+    twin = brute_force_topk(
+        corpus, q, k=1, round_digits=1, allow_full_scan=True
+    ).collect()
+    assert [r["cos_sim"] for r in twin] == [0.3]  # HALF_UP, not 0.2
+    gemm = brute_force_topk_gemm(corpus, q, k=1, round_digits=1).collect()
+    assert [(r["neighbor_id"], r["cos_sim"]) for r in gemm] == [(1, 0.3)]
+    root = str(tmp_path / "ann_round")
+    build_ann_index(corpus, root, n_centroids=1, n_iters=0)
+    served = ann_search(
+        spark, root, q, k=1, nprobe=1, round_digits=1
+    ).collect()
+    assert [(r["neighbor_id"], r["cos_sim"]) for r in served] == [(1, 0.3)]
+    # the helper itself, against Spark's round, on both signs
+    vals = [0.25, -0.25, 0.015625, -0.015625, 0.1, 1.0 / 3.0]
+    digs = [1, 1, 5, 5, 1, 5]
+    sql = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"round(CAST({v!r} AS DOUBLE), {d}) AS c{i}"
+            for i, (v, d) in enumerate(zip(vals, digs))
+        )
+    ).first()
+    for i, (v, d) in enumerate(zip(vals, digs)):
+        assert float(_half_up(v, d)) == sql[f"c{i}"], (v, d)
+
+
+def test_kmeans_update_excludes_null_vectors(spark):
+    """r9 ADVICE: a NULL vector contributes to NEITHER the Lloyd
+    numerator nor denominator (the pre-r9 posexplode exclusion) —
+    centroids with and without an extra NULL row are identical."""
+    schema = "vec_id long, embedding array<double>"
+    base = [(i, [float(i + 1), 1.0]) for i in range(6)]
+    c1 = kmeans_centroids(
+        spark.createDataFrame(base, schema), n_centroids=2, n_iters=2
+    ).collect()
+    c2 = kmeans_centroids(
+        spark.createDataFrame(base + [(99, None)], schema),
+        n_centroids=2,
+        n_iters=2,
+    ).collect()
+
+    def key(rows):
+        return sorted((r["cid"], tuple(r["centv"])) for r in rows)
+
+    assert key(c1) == key(c2)
+
+
+def test_pq_fingerprint_version_mismatch_names_cause(spark, emb, tmp_path):
+    """r9 ADVICE: a sidecar recorded under an older fingerprint FORMAT
+    mismatches on every serve even with an untouched cells tree — the
+    error must name the format change, not a phantom ingest race; a
+    current-version mismatch stays the plain STALE message."""
+    import json as _json
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+
+    root = str(tmp_path / "pq_ver")
+    build_ann_index(emb.where(F.col("vec_id") < 150), root, n_centroids=2)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    meta_path = os.path.join(root, "_pq_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    assert meta["fingerprint_version"] == 2  # pinned: bump = new test
+
+    q = emb.where(F.col("vec_id") < 2)
+    legacy = dict(meta, cells_fingerprint="0" * 64)
+    legacy.pop("fingerprint_version")
+    with open(meta_path, "w") as f:
+        _json.dump(legacy, f)
+    with pytest.raises(ValueError, match="digest format changed"):
+        ann_search_pq(spark, root, q, k=1)
+    with open(meta_path, "w") as f:
+        _json.dump(dict(meta, cells_fingerprint="0" * 64), f)
+    with pytest.raises(ValueError, match="STALE"):
+        ann_search_pq(spark, root, q, k=1)

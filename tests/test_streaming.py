@@ -723,3 +723,221 @@ def test_term_index_stream_end_to_end(spark, tmp_path):
         r.doc_id for r in boolean_search(docs, terms).collect()
     )
     assert got == want and len(got) > 0
+
+
+def _data_files(root):
+    """{relative path: size} for every non-hidden file under root."""
+    import os
+
+    out = {}
+    for dirpath, dirnames, files in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+def test_chunked_merge_bytes_written_track_batch_not_index(spark, tmp_path):
+    """r9 VERDICT task 1: in chunked/LSM mode a merge writes ONLY its
+    own batch's chunk rows as a new segment — committed segments are
+    untouched on disk, per-merge bytes track the batch (not the index),
+    and compaction folds every bucket back to one segment."""
+    import json
+    import os
+
+    from polars_w_inverted_index_spark.streaming import (
+        compact_index,
+        read_index_postings,
+    )
+
+    idx = str(tmp_path / "idx_lsm")
+
+    def batch(start, n):
+        rows = [(start + i, f"v{(start + i) % 7}") for i in range(n)]
+        return spark.createDataFrame(rows, "event_id long, event_type string")
+
+    cap = 50
+    # big initial merge, then a small one — write cost must NOT grow
+    # with index size (initial batch big enough that real data, not the
+    # ~1.1 KB/file parquet metadata floor, dominates its bytes)
+    merge_postings_batch(batch(0, 20_000), "event_type", idx, "event_id",
+                         batch_id=0, max_postings_per_row=cap,
+                         n_buckets=4)
+    before = _data_files(idx)
+    big_bytes = sum(before.values())
+
+    merge_postings_batch(batch(20_000, 40), "event_type", idx, "event_id",
+                         batch_id=1)
+    after = _data_files(idx)
+    # committed segments byte-identical and still present
+    for rel, size in before.items():
+        assert after.get(rel) == size, rel
+    new_files = {r: s for r, s in after.items() if r not in before}
+    assert new_files and all(r.startswith("m=1/") for r in new_files)
+    # the new segment holds ONLY the small batch's postings
+    seg_rows = spark.read.parquet(
+        *(os.path.join(idx, "m=1", d) for d in os.listdir(
+            os.path.join(idx, "m=1")))
+    )
+    assert seg_rows.agg(
+        F.sum(F.size("doc_ids"))
+    ).first()[0] == 40
+    assert sum(new_files.values()) < big_bytes / 4
+    # marker: touched buckets now list 2 segments
+    with open(os.path.join(idx, "_LATEST")) as f:
+        marker = json.load(f)
+    assert any(len(v) == 2 for v in marker["buckets"].values())
+    # logical view converges to the one-shot truth
+    truth = {
+        r["value"]: sorted(r["doc_ids"])
+        for r in postings(batch(0, 20_040), "event_type", "event_id").collect()
+    }
+    got = {
+        r["value"]: list(r["doc_ids"])
+        for r in read_index_postings(spark, idx).collect()
+    }
+    assert got == truth
+    # compaction folds every bucket to ONE segment; content unchanged
+    compact_index(spark, idx)
+    with open(os.path.join(idx, "_LATEST")) as f:
+        marker2 = json.load(f)
+    assert all(len(v) == 1 for v in marker2["buckets"].values())
+    got2 = {
+        r["value"]: list(r["doc_ids"])
+        for r in read_index_postings(spark, idx).collect()
+    }
+    assert got2 == truth
+    raw = read_index(spark, idx).collect()
+    assert all(len(r["doc_ids"]) <= 2 * cap for r in raw)
+
+
+def test_rebucket_index_preserves_lookups_and_crash_safety(spark, tmp_path):
+    """r9 VERDICT task 3: rebucket_index re-dials n_buckets in one
+    O(index) pointer-swap job — lookups identical before/after, later
+    merges use the new bucket space, and a crash before the commit
+    leaves the OLD marker serving."""
+    import json
+    import os
+
+    import polars_w_inverted_index_spark.streaming.index_maintenance as im
+
+    idx = str(tmp_path / "idx_rb")
+
+    def batch(start, n):
+        rows = [(start + i, f"v{(start + i) % 9}") for i in range(n)]
+        return spark.createDataFrame(rows, "event_id long, event_type string")
+
+    merge_postings_batch(batch(0, 300), "event_type", idx, "event_id",
+                         batch_id=0, max_postings_per_row=20, n_buckets=2)
+
+    def logical():
+        return {
+            r["value"]: list(r["doc_ids"])
+            for r in im.read_index_postings(spark, idx).collect()
+        }
+
+    before = logical()
+    # crash mid-rebucket: the commit never lands -> old marker serves
+    real_commit = im._commit
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    im._commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash"):
+            im.rebucket_index(spark, idx, 8)
+    finally:
+        im._commit = real_commit
+    with open(os.path.join(idx, "_LATEST")) as f:
+        assert json.load(f)["n_buckets"] == 2
+    assert logical() == before
+
+    # the real rebucket: marker re-dialed, content identical
+    im.rebucket_index(spark, idx, 8)
+    with open(os.path.join(idx, "_LATEST")) as f:
+        marker = json.load(f)
+    assert marker["n_buckets"] == 8
+    assert marker["max_postings_per_row"] == 20
+    assert logical() == before
+    # a later merge inherits the new bucket space and stays correct
+    merge_postings_batch(batch(300, 60), "event_type", idx, "event_id",
+                         batch_id=1)
+    truth = {
+        r["value"]: sorted(r["doc_ids"])
+        for r in postings(batch(0, 360), "event_type", "event_id").collect()
+    }
+    assert logical() == truth
+    # plain (non-chunked) indexes rebucket too
+    idx2 = str(tmp_path / "idx_rb_plain")
+    merge_postings_batch(batch(0, 100), "event_type", idx2, "event_id",
+                         batch_id=0, n_buckets=16)
+    want2 = {
+        r["value"]: list(r["doc_ids"])
+        for r in im.read_index_postings(spark, idx2).collect()
+    }
+    im.rebucket_index(spark, idx2, 4)
+    got2 = {
+        r["value"]: list(r["doc_ids"])
+        for r in im.read_index_postings(spark, idx2).collect()
+    }
+    assert got2 == want2
+
+
+def test_should_rebuild_wires_drift_to_ann_cadence(spark, tmp_path):
+    """r9 VERDICT task 6: the prose recipe ("rebuild centroids on the
+    cadence the drift monitor indicates") is executable — a stable
+    ingest says False, a drifted one says True, and mark_rebuilt
+    re-baselines so the NEXT rebuild measures drift since this one."""
+    from polars_w_inverted_index_spark.functions.text import unigram_lm
+    from polars_w_inverted_index_spark.streaming import (
+        drift_monitor_batch,
+        mark_rebuilt,
+        should_rebuild,
+    )
+
+    root = str(tmp_path / "ann_root")
+    import os
+
+    os.makedirs(root)
+    state = str(tmp_path / "drift_state")
+    reports = str(tmp_path / "reports")
+    ref_lm = unigram_lm(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon " * 20)],
+            "doc_id long, text string",
+        )
+    )
+
+    # no reports yet: no evidence, no rebuild
+    assert should_rebuild(spark, root, reports, threshold_bits=0.1) is False
+
+    # stable batch (same distribution as the reference)
+    r0 = drift_monitor_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon " * 10)],
+            "doc_id long, text string",
+        ),
+        state, ref_lm, batch_id=0,
+    )
+    r0.write.mode("append").parquet(reports)
+    assert should_rebuild(spark, root, reports, threshold_bits=0.1) is False
+
+    # drifted stream: disjoint vocabulary dominates the cumulative LM
+    for bid in (1, 2, 3):
+        r = drift_monitor_batch(
+            spark.createDataFrame(
+                [(10 + bid, "zork quux blorp frotz grue " * 30)],
+                "doc_id long, text string",
+            ),
+            state, ref_lm, batch_id=bid,
+        )
+        r.write.mode("append").parquet(reports)
+    assert should_rebuild(spark, root, reports, threshold_bits=0.1) is True
+
+    # rebuild happened: re-baseline — drift since the rebuild is ~0
+    mark_rebuilt(spark, root, reports)
+    assert should_rebuild(spark, root, reports, threshold_bits=0.1) is False
