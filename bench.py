@@ -28,10 +28,16 @@ parses the LAST JSON line; round 2's single line outgrew the capture
 and the headline was lost.  Emission is therefore layered back-to-front
 by importance (the tail truncates from the HEAD): full per-query detail
 first (human-facing; may straddle the boundary harmlessly), then the
-untracked registry timings, then the tracked ``ext_*`` timings in
-bounded chunks (r8 lost five ext entries to the tail cut — these are
-the round-over-round drift record, so they sit just before the end),
-then the compact headline line, which always fits whole.
+registry timings in bounded chunks, then the tracked ``ext_*`` timings
+in bounded chunks (r8 lost five ext entries to an unbounded line; r9's
+registry line lost its head the same way — every stream is chunked now
+so a cut costs at most one chunk), then the compact headline line,
+which always fits whole.  The complete record cannot fit the tail at
+all (~3.5 kB of names vs 2 kB of capture — see render_output_lines),
+so it is ALSO written to ``BENCH_DETAIL.json`` beside this script; the
+driver commits stray repo files at round end, making the sidecar the
+round's full per-entry record.  tests/test_bench_tail.py pins the
+layering budgets.
 
 Machine-drift calibration (r8 VERDICT task 1): two rounds of judging
 were burned classifying uniform bench drift as environment noise vs
@@ -40,6 +46,10 @@ testdata, no repo operators) at bench start and end;
 ``calibration_s`` rides the final line so any cross-round headline
 move can be read against the machine's same-round speed, and
 ``logs10m_total_norm`` pre-divides the headline by the probe ratio.
+r10 adds single-rep probe STAMPS at each phase boundary
+(``calib_phase``): r9's brackets alone measured the machine 3× apart
+within one run, so which phase the drift hit was inference — now each
+entry's timing reads against the probe of its own phase.
 """
 
 from __future__ import annotations
@@ -737,16 +747,19 @@ def _materialize(df) -> int:
 CALIB_REF = 0.278
 
 
-def _calibration(spark) -> float:
+def _calibration(spark, reps: int = 3) -> float:
     """Fixed-cost machine-speed probe: one 50 M-row codegen aggregate
     plus one 32-partition shuffle of 2 M constant rows — touches no
     testdata and no repo operator, so its timing can ONLY move with the
-    machine/JVM, never with this repo's code.  Best-of-3, same
-    discipline as the graded queries."""
+    machine/JVM, never with this repo's code.  Best-of-``reps`` (3 for
+    the start/end brackets, 1 for the cheap between-phase stamps — r9
+    VERDICT task 2: the brackets alone swung 3× within one run, so
+    per-phase drift was classified by inference; the stamps make it a
+    measurement)."""
     from pyspark.sql import functions as F
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         spark.range(50_000_000).select(
             F.sum(F.col("id") % 7).alias("s")
@@ -858,8 +871,30 @@ def main() -> None:
     # Extension queries stay single-shot — they are tracked for drift,
     # not graded against BASELINE.md.
     baseline_keys = set(headline) | set(logs) | set(logs_extra)
+
+    def _group(name: str) -> str:
+        if name in headline:
+            return "headline"
+        if name in logs or name in logs_extra:
+            return "logs"
+        if name.startswith("ext_"):
+            return "ext"
+        return "registry"
+
+    # Per-PHASE calibration stamps (r9 VERDICT task 2): the start/end
+    # brackets measured the machine 3× apart within one r9 run, so
+    # mid-run drift (e.g. r9's ext entries +25-150% on untouched code)
+    # could only be classified by inference.  One single-rep probe at
+    # each phase boundary (~1 s each) timestamps the machine speed the
+    # phase actually ran under.  calib_end covers the final phase.
+    calib_phase: dict[str, float] = {}
+    prev_group: str | None = None
     timings: dict[str, float] = {}
     for name, fn in workload.items():
+        g = _group(name)
+        if prev_group is not None and g != prev_group:
+            calib_phase[prev_group] = _calibration(spark, reps=1)
+        prev_group = g
         if name in errors:
             continue  # warm-up already failed; don't re-raise in timing
         # Baseline-graded queries (ref_* AND logs10m_*) are sub-second:
@@ -901,6 +936,9 @@ def main() -> None:
         "calibration_s": calibration_s,
         "calib_start": calib_start,
         "calib_end": calib_end,
+        # single-rep probe at each phase boundary: read an entry's
+        # timing against the probe of ITS phase, not the run brackets
+        "calib_phase": {k: round(v, 3) for k, v in calib_phase.items()},
     }
     if logs:
         # apples-to-apples vs BASELINE.md: same 10 M-record workload
@@ -932,42 +970,74 @@ def main() -> None:
             errors["logs10m_exec_peak_mb"] = f"{type(e).__name__}: {e}"[:300]
     if errors:
         out["errors"] = errors
-    # The driver captures a 2,000-byte stdout tail and parses its LAST
-    # JSON line (BENCH_r1-r3 all show tail_len=2000).  The tail cuts
-    # from the HEAD, so emission is layered by importance, least first:
-    # full detail, then registry timings, then the tracked ext_* entries
-    # in bounded chunks (r8 lost five ext numbers to the cut — VERDICT
-    # r8 task 4), then the compact headline line that always fits whole.
+    for line in render_output_lines(out, timings, baseline_keys, errors):
+        print(line)
+
+
+# One bounded chunk line must fit the tail beside the headline line; the
+# guard test (tests/test_bench_tail.py) pins both budgets.
+CHUNK_BUDGET = 900
+HEADLINE_BUDGET = 1500
+DETAIL_FILE = os.path.join(_HERE, "BENCH_DETAIL.json")
+
+
+def _chunk_lines(label: str, entries: dict[str, float]) -> list[str]:
+    """JSON lines ``{"<label>": {...}}``, each <= ~CHUNK_BUDGET bytes,
+    so a tail cut mid-stream costs at most ONE bounded chunk, never the
+    whole dict (r8 lost five ext entries to an unbounded line; r9's
+    registry line lost its head the same way)."""
+    chunks: list[dict[str, float]] = []
+    chunk: dict[str, float] = {}
+    for k, v in entries.items():
+        chunk[k] = v
+        if len(json.dumps({label: chunk})) > CHUNK_BUDGET:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    return [json.dumps({label: c}) for c in chunks]
+
+
+def render_output_lines(out, timings, baseline_keys, errors) -> list[str]:
+    """Stdout lines, layered back-to-front for the driver's 2,000-byte
+    tail (it parses the LAST JSON line as the record; the tail cuts
+    from the HEAD): full detail first, then registry timings in bounded
+    chunks, then the tracked ``ext_*`` timings in bounded chunks, then
+    the compact headline line that always fits whole.
+
+    COMPLETENESS ARITHMETIC (r9 VERDICT tasks 2/7): the full record —
+    ~50 registry names + ~35 ext names + the graded headline — is
+    ~3.5 kB of JSON, so no emission order fits ALL of it in 2,000
+    bytes; chunking bounds the loss to one chunk per stream, and the
+    COMPLETE record is additionally written to ``BENCH_DETAIL.json``
+    beside this script (the driver commits stray repo files at round
+    end, so the full per-entry record survives the tail cap in-repo).
+    """
+    lines: list[str] = []
     detail = dict(out)
-    detail["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    print(json.dumps(detail))
+    detail["queries"] = {k: round(v, 4) for k, v in sorted(timings.items())}
+    lines.append(json.dumps(detail))
+    try:
+        with open(DETAIL_FILE, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout layering still carries chunks
 
     reg = {
         k: round(v, 2)
         for k, v in sorted(timings.items())
         if k not in baseline_keys and not k.startswith("ext_")
     }
-    if reg:
-        print(json.dumps({"reg": reg}))
+    lines.extend(_chunk_lines("reg", reg))
     ext = {
         k[len("ext_"):]: round(v, 2)
         for k, v in sorted(timings.items())
         if k.startswith("ext_")
     }
-    # chunk so a mid-line cut costs at most one bounded chunk, never
-    # the whole dict; ~900 B/chunk keeps chunk + headline under 2000
-    chunk: dict[str, float] = {}
-    chunks: list[dict[str, float]] = []
-    for k, v in ext.items():
-        chunk[k] = v
-        if len(json.dumps({"ext": chunk})) > 900:
-            chunks.append(chunk)
-            chunk = {}
-    if chunk:
-        chunks.append(chunk)
-    for c in chunks:
-        print(json.dumps({"ext": c}))
+    lines.extend(_chunk_lines("ext", ext))
 
+    out = dict(out)
+    out["detail_file"] = "BENCH_DETAIL.json"
     out["queries"] = {
         k: round(timings[k], 2)
         for k in sorted(baseline_keys)
@@ -980,10 +1050,11 @@ def main() -> None:
         if len(errors) > 3:
             out["errors"]["..."] = f"{len(errors) - 3} more"
     line = json.dumps(out)
-    if len(line) > 1500:  # belt-and-braces; ~8 graded keys ≈ 600 B
+    if len(line) > HEADLINE_BUDGET:  # belt-and-braces; ~24 graded keys
         out["queries"] = {}
         line = json.dumps(out)
-    print(line)
+    lines.append(line)
+    return lines
 
 
 if __name__ == "__main__":
