@@ -160,6 +160,18 @@ def _half_up(a, digits: int):
     return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
 
 
+def _arrow_schema(ddl: str):
+    """Driver-side: the pyarrow schema for a Spark DDL string, so a
+    ``mapInArrow`` closure can build output RecordBatches with exactly
+    the declared field types (inference on empty/py-object lists would
+    flip types batch-to-batch).  pa.Schema pickles by value into the
+    closure."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    return to_arrow_schema(StructType.fromDDL(ddl))
+
+
 def _collect_centroids(centroids: DataFrame):
     """Bounded driver-side centroid matrix for the GEMM closures:
     ``(cids, cmat, cns, n_dims)`` sorted by cid (argmax first-hit ==
@@ -223,15 +235,21 @@ def _cell_partial_sums(
     as ``_assign_cells`` keep_n=1) and accumulate per-cell vector sums
     ACROSS every Arrow batch of the partition, emitting at most
     ``n_centroids`` rows per partition.  The reduce side then sums ≤
-    partitions × cells × dims rows — independent of corpus size."""
+    partitions × cells × dims rows — independent of corpus size.
+    Arrow-native decode (``mapInArrow``) like :func:`_assign_cells` —
+    this is the per-Lloyd-iteration corpus pass, so the per-row pandas
+    object cost it avoids is paid ``n_iters`` times otherwise."""
     cids, cmat, cns, n_dims = _collect_centroids(centroids)
     cell_ddl = centroids.schema["cid"].dataType.simpleString()
     rd = int(round_digits)
+    out_ddl = f"cell {cell_ddl}, psum array<double>, n long"
+    out_pa_schema = _arrow_schema(out_ddl)
 
-    def _sums(it):
+    def _sums(batches):
         # SELF-CONTAINED worker closure (repo convention)
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         C = np.zeros((len(cmat), n_dims), dtype=np.float64)
         for i, c in enumerate(cmat):
@@ -241,25 +259,44 @@ def _cell_partial_sums(
         acc = np.zeros((len(cmat), n_dims), dtype=np.float64)
         cnt = np.zeros(len(cmat), dtype=np.int64)
         p = 10.0 ** rd
-        for pdf in it:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            mat = np.zeros((len(pdf), n_dims), dtype=np.float64)
+            col = rb.column(0)
             # NULL vecs are EXCLUDED from the Lloyd update (numerator
             # AND denominator) — the pre-r9 posexplode form emitted no
             # rows for them, and counting a zero row dilutes the
             # lowest-cid centroid's mean toward zero (r9 ADVICE).
             # Genuine zero VECTORS still count (they did pre-r9 too).
-            live = np.ones(len(pdf), dtype=bool)
-            for i, v in enumerate(pdf["v"]):
-                if v is None:
-                    live[i] = False
-                    continue
-                a = np.asarray(v, dtype=np.float64)[:n_dims]
-                mat[i, : len(a)] = a
+            live = (
+                col.is_valid().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.ones(n, dtype=bool)
+            )
             if not live.any():
                 continue
-            mat = mat[live]
+            lv = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )[live].astype(np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            mat = np.zeros((int(live.sum()), n_dims), dtype=np.float64)
+            if lv.size and (lv == lv[0]).all():
+                w = int(lv[0])
+                if w:
+                    mat[:, : min(w, n_dims)] = flat.reshape(-1, w)[
+                        :, :n_dims
+                    ]
+            else:  # ragged widths: per-row scatter (mixed-dim corpora)
+                pos = 0
+                for j, w in enumerate(lv):
+                    w = int(w)
+                    mat[j, : min(w, n_dims)] = flat[
+                        pos: pos + min(w, n_dims)
+                    ]
+                    pos += w
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
@@ -273,16 +310,23 @@ def _cell_partial_sums(
             np.add.at(cnt, best, 1)
         hit = np.nonzero(cnt > 0)[0]
         if len(hit):
-            yield pd.DataFrame(
-                {
-                    "cell": [cids[i] for i in hit],
-                    "psum": [acc[i].tolist() for i in hit],
-                    "n": cnt[hit],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        [cids[i] for i in hit],
+                        type=out_pa_schema.field(0).type,
+                    ),
+                    pa.array(
+                        [acc[i].tolist() for i in hit],
+                        type=out_pa_schema.field(1).type,
+                    ),
+                    pa.array(cnt[hit], type=out_pa_schema.field(2).type),
+                ],
+                schema=out_pa_schema,
             )
 
-    return df.select(F.col(vec_col).alias("v")).mapInPandas(
-        _sums, f"cell {cell_ddl}, psum array<double>, n long"
+    return df.select(F.col(vec_col).alias("v")).mapInArrow(
+        _sums, out_ddl
     )
 
 
@@ -298,9 +342,9 @@ def _assign_cells(
     centroids by cosine (ties → lowest cid, rounding before ranking for
     tie stability — same discipline as similarity.py).
 
-    ONE vectorized Arrow pass (r9): the centroid matrix is collected
-    once (bounded — a loud guard at 65,536; 4096 × 64-dim doubles is
-    2 MB) and each batch scores as a single numpy GEMM,
+    ONE vectorized Arrow pass: the centroid matrix is collected once
+    (bounded — a loud guard at 65,536; 4096 × 64-dim doubles is 2 MB)
+    and each batch scores as a single numpy GEMM,
     ``(batch × dims) @ (dims × n_centroids)``.  ZERO shuffle —
     the previous form crossJoined the corpus against the broadcast
     centroid frame and folded every pair through interpreted
@@ -311,6 +355,14 @@ def _assign_cells(
     ``similarity.ivf_topk`` keeps the pure-SQL-expression form — it is
     the cross-engine-oracled twin; this operator is the scale path.
 
+    r10: ``mapInArrow``, not ``mapInPandas`` — the pandas bridge
+    materializes every vector as its own numpy OBJECT and the pad loop
+    touches each row in Python, which measured ~2 s per million rows
+    (the dominant serve/assign cost at 10 M rows, r10 crossover run);
+    the Arrow list column decodes to the (batch × dims) matrix with one
+    ``flatten().reshape()`` — zero per-row Python — and the id/vector
+    columns pass through as Arrow arrays untouched.
+
     Vectors are zero-pad/truncated to the centroid width (the
     ``_pad_matrix`` contract); zero-norm rows/centroids score 0.0.
     """
@@ -319,28 +371,64 @@ def _assign_cells(
     vec_ddl = df.schema[vec_col].dataType.simpleString()
     cell_ddl = centroids.schema["cid"].dataType.simpleString()
     kn, rd = int(keep_n), int(round_digits)
+    out_ddl = (
+        f"_id {id_ddl}, cell {cell_ddl}, crank int, v {vec_ddl}, vn double"
+    )
+    out_pa_schema = _arrow_schema(out_ddl)
 
-    def _gemm(it):
+    def _gemm(batches):
         # SELF-CONTAINED worker closure (repo convention: imports inside,
         # everything else a closure VALUE — a module-level helper would
         # pickle by reference and executors would need the repo on path)
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _mat(col, n):
+            # Arrow list column -> ((n, n_dims) float64, live mask):
+            # one flatten+reshape for the uniform-width case — zero
+            # per-row Python (see docstring); ragged widths fall back
+            # to a per-row scatter (mixed-dim corpora only)
+            live = (
+                col.is_valid().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.ones(n, dtype=bool)
+            )
+            lens = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )
+            lv = lens[live].astype(np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            mat = np.zeros((n, n_dims), dtype=np.float64)
+            if lv.size and (lv == lv[0]).all():
+                w = int(lv[0])
+                if w:
+                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
+                        :, :n_dims
+                    ]
+                return mat, live
+            pos = 0
+            for j, w in zip(np.nonzero(live)[0], lv):
+                w = int(w)
+                mat[j, : min(w, n_dims)] = flat[pos: pos + min(w, n_dims)]
+                pos += w
+            return mat, live
 
         C = np.zeros((len(cmat), n_dims), dtype=np.float64)
         for i, c in enumerate(cmat):
             C[i, : len(c)] = c[:n_dims]
         cn = np.asarray(cns, dtype=np.float64)
         cn_safe = np.where(cn > 0, cn, 1.0)
-        for pdf in it:
-            if not len(pdf):
+        cell_t = out_pa_schema.field(1).type
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            mat = np.zeros((len(pdf), n_dims), dtype=np.float64)
-            for i, v in enumerate(pdf["v"]):
-                if v is None:  # NULL vec -> zero vector (scores 0.0)
-                    continue
-                a = np.asarray(v, dtype=np.float64)[:n_dims]
-                mat[i, : len(a)] = a
+            id_arr = rb.column(0)
+            v_arr = rb.column(1)
+            mat, _ = _mat(v_arr, n)  # NULL vec -> zero vector (scores 0)
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
@@ -351,45 +439,46 @@ def _assign_cells(
             cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
             if kn == 1:
                 best = cos.argmax(axis=1)  # first max == lowest cid
-                yield pd.DataFrame(
-                    {
-                        "_id": pdf["_id"],
-                        "cell": [cids[i] for i in best],
-                        "crank": np.ones(len(pdf), dtype=np.int32),
-                        "v": pdf["v"],
-                        "vn": vn,
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        id_arr,
+                        pa.array([cids[i] for i in best], type=cell_t),
+                        pa.array(
+                            np.ones(n, dtype=np.int32),
+                            type=out_pa_schema.field(2).type,
+                        ),
+                        v_arr,
+                        pa.array(vn, type=out_pa_schema.field(4).type),
+                    ],
+                    schema=out_pa_schema,
                 )
                 continue
             k = min(kn, len(cids))
             # stable sort on -cos keeps index (== cid) order on ties
             top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-            out_id, out_cell, out_rank, out_v, out_vn = [], [], [], [], []
-            for j in range(len(pdf)):
-                for r in range(k):
-                    out_id.append(pdf["_id"].iloc[j])
-                    out_cell.append(cids[top[j, r]])
-                    out_rank.append(r + 1)
-                    out_v.append(pdf["v"].iloc[j])
-                    out_vn.append(vn[j])
-            yield pd.DataFrame(
-                {
-                    "_id": out_id,
-                    "cell": out_cell,
-                    "crank": out_rank,
-                    "v": out_v,
-                    "vn": out_vn,
-                }
+            take = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    id_arr.take(take),
+                    pa.array(
+                        [cids[i] for i in top.ravel()], type=cell_t
+                    ),
+                    pa.array(
+                        np.tile(np.arange(1, k + 1, dtype=np.int32), n),
+                        type=out_pa_schema.field(2).type,
+                    ),
+                    v_arr.take(take),
+                    pa.array(
+                        np.repeat(vn, k), type=out_pa_schema.field(4).type
+                    ),
+                ],
+                schema=out_pa_schema,
             )
 
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
     )
-    return base.mapInPandas(
-        _gemm,
-        f"_id {id_ddl}, cell {cell_ddl}, crank int, v {vec_ddl}, "
-        "vn double",
-    )
+    return base.mapInArrow(_gemm, out_ddl)
 
 
 def build_ann_index(
@@ -674,64 +763,113 @@ def ann_search(
             "shrink the query set / nprobe or raise the cap explicitly"
         )
 
-    def _score(it):
+    score_ddl = f"query_id {q_id_ddl}, neighbor_id long, cos_sim double"
+    score_pa_schema = _arrow_schema(score_ddl)
+
+    def _score(batches):
+        # Arrow-native (r10): the pandas bridge's per-row vector objects
+        # + pad loop measured ~2 s per million probed rows — the
+        # dominant serve cost at 10 M rows; one flatten+reshape decodes
+        # each batch with zero per-row Python (see _assign_cells).
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         qn_safe = np.where(q_norm > 0, q_norm, 1.0)
-        for pdf in it:
-            if not len(pdf):
+        p = 10.0 ** round_digits
+        for rb in batches:
+            nrows = rb.num_rows
+            if not nrows:
                 continue
+            cells_np = rb.column(0).to_numpy(zero_copy_only=False)
+            ids_np = rb.column(1).to_numpy(zero_copy_only=False)
+            col = rb.column(2)
+            # NULL corpus vectors are never EMITTED as neighbors: the
+            # SQL twin scores them NULL (sorted last under desc), so a
+            # 0.0 emission would outrank genuine negative-sim matches
+            # (r9 ADVICE).  Genuine zero VECTORS keep the 0.0 zero-norm
+            # rule (the twin rounds them to 0.0 too).
+            live = (
+                col.is_valid().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.ones(nrows, dtype=bool)
+            )
+            lv = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )[live].astype(np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            mat = np.zeros((nrows, n_dims), dtype=np.float64)
+            if lv.size and (lv == lv[0]).all():
+                w = int(lv[0])
+                if w:
+                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
+                        :, :n_dims
+                    ]
+            else:  # ragged widths (mixed-dim corpora): per-row scatter
+                pos = 0
+                for j, w in zip(np.nonzero(live)[0], lv):
+                    w = int(w)
+                    mat[j, : min(w, n_dims)] = flat[
+                        pos: pos + min(w, n_dims)
+                    ]
+                    pos += w
+            vn = np.linalg.norm(mat, axis=1)
+            vn_safe = np.where(vn > 0, vn, 1.0)
             out_q, out_n, out_s = [], [], []
-            for cell, grp in pdf.groupby("cell", sort=False):
-                qidx = cell_qidx.get(cell)
+            order = np.argsort(cells_np, kind="stable")
+            uniq, starts = np.unique(
+                cells_np[order], return_index=True
+            )
+            bounds = np.r_[starts[1:], nrows]
+            for u, s0, e0 in zip(uniq, starts, bounds):
+                qidx = cell_qidx.get(u if not hasattr(u, "item") else u.item())
                 if not qidx:
                     continue
-                mat = np.zeros((len(grp), n_dims), dtype=np.float64)
-                # NULL corpus vectors are never EMITTED as neighbors:
-                # the SQL twin scores them NULL (sorted last under desc),
-                # so a 0.0 emission would outrank genuine negative-sim
-                # matches (r9 ADVICE).  Genuine zero VECTORS keep the
-                # 0.0 zero-norm rule (the twin rounds them to 0.0 too).
-                live = np.ones(len(grp), dtype=bool)
-                for i, v in enumerate(grp["cv"]):
-                    if v is None:
-                        live[i] = False
-                        continue
-                    a = np.asarray(v, dtype=np.float64)[:n_dims]
-                    mat[i, : len(a)] = a
-                c_ids = grp["vec_id"].to_numpy()
-                vn = np.linalg.norm(mat, axis=1)
-                vn_safe = np.where(vn > 0, vn, 1.0)
+                sel = order[s0:e0]
                 qi = np.asarray(qidx, dtype=np.int64)
-                sims = (mat @ q_mat[qi].T) / np.outer(vn_safe, qn_safe[qi])
-                sims[vn == 0, :] = 0.0
+                sims = (mat[sel] @ q_mat[qi].T) / np.outer(
+                    vn_safe[sel], qn_safe[qi]
+                )
+                sims[vn[sel] == 0, :] = 0.0
                 sims[:, q_norm[qi] == 0] = 0.0
                 # half-up round, matches F.round (see _half_up; inlined)
-                p = 10.0 ** round_digits
                 sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
-                for col, j in enumerate(qi):
+                c_ids = ids_np[sel]
+                g_live = live[sel]
+                for cj, j in enumerate(qi):
                     qid = q_ids[j]
-                    keep = np.nonzero((c_ids != qid) & live)[0]
+                    keep = np.nonzero((c_ids != qid) & g_live)[0]
                     if not len(keep):
                         continue
-                    vals = sims[keep, col]
+                    vals = sims[keep, cj]
                     top = keep[np.lexsort((c_ids[keep], -vals))[:k]]
                     out_q.extend([qid] * len(top))
                     out_n.extend(c_ids[top])
-                    out_s.extend(sims[top, col])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-            )
+                    out_s.extend(sims[top, cj])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_q, type=score_pa_schema.field(0).type),
+                        pa.array(
+                            np.asarray(out_n, dtype=np.int64),
+                            type=score_pa_schema.field(1).type,
+                        ),
+                        pa.array(
+                            np.asarray(out_s, dtype=np.float64),
+                            type=score_pa_schema.field(2).type,
+                        ),
+                    ],
+                    schema=score_pa_schema,
+                )
 
     cells = (
         spark.read.parquet(os.path.join(root, "cells"))
         .where(F.col("cell").isin(probe_cells))  # static partition pruning
         .select("cell", "vec_id", "cv")
     )
-    scored = cells.mapInPandas(
-        _score, f"query_id {q_id_ddl}, neighbor_id long, cos_sim double"
-    )
+    scored = cells.mapInArrow(_score, score_ddl)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -913,6 +1051,7 @@ def ann_search_pq(
     round_digits: int = 5,
     max_probe_cells: int = 10_000,
     max_query_rows: int = 100_000,
+    max_pushdown_candidates: int = 10_000,
     _stop_after: str | None = None,
 ) -> DataFrame:
     """Serve cosine top-k from the PQ sidecar: probe-pruned ADC scan
@@ -1057,8 +1196,15 @@ def ann_search_pq(
     q_norm = np.linalg.norm(q_mat, axis=1)
     n_cand = max(k * rerank_factor, k)
 
-    def _adc(it):
-        import pandas as pd
+    adc_ddl = f"query_id {q_id_ddl}, neighbor_id long, adc_sim double"
+    adc_pa_schema = _arrow_schema(adc_ddl)
+
+    def _adc(batches):
+        # Arrow-native (r10): codes decode to the (batch × m) int matrix
+        # with one flatten+reshape — zero per-row Python (the pandas
+        # bridge's per-row np.vstack objects dominated at 10 M rows)
+        import numpy as np
+        import pyarrow as pa
 
         cents = [np.asarray(b, dtype=np.float64) for b in books]
         # luts[s]: (n_codes, n_queries) — built once per worker;
@@ -1068,18 +1214,39 @@ def ann_search_pq(
             for s, (lo, hi) in enumerate(slices)
         ]
         m = len(luts)
-        for pdf in it:
-            if not len(pdf):
+        p = 10.0 ** round_digits
+        for rb in batches:
+            nrows = rb.num_rows
+            if not nrows:
                 continue
+            cells_np = rb.column(0).to_numpy(zero_copy_only=False)
+            ids_np = rb.column(1).to_numpy(zero_copy_only=False)
+            codes_col = rb.column(2)
+            # codes are fixed-width (one per subspace) and never null —
+            # pq_encode emits a row for every input, NULLs marked via
+            # NaN vnorm below
+            codes_all = (
+                codes_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .reshape(nrows, m)
+            )
+            vnorm_all = rb.column(3).to_numpy(zero_copy_only=False)
             out_q, out_n, out_s = [], [], []
-            for cell, grp in pdf.groupby("cell", sort=False):
-                qidx = cell_qidx.get(cell)
+            order = np.argsort(cells_np, kind="stable")
+            uniq, starts = np.unique(cells_np[order], return_index=True)
+            bounds = np.r_[starts[1:], nrows]
+            for u, s0, e0 in zip(uniq, starts, bounds):
+                qidx = cell_qidx.get(
+                    u if not hasattr(u, "item") else u.item()
+                )
                 if not qidx:
                     continue
+                sel = order[s0:e0]
                 qi = np.asarray(qidx, dtype=np.int64)
-                codes = np.vstack(grp["codes"].to_numpy())
-                c_ids = grp["vec_id"].to_numpy()
-                vnorm = grp["vnorm"].to_numpy(dtype=np.float64)
+                codes = codes_all[sel]
+                c_ids = ids_np[sel]
+                vnorm = vnorm_all[sel]
                 # NaN vnorm marks a NULL source vector (pq_encode): it
                 # must never surface as an ADC candidate — the SQL twin
                 # scores NULLs NULL (sorted last), so a 0.0 emission
@@ -1101,30 +1268,39 @@ def ann_search_pq(
                 sims[vnorm == 0, :] = 0.0
                 sims[:, qn == 0] = 0.0
                 # half-up round, matches F.round (see _half_up; inlined)
-                p = 10.0 ** round_digits
                 sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
-                for col, j in enumerate(qi):
+                for cj, j in enumerate(qi):
                     qid = q_ids[j]
                     keep = np.nonzero((c_ids != qid) & live)[0]
                     if not len(keep):
                         continue
-                    vals = sims[keep, col]
+                    vals = sims[keep, cj]
                     top = keep[np.lexsort((c_ids[keep], -vals))[:n_cand]]
                     out_q.extend([qid] * len(top))
                     out_n.extend(c_ids[top])
-                    out_s.extend(sims[top, col])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "adc_sim": out_s}
-            )
+                    out_s.extend(sims[top, cj])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_q, type=adc_pa_schema.field(0).type),
+                        pa.array(
+                            np.asarray(out_n, dtype=np.int64),
+                            type=adc_pa_schema.field(1).type,
+                        ),
+                        pa.array(
+                            np.asarray(out_s, dtype=np.float64),
+                            type=adc_pa_schema.field(2).type,
+                        ),
+                    ],
+                    schema=adc_pa_schema,
+                )
 
     codes_df = (
         spark.read.parquet(os.path.join(root, "pq_codes"))
         .where(F.col("cell").isin(probe_cells))  # static partition prune
         .select("cell", "vec_id", "codes", "vnorm")
     )
-    scored = codes_df.mapInPandas(
-        _adc, f"query_id {q_id_ddl}, neighbor_id long, adc_sim double"
-    )
+    scored = codes_df.mapInArrow(_adc, adc_ddl)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1137,6 +1313,17 @@ def ann_search_pq(
         return cand
 
     # -- exact re-rank: floats fetched for candidates only -------------
+    # Candidate-ID pushdown (r10): joining the float cells against the
+    # broadcast candidate frame still SCANS every probed cell's float
+    # column — the r10 crossover measured the PQ serve reading ~2 GB of
+    # floats to fetch 20 candidate rows, erasing the codes' entire byte
+    # advantage (PQ cold 12.1 s vs float 11.3 s at full probe).  The
+    # candidate set is bounded (|Q| × k·rerank_factor), so when small
+    # enough for a literal In filter it is collected ONCE (also reused
+    # as a literal frame for the pairing join — the ADC scan must not
+    # execute twice) and pushed into the parquet scan, where row-group
+    # vec_id stats prune the float read to the candidates' groups.
+    # Above the cap (huge query batches) the join-only shape remains.
     qframe = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -1151,6 +1338,17 @@ def ann_search_pq(
             F.col("cn"),
         )
     )
+    if len(q_rows) * n_cand <= max_pushdown_candidates:
+        pairs = cand.collect()  # bounded by the gate above
+        if not pairs:
+            return spark.createDataFrame(
+                [],
+                f"query_id {q_id_ddl}, neighbor_id long, cos_sim double, "
+                "rank int",
+            )
+        cand = spark.createDataFrame(pairs, cand.schema)
+        cand_ids = sorted({r["neighbor_id"] for r in pairs})
+        floats = floats.where(F.col("neighbor_id").isin(cand_ids))
     exact = (
         floats.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qframe), "query_id")

@@ -117,23 +117,42 @@ def pq_train(
 ) -> PQCodebooks:
     """Train PQ codebooks on a BOUNDED deterministic sample.
 
-    The sample is the ``sample_rows`` lowest-id vectors (TakeOrdered —
-    no full sort, no RNG), collected once to the driver: k-means over a
-    bounded sample is the standard PQ training regime (codebook quality
-    saturates long before the corpus is exhausted), and the collect is
-    O(sample), never O(corpus).  Per subspace: Lloyd iterations seeded
-    by the first ``n_codes`` sample subvectors, empty cells keep their
-    previous centroid (the :func:`.ann_index.kmeans_centroids` rule).
+    The sample is the ``sample_rows`` lowest-id vectors (no RNG),
+    collected once to the driver: k-means over a bounded sample is the
+    standard PQ training regime (codebook quality saturates long before
+    the corpus is exhausted), and the collect is O(sample), never
+    O(corpus).  Per subspace: Lloyd iterations seeded by the first
+    ``n_codes`` sample subvectors, empty cells keep their previous
+    centroid (the :func:`.ann_index.kmeans_centroids` rule).
+
+    Two-phase sample (r10): a single ``orderBy(id).limit(K).collect()``
+    plans as TakeOrdered, which ships each partition's local top-K to
+    the driver — K vectors PER PARTITION, measured 1.04 GB (over
+    ``spark.driver.maxResultSize``) at 10 M rows × 29 partitions on the
+    crossover run.  Phase 1 ships only the ID column to find the K-th
+    smallest id; phase 2 re-reads with ``id <= cutoff`` pushed to the
+    scan, so the vector collect is truly O(sample).
     """
     import numpy as np
 
     if not 1 <= m_subspaces <= n_dims:
         raise ValueError(f"need 1 <= m_subspaces <= n_dims={n_dims}")
-    rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+    cut_row = (
+        corpus.select(F.col(id_col))
         .orderBy(F.col(id_col).asc())
         .limit(sample_rows)
-        .collect()
+        .agg(F.max(F.col(id_col)).alias("c"))
+        .first()
+    )
+    cut = cut_row["c"] if cut_row is not None else None
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if cut is not None:
+        # nulls sort first under asc, so they belong in the sample too
+        base = base.where(
+            F.col(id_col).isNull() | (F.col(id_col) <= F.lit(cut))
+        )
+    rows = (
+        base.orderBy(F.col(id_col).asc()).limit(sample_rows).collect()
     )
     if len(rows) < n_codes:
         raise ValueError(
@@ -171,18 +190,32 @@ def pq_encode(
     """``[vec_id, codes array<int>, vnorm double]`` — one narrow
     Arrow-batched pass, no shuffle.  ``vnorm`` is the EXACT vector norm
     (cosine denominators are not quantized; only the dot is), so a
-    zero vector stays exactly representable (scores 0 downstream).
+    zero vector stays exactly representable (scores 0 downstream); a
+    NULL source vector encodes with ``vnorm = NaN`` so serving can tell
+    it from a genuine zero vector (r9 ADVICE).
 
     ``extra_cols`` ({name: ddl_type}) passes input columns through
     unchanged — the IVF-PQ augmentation keeps the ``cell`` partition
     key beside each code row so the codes sidecar prunes identically
-    to the float cells."""
+    to the float cells.
+
+    r10: ``mapInArrow`` — this is the build-side corpus pass, and the
+    pandas bridge's per-row vector objects measured ~2 s per million
+    rows (see ann_index._assign_cells); the Arrow list column decodes
+    with one ``flatten().reshape()`` and the code rows are emitted as
+    one ListArray built from a flat buffer."""
     slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
     books = cb.books
     n_dims = cb.n_dims
     extra = dict(extra_cols or {})
+    schema = "vec_id long, codes array<long>, vnorm double" + "".join(
+        f", {name} {ddl}" for name, ddl in extra.items()
+    )
+    from .ann_index import _arrow_schema
 
-    def _enc(it):
+    out_pa_schema = _arrow_schema(schema)
+
+    def _enc(batches):
         # SELF-CONTAINED worker closure (repo convention): referencing
         # a module-level helper here would make cloudpickle serialize
         # it BY REFERENCE and the executor-side Python worker would
@@ -190,50 +223,67 @@ def pq_encode(
         # resolves when the driver's cwd happens to be the repo root.
         # Everything this touches is an import or a closure VALUE.
         import numpy as np
-        import pandas as pd
-
-        def _pad(vecs, nd):
-            # None → zero row (np.asarray(None)[:nd] would raise); the
-            # caller marks those rows' vnorm NaN so serving can tell a
-            # NULL source from a genuine zero vector (r9 ADVICE)
-            m = np.zeros((len(vecs), nd), dtype=np.float64)
-            for i, v in enumerate(vecs):
-                if v is None:
-                    continue
-                a = np.asarray(v, dtype=np.float64)[:nd]
-                m[i, : len(a)] = a
-            return m
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         cents = [np.asarray(b, dtype=np.float64) for b in books]
         cent_sq = [(c**2).sum(axis=1) for c in cents]
-        for pdf in it:
-            if not len(pdf):
+        m = len(slices)
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            vec_list = list(pdf[vec_col])
-            mat = _pad(vec_list, n_dims)
-            codes = np.empty((len(mat), len(slices)), dtype=np.int64)
+            col = rb.column(1)
+            live = (
+                col.is_valid().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.ones(n, dtype=bool)
+            )
+            lv = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )[live].astype(np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            mat = np.zeros((n, n_dims), dtype=np.float64)
+            if lv.size and (lv == lv[0]).all():
+                w = int(lv[0])
+                if w:
+                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
+                        :, :n_dims
+                    ]
+            else:  # ragged widths: per-row scatter (mixed-dim corpora)
+                pos = 0
+                for j, w in zip(np.nonzero(live)[0], lv):
+                    w = int(w)
+                    mat[j, : min(w, n_dims)] = flat[
+                        pos: pos + min(w, n_dims)
+                    ]
+                    pos += w
+            codes = np.empty((n, m), dtype=np.int64)
             for s, (lo, hi) in enumerate(slices):
                 sub = mat[:, lo:hi]
                 d2 = cent_sq[s][None, :] - 2.0 * (sub @ cents[s].T)
                 codes[:, s] = d2.argmin(axis=1)  # |x|^2 const per row
             vnorm = np.linalg.norm(mat, axis=1)
-            for i, v in enumerate(vec_list):
-                if v is None:
-                    vnorm[i] = np.nan  # NULL marker (zero vec stays 0.0)
-            out = {
-                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                "codes": list(codes),
-                "vnorm": vnorm,
-            }
-            for name in extra:
-                out[name] = pdf[name]
-            yield pd.DataFrame(out)
+            vnorm[~live] = np.nan  # NULL marker (zero vec stays 0.0)
+            codes_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * m, m, dtype=np.int32)
+                ),
+                pa.array(codes.ravel(), type=pa.int64()),
+            )
+            arrays = [
+                rb.column(0).cast(out_pa_schema.field(0).type),
+                codes_arr.cast(out_pa_schema.field(1).type),
+                pa.array(vnorm, type=out_pa_schema.field(2).type),
+            ]
+            for i in range(len(extra)):
+                arrays.append(rb.column(2 + i))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_pa_schema)
 
-    schema = "vec_id long, codes array<long>, vnorm double" + "".join(
-        f", {name} {ddl}" for name, ddl in extra.items()
-    )
     sel = [F.col(id_col), F.col(vec_col)] + [F.col(n) for n in extra]
-    return corpus.select(*sel).mapInPandas(_enc, schema)
+    return corpus.select(*sel).mapInArrow(_enc, schema)
 
 
 def pq_topk(

@@ -14,6 +14,7 @@ from .drift import (
 )
 from .index_maintenance import (
     compact_index,
+    index_fragmentation,
     merge_composite_postings_batch,
     merge_postings_batch,
     read_composite_index,
@@ -54,6 +55,7 @@ __all__ = [
     "start_term_index_maintenance",
     "read_ingest_lm",
     "start_drift_monitor",
+    "index_fragmentation",
     "merge_composite_postings_batch",
     "merge_postings_batch",
     "near_dedup_batch",

@@ -239,6 +239,44 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
     )
 
 
+def index_fragmentation(index_path: str) -> dict:
+    """Marker-only fragmentation stats for compaction scheduling:
+    ``{"n_buckets": B, "segments": total, "max_segments_per_bucket": m,
+    "merge": n}`` — O(1) file reads (the pointer file), never a data
+    scan.  A chunked index's segment count grows by ≤ touched-buckets
+    per merge until :func:`compact_index` folds it."""
+    meta = _read_marker(index_path)
+    if meta is None:
+        return {
+            "n_buckets": 0, "segments": 0,
+            "max_segments_per_bucket": 0, "merge": -1,
+        }
+    segs = [len(v) for v in meta["buckets"].values()]
+    return {
+        "n_buckets": meta["n_buckets"],
+        "segments": sum(segs),
+        "max_segments_per_bucket": max(segs, default=0),
+        "merge": meta.get("merge", -1),
+    }
+
+
+def _maybe_autocompact(
+    spark: SparkSession, index_path: str, max_segments_per_bucket: int | None
+) -> None:
+    """Inline compaction trigger for the merge paths: once any bucket's
+    segment list exceeds the dial, fold the index.  The same amortized
+    policy as _delta_state's ``max_delta_dirs`` — the stream pays one
+    O(index / dial)-amortized write stall instead of relying on an
+    external scheduler to ever run :func:`compact_index` (the classic
+    LSM compaction-debt failure).  Explicit compaction remains available
+    for operators who schedule it off-peak (pass ``None`` to disable)."""
+    if max_segments_per_bucket is None:
+        return
+    frag = index_fragmentation(index_path)
+    if frag["max_segments_per_bucket"] > int(max_segments_per_bucket):
+        compact_index(spark, index_path)
+
+
 def rebucket_index(
     spark: SparkSession, index_path: str, new_n_buckets: int
 ) -> None:
@@ -332,6 +370,7 @@ def merge_postings_batch(
     batch_id: int | None = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_postings_per_row: int | None = None,
+    max_segments_per_bucket: int | None = None,
 ) -> None:
     """Merge one micro-batch's postings into the index (foreachBatch body).
 
@@ -348,7 +387,10 @@ def merge_postings_batch(
     re-read or re-written, so per-merge bytes (read and written) track
     the batch, not the index.  Segment and chunk counts grow with merge
     count until :func:`compact_index` squashes both (the LSM
-    append+compact trade).
+    append+compact trade).  ``max_segments_per_bucket`` set ⇒ that
+    compaction runs INLINE once any bucket's list exceeds the dial —
+    an operational per-call dial (like the trigger mode), not a layout
+    property, so it is not recorded in the marker.
 
     Idempotence: foreachBatch is at-least-once — after a failure between
     this commit and Spark's checkpoint commit, the same micro-batch is
@@ -457,6 +499,8 @@ def merge_postings_batch(
         max_rows=max_postings_per_row,
         append=max_postings_per_row is not None,
     )
+    if max_postings_per_row is not None:
+        _maybe_autocompact(spark, index_path, max_segments_per_bucket)
 
 
 def _commit(
@@ -532,6 +576,7 @@ def merge_composite_postings_batch(
     batch_id: int | None = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_postings_per_row: int | None = None,
+    max_segments_per_bucket: int | None = None,
 ) -> None:
     """Merge one micro-batch into a COMPOSITE (tuple-keyed) postings
     index: rows ``[v_<f1>, ..., v_<fn>, doc_ids]``, one per distinct
@@ -676,6 +721,8 @@ def merge_composite_postings_batch(
         composite_fields=norm,
         append=max_postings_per_row is not None,
     )
+    if max_postings_per_row is not None:
+        _maybe_autocompact(spark, index_path, max_segments_per_bucket)
 
 
 def read_composite_index(
@@ -721,6 +768,7 @@ def start_composite_index_maintenance(
     trigger_available_now: bool = True,
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_postings_per_row: int | None = None,
+    max_segments_per_bucket: int | None = None,
 ):
     """Attach the composite merge to a streaming source; returns the
     StreamingQuery (the :func:`start_index_maintenance` twin)."""
@@ -734,6 +782,7 @@ def start_composite_index_maintenance(
             batch_id=batch_id,
             n_buckets=n_buckets,
             max_postings_per_row=max_postings_per_row,
+            max_segments_per_bucket=max_segments_per_bucket,
         )
 
     writer = (
@@ -755,6 +804,7 @@ def start_index_maintenance(
     trigger_available_now: bool = True,
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_postings_per_row: int | None = None,
+    max_segments_per_bucket: int | None = None,
 ):
     """Attach the merge to a streaming source; returns the StreamingQuery.
 
@@ -771,6 +821,7 @@ def start_index_maintenance(
             batch_id=batch_id,
             n_buckets=n_buckets,
             max_postings_per_row=max_postings_per_row,
+            max_segments_per_bucket=max_segments_per_bucket,
         )
 
     writer = (

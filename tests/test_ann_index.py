@@ -324,8 +324,9 @@ def test_argmax_assignment_equals_window_path(emb):
     # no shuffle at all (the pre-r9 argmax aggregation still exchanged
     # |corpus| rows, and its zip_with scoring was interpreted per pair);
     # the banned shapes are any Exchange and the Window over the scored
-    # cross product
-    assert "MapInPandas" in plan, plan
+    # cross product.  r10: MapInArrow, not MapInPandas — the pandas
+    # bridge's per-row vector objects cost ~2 s per million rows.
+    assert "MapInArrow" in plan, plan
     assert "Exchange" not in plan, plan
     assert "Window" not in plan
 

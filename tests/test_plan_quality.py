@@ -34,7 +34,7 @@ def test_no_python_in_jvm_plans(spark, sf_dir, name):
     python_nodes = [
         marker
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                       "FlatMapGroupsInPandas")
+                       "MapInArrow", "FlatMapGroupsInPandas")
         if marker in plan
     ]
     if name in PYTHON_OK:
@@ -237,7 +237,9 @@ def test_round4_operator_plan_shapes(spark, sf_dir, tmp_path):
     # proving the cells read pruned to the probed cells.
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan, plan
-    assert "MapInPandas" in plan
+    # r10: MapInArrow — the pandas bridge's per-row vector objects
+    # measured ~2 s per million probed rows
+    assert "MapInArrow" in plan
     assert "PartitionFilters: [cell#" in plan, plan
 
     cur = curriculum_order(

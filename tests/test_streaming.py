@@ -941,3 +941,45 @@ def test_should_rebuild_wires_drift_to_ann_cadence(spark, tmp_path):
     # rebuild happened: re-baseline — drift since the rebuild is ~0
     mark_rebuilt(spark, root, reports)
     assert should_rebuild(spark, root, reports, threshold_bits=0.1) is False
+
+
+def test_autocompact_bounds_segment_growth(spark, tmp_path):
+    """max_segments_per_bucket: once any bucket's segment list exceeds
+    the dial, the merge folds the index inline (the _delta_state
+    max_delta_dirs policy applied to the LSM index) — segment growth is
+    bounded without an external compaction scheduler, and the logical
+    postings stay exact throughout."""
+    import json
+    import os
+
+    from polars_w_inverted_index_spark.streaming import (
+        read_index_postings,
+    )
+    from polars_w_inverted_index_spark.streaming.index_maintenance import (
+        index_fragmentation,
+    )
+
+    idx = str(tmp_path / "idx_auto")
+
+    def batch(start, n):
+        rows = [(start + i, "hot") for i in range(n)]
+        return spark.createDataFrame(rows, "event_id long, event_type string")
+
+    total = 0
+    for bid in range(6):
+        merge_postings_batch(
+            batch(total, 8), "event_type", idx, "event_id",
+            batch_id=bid, max_postings_per_row=5, n_buckets=2,
+            max_segments_per_bucket=2,
+        )
+        total += 8
+        frag = index_fragmentation(idx)
+        # the dial holds after every merge: a merge may push a bucket to
+        # dial+1 but then compacts back to 1 before returning
+        assert frag["max_segments_per_bucket"] <= 2, (bid, frag)
+    got = read_index_postings(spark, idx).collect()
+    assert [r["value"] for r in got] == ["hot"]
+    assert list(got[0]["doc_ids"]) == list(range(total))
+    with open(os.path.join(idx, "_LATEST")) as f:
+        marker = json.load(f)
+    assert marker["batch_id"] == 5  # replay guard survives compactions

@@ -10,11 +10,12 @@ page cache is compute-bound, where float BLAS beats ADC gathers.
 This script manufactures the I/O-bound regime on the local box instead
 of arguing it:
 
-- corpus replicated to ~`target_rows` (default 10 M) 64-dim vectors —
-  ~2.7 GB of float cells vs ~0.33 GB of codes on disk;
+- an INCOMPRESSIBLE hash-derived corpus of `target_rows` (default
+  10 M) 64-dim vectors — ~5 GB of float cells vs ~0.2 GB of codes on
+  disk (replicated real vectors dictionary-encode to nothing);
 - ONE query (serve compute scales with |Q| x probed rows; I/O scales
   with probed bytes only — a single query at full probe makes the float
-  path read 2.7 GB to do 10 M x 64 MACs, i.e. disk-dominated);
+  path read ~5 GB to do 10 M x 64 MACs, i.e. disk-dominated);
 - the page cache over the index tree is dropped with
   ``posix_fadvise(POSIX_FADV_DONTNEED)`` before EVERY timed run
   (single-shot per eviction, best-of-reps across evictions — best-of
@@ -24,7 +25,7 @@ of arguing it:
   crossover can be compared against the rule's prediction at THIS
   box's bandwidth, not the 200 MB/s reference point.
 
-Usage: python tools/pq_crossover_io.py [sf_dir] [target_rows]
+Usage: python tools/pq_crossover_io.py [target_rows]
 Writes one JSON line; results land in SCALE.md's crossover table.
 """
 
@@ -100,19 +101,26 @@ def main() -> None:
     )
     from polars_w_inverted_index_spark.session import get_session
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    target = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    target = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     spark = get_session("pq_crossover_io")
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    n1 = emb.count()
-    mult = max(1, target // n1)
-    corpus = emb.crossJoin(
-        spark.range(mult).select(F.col("id").alias("_rep"))
-    ).select(
-        (F.col("vec_id") * mult + F.col("_rep")).alias("vec_id"),
-        "embedding",
+    # INCOMPRESSIBLE synthetic vectors: replicating the sf embeddings
+    # (the first attempt) let parquet's dictionary/RLE encoding shrink
+    # "10 M rows" of duplicates to 12 MB on disk — no I/O regime at
+    # all.  Hash-derived components have no cross-row structure, so
+    # on-disk bytes ≈ raw (8 B per component), the deployment shape.
+    dims = 64
+    corpus = spark.range(target).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dims)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id") * dims + d), F.lit(100_000))
+                / 50_000.0
+                - 1.0
+            ),
+        ).alias("embedding"),
     )
-    out = {"n_rows": n1 * mult, "mult": mult}
+    out = {"n_rows": target, "dims": dims}
 
     root = tempfile.mkdtemp(prefix="pq_xover_io_")
     try:
@@ -130,9 +138,7 @@ def main() -> None:
         out["codes_mb"] = round(_evict(codes) / 1e6, 1)
         out["cold_bw_mbps"], _ = _raw_read_bw(cells)
 
-        q = emb.where(F.col("vec_id") == 0).select(
-            (F.col("vec_id") * mult).alias("vec_id"), "embedding"
-        )
+        q = corpus.where(F.col("vec_id") == 0)
         assert q.count() == 1
         for nprobe in (8, 32):  # quarter probe / full probe
             out[f"float_cold_np{nprobe}"] = _cold_best(
