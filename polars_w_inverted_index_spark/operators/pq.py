@@ -326,9 +326,17 @@ def pq_topk(
     q_norm_safe = np.where(q_norm > 0, q_norm, 1.0)
     slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
     books = cb.books
+    from .ann_index import _arrow_schema
 
-    def _scan(it):
-        import pandas as pd
+    scan_ddl = "query_id long, neighbor_id long, cos_sim double"
+    scan_pa_schema = _arrow_schema(scan_ddl)
+
+    def _scan(batches):
+        # Arrow-native (r10): codes decode to the (batch × m) int
+        # matrix with one flatten+reshape — the pandas bridge's per-row
+        # np.vstack objects measured ~2 s per million rows
+        import numpy as np
+        import pyarrow as pa
 
         cents = [np.asarray(b, dtype=np.float64) for b in books]
         # luts[s]: (n_codes, n_queries) — approx_dot(x, q) =
@@ -337,14 +345,23 @@ def pq_topk(
             cents[s] @ q_mat[:, lo:hi].T
             for s, (lo, hi) in enumerate(slices)
         ]
-        for pdf in it:
-            if not len(pdf):
+        m = len(slices)
+        p = 10.0 ** round_digits
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            codes = np.vstack(pdf["codes"].to_numpy())
-            vnorm = pdf["vnorm"].to_numpy(dtype=np.float64)
+            c_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            codes = (
+                rb.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .reshape(n, m)
+            )
+            vnorm = rb.column(2).to_numpy(zero_copy_only=False)
             dots = luts[0][codes[:, 0]]
-            for s in range(1, len(slices)):
+            for s in range(1, m):
                 dots = dots + luts[s][codes[:, s]]
             # NaN vnorm = NULL source vector: never a candidate (the
             # SQL twin scores NULLs NULL, sorted last; r9 ADVICE).
@@ -356,7 +373,6 @@ def pq_topk(
             sims[:, q_norm == 0] = 0.0
             # half-up round, matches F.round (r9 ADVICE; see
             # ann_index._half_up — inlined, self-contained closure)
-            p = 10.0 ** round_digits
             sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
@@ -368,12 +384,27 @@ def pq_topk(
                 out_q.extend([q_ids[j]] * len(top))
                 out_n.extend(c_ids[top])
                 out_s.extend(col[top])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-            )
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            np.asarray(out_q, dtype=np.int64),
+                            type=scan_pa_schema.field(0).type,
+                        ),
+                        pa.array(
+                            np.asarray(out_n, dtype=np.int64),
+                            type=scan_pa_schema.field(1).type,
+                        ),
+                        pa.array(
+                            np.asarray(out_s, dtype=np.float64),
+                            type=scan_pa_schema.field(2).type,
+                        ),
+                    ],
+                    schema=scan_pa_schema,
+                )
 
-    scored = encoded.select("vec_id", "codes", "vnorm").mapInPandas(
-        _scan, "query_id long, neighbor_id long, cos_sim double"
+    scored = encoded.select("vec_id", "codes", "vnorm").mapInArrow(
+        _scan, scan_ddl
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -260,27 +260,55 @@ def brute_force_topk_gemm(
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm_safe = np.where(q_norm > 0, q_norm, 1.0)
 
-    def _score(it):
-        import pandas as pd
+    from .ann_index import _arrow_schema
 
-        for pdf in it:
-            if not len(pdf):
+    score_ddl = "query_id long, neighbor_id long, cos_sim double"
+    score_pa_schema = _arrow_schema(score_ddl)
+
+    def _score(batches):
+        # Arrow-native (r10): the pandas bridge's per-row vector
+        # objects + pad loop measured ~2 s per million corpus rows —
+        # one flatten+reshape decodes each batch with zero per-row
+        # Python (ann_index._assign_cells has the pattern's rationale)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        nd = q_mat.shape[1]
+        p = 10.0 ** round_digits
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            c_ids = pdf["nid"].to_numpy(dtype=np.int64)
-            vec_list = list(pdf["cv"])
+            c_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            col = rb.column(1)
             # NULL corpus vectors never surface as neighbors — the SQL
             # twin scores them NULL (sorted last under desc); a 0.0
             # emission would outrank genuine negative sims (r9 ADVICE).
-            # (np.array(list-with-None) would also raise.)
-            live = np.ones(len(vec_list), dtype=bool)
-            nd = q_mat.shape[1]
-            c_mat = np.zeros((len(vec_list), nd), dtype=np.float64)
-            for i, v in enumerate(vec_list):
-                if v is None:
-                    live[i] = False
-                    continue
-                a = np.asarray(v, dtype=np.float64)[:nd]
-                c_mat[i, : len(a)] = a
+            live = (
+                col.is_valid().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.ones(n, dtype=bool)
+            )
+            lv = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )[live].astype(np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            c_mat = np.zeros((n, nd), dtype=np.float64)
+            if lv.size and (lv == lv[0]).all():
+                w = int(lv[0])
+                if w:
+                    c_mat[live, : min(w, nd)] = flat.reshape(-1, w)[
+                        :, :nd
+                    ]
+            else:  # ragged widths (mixed-dim corpora): per-row scatter
+                pos = 0
+                for j, w in zip(np.nonzero(live)[0], lv):
+                    w = int(w)
+                    c_mat[j, : min(w, nd)] = flat[pos: pos + min(w, nd)]
+                    pos += w
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm_safe = np.where(c_norm > 0, c_norm, 1.0)
             sims = (c_mat @ q_mat.T) / np.outer(c_norm_safe, q_norm_safe)
@@ -288,29 +316,41 @@ def brute_force_topk_gemm(
             sims[:, q_norm == 0] = 0.0
             # half-up round, matches F.round (r9 ADVICE; see
             # ann_index._half_up — inlined, self-contained closure)
-            p = 10.0 ** round_digits
             sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
-                col = sims[:, j]
+                col_j = sims[:, j]
                 mask = (c_ids != q_ids[j]) & live
                 idx = np.nonzero(mask)[0]
                 if not len(idx):
                     continue
                 # local top-k, ties broken by id (matches the global rank)
-                top = idx[np.lexsort((c_ids[idx], -col[idx]))[:k]]
+                top = idx[np.lexsort((c_ids[idx], -col_j[idx]))[:k]]
                 out_q.extend([q_ids[j]] * len(top))
                 out_n.extend(c_ids[top])
-                out_s.extend(col[top])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-            )
+                out_s.extend(col_j[top])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            np.asarray(out_q, dtype=np.int64),
+                            type=score_pa_schema.field(0).type,
+                        ),
+                        pa.array(
+                            np.asarray(out_n, dtype=np.int64),
+                            type=score_pa_schema.field(1).type,
+                        ),
+                        pa.array(
+                            np.asarray(out_s, dtype=np.float64),
+                            type=score_pa_schema.field(2).type,
+                        ),
+                    ],
+                    schema=score_pa_schema,
+                )
 
     scored = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
-    ).mapInPandas(
-        _score, "query_id long, neighbor_id long, cos_sim double"
-    )
+    ).mapInArrow(_score, score_ddl)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -70,7 +70,9 @@ def test_gemm_twin_plan_is_arrow_batched(spark, sf_dir):
     from polars_w_inverted_index_spark.registry_ext import q_ann_gemm
 
     plan = _plan(q_ann_gemm(spark, sf_dir))
-    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    # r10: MapInArrow (the pandas bridge's per-row vector objects cost
+    # ~2 s per million corpus rows)
+    assert "MapInArrow" in plan
     assert "BatchEvalPython" not in plan
 
 
