@@ -813,32 +813,66 @@ def embedding_cosine_pairs_gemm(
     )
     bits_vec = (1 << np.arange(n_planes, dtype=np.int64)) & mask
 
-    def _bucketize(it):
-        import pandas as pd
+    from .ann_index import _arrow_schema
 
-        for pdf in it:
-            if not len(pdf):
+    sig_ddl = f"vec_id long, bucket long, {vec_col} array<double>"
+    sig_pa_schema = _arrow_schema(sig_ddl)
+
+    def _bucketize(batches):
+        # Arrow-native (r10): this is the corpus-wide signature pass —
+        # the pandas bridge's per-row vector objects measured ~2 s per
+        # million rows (see ann_index._assign_cells); the Arrow list
+        # column decodes with one flatten+reshape and the id/vector
+        # columns pass through untouched
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            vecs = [
-                np.asarray(v, dtype=np.float64)[:n_dims]
-                for v in pdf[vec_col]
-            ]
-            width = max(len(v) for v in vecs)
-            mat = np.zeros((len(vecs), width), dtype=np.float64)
-            for i, v in enumerate(vecs):
-                mat[i, : len(v)] = v  # zero-pad == weight-slice in JVM form
-            proj = mat @ w_mat[:, :width].T
+            col = rb.column(1)
+            live = (
+                col.is_valid().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.ones(n, dtype=bool)
+            )
+            lv = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )[live].astype(np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            mat = np.zeros((n, n_dims), dtype=np.float64)
+            if lv.size and (lv == lv[0]).all():
+                w = int(lv[0])
+                if w:
+                    # zero-pad/truncate == weight-slice in the JVM form
+                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
+                        :, :n_dims
+                    ]
+            else:  # ragged widths: per-row scatter
+                pos = 0
+                for j, w in zip(np.nonzero(live)[0], lv):
+                    w = int(w)
+                    mat[j, : min(w, n_dims)] = flat[
+                        pos: pos + min(w, n_dims)
+                    ]
+                    pos += w
+            proj = mat @ w_mat.T
             bucket = (proj > 0) @ bits_vec
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col],
-                    "bucket": bucket,
-                    vec_col: pdf[vec_col],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0).cast(sig_pa_schema.field(0).type),
+                    pa.array(bucket, type=sig_pa_schema.field(1).type),
+                    rb.column(1).cast(sig_pa_schema.field(2).type),
+                ],
+                schema=sig_pa_schema,
             )
 
-    sig = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _bucketize, f"vec_id long, bucket long, {vec_col} array<double>"
+    sig = df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        _bucketize, sig_ddl
     )
 
     def _pairs(pdf):
@@ -885,7 +919,10 @@ def embedding_cosine_pairs_gemm(
             sims = (mat[i0:i1] @ mat.T) / np.outer(safe[i0:i1], safe)
             sims[norms[i0:i1] == 0, :] = 0.0
             sims[:, norms == 0] = 0.0
-            sims = np.round(sims, round_digits)
+            # half-up round, matches the expression twin's F.round on
+            # dyadic .5 boundaries (r9 ADVICE; see ann_index._half_up)
+            p10 = 10.0 ** round_digits
+            sims = np.sign(sims) * np.floor(np.abs(sims) * p10 + 0.5) / p10
             ia, ib = np.nonzero(sims >= threshold)
             keep = ids[i0:i1][ia] < ids[ib]  # strict order = triangle
             out_a.append(ids[i0:i1][ia][keep])
