@@ -888,6 +888,27 @@ def ann_search(
 _FINGERPRINT_VERSION = 2
 
 
+def _probed_cell_bytes(root: str, probe_cells) -> int | None:
+    """On-disk bytes of the probed float cell directories, or None when
+    the root is not a locally-listable path (object stores) — callers
+    treat None as 'assume large', the scale-safe direction.  One
+    os.walk per probed cell: metadata-only, never data I/O."""
+    total = 0
+    try:
+        for c in probe_cells:
+            d = os.path.join(root, "cells", f"cell={c}")
+            for dirpath, dirnames, files in os.walk(d):
+                dirnames[:] = [
+                    x for x in dirnames if not x.startswith((".", "_"))
+                ]
+                for f in files:
+                    if not f.startswith((".", "_")):
+                        total += os.path.getsize(os.path.join(dirpath, f))
+    except OSError:
+        return None
+    return total
+
+
 def _cells_walk(cells_dir: str) -> str:
     """Full O(#files) digest of the cells tree: sha256 over the sorted
     (relative path, size) listing.  Module-level so tests can interpose
@@ -1052,6 +1073,7 @@ def ann_search_pq(
     max_probe_cells: int = 10_000,
     max_query_rows: int = 100_000,
     max_pushdown_candidates: int = 10_000,
+    min_pushdown_bytes: int = 256 << 20,
     _stop_after: str | None = None,
 ) -> DataFrame:
     """Serve cosine top-k from the PQ sidecar: probe-pruned ADC scan
@@ -1324,6 +1346,11 @@ def ann_search_pq(
     # execute twice) and pushed into the parquet scan, where row-group
     # vec_id stats prune the float read to the candidates' groups.
     # Above the cap (huge query batches) the join-only shape remains.
+    # The pushdown costs one EXTRA bounded Spark job (the eager
+    # candidate collect), so it only engages when the probed float
+    # bytes are big enough to out-cost that job — a cheap local listing
+    # decides; non-local filesystems (listing fails) default to
+    # pushdown, the scale-safe direction.
     qframe = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -1338,7 +1365,10 @@ def ann_search_pq(
             F.col("cn"),
         )
     )
-    if len(q_rows) * n_cand <= max_pushdown_candidates:
+    probed_bytes = _probed_cell_bytes(root, probe_cells)
+    if len(q_rows) * n_cand <= max_pushdown_candidates and (
+        probed_bytes is None or probed_bytes >= min_pushdown_bytes
+    ):
         pairs = cand.collect()  # bounded by the gate above
         if not pairs:
             return spark.createDataFrame(

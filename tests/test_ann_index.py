@@ -770,3 +770,30 @@ def test_pq_fingerprint_version_mismatch_names_cause(spark, emb, tmp_path):
         _json.dump(dict(meta, cells_fingerprint="0" * 64), f)
     with pytest.raises(ValueError, match="STALE"):
         ann_search_pq(spark, root, q, k=1)
+
+
+def test_pq_candidate_pushdown_identical_and_pruned(spark, emb, tmp_path):
+    """r10: the rerank's candidate-ID pushdown (engaged when the probed
+    float cells are big enough to out-cost its extra job; forced here
+    with min_pushdown_bytes=0) returns results identical to the
+    join-only shape, and its float scan carries the In(vec_id)
+    predicate that prunes the read to the candidates' row groups."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+
+    root = str(tmp_path / "pq_push")
+    build_ann_index(emb.where(F.col("vec_id") < 300), root, n_centroids=4)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+
+    pushed = ann_search_pq(
+        spark, root, q, k=3, nprobe=2, min_pushdown_bytes=0
+    )
+    joined = ann_search_pq(
+        spark, root, q, k=3, nprobe=2, min_pushdown_bytes=1 << 60
+    )
+    assert _key(pushed) == _key(joined)
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "In(neighbor_id" in plan or "PushedFilters: [In" in plan, plan
