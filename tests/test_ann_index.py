@@ -797,3 +797,24 @@ def test_pq_candidate_pushdown_identical_and_pruned(spark, emb, tmp_path):
     assert _key(pushed) == _key(joined)
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "In(neighbor_id" in plan or "PushedFilters: [In" in plan, plan
+
+
+def test_probed_bytes_gate_fails_to_pushdown(spark, emb, tmp_path, monkeypatch):
+    """The probed-bytes gate reads None (object-store root, listing
+    fails) as 'assume large' and ENGAGES the pushdown — failing toward
+    the scale-safe shape, with results unchanged."""
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    root = str(tmp_path / "pq_gate")
+    build_ann_index(emb.where(F.col("vec_id") < 200), root, n_centroids=2)
+    ai.pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    want = _key(ai.ann_search_pq(spark, root, q, k=3, nprobe=2))
+
+    monkeypatch.setattr(
+        ai, "_probed_cell_bytes", lambda *a, **k: None
+    )
+    got_df = ai.ann_search_pq(spark, root, q, k=3, nprobe=2)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "In(neighbor_id" in plan or "PushedFilters: [In" in plan, plan
+    assert _key(got_df) == want
