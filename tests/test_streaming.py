@@ -983,3 +983,42 @@ def test_autocompact_bounds_segment_growth(spark, tmp_path):
     with open(os.path.join(idx, "_LATEST")) as f:
         marker = json.load(f)
     assert marker["batch_id"] == 5  # replay guard survives compactions
+
+
+def test_streaming_lsm_index_end_to_end(
+    spark, events_batch, events_stream_dir, tmp_path
+):
+    """start_index_maintenance in chunked/LSM mode over a real file
+    stream (two micro-batches): the logical postings equal the batch
+    build, rows stay capped, and the autocompact dial holds across the
+    foreachBatch merges."""
+    from polars_w_inverted_index_spark.streaming import (
+        read_index_postings,
+    )
+    from polars_w_inverted_index_spark.streaming.index_maintenance import (
+        index_fragmentation,
+    )
+
+    index_path = str(tmp_path / "idx_lsm_e2e")
+    q = start_index_maintenance(
+        _stream(spark, events_batch, events_stream_dir),
+        "event_type",
+        index_path,
+        str(tmp_path / "ckpt_lsm"),
+        doc_id_col="event_id",
+        max_postings_per_row=25,
+        max_segments_per_bucket=1,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["value"]: list(r["doc_ids"])
+        for r in read_index_postings(spark, index_path).collect()
+    }
+    want = {
+        r["value"]: sorted(r["doc_ids"])
+        for r in postings(events_batch, "event_type", "event_id").collect()
+    }
+    assert got == want and len(want) > 0
+    raw = read_index(spark, index_path).collect()
+    assert all(len(r["doc_ids"]) <= 2 * 25 for r in raw)
+    assert index_fragmentation(index_path)["max_segments_per_bucket"] <= 1
