@@ -280,10 +280,17 @@ def q_index_composite_streaming_lookup(
     build's answer.  r10: the merges run in the chunked/LSM mode
     (``max_postings_per_row``) so the hash match now ALSO pins the
     segment-append path — per-merge bytes track the batch, not the
-    index (streaming/index_maintenance.py module docstring)."""
+    index (streaming/index_maintenance.py module docstring).  r11: the
+    served index additionally passes through ``compact_index`` (the LSM
+    fold) and ``rebucket_index`` (the skew dial, 16→32 buckets) before
+    adoption, so the driver hash now re-proves BOTH maintenance
+    mutations against the same oracle every round (r10 VERDICT task 2 —
+    they were pytest-only)."""
     from .plans.catalog import IndexCatalog
     from .streaming.index_maintenance import (
+        compact_index,
         merge_composite_postings_batch,
+        rebucket_index,
     )
 
     li = _lineitem(spark, sf_dir)
@@ -297,6 +304,8 @@ def q_index_composite_streaming_lookup(
         li.where(F.col("l_orderkey") % 2 == 1), fields, idx,
         "l_orderkey", batch_id=1,
     )
+    compact_index(spark, idx)
+    rebucket_index(spark, idx, 32)
     cat = IndexCatalog(spark, scratch_dir("idxcat_comp_stream", sf_dir))
     cat.adopt_streaming_composite(
         "lineitem", fields, idx, doc_id_col="l_orderkey"

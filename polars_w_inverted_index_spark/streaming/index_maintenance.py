@@ -174,6 +174,37 @@ def _meta_bucket_col(meta: dict, n_buckets: int):
     return _bucket_col(n_buckets)
 
 
+def _rechunked(df: DataFrame, meta: dict) -> DataFrame:
+    """Re-chunk a chunked index frame to the minimal ``ceil(n/max)``
+    rows per key — the normalization step shared by :func:`compact_index`
+    and :func:`rebucket_index` (both produce single-segment buckets, so
+    both must restore the per-segment ``(key, chunk)`` uniqueness the
+    module docstring promises; a plain union of segments can hold the
+    same chunk id twice).
+
+    Chunk assignment is the same doc_id hash
+    ``operators/inverted_index.postings_chunked`` uses, so chunk sizes
+    are ``max`` in expectation with multiplicative concentration
+    (±~1/√max) — at the production-scale caps this path exists for
+    (10^5-10^6) that is a tight bound."""
+    m = int(meta["max_postings_per_row"])
+    keys = _key_cols(meta)
+    exploded = df.select(*keys, F.explode("doc_ids").alias("doc_id"))
+    counts = exploded.groupBy(*keys).agg(F.count("*").alias("n"))
+    sized = counts.select(
+        *keys,
+        F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(m))).alias("_nc"),
+    )
+    return (
+        exploded.join(sized, keys)
+        .withColumn(
+            "chunk", F.pmod(F.xxhash64("doc_id"), F.col("_nc")).cast("long")
+        )
+        .groupBy(*keys, "chunk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+
+
 def compact_index(spark: SparkSession, index_path: str) -> None:
     """Squash segment + chunk fragmentation: re-chunk every key to the
     minimal ``ceil(n/max)`` rows and fold every bucket's segment list
@@ -196,25 +227,11 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
     df = read_index(spark, index_path)
     if df is None:
         return
-    m = int(meta["max_postings_per_row"])
     n_buckets = meta["n_buckets"]
-    keys = _key_cols(meta)
-    exploded = df.select(*keys, F.explode("doc_ids").alias("doc_id"))
-    counts = exploded.groupBy(*keys).agg(F.count("*").alias("n"))
-    sized = counts.select(
-        *keys,
-        F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(m))).alias("_nc"),
+    compacted = _rechunked(df, meta).withColumn(
+        "bucket", _meta_bucket_col(meta, n_buckets)
     )
-    # same hash-chunk assignment as operators/inverted_index.postings_chunked
-    compacted = (
-        exploded.join(sized, keys)
-        .withColumn(
-            "chunk", F.pmod(F.xxhash64("doc_id"), F.col("_nc")).cast("long")
-        )
-        .groupBy(*keys, "chunk")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
-        .withColumn("bucket", _meta_bucket_col(meta, n_buckets))
-    )
+    m = int(meta["max_postings_per_row"])
     next_m = meta.get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
     compacted.repartition("bucket").write.mode("overwrite").partitionBy(
@@ -293,7 +310,12 @@ def rebucket_index(
     crash before the swap leaves the OLD marker serving with the
     half-written ``m=`` directory collected as an orphan by the next
     commit's prune.  Works for single-field and composite, plain and
-    chunked (chunk rows pass through unchanged).  Run between merges
+    chunked.  Chunked indexes are RE-CHUNKED in the same job (the
+    :func:`_rechunked` normalization compaction uses): rebucket folds
+    every bucket to one segment, and a plain union of appended segments
+    can hold duplicate ``(key, chunk)`` rows, which would violate the
+    per-segment uniqueness invariant inside the folded output — so
+    rebucketing a chunked index also compacts it.  Run between merges
     (same single-writer contract as compaction).
     """
     new_n = int(new_n_buckets)
@@ -315,6 +337,9 @@ def rebucket_index(
             composite_fields=meta.get("composite_fields"),
         )
         return
+    if meta.get("max_postings_per_row") is not None:
+        # folding segments into one: restore (key, chunk) uniqueness
+        df = _rechunked(df, meta)
     rebucketed = df.withColumn("bucket", _meta_bucket_col(meta, new_n))
     next_m = meta.get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")

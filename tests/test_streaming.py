@@ -887,6 +887,56 @@ def test_rebucket_index_preserves_lookups_and_crash_safety(spark, tmp_path):
     assert got2 == want2
 
 
+def test_rebucket_rechunks_fragmented_chunked_index(spark, tmp_path):
+    """r10 ADVICE: rebucket on a SEGMENTED chunked index must not fold
+    duplicate (value, chunk) rows from different segments into one
+    segment — it re-chunks (same normalization as compact_index), so
+    the per-segment uniqueness invariant the module docstring promises
+    holds in rebucket output too."""
+    import json
+    import os
+
+    import polars_w_inverted_index_spark.streaming.index_maintenance as im
+
+    idx = str(tmp_path / "idx_rb_frag")
+
+    def batch(start, n):
+        rows = [(start + i, f"v{(start + i) % 3}") for i in range(n)]
+        return spark.createDataFrame(rows, "event_id long, event_type string")
+
+    # two LSM merges over the same 3 values -> every bucket holds two
+    # segments, and chunk ids collide across segments (both start at 0)
+    merge_postings_batch(batch(0, 120), "event_type", idx, "event_id",
+                         batch_id=0, max_postings_per_row=10, n_buckets=2)
+    merge_postings_batch(batch(120, 120), "event_type", idx, "event_id",
+                         batch_id=1)
+    truth = {
+        r["value"]: sorted(r["doc_ids"])
+        for r in postings(batch(0, 240), "event_type", "event_id").collect()
+    }
+    frag = im.index_fragmentation(idx)
+    assert frag["max_segments_per_bucket"] >= 2  # genuinely fragmented
+
+    im.rebucket_index(spark, idx, 8)
+    with open(os.path.join(idx, "_LATEST")) as f:
+        marker = json.load(f)
+    assert marker["n_buckets"] == 8
+    assert all(len(v) == 1 for v in marker["buckets"].values())
+    # per-segment (value, chunk) uniqueness restored by the re-chunk
+    raw = im.read_index(spark, idx)
+    dupes = (
+        raw.groupBy("value", "chunk").count().where("count > 1").count()
+    )
+    assert dupes == 0
+    # chunk rows stay bounded and content is unchanged
+    assert all(len(r["doc_ids"]) <= 2 * 10 for r in raw.collect())
+    got = {
+        r["value"]: sorted(r["doc_ids"])
+        for r in im.read_index_postings(spark, idx).collect()
+    }
+    assert got == truth
+
+
 def test_should_rebuild_wires_drift_to_ann_cadence(spark, tmp_path):
     """r9 VERDICT task 6: the prose recipe ("rebuild centroids on the
     cadence the drift monitor indicates") is executable — a stable
