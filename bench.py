@@ -752,10 +752,21 @@ def _calibration(spark, reps: int = 3) -> float:
     plus one 32-partition shuffle of 2 M constant rows — touches no
     testdata and no repo operator, so its timing can ONLY move with the
     machine/JVM, never with this repo's code.  Best-of-``reps`` (3 for
-    the start/end brackets, 1 for the cheap between-phase stamps — r9
-    VERDICT task 2: the brackets alone swung 3× within one run, so
-    per-phase drift was classified by inference; the stamps make it a
-    measurement)."""
+    the start/end brackets, 2 for the between-phase stamps).
+
+    READ DIRECTION (r10 VERDICT "What's missing" #3, measured by
+    tools/calib_phase_ab.py): the FIRST probe rep taken right after a
+    real phase reads ~3× hot — it absorbs the phase's drainable
+    backlog (async ContextCleaner broadcast/RDD cleanup + old-gen GC
+    debt; the timed queries get ``_jvm_gc()`` first, a raw probe does
+    not).  Measured A/B after 15 real registry queries at sf0.1:
+    immediate rep1 0.97 s, second rep1 0.37 s, post-gc rep1 0.45 s,
+    best-of-3 0.31 s vs idle 0.30 s — an ARTIFACT of single-shot
+    probing, not sustained contention (r10's 0.76-0.91 s stamps vs the
+    0.20 s end bracket were exactly this).  Stamps therefore run
+    best-of-2 since r11: the throwaway first rep drains the backlog and
+    the min is comparable to the idle brackets and the cross-round pin.
+    Pre-r11 (reps=1) stamps must only be compared to EACH OTHER."""
     from pyspark.sql import functions as F
 
     best = float("inf")
@@ -774,6 +785,24 @@ def _calibration(spark, reps: int = 3) -> float:
         )
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
+
+
+def _stamp_phase(calib_phase: dict, group: str, value: float) -> None:
+    """Record one phase's calibration stamp, failing LOUDLY on a repeat
+    (r10 ADVICE): the stamping loop assumes the workload dict visits
+    each group contiguously — if registration order ever interleaves
+    groups (e.g. an ext_-prefixed entry lands inside the registry
+    block), a silent overwrite would misattribute machine speed to the
+    wrong phase."""
+    if group in calib_phase:
+        raise RuntimeError(
+            f"calib_phase stamp for group '{group}' already recorded "
+            f"({calib_phase[group]} s): the workload dict visits this "
+            "group non-contiguously, so per-phase attribution is broken "
+            "— fix the registration order (groups must be contiguous) "
+            "before trusting phase stamps."
+        )
+    calib_phase[group] = value
 
 
 def main() -> None:
@@ -884,16 +913,20 @@ def main() -> None:
     # Per-PHASE calibration stamps (r9 VERDICT task 2): the start/end
     # brackets measured the machine 3× apart within one r9 run, so
     # mid-run drift (e.g. r9's ext entries +25-150% on untouched code)
-    # could only be classified by inference.  One single-rep probe at
-    # each phase boundary (~1 s each) timestamps the machine speed the
-    # phase actually ran under.  calib_end covers the final phase.
+    # could only be classified by inference.  A best-of-2 probe at each
+    # phase boundary (~2 s each) timestamps the machine speed the phase
+    # actually ran under — reps=2, NOT 1, because the first rep after a
+    # real phase absorbs drainable backlog and reads ~3× hot (measured;
+    # see _calibration's READ DIRECTION note).  Stamps are comparable
+    # to the brackets and the cross-round pin.  calib_end covers the
+    # final phase.
     calib_phase: dict[str, float] = {}
     prev_group: str | None = None
     timings: dict[str, float] = {}
     for name, fn in workload.items():
         g = _group(name)
         if prev_group is not None and g != prev_group:
-            calib_phase[prev_group] = _calibration(spark, reps=1)
+            _stamp_phase(calib_phase, prev_group, _calibration(spark, reps=2))
         prev_group = g
         if name in errors:
             continue  # warm-up already failed; don't re-raise in timing

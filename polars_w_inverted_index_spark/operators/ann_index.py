@@ -893,11 +893,22 @@ def _probed_cell_bytes(root: str, probe_cells) -> int | None:
     the root is not a locally-listable path (object stores) — callers
     treat None as 'assume large', the scale-safe direction.  One
     os.walk per probed cell: metadata-only, never data I/O."""
+    # os.walk SUPPRESSES listing errors by default (onerror=None): a
+    # non-listable root (URI-style path, permission-denied dir) would
+    # silently yield 0, which the gate reads as "probed bytes small"
+    # and DISABLES pushdown — the opposite of fail-to-pushdown.  Check
+    # listability up front and re-raise walk errors so every unreadable
+    # shape lands on the None ("assume large") path.
+    def _raise(err: OSError):
+        raise err
+
+    if not os.path.isdir(os.path.join(root, "cells")):
+        return None
     total = 0
     try:
         for c in probe_cells:
             d = os.path.join(root, "cells", f"cell={c}")
-            for dirpath, dirnames, files in os.walk(d):
+            for dirpath, dirnames, files in os.walk(d, onerror=_raise):
                 dirnames[:] = [
                     x for x in dirnames if not x.startswith((".", "_"))
                 ]

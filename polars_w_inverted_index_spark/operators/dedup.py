@@ -773,7 +773,8 @@ def embedding_cosine_pairs_gemm(
     over — ``n_planes`` signature projections per VECTOR, then a dot
     product per candidate PAIR (Catalyst does not codegen ``aggregate``/
     ``zip_with``).  Here both stages are Arrow-batched numpy: signatures
-    are one M·Wᵀ GEMM per input batch (``mapInPandas``, narrow), and each
+    are one M·Wᵀ GEMM per input batch (``mapInArrow``, narrow — the
+    pandas bridge's per-row vector objects cost ~2 s/M rows, r10), and each
     LSH bucket's pairwise cosines are one symmetric M·Mᵀ BLAS call
     (``applyInPandas`` after the one shuffle on bucket) — the same
     justified-Python trade as ``similarity.brute_force_topk_gemm``.
@@ -862,11 +863,24 @@ def embedding_cosine_pairs_gemm(
                     pos += w
             proj = mat @ w_mat.T
             bucket = (proj > 0) @ bits_vec
+            # NULL vectors are never emitted (r10 ADVICE): the
+            # expression twin's NULL signature yields a NULL bucket,
+            # which SQL join equality never matches — so a NULL vector
+            # produces no pairs there; dropping the row here keeps the
+            # twins identical and spares _pairs an unattributable
+            # np.asarray(None) failure deep in the pairwise stage.
+            mask = pa.array(live)
             yield pa.RecordBatch.from_arrays(
                 [
-                    rb.column(0).cast(sig_pa_schema.field(0).type),
-                    pa.array(bucket, type=sig_pa_schema.field(1).type),
-                    rb.column(1).cast(sig_pa_schema.field(2).type),
+                    rb.column(0).filter(mask).cast(
+                        sig_pa_schema.field(0).type
+                    ),
+                    pa.array(
+                        bucket[live], type=sig_pa_schema.field(1).type
+                    ),
+                    rb.column(1).filter(mask).cast(
+                        sig_pa_schema.field(2).type
+                    ),
                 ],
                 schema=sig_pa_schema,
             )

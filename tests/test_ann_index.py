@@ -818,3 +818,38 @@ def test_probed_bytes_gate_fails_to_pushdown(spark, emb, tmp_path, monkeypatch):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "In(neighbor_id" in plan or "PushedFilters: [In" in plan, plan
     assert _key(got_df) == want
+
+
+def test_probed_cell_bytes_unlistable_root_is_none(tmp_path, monkeypatch):
+    """r10 ADVICE: the REAL fallback, not a monkeypatched stand-in.
+    os.walk suppresses listing errors by default, so a non-listable
+    root used to yield 0 ('small' -> pushdown DISABLED).  Every
+    unreadable shape must return None ('assume large' -> pushdown),
+    and a listable tree must still count real bytes."""
+    import os
+
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    # URI-style / nonexistent roots: no local `cells` dir -> None
+    assert ai._probed_cell_bytes("s3a://bucket/index", [0, 1]) is None
+    assert ai._probed_cell_bytes(str(tmp_path / "missing"), [0]) is None
+
+    # a real tree counts bytes (hidden entries skipped)
+    root = tmp_path / "idx"
+    cell = root / "cells" / "cell=0"
+    cell.mkdir(parents=True)
+    (cell / "part-0.parquet").write_bytes(b"x" * 100)
+    (cell / "_SUCCESS").write_bytes(b"")
+    assert ai._probed_cell_bytes(str(root), [0]) == 100
+
+    # a walk-time listing error (permission-denied dir under a listable
+    # root; simulated — tests run as root, which bypasses mode bits)
+    real_scandir = os.scandir
+
+    def deny(path="."):
+        if "cell=0" in str(path):
+            raise PermissionError(13, "denied", str(path))
+        return real_scandir(path)
+
+    monkeypatch.setattr(os, "scandir", deny)
+    assert ai._probed_cell_bytes(str(root), [0]) is None

@@ -132,3 +132,16 @@ def test_every_tracked_entry_survives_somewhere(bench, universe, tmp_path):
     headline, reg, ext, logs = universe
     assert set(reg) <= chunk_names
     assert set(ext) <= chunk_names
+
+
+def test_stamp_phase_rejects_noncontiguous_group(bench):
+    """r10 ADVICE: the phase-stamp loop assumes contiguous group visits;
+    a repeated group must raise (loud misattribution failure), never
+    silently overwrite an earlier phase's probe."""
+    stamps: dict = {}
+    bench._stamp_phase(stamps, "headline", 0.31)
+    bench._stamp_phase(stamps, "registry", 0.33)
+    assert stamps == {"headline": 0.31, "registry": 0.33}
+    with pytest.raises(RuntimeError, match="non-contiguously"):
+        bench._stamp_phase(stamps, "headline", 0.99)
+    assert stamps["headline"] == 0.31  # untouched by the failed stamp

@@ -268,6 +268,36 @@ def test_embedding_cosine_gemm_tiled_scoring_identical(spark):
     assert got == want and len(got) > 0
 
 
+def test_embedding_cosine_gemm_null_vectors_never_emitted(spark):
+    """r10 ADVICE: a NULL embedding used to sail through _bucketize
+    (zero signature, vec passed through) and blow up deep in _pairs
+    (np.asarray(None)).  The expression twin's NULL signature yields a
+    NULL bucket that SQL join equality never matches — so the GEMM
+    path must likewise drop NULL vectors: no crash, no pair involving
+    the null id, and identical output to the twin on the same frame."""
+    emb = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") % 4 != 3,
+            F.array(
+                (F.col("id") % 3).cast("double") + 1.0,
+                (F.col("id") % 5).cast("double"),
+            ),
+        ).alias("embedding"),  # ids 3, 7, 11 are NULL
+    )
+    got = DD.embedding_cosine_pairs_gemm(emb, threshold=0.2).collect()
+    null_ids = {3, 7, 11}
+    assert got, "non-null near-identical vectors must still pair"
+    assert all(
+        r["doc_a"] not in null_ids and r["doc_b"] not in null_ids
+        for r in got
+    )
+    want = sorted(
+        map(tuple, DD.embedding_cosine_pairs(emb, threshold=0.2).collect())
+    )
+    assert sorted(map(tuple, got)) == want
+
+
 def test_embedding_cosine_gemm_hot_bucket_raises(spark):
     """A bucket over max_bucket_rows = one task absorbing an O(m^2)
     score pass nothing sized for.  Identical vectors all land in the
