@@ -13,11 +13,12 @@ Nearest Neighbor Search" (TPAMI 2011) — public method, numpy-expressed.
 Pipeline shape (all Spark-side work is narrow or the standard
 bounded-query top-k):
 
-- :func:`pq_train` — ONE bounded TakeOrdered sample to the driver,
+- :func:`pq_train` — ONE bounded two-phase id-cutoff sample to the
+  driver (r10: TakeOrdered shipped K rows PER PARTITION, 1 GB at 10 M),
   per-subspace Lloyd k-means in numpy (deterministic lowest-id seeding,
   no RNG — the :func:`.ann_index.kmeans_centroids` discipline).
   Codebooks are tiny (m·k·dsub floats) and ship in task closures.
-- :func:`pq_encode` — one narrow ``mapInPandas`` pass over the corpus:
+- :func:`pq_encode` — one narrow ``mapInArrow`` pass over the corpus:
   argmin subspace centroid per vector → ``codes array<int>`` + the
   exact vector norm (kept so approximate cosine divides by the TRUE
   norm — only the dot product is quantized).

@@ -219,7 +219,7 @@ def brute_force_topk_gemm(
     round_digits: int = 5,
     max_query_rows: int = 100_000,
 ) -> DataFrame:
-    """Exact cosine top-k via per-partition numpy GEMM (``mapInPandas``).
+    """Exact cosine top-k via per-partition numpy GEMM (``mapInArrow``).
 
     Same result contract as :func:`brute_force_topk`; different engine
     path.  The expression form evaluates an interpreted higher-order dot

@@ -452,7 +452,7 @@ _register("similarity_ivf_topk", q_ann_ivf, _ann_ivf_sql())
 
 
 def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GEMM (mapInPandas/BLAS) engine path for exact top-k.  Rows-only
+    """GEMM (mapInArrow/BLAS) engine path for exact top-k.  Rows-only
     driver check: same contract as similarity_bruteforce_topk, whose
     oracle pins the values; tests assert both paths agree exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
