@@ -272,11 +272,20 @@ def bpe_encode(
     """``[<id_col>, bpe_tokens array<string>, n_bpe_tokens int]`` —
     encode each document with the learned merges.
 
-    Arrow-batched ``mapInPandas``; the per-batch word memo means each
-    distinct word is encoded once per batch (Zipf makes that a large
-    saving), and ranked merges apply via the standard lowest-rank-first
-    loop.  Mirrors the training fold exactly: a word that appeared in
-    training encodes to the same symbols `bpe_train` left it with.
+    Arrow-batched ``mapInPandas`` — measured and KEPT (r11,
+    tools/string_bridge_bench.py): the encode kernel needs a Python str
+    per document regardless of bridge (``.lower().split()`` + the
+    per-word merge loop), and the pandas object Series materializes
+    them cheaper than ``to_pylist()`` on the Arrow column — 0.51 s vs
+    0.64 s at 300k docs.  The vector family's ~2 s/M-row bridge tax was
+    per-row numpy ARRAY objects; it does not transfer to string
+    batches (identity pass: 0.825 vs 0.634 s at 10 M rows — ~19 ms/M).
+
+    The per-batch word memo means each distinct word is encoded once
+    per batch (Zipf makes that a large saving), and ranked merges apply
+    via the standard lowest-rank-first loop.  Mirrors the training fold
+    exactly: a word that appeared in training encodes to the same
+    symbols `bpe_train` left it with.
     """
     ranks = {pair: i for i, pair in enumerate(merges)}
 
