@@ -36,7 +36,12 @@ Two merge shapes:
   full-bucket rewrite was the one remaining growth-proportional cost).
   Segment count grows with merge count until :func:`compact_index`
   folds every bucket back to one segment in one explicit O(index) job
-  — the LSM append+compact trade, on your schedule.
+  — the LSM append+compact trade.  By default that fold runs INLINE
+  once any bucket exceeds ``DEFAULT_MAX_SEGMENTS_PER_BUCKET`` (= 16,
+  the measured ≤2×-read-amplification knee — see the constant's note),
+  so a naive long-running stream never accumulates unbounded
+  compaction debt; pass ``max_segments_per_bucket=None`` to take over
+  the schedule.
 
 Why pointers instead of in-place overwrite: Spark cannot atomically
 overwrite a parquet directory it is concurrently reading (the merge
@@ -71,6 +76,18 @@ from pyspark.sql import functions as F
 from ..operators.inverted_index import postings
 
 DEFAULT_N_BUCKETS = 16
+
+# Default autocompaction dial (r10 VERDICT task 6 — measured, not
+# taste: tools/lsm_read_amplification.py, 64 merges × 100k rows, every
+# batch touching every bucket).  Merges stay flat (~0.55 s, O(batch))
+# while lookups degrade with segment count: 0.24-0.44 s at 1-8
+# segments/bucket, 0.55 s at 16, 0.85 s at 32, 1.40 s at 64 — vs a
+# 0.29 s compacted floor.  At 16 the read amplification is ≤2× the
+# floor and the inline compaction (4.4 s at 6.4 M rows) amortizes to
+# ~half a merge's cost per merge; at 8 the same compaction would cost
+# ~a full merge per merge for only ~25% better reads.  Pass None to
+# disable and schedule :func:`compact_index` externally (off-peak).
+DEFAULT_MAX_SEGMENTS_PER_BUCKET = 16
 
 
 def _latest_path(index_path: str) -> str:
@@ -395,7 +412,7 @@ def merge_postings_batch(
     batch_id: int | None = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_postings_per_row: int | None = None,
-    max_segments_per_bucket: int | None = None,
+    max_segments_per_bucket: int | None = DEFAULT_MAX_SEGMENTS_PER_BUCKET,
 ) -> None:
     """Merge one micro-batch's postings into the index (foreachBatch body).
 
@@ -412,10 +429,13 @@ def merge_postings_batch(
     re-read or re-written, so per-merge bytes (read and written) track
     the batch, not the index.  Segment and chunk counts grow with merge
     count until :func:`compact_index` squashes both (the LSM
-    append+compact trade).  ``max_segments_per_bucket`` set ⇒ that
-    compaction runs INLINE once any bucket's list exceeds the dial —
-    an operational per-call dial (like the trigger mode), not a layout
-    property, so it is not recorded in the marker.
+    append+compact trade).  That compaction runs INLINE once any
+    bucket's list exceeds ``max_segments_per_bucket`` — default
+    ``DEFAULT_MAX_SEGMENTS_PER_BUCKET`` (16, the measured
+    read-amplification knee; see the constant), ``None`` to disable and
+    schedule :func:`compact_index` yourself.  An operational per-call
+    dial (like the trigger mode), not a layout property, so it is not
+    recorded in the marker.
 
     Idempotence: foreachBatch is at-least-once — after a failure between
     this commit and Spark's checkpoint commit, the same micro-batch is
@@ -601,7 +621,7 @@ def merge_composite_postings_batch(
     batch_id: int | None = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_postings_per_row: int | None = None,
-    max_segments_per_bucket: int | None = None,
+    max_segments_per_bucket: int | None = DEFAULT_MAX_SEGMENTS_PER_BUCKET,
 ) -> None:
     """Merge one micro-batch into a COMPOSITE (tuple-keyed) postings
     index: rows ``[v_<f1>, ..., v_<fn>, doc_ids]``, one per distinct
@@ -793,7 +813,7 @@ def start_composite_index_maintenance(
     trigger_available_now: bool = True,
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_postings_per_row: int | None = None,
-    max_segments_per_bucket: int | None = None,
+    max_segments_per_bucket: int | None = DEFAULT_MAX_SEGMENTS_PER_BUCKET,
 ):
     """Attach the composite merge to a streaming source; returns the
     StreamingQuery (the :func:`start_index_maintenance` twin)."""
@@ -829,7 +849,7 @@ def start_index_maintenance(
     trigger_available_now: bool = True,
     n_buckets: int = DEFAULT_N_BUCKETS,
     max_postings_per_row: int | None = None,
-    max_segments_per_bucket: int | None = None,
+    max_segments_per_bucket: int | None = DEFAULT_MAX_SEGMENTS_PER_BUCKET,
 ):
     """Attach the merge to a streaming source; returns the StreamingQuery.
 

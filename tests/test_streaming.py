@@ -887,6 +887,43 @@ def test_rebucket_index_preserves_lookups_and_crash_safety(spark, tmp_path):
     assert got2 == want2
 
 
+def test_default_autocompact_dial_bounds_segments(spark, tmp_path):
+    """r10 VERDICT task 6: max_segments_per_bucket defaults to the
+    MEASURED dial (16 — tools/lsm_read_amplification.py), so a naive
+    long-running stream can never accumulate unbounded compaction debt;
+    None still disables the trigger for externally-scheduled folds."""
+    import polars_w_inverted_index_spark.streaming.index_maintenance as im
+
+    assert im.DEFAULT_MAX_SEGMENTS_PER_BUCKET == 16
+
+    def batch(i, values=1):
+        rows = [(i * 10 + j, f"v{j % values}") for j in range(10)]
+        return spark.createDataFrame(rows, "event_id long, event_type string")
+
+    # default dial: 20 single-value merges (every batch hits ONE
+    # bucket) must trigger the inline fold at >16 segments
+    idx = str(tmp_path / "idx_dial_default")
+    for i in range(20):
+        merge_postings_batch(batch(i), "event_type", idx, "event_id",
+                             batch_id=i, max_postings_per_row=4,
+                             n_buckets=2)
+    frag = im.index_fragmentation(idx)
+    assert frag["max_segments_per_bucket"] <= 16
+    got = {
+        r["value"]: list(r["doc_ids"])
+        for r in im.read_index_postings(spark, idx).collect()
+    }
+    assert got == {"v0": list(range(200))}  # content survives the folds
+
+    # None: the trigger is off, segments accumulate
+    idx2 = str(tmp_path / "idx_dial_none")
+    for i in range(20):
+        merge_postings_batch(batch(i), "event_type", idx2, "event_id",
+                             batch_id=i, max_postings_per_row=4,
+                             n_buckets=2, max_segments_per_bucket=None)
+    assert im.index_fragmentation(idx2)["max_segments_per_bucket"] == 20
+
+
 def test_rebucket_rechunks_fragmented_chunked_index(spark, tmp_path):
     """r10 ADVICE: rebucket on a SEGMENTED chunked index must not fold
     duplicate (value, chunk) rows from different segments into one
