@@ -85,7 +85,15 @@ def kmeans_centroids(
     ``n_iters=0`` returns the seed — which is exactly the inline
     ``ivf_topk`` centroid set, making that operator the verifier twin.
     """
-    seed = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    # seed from the lowest-id NON-NULL vectors: NULL vecs are masked
+    # out of the Lloyd update (r10 ADVICE), so letting one seed a
+    # centroid would crash _collect_centroids (iterating None) — the
+    # same never-a-candidate rule applies to seeding (r11 fuzz)
+    seed = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+    )
     cent = _centroid_frame(seed, id_col, vec_col)
     # cid values are the seed vectors' ids (not 0..n-1): stable,
     # deterministic labels — renumbering would break nothing but adds a
@@ -193,6 +201,10 @@ def _collect_centroids(centroids: DataFrame):
     cmat = [[float(x) for x in r["centv"]] for r in cent_rows]
     cns = [float(r["centn"]) for r in cent_rows]
     n_dims = max(len(c) for c in cmat)
+    # ragged seed widths (mixed-dim corpora) must still form one dense
+    # GEMM matrix: zero-pad to the max width — padding changes neither
+    # dots nor the stored norms (r11 fuzz)
+    cmat = [c + [0.0] * (n_dims - len(c)) for c in cmat]
     return cids, cmat, cns, n_dims
 
 
@@ -481,6 +493,52 @@ def _assign_cells(
     return base.mapInArrow(_gemm, out_ddl)
 
 
+def _uniform_width(
+    df: DataFrame, vec_col: str, where: str, want: int | None = None
+) -> int | None:
+    """The index-lifecycle width contract (r11 fuzz): every non-NULL
+    vector entering a materialized index must share ONE width (the
+    recorded ``dims``), validated with a single column-pruned aggregate.
+
+    Before this guard, a mixed-width corpus was scored at the CENTROID
+    matrix width while the query guard pinned the FIRST row's width —
+    two different projections of the same row (fuzz counterexample: a
+    w3 row in a w2 index served cos 0.8165 where every consistent
+    projection gives 1.0).  Low-level kernels keep their pad/truncate
+    fallback (they score whatever width they are told, e.g. pq_encode
+    against an explicit codebook); the LIFECYCLE refuses ragged input
+    loudly — same discipline as the query-width identity gate below
+    ("a silent truncation would return plausible nonsense").
+
+    Returns the width (or ``want``; None for an all-NULL/empty frame).
+    """
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.min(F.size(vec_col)).alias("lo"),
+            F.max(F.size(vec_col)).alias("hi"),
+        )
+        .first()
+    )
+    if row is None or row["lo"] is None:
+        return want
+    lo, hi = int(row["lo"]), int(row["hi"])
+    if lo != hi:
+        raise ValueError(
+            f"{where}: vector column {vec_col!r} has mixed widths "
+            f"({lo}..{hi}); a materialized ANN index is defined over ONE "
+            "dimensionality — project the corpus to a fixed width first "
+            "(functions.vectors.random_projection, or slice/pad "
+            "explicitly)."
+        )
+    if want is not None and lo != want:
+        raise ValueError(
+            f"{where}: batch vectors are {lo}-dim but the index records "
+            f"dims={want}; project the batch to the index width."
+        )
+    return lo
+
+
 def build_ann_index(
     corpus: DataFrame,
     root: str,
@@ -496,6 +554,7 @@ def build_ann_index(
     write partitions by cell id so serving can prune at file level.
     """
     spark = corpus.sparkSession
+    dims = _uniform_width(corpus, vec_col, f"build_ann_index({root})")
     cent = kmeans_centroids(
         corpus, n_centroids, n_iters, id_col, vec_col
     )
@@ -514,13 +573,12 @@ def build_ann_index(
         .partitionBy("cell", "ingest_batch")
         .parquet(os.path.join(root, "cells"))
     )
-    dims = corpus.select(F.size(vec_col).alias("d")).first()
     with open(os.path.join(root, "_ann_meta.json"), "w") as f:
         json.dump(
             {
                 "n_centroids": n_centroids,
                 "n_iters": n_iters,
-                "dims": int(dims["d"]) if dims else None,
+                "dims": dims,
                 "id_col": id_col,
                 "vec_col": vec_col,
             },
@@ -565,6 +623,15 @@ def ann_index_add_batch(
             "partition discovery for the whole table — run "
             "ann_index_compact(spark, root) once to migrate, then ingest."
         )
+    recorded = None
+    try:
+        with open(os.path.join(root, "_ann_meta.json")) as f:
+            recorded = json.load(f).get("dims")
+    except OSError:
+        pass
+    _uniform_width(
+        batch, vec_col, f"ann_index_add_batch({root})", want=recorded
+    )
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     assigned = _assign_cells(batch, cent, id_col, vec_col, keep_n=1)
     (

@@ -1,0 +1,222 @@
+"""Property fuzz for the ANN family (r10 VERDICT task 7).
+
+The family now carries three generations of NULL encodings (pre-r9,
+r9 zero-norm, r10 NaN-vnorm) plus half-up rounding and tie ordering —
+each unit-pinned, but fuzz is what caught the twin divergences in r8
+(test_property_oracle's text twins).  This file drives
+hypothesis-generated corpora mixing NULL / zero / dyadic-.5 vectors
+through the numpy serve paths and asserts EXACT agreement with the
+pure-expression twins:
+
+- ``ann_search`` (full probe) vs ``similarity.brute_force_topk``;
+- ``ann_search_pq`` (full probe + corpus-covering rerank) vs the same;
+- ``_assign_cells`` vs an expression crossJoin + round + window twin;
+- ragged (mixed-width) corpora REFUSED loudly at the index lifecycle.
+
+Contract notes (pinned semantics, not fudges):
+- NULL corpus vectors are never emitted as neighbors (r9 ADVICE) →
+  dropped from the twin's corpus;
+- a materialized index is defined over ONE width: the first fuzz run
+  of this file produced the counterexample (a w3 row in a w2 index
+  served cos 0.8165 — 2-dim dot over a 3-dim norm — where every
+  consistent projection gives 1.0), and the fix is the
+  ``_uniform_width`` lifecycle guard, pinned here by the ragged test.
+
+Dyadic component values (±0.25/±0.5/±0.75/±1) make dot products and
+norms exactly representable, so rounded sims repeatedly land ON the
+half-up boundary — the class where np.round (half-to-even) diverged
+from F.round in r9.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from polars_w_inverted_index_spark.functions.vectors import cosine
+from polars_w_inverted_index_spark.operators.ann_index import (
+    _assign_cells,
+    ann_search,
+    build_ann_index,
+    kmeans_centroids,
+)
+from polars_w_inverted_index_spark.operators.similarity import (
+    brute_force_topk,
+)
+from polars_w_inverted_index_spark.session import get_session
+
+DYADIC = [-1.0, -0.75, -0.5, -0.25, 0.0, 0.25, 0.5, 0.75, 1.0]
+K = 3
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _corpus_and_queries(min_corpus=5, max_corpus=10, max_q=3):
+    """One strategy so every example shares ONE width: (width,
+    corpus list with NULLs, non-null query list)."""
+    return st.integers(2, 5).flatmap(
+        lambda w: st.tuples(
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.sampled_from(DYADIC), min_size=w, max_size=w
+                    ),
+                ),
+                min_size=min_corpus,
+                max_size=max_corpus,
+            ),
+            st.lists(
+                st.lists(st.sampled_from(DYADIC), min_size=w, max_size=w),
+                min_size=1,
+                max_size=max_q,
+            ),
+        )
+    )
+
+
+def _key(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def _frames(spark, corpus_vecs, query_vecs):
+    """Corpus ids are 0..n-1; query ids 0..m-1 so self-match exclusion
+    is exercised whenever a query id collides with a corpus id.  The
+    twin corpus drops NULL vectors (the never-emitted contract)."""
+    corpus = spark.createDataFrame(list(enumerate(corpus_vecs)), SCHEMA)
+    queries = spark.createDataFrame(list(enumerate(query_vecs)), SCHEMA)
+    twin_corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus_vecs) if v is not None],
+        SCHEMA,
+    )
+    return corpus, queries, twin_corpus
+
+
+@_SETTINGS
+@given(cq=_corpus_and_queries())
+def test_fuzz_ann_search_full_probe_equals_brute_force(cq):
+    corpus_vecs, query_vecs = cq
+    assume(sum(v is not None for v in corpus_vecs) >= K + 1)
+    spark = get_session("property_tests")
+    corpus, queries, twin_c = _frames(spark, corpus_vecs, query_vecs)
+    with tempfile.TemporaryDirectory(prefix="ann_fuzz_") as root:
+        build_ann_index(corpus, root, n_centroids=2, n_iters=1)
+        got = _key(ann_search(spark, root, queries, k=K, nprobe=2))
+    want = _key(brute_force_topk(twin_c, queries, k=K))
+    assert got == want
+
+
+@_SETTINGS
+@given(cq=_corpus_and_queries(max_q=2))
+def test_fuzz_ann_search_pq_full_rerank_equals_brute_force(cq):
+    """PQ quantizes only the CANDIDATE recall; with every cell probed
+    and the rerank covering the corpus the exact rescore must equal
+    brute force on any NULL/zero/dyadic corpus."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+
+    corpus_vecs, query_vecs = cq
+    assume(sum(v is not None for v in corpus_vecs) >= K + 1)
+    spark = get_session("property_tests")
+    corpus, queries, twin_c = _frames(spark, corpus_vecs, query_vecs)
+    with tempfile.TemporaryDirectory(prefix="annpq_fuzz_") as root:
+        build_ann_index(corpus, root, n_centroids=2, n_iters=1)
+        pq_augment_ann_index(spark, root, m_subspaces=2, n_codes=4)
+        got = _key(
+            ann_search_pq(
+                spark, root, queries, k=K, nprobe=2, rerank_factor=1000
+            )
+        )
+    want = _key(brute_force_topk(twin_c, queries, k=K))
+    assert got == want
+
+
+@_SETTINGS
+@given(cq=_corpus_and_queries(min_corpus=4))
+def test_fuzz_assign_cells_matches_expression_twin(cq):
+    """_assign_cells (numpy GEMM, half-up round, ties → lowest cid) vs
+    the pure-expression twin it replaced: crossJoin against the
+    centroid frame, functions.vectors.cosine (zero-norm → 0.0), F.round
+    (HALF_UP), row_number ordered (sim desc, cid asc)."""
+    corpus_vecs, _ = cq
+    assume(sum(v is not None for v in corpus_vecs) >= 2)
+    spark = get_session("property_tests")
+    corpus = spark.createDataFrame(list(enumerate(corpus_vecs)), SCHEMA)
+    cent = kmeans_centroids(corpus, n_centroids=2, n_iters=1)
+
+    live = corpus.where(F.col("embedding").isNotNull())
+    got = {
+        (r["_id"], r["cell"])
+        for r in _assign_cells(
+            live, cent, "vec_id", "embedding", keep_n=1
+        ).collect()
+    }
+
+    from pyspark.sql import Window
+
+    scored = (
+        live.crossJoin(
+            F.broadcast(cent.select("cid", F.col("centv").alias("cv")))
+        )
+        .select(
+            "vec_id",
+            "cid",
+            F.round(cosine("embedding", "cv"), 5).alias("sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("sim").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    want = {(r["vec_id"], r["cid"]) for r in scored.collect()}
+    assert got == want
+
+
+def test_ragged_corpus_refused_at_lifecycle(spark, tmp_path):
+    """The fuzz counterexample, pinned as the lifecycle contract: a
+    mixed-width corpus must raise loudly at build (and a mismatched
+    batch at ingest) instead of serving two different projections of
+    the same row (w3 row in a 'w2' index scored a 2-dim dot over a
+    3-dim norm: cos 0.8165 where every consistent projection is 1.0)."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_index_add_batch,
+    )
+
+    ragged = spark.createDataFrame(
+        [(0, [-1.0, -1.0]), (1, None), (2, [-1.0, -1.0, -1.0]),
+         (3, [-1.0, -1.0])],
+        SCHEMA,
+    )
+    with pytest.raises(ValueError, match="mixed widths"):
+        build_ann_index(ragged, str(tmp_path / "ann_ragged"))
+
+    uniform = ragged.where(F.size("embedding") == 2)
+    root = str(tmp_path / "ann_uniform")
+    build_ann_index(uniform, root, n_centroids=1, n_iters=0)
+    wide_batch = spark.createDataFrame([(9, [1.0, 1.0, 1.0])], SCHEMA)
+    with pytest.raises(ValueError, match="dims=2"):
+        ann_index_add_batch(spark, root, wide_batch)
+    # NULL-only batches carry no width and still ingest
+    assert ann_index_add_batch(
+        spark, root, spark.createDataFrame([(10, None)], SCHEMA)
+    ) == 1
