@@ -955,33 +955,36 @@ def ann_search(
 _FINGERPRINT_VERSION = 2
 
 
+def _tree_bytes(d: str) -> int:
+    """Visible-file bytes under ``d`` (hidden ``.``/``_`` entries are
+    markers, not data).  Raises OSError on any listing failure —
+    os.walk SUPPRESSES errors by default (onerror=None), and a silent 0
+    from a non-listable tree reads as "small", the wrong direction for
+    every caller (they must assume LARGE when they cannot list)."""
+
+    def _raise(err: OSError):
+        raise err
+
+    total = 0
+    for dirpath, dirnames, files in os.walk(d, onerror=_raise):
+        dirnames[:] = [x for x in dirnames if not x.startswith((".", "_"))]
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
 def _probed_cell_bytes(root: str, probe_cells) -> int | None:
     """On-disk bytes of the probed float cell directories, or None when
     the root is not a locally-listable path (object stores) — callers
     treat None as 'assume large', the scale-safe direction.  One
     os.walk per probed cell: metadata-only, never data I/O."""
-    # os.walk SUPPRESSES listing errors by default (onerror=None): a
-    # non-listable root (URI-style path, permission-denied dir) would
-    # silently yield 0, which the gate reads as "probed bytes small"
-    # and DISABLES pushdown — the opposite of fail-to-pushdown.  Check
-    # listability up front and re-raise walk errors so every unreadable
-    # shape lands on the None ("assume large") path.
-    def _raise(err: OSError):
-        raise err
-
     if not os.path.isdir(os.path.join(root, "cells")):
         return None
     total = 0
     try:
         for c in probe_cells:
-            d = os.path.join(root, "cells", f"cell={c}")
-            for dirpath, dirnames, files in os.walk(d, onerror=_raise):
-                dirnames[:] = [
-                    x for x in dirnames if not x.startswith((".", "_"))
-                ]
-                for f in files:
-                    if not f.startswith((".", "_")):
-                        total += os.path.getsize(os.path.join(dirpath, f))
+            total += _tree_bytes(os.path.join(root, "cells", f"cell={c}"))
     except OSError:
         return None
     return total
@@ -1476,3 +1479,113 @@ def ann_search_pq(
         exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
+
+
+def ann_serving_policy(
+    root: str,
+    nprobe: int,
+    bandwidth_mbps: float | None = None,
+    pq_tie_seconds: float = 6.0,
+) -> dict:
+    """The measured float-vs-PQ crossover rule as an executable policy
+    (SCALE.md "Cold-cache run of the rule", r10–r11): returns
+    ``{"path": "float"|"pq", "probed_bytes_est": int|None,
+    "tie_bytes": int, "reason": str}`` from index METADATA only (one
+    pointer/meta read + one file-size listing, never data I/O) — the
+    same should_rebuild-style wiring that turned the drift monitor's
+    prose recipe into code.
+
+    The measured facts this encodes:
+
+    - the tie sits where cold float probe I/O costs ≈ PQ's serve
+      constant: ~2.0 GB probed at ~344 MB/s ≈ 6 s (r10 measured tie;
+      ``pq_tie_seconds``), so ``tie_bytes = bandwidth × 6 s``;
+    - PQ WINS on SELECTIVE probes past the tie: 150 M × 64 d quarter
+      probe = 5.6 GB probed → float 51.8 s (scattered pruned reads
+      reach only ~1/3 of sequential bandwidth) vs PQ 14.0 s (r11
+      measured, 3.7×);
+    - FULL sweeps (``nprobe ≥ n_centroids``) stay float at local-disk
+      bandwidth: one parallel sequential scan reaches ~490 MB/s while
+      the ADC gather over every code row is itself O(corpus) compute
+      (r11 measured: 45.6 s float vs 55.0 s PQ at 22.4 GB).
+
+    ``bandwidth_mbps`` defaults to 344 (this box's measured cold-scan
+    rate) — pass the deployment's actual cold bandwidth (object stores
+    are often 100–200 MB/s per node, moving the tie down to
+    0.6–1.2 GB).  An unlistable root assumes large (``"pq"`` when the
+    sidecar exists), the same fail direction as the rerank pushdown
+    gate."""
+    bw = 344.0 if bandwidth_mbps is None else float(bandwidth_mbps)
+    tie_bytes = int(bw * 1e6 * pq_tie_seconds)
+    out = {"tie_bytes": tie_bytes, "probed_bytes_est": None}
+    if not os.path.exists(os.path.join(root, "_pq_meta.json")):
+        out.update(
+            path="float",
+            reason="no PQ sidecar at this root (pq_augment_ann_index "
+            "to enable the codes path)",
+        )
+        return out
+    n_centroids = None
+    try:
+        with open(os.path.join(root, "_ann_meta.json")) as f:
+            n_centroids = json.load(f).get("n_centroids")
+    except OSError:
+        pass
+    if n_centroids is not None and int(nprobe) >= int(n_centroids):
+        out.update(
+            path="float",
+            reason=f"full sweep (nprobe={nprobe} >= n_centroids="
+            f"{n_centroids}): sequential float scan beats an O(corpus) "
+            "ADC gather at local-disk bandwidth (r11 measured)",
+        )
+        return out
+    try:
+        cells_bytes = _tree_bytes(os.path.join(root, "cells"))
+    except OSError:
+        cells_bytes = None
+    if cells_bytes is None or not n_centroids:
+        out.update(
+            path="pq",
+            reason="cells not locally listable — assume probed bytes "
+            "large (the pushdown gate's fail direction)",
+        )
+        return out
+    probed = int(cells_bytes * min(int(nprobe), n_centroids) / n_centroids)
+    out["probed_bytes_est"] = probed
+    if probed >= tie_bytes:
+        out.update(
+            path="pq",
+            reason=f"selective probe reads ~{probed >> 20} MiB of float "
+            f"cells > tie {tie_bytes >> 20} MiB at {bw:.0f} MB/s",
+        )
+    else:
+        out.update(
+            path="float",
+            reason=f"probed float bytes ~{probed >> 20} MiB under the "
+            f"tie {tie_bytes >> 20} MiB — PQ's serve constant would "
+            "dominate",
+        )
+    return out
+
+
+def ann_search_auto(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    bandwidth_mbps: float | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Serve top-k through whichever path :func:`ann_serving_policy`
+    recommends for this index + probe width.  Same result contract as
+    both underlying paths (with full-coverage dials they are EXACTLY
+    equal and otherwise differ only in recall, fuzz- and test-pinned);
+    ``kwargs`` pass through to the chosen serve."""
+    policy = ann_serving_policy(root, nprobe, bandwidth_mbps)
+    if policy["path"] == "pq":
+        return ann_search_pq(
+            spark, root, queries, k=k, nprobe=nprobe, **kwargs
+        )
+    kwargs.pop("rerank_factor", None)  # PQ-only dial
+    return ann_search(spark, root, queries, k=k, nprobe=nprobe, **kwargs)

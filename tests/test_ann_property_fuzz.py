@@ -220,3 +220,67 @@ def test_ragged_corpus_refused_at_lifecycle(spark, tmp_path):
     assert ann_index_add_batch(
         spark, root, spark.createDataFrame([(10, None)], SCHEMA)
     ) == 1
+
+
+def test_serving_policy_encodes_measured_rule(spark, tmp_path, monkeypatch):
+    """ann_serving_policy is the SCALE.md crossover rule as code: float
+    under the tie, pq past it on selective probes, float on full
+    sweeps, pq when the tree is unlistable, float without a sidecar —
+    and ann_search_auto dispatches to the path the policy names."""
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            ((F.col("id") % 7) / 3.0 - 1.0),
+            ((F.col("id") % 5) / 2.0 - 1.0),
+            ((F.col("id") % 3) / 1.0 - 1.0),
+            ((F.col("id") % 11) / 5.0 - 1.0),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "ann_auto")
+    ai.build_ann_index(emb, root, n_centroids=4, n_iters=1)
+
+    # no sidecar yet -> float, whatever the bytes
+    assert ai.ann_serving_policy(root, 2)["path"] == "float"
+
+    ai.pq_augment_ann_index(spark, root, m_subspaces=2, n_codes=4)
+    q = emb.where(F.col("vec_id") < 3)
+
+    # tiny local index -> under the tie -> float
+    pol = ai.ann_serving_policy(root, 2)
+    assert pol["path"] == "float" and pol["probed_bytes_est"] < pol[
+        "tie_bytes"
+    ]
+    got = ai.ann_search_auto(spark, root, q, k=3, nprobe=2)
+    want = ai.ann_search(spark, root, q, k=3, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # past the tie on a selective probe -> pq (force via bandwidth=0)
+    pol = ai.ann_serving_policy(root, 2, bandwidth_mbps=0.001)
+    assert pol["path"] == "pq"
+    got_pq = ai.ann_search_auto(
+        spark, root, q, k=3, nprobe=2, bandwidth_mbps=0.001,
+        rerank_factor=1000,
+    )
+    want_pq = ai.ann_search_pq(
+        spark, root, q, k=3, nprobe=2, rerank_factor=1000
+    )
+    assert sorted(map(tuple, got_pq.collect())) == sorted(
+        map(tuple, want_pq.collect())
+    )
+
+    # full sweep stays float even past the tie (measured r11)
+    assert (
+        ai.ann_serving_policy(root, 4, bandwidth_mbps=0.001)["path"]
+        == "float"
+    )
+
+    # unlistable tree -> assume large -> pq (the gate's fail direction)
+    monkeypatch.setattr(
+        ai, "_tree_bytes", lambda d: (_ for _ in ()).throw(OSError(5, "x"))
+    )
+    pol = ai.ann_serving_policy(root, 2)
+    assert pol["path"] == "pq" and "listable" in pol["reason"]
