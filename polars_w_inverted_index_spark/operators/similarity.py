@@ -76,7 +76,13 @@ def brute_force_topk(
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(
+    # NULL corpus vectors are never neighbors (the family-wide rule,
+    # r9 ADVICE): without this filter the cosine's zero-norm fallback
+    # fabricates 0.0 for a NULL vector, which would outrank genuine
+    # negative-sim matches — the exact bug fixed in ann_search; the
+    # bucketed twins (ivf/lsh/pairs) already drop NULLs via their
+    # null-bucket joins, and the GEMM twin live-masks them (r11 fuzz).
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),

@@ -284,3 +284,58 @@ def test_serving_policy_encodes_measured_rule(spark, tmp_path, monkeypatch):
     )
     pol = ai.ann_serving_policy(root, 2)
     assert pol["path"] == "pq" and "listable" in pol["reason"]
+
+
+@_SETTINGS
+@given(cq=_corpus_and_queries())
+def test_fuzz_brute_force_gemm_matches_expression(cq):
+    """The similarity ground-truth twins themselves: the mapInArrow
+    GEMM engine vs the pure-expression form on NULL/zero/dyadic
+    corpora.  First run of this fuzz (by inspection) found the
+    expression form fabricating cos 0.0 for NULL corpus vectors (the
+    zero-norm `otherwise` catches NULL) while the GEMM form live-masks
+    them — the same fabricated-0.0 rank bug r9 fixed in ann_search;
+    the expression corpus now filters NULL vectors, pinned here."""
+    from polars_w_inverted_index_spark.operators.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    corpus_vecs, query_vecs = cq
+    assume(sum(v is not None for v in corpus_vecs) >= 2)
+    spark = get_session("property_tests")
+    corpus, queries, _twin = _frames(spark, corpus_vecs, query_vecs)
+    got = _key(brute_force_topk_gemm(corpus, queries, k=K))
+    want = _key(brute_force_topk(corpus, queries, k=K))
+    assert got == want
+    # and no NULL-vector id ever surfaces as a neighbor
+    null_ids = {i for i, v in enumerate(corpus_vecs) if v is None}
+    assert all(n not in null_ids for (_q, n, _s, _r) in got)
+
+
+@_SETTINGS
+@given(cq=_corpus_and_queries(min_corpus=6, max_corpus=12))
+def test_fuzz_embedding_cosine_pairs_gemm_matches_expression(cq):
+    """The dedup family's GEMM/expression twins under the same fuzz:
+    identical pair sets (ids AND half-up-rounded sims) on NULL/zero/
+    dyadic corpora — extends the fixed-fixture equality test to the
+    boundary classes."""
+    import polars_w_inverted_index_spark.operators.dedup as DD
+
+    corpus_vecs, _ = cq
+    spark = get_session("property_tests")
+    corpus = spark.createDataFrame(list(enumerate(corpus_vecs)), SCHEMA)
+    got = sorted(
+        map(
+            tuple,
+            DD.embedding_cosine_pairs_gemm(
+                corpus, threshold=0.25
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            DD.embedding_cosine_pairs(corpus, threshold=0.25).collect(),
+        )
+    )
+    assert got == want
