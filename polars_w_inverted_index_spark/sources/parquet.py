@@ -116,7 +116,13 @@ def zorder_key(cols, mins, maxs, bits: int = 12):
     qs = []
     for c, lo, hi in zip(cols, mins, maxs):
         v = (F.col(c) if isinstance(c, str) else c).cast("double")
-        span = float(hi) - float(lo)
+        # an all-NULL column has None bounds (min/max of nothing) —
+        # degenerate like min == max: constant bits, not float(None)
+        span = (
+            float(hi) - float(lo)
+            if lo is not None and hi is not None
+            else 0.0
+        )
         if span <= 0:
             qs.append(F.lit(0).cast("long"))
             continue

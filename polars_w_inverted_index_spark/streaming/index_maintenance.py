@@ -586,6 +586,11 @@ def _commit(
     }
     if composite_fields:
         marker["composite_fields"] = composite_fields
+    # A first merge whose batch is EMPTY (all-null field/id rows at
+    # stream start) commits without any parquet write having created
+    # the index directory — make it here or the tmp-marker open fails
+    # (r11 fuzz: ops=[merge([]), ...] crashed the maintainer).
+    os.makedirs(index_path, exist_ok=True)
     tmp = _latest_path(index_path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(marker, f)

@@ -129,3 +129,16 @@ def test_degenerate_and_null_columns(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 3
     assert back.where(F.col("n").isNull()).count() == 1
+
+
+def test_all_null_cluster_column(spark, tmp_path):
+    """r11: an ALL-null cluster column has None min/max — it must be
+    treated as degenerate (constant bits), not crash on float(None)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "a long, n long"
+    )
+    p = str(tmp_path / "zallnull")
+    write_zordered(df, p, ["n", "a"], target_partitions=2)
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    assert back.where(F.col("n").isNull()).count() == 3
