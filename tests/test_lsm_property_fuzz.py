@@ -152,3 +152,81 @@ def test_fuzz_interleaved_maintenance_converges(ops, cap, tmp_path_factory):
                 .count()
             )
             assert dupes == 0
+
+
+CROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 30)),                # doc_id
+        st.one_of(st.none(), st.sampled_from(["R", "N", ""])),   # f1
+        st.one_of(st.none(), st.sampled_from(["F", "O"])),       # f2
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+COPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), CROWS),
+        st.tuples(st.just("replay"), st.none()),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("rebucket"), st.sampled_from([1, 4])),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@_SETTINGS
+@given(ops=COPS, cap=st.sampled_from([1, 3]))
+def test_fuzz_composite_interleaved_maintenance(ops, cap, tmp_path_factory):
+    """The composite (tuple-keyed) twin of the interleaving fuzz: the
+    same maintenance mutations over two-field tuples, converging to the
+    distinct-(tuple, id) truth with NULL components dropped (the
+    postings null-pair rule applies to the WHOLE tuple)."""
+    spark = get_session("property_tests")
+    idx = str(tmp_path_factory.mktemp("lsm_cfuzz") / "idx")
+    schema = "event_id long, f1 string, f2 string"
+
+    merged: list[tuple] = []
+    last_batch_rows = None
+    batch_id = 0
+    for op, arg in ops:
+        if op == "merge":
+            im.merge_composite_postings_batch(
+                spark.createDataFrame(arg, schema),
+                ["f1", "f2"], idx, "event_id",
+                batch_id=batch_id, max_postings_per_row=cap,
+                n_buckets=2, max_segments_per_bucket=None,
+            )
+            merged.extend(arg)
+            last_batch_rows = arg
+            batch_id += 1
+        elif op == "replay":
+            if last_batch_rows is None:
+                continue
+            im.merge_composite_postings_batch(
+                spark.createDataFrame(last_batch_rows, schema),
+                ["f1", "f2"], idx, "event_id", batch_id=batch_id - 1,
+            )
+        elif op == "compact":
+            im.compact_index(spark, idx)
+        elif op == "rebucket":
+            if not os.path.exists(os.path.join(idx, "_LATEST")):
+                continue
+            im.rebucket_index(spark, idx, arg)
+
+    if not os.path.exists(os.path.join(idx, "_LATEST")):
+        return
+
+    truth: dict = {}
+    for did, f1, f2 in merged:  # multiplicity-preserving (P5 on tuples)
+        if did is None or f1 is None or f2 is None:
+            continue
+        truth.setdefault((f1, f2), []).append(did)
+    truth = {k: sorted(v) for k, v in truth.items()}
+
+    view = im.read_composite_index(spark, idx)
+    got = {} if view is None else {
+        (r["v_f1"], r["v_f2"]): list(r["doc_ids"]) for r in view.collect()
+    }
+    assert got == truth
