@@ -230,3 +230,128 @@ def test_fuzz_composite_interleaved_maintenance(ops, cap, tmp_path_factory):
         (r["v_f1"], r["v_f2"]): list(r["doc_ids"]) for r in view.collect()
     }
     assert got == truth
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",   # near-dup of [0]
+    "the quick brown fox leaps over the lazy dog",   # near-dup of [0]
+    "pack my box with five dozen liquor jugs",       # unrelated
+    "the quick brown fox jumps over the lazy dog",   # exact dup of [0]
+    "",                                              # no shingles
+    "solo",                                          # < k words
+]
+
+NDOPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("batch"),
+            st.lists(st.integers(0, len(TEXTS) - 1), min_size=0, max_size=5),
+        ),
+        st.tuples(st.just("replay"), st.none()),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@_SETTINGS
+@given(ops=NDOPS, msb=st.sampled_from([1, 2]))
+def test_fuzz_streaming_near_dedup_matches_batch_rule(
+    ops, msb, tmp_path_factory
+):
+    """Random batch sequences (near-dups, exact dups, shingle-less
+    texts, replays) through near_dedup_batch vs an independent greedy
+    re-execution of its documented rule over the SAME collected band
+    table: reject on >= min_shared_bands distinct bands shared with the
+    accepted-corpus band union (a), then within-batch cluster-min-id
+    canonicalization over pairwise shared-band edges (b)."""
+    from polars_w_inverted_index_spark.operators.dedup import (
+        _lsh_bands,
+        minhash_signatures,
+    )
+    from polars_w_inverted_index_spark.streaming.near_dedup import (
+        near_dedup_batch,
+    )
+
+    spark = get_session("property_tests")
+    state = str(tmp_path_factory.mktemp("nd_fuzz") / "state")
+    kw = dict(num_hashes=8, num_bands=4, shingle_k=2)
+
+    # assign globally increasing ids per generated row
+    batches, next_id = [], 0
+    for op, arg in ops:
+        if op == "batch":
+            rows = [(next_id + i, TEXTS[t]) for i, t in enumerate(arg)]
+            next_id += len(arg)
+            batches.append(rows)
+
+    all_rows = [r for b in batches for r in b]
+    bands: dict[int, set] = {i: set() for i, _ in all_rows}
+    if all_rows:
+        bdf = _lsh_bands(
+            minhash_signatures(
+                spark.createDataFrame(all_rows, "doc_id long, text string"),
+                num_hashes=8, shingle_k=2,
+            ),
+            4, 2,
+        )
+        for r in bdf.collect():
+            bands[r["doc_id"]].add((r["band_idx"], r["band_hash"]))
+
+    # independent truth: replay the documented rule in plain python
+    corpus_bands: set = set()
+    want_accepted: set = set()
+    for rows in batches:
+        ids = [i for i, _ in rows]
+        step_a = [
+            i for i in ids
+            if len(bands[i] & corpus_bands) < msb
+        ]
+        # within-batch pairwise edges over ALL batch rows -> components
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in ids:
+            for j in ids:
+                if i < j and len(bands[i] & bands[j]) >= msb:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        comp_min: dict = {}
+        for i in ids:
+            root = find(i)
+            comp_min[root] = min(comp_min.get(root, i), i)
+        kept = [i for i in step_a if comp_min[find(i)] == i]
+        want_accepted.update(kept)
+        corpus_bands |= set().union(*(bands[i] for i in kept)) if kept else set()
+
+    # drive the streaming path, with replays interleaved as generated
+    got_accepted: set = set()
+    bi = 0
+    last = None
+    for op, arg in ops:
+        if op == "batch":
+            rows = batches[bi]
+            out = near_dedup_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                state, batch_id=bi, min_shared_bands=msb, **kw,
+            )
+            got_accepted.update(r["doc_id"] for r in out.collect())
+            last = (bi, rows)
+            bi += 1
+        elif op == "replay" and last is not None:
+            rep = near_dedup_batch(
+                spark.createDataFrame(
+                    last[1], "doc_id long, text string"
+                ),
+                state, batch_id=last[0], min_shared_bands=msb, **kw,
+            )
+            assert rep.count() == 0  # committed replay: empty, no double
+
+    assert got_accepted == want_accepted
