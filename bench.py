@@ -969,7 +969,7 @@ def main() -> None:
         "calibration_s": calibration_s,
         "calib_start": calib_start,
         "calib_end": calib_end,
-        # single-rep probe at each phase boundary: read an entry's
+        # best-of-2 probe at each phase boundary (r11): read an entry's
         # timing against the probe of ITS phase, not the run brackets
         "calib_phase": {k: round(v, 3) for k, v in calib_phase.items()},
     }

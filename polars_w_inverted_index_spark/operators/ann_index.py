@@ -82,8 +82,11 @@ def kmeans_centroids(
     centroid ranks cells identically to the normalized one).  A cell
     that captures no vectors keeps its previous centroid (classic empty-
     cluster rule), so the centroid count is stable across iterations.
-    ``n_iters=0`` returns the seed — which is exactly the inline
-    ``ivf_topk`` centroid set, making that operator the verifier twin.
+    ``n_iters=0`` returns the seed — on a dense-id NULL-free corpus
+    exactly the inline ``ivf_topk`` centroid set (ids < n_centroids),
+    making that operator the verifier twin there; with sparse ids or
+    NULL vectors the seeds differ (this takes the n lowest-id non-NULL
+    rows, ivf keeps its value-based id cut).
     """
     # seed from the lowest-id NON-NULL vectors: NULL vecs are masked
     # out of the Lloyd update (r10 ADVICE), so letting one seed a
@@ -984,7 +987,13 @@ def _probed_cell_bytes(root: str, probe_cells) -> int | None:
     total = 0
     try:
         for c in probe_cells:
-            total += _tree_bytes(os.path.join(root, "cells", f"cell={c}"))
+            d = os.path.join(root, "cells", f"cell={c}")
+            # empty cells are routine (a centroid that is nobody's
+            # argmax gets no partition dir): 0 bytes, not a listing
+            # failure — raising here would engage the pushdown's extra
+            # job on every serve of a perfectly listable index
+            if os.path.isdir(d):
+                total += _tree_bytes(d)
     except OSError:
         return None
     return total
@@ -1518,6 +1527,18 @@ def ann_serving_policy(
     bw = 344.0 if bandwidth_mbps is None else float(bandwidth_mbps)
     tie_bytes = int(bw * 1e6 * pq_tie_seconds)
     out = {"tie_bytes": tie_bytes, "probed_bytes_est": None}
+    if not os.path.isdir(root):
+        # non-local root (object store): the sidecar check below is a
+        # LOCAL stat, so falling through would misreport "no PQ
+        # sidecar" — assume large instead (the documented fail
+        # direction; note ann_search_pq still raises if the sidecar
+        # genuinely does not exist at serve time)
+        out.update(
+            path="pq",
+            reason="root not locally listable — assume probed bytes "
+            "large (serve raises if the PQ sidecar is missing)",
+        )
+        return out
     if not os.path.exists(os.path.join(root, "_pq_meta.json")):
         out.update(
             path="float",

@@ -869,16 +869,16 @@ def embedding_cosine_pairs_gemm(
             # produces no pairs there; dropping the row here keeps the
             # twins identical and spares _pairs an unattributable
             # np.asarray(None) failure deep in the pairwise stage.
-            mask = pa.array(live)
+            live_mask = pa.array(live)  # don't shadow the prefix mask
             yield pa.RecordBatch.from_arrays(
                 [
-                    rb.column(0).filter(mask).cast(
+                    rb.column(0).filter(live_mask).cast(
                         sig_pa_schema.field(0).type
                     ),
                     pa.array(
                         bucket[live], type=sig_pa_schema.field(1).type
                     ),
-                    rb.column(1).filter(mask).cast(
+                    rb.column(1).filter(live_mask).cast(
                         sig_pa_schema.field(2).type
                     ),
                 ],

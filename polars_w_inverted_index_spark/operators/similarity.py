@@ -80,8 +80,10 @@ def brute_force_topk(
     # r9 ADVICE): without this filter the cosine's zero-norm fallback
     # fabricates 0.0 for a NULL vector, which would outrank genuine
     # negative-sim matches — the exact bug fixed in ann_search; the
-    # bucketed twins (ivf/lsh/pairs) already drop NULLs via their
-    # null-bucket joins, and the GEMM twin live-masks them (r11 fuzz).
+    # LSH twins (lsh/pairs) drop NULLs via their null-bucket joins,
+    # ivf_topk filters them explicitly (its all-NULL centroid cosines
+    # would otherwise still earn a row_number), and the GEMM twin
+    # live-masks them (r11 fuzz).
     c = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -394,6 +396,12 @@ def ivf_topk(
     adapts to the data's actual directions (with trained centroids) where
     hyperplane LSH is distribution-free.
     """
+    # NULL vectors are never neighbors (family rule): without this
+    # filter a NULL row's all-NULL centroid cosines still get a
+    # row_number (ties), landing it in a cell and — when the probed
+    # cells hold < k real candidates — emitting it with NULL cos_sim
+    # where brute_force_topk omits it (r11 review finding).
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     cent = corpus.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("centv"),

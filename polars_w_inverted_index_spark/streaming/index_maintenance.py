@@ -354,8 +354,16 @@ def rebucket_index(
             composite_fields=meta.get("composite_fields"),
         )
         return
-    if meta.get("max_postings_per_row") is not None:
-        # folding segments into one: restore (key, chunk) uniqueness
+    if meta.get("max_postings_per_row") is not None and any(
+        len(v) > 1 for v in meta["buckets"].values()
+    ):
+        # folding multiple segments into one: restore (key, chunk)
+        # uniqueness.  Already-single-segment buckets skip the O(index)
+        # explode/re-group — a key lives in exactly ONE bucket, so a
+        # union of single-segment buckets is globally (key, chunk)
+        # unique and a plain re-hash preserves that (r11 review: the
+        # driver row runs compact_index then rebucket_index, which
+        # otherwise paid the normalization twice back-to-back).
         df = _rechunked(df, meta)
     rebucketed = df.withColumn("bucket", _meta_bucket_col(meta, new_n))
     next_m = meta.get("merge", -1) + 1

@@ -842,6 +842,12 @@ def test_probed_cell_bytes_unlistable_root_is_none(tmp_path, monkeypatch):
     (cell / "_SUCCESS").write_bytes(b"")
     assert ai._probed_cell_bytes(str(root), [0]) == 100
 
+    # a probed cell with NO directory is an EMPTY cell (a centroid
+    # that is nobody's argmax gets no partition dir) — 0 bytes, not an
+    # unlistable tree; returning None here would engage the pushdown's
+    # extra job on every serve of a listable index (r11 review)
+    assert ai._probed_cell_bytes(str(root), [0, 7]) == 100
+
     # a walk-time listing error (permission-denied dir under a listable
     # root; simulated — tests run as root, which bypasses mode bits)
     real_scandir = os.scandir

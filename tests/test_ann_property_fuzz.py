@@ -285,6 +285,11 @@ def test_serving_policy_encodes_measured_rule(spark, tmp_path, monkeypatch):
     pol = ai.ann_serving_policy(root, 2)
     assert pol["path"] == "pq" and "listable" in pol["reason"]
 
+    # a NON-LOCAL root must not fall through to the (local) sidecar
+    # stat and misreport "no PQ sidecar" — it assumes large up front
+    pol = ai.ann_serving_policy("s3a://bucket/index", 2)
+    assert pol["path"] == "pq" and "not locally listable" in pol["reason"]
+
 
 @_SETTINGS
 @given(cq=_corpus_and_queries())

@@ -81,6 +81,10 @@ def main() -> None:
                 im.merge_postings_batch(
                     batch(done), "event_type", idx, "event_id",
                     batch_id=done, max_postings_per_row=4096, n_buckets=8,
+                    # the dial this tool MEASURES (its data set the r11
+                    # default of 16) must be off here, or the 32/64
+                    # checkpoints silently report compacted latencies
+                    max_segments_per_bucket=None,
                 )
                 merge_times.append(round(time.perf_counter() - t0, 3))
                 done += 1
