@@ -355,3 +355,64 @@ def test_fuzz_streaming_near_dedup_matches_batch_rule(
             assert rep.count() == 0  # committed replay: empty, no double
 
     assert got_accepted == want_accepted
+
+
+IDX_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 20)),               # doc_id
+        st.one_of(st.none(), st.sampled_from(["R", "N", ""])),  # f1
+        st.one_of(st.none(), st.sampled_from(["F", "O", "x"])), # f2
+    ),
+    min_size=0,
+    max_size=18,
+)
+
+
+@_SETTINGS
+@given(
+    rows=IDX_ROWS,
+    q1=st.sampled_from(["R", "N", ""]),
+    q2=st.sampled_from(["F", "O", "x"]),
+    chunked=st.booleans(),
+)
+def test_fuzz_composite_index_serving_equals_base_filter(
+    rows, q1, q2, chunked, tmp_path_factory
+):
+    """Index-served conjunctive lookups vs the base-table filter on
+    random tiny frames (the §1.4 fine print the fixed fixtures only
+    spot-check: null ids, null components, '' values, duplicate
+    (tuple, id) rows — multiplicity must be preserved, and the chunked
+    streaming build must serve identically to the static one)."""
+    from polars_w_inverted_index_spark.engine import Engine
+    from polars_w_inverted_index_spark.plans.catalog import IndexCatalog
+
+    spark = get_session("property_tests")
+    base = str(tmp_path_factory.mktemp("idx_fuzz"))
+    df = spark.createDataFrame(rows, "event_id long, f1 string, f2 string")
+
+    cat = IndexCatalog(spark, f"{base}/cat")
+    if chunked:
+        sidx = f"{base}/stream_idx"
+        im.merge_composite_postings_batch(
+            df, ["f1", "f2"], sidx, "event_id",
+            batch_id=0, max_postings_per_row=2, n_buckets=2,
+        )
+        cat.adopt_streaming_composite(
+            "t", ["f1", "f2"], sidx, doc_id_col="event_id"
+        )
+    else:
+        cat.build_composite(df, "t", ["f1", "f2"], doc_id_col="event_id")
+
+    eng = Engine(
+        spark, df=df, doc_id_col="event_id", index_catalog=cat,
+        table_name="t",
+    )
+    got = sorted(
+        r["event_id"]
+        for r in eng.get_doc_ids_where({"f1": q1, "f2": q2}).collect()
+    )
+    want = sorted(
+        did for did, a, b in rows
+        if did is not None and a == q1 and b == q2
+    )
+    assert got == want
