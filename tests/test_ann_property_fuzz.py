@@ -252,7 +252,9 @@ def test_serving_policy_encodes_measured_rule(spark, tmp_path, monkeypatch):
     assert pol["path"] == "float" and pol["probed_bytes_est"] < pol[
         "tie_bytes"
     ]
-    got = ai.ann_search_auto(spark, root, q, k=3, nprobe=2)
+    # the PQ-only dial must be tolerated when the policy picks float
+    got = ai.ann_search_auto(spark, root, q, k=3, nprobe=2,
+                             rerank_factor=7)
     want = ai.ann_search(spark, root, q, k=3, nprobe=2)
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
