@@ -463,6 +463,110 @@ def ivf_topk(
     )
 
 
+def hyperplane_signature_gemm(
+    df: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int = 64,
+) -> DataFrame:
+    """GEMM engine path for :func:`hyperplane_signature` — same
+    ``[vec_id, sig, embedding]`` contract, same values, Arrow-batched
+    numpy instead of interpreted folds.
+
+    The expression form's per-plane ``aggregate``/``zip_with`` never
+    codegens, so the signature pass costs n_planes·n_dims interpreted
+    lambda evals PER ROW (~1k/row at the defaults — it dominated
+    ``lsh_bucketed_topk`` wall time, measured 2.97 s of which the two
+    signature passes were most at sf0.1).  Here each Arrow batch decodes
+    to one (rows × n_dims) matrix (``flatten().reshape()``, the r10
+    vector-family pattern) and all signatures are one M·Wᵀ GEMM + one
+    sign-bit pack.
+
+    Value parity with the expression form and the DuckDB twin
+    (``registry_ext._hyperplane_sig_sql``) holds because the ±1 weights
+    make each projection a signed SUM of vector elements: summation
+    order can differ only by float rounding, and a sign flip needs
+    |proj| within ulp-reordering distance of 0 (measured margin on the
+    test embeddings: ≥6.7e-5 at every SF, ~8 orders above the
+    reordering error; the dedup GEMM bucketing — same math, same oracle
+    family — has been driver-green since r9).  Edge semantics are the
+    expression form's exactly, fuzz-pinned by
+    ``test_dedup_similarity.test_hyperplane_signature_gemm_twin``:
+    NULL / empty / all-zero vectors sign to 0 (a zero matrix row),
+    short vectors zero-pad (== the prefix-slice rule), wide vectors
+    truncate at ``n_dims``.
+    """
+    import numpy as np
+
+    from .ann_index import _arrow_schema
+
+    w_mat = np.array(
+        [plane_weights(p, n_dims) for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    bits_vec = 1 << np.arange(n_planes, dtype=np.int64)
+
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    sig_ddl = (
+        f"vec_id {in_fields[id_col]}, sig long, "
+        f"{vec_col} {in_fields[vec_col]}"
+    )
+    sig_pa_schema = _arrow_schema(sig_ddl)
+
+    def _sign(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            col = rb.column(1)
+            live = (
+                col.is_valid().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.ones(n, dtype=bool)
+            )
+            lv = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )[live].astype(np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            # NULL rows stay all-zero → proj 0 → sig 0, the expression
+            # form's value (its NULL-poisoned fold lands in when()'s
+            # otherwise-0 branch per plane)
+            mat = np.zeros((n, n_dims), dtype=np.float64)
+            if lv.size and (lv == lv[0]).all():
+                w = int(lv[0])
+                if w:
+                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
+                        :, :n_dims
+                    ]
+            else:  # ragged widths: per-row scatter
+                pos = 0
+                for j, w in zip(np.nonzero(live)[0], lv):
+                    w = int(w)
+                    mat[j, : min(w, n_dims)] = flat[
+                        pos: pos + min(w, n_dims)
+                    ]
+                    pos += w
+            sig = ((mat @ w_mat.T) > 0) @ bits_vec
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0).cast(sig_pa_schema.field(0).type),
+                    pa.array(sig, type=sig_pa_schema.field(1).type),
+                    col.cast(sig_pa_schema.field(2).type),
+                ],
+                schema=sig_pa_schema,
+            )
+
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col)
+    ).mapInArrow(_sign, sig_ddl)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -481,15 +585,22 @@ def lsh_bucketed_topk(
     The bucket join key has ~2^prefix_bits values; at 100 TB increase
     n_planes/prefix_bits so per-bucket candidate counts stay bounded
     (bucket size scales as corpus / 2^prefix_bits for near-uniform data).
+
+    Signatures come from :func:`hyperplane_signature_gemm` (one GEMM per
+    Arrow batch; the expression form stays the pure-JVM twin, equality
+    fuzz-pinned); the candidate cosine re-rank stays in expressions —
+    it touches only bucket-mates, so the interpreted fold cost is
+    bounded by the bucket dial, and keeping it JVM-side leaves the
+    rounding/ordering contract byte-identical to the DuckDB oracle.
     """
     mask = (1 << prefix_bits) - 1
-    cs = hyperplane_signature(corpus, n_planes, id_col, vec_col, n_dims).select(
+    cs = hyperplane_signature_gemm(corpus, n_planes, id_col, vec_col, n_dims).select(
         F.col("vec_id").alias("neighbor_id"),
         (F.col("sig").bitwiseAND(mask)).alias("bucket"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    qs = hyperplane_signature(queries, n_planes, id_col, vec_col, n_dims).select(
+    qs = hyperplane_signature_gemm(queries, n_planes, id_col, vec_col, n_dims).select(
         F.col("vec_id").alias("query_id"),
         (F.col("sig").bitwiseAND(mask)).alias("bucket"),
         F.col(vec_col).alias("qv"),

@@ -556,3 +556,50 @@ def test_hyperplane_signature_prefix_semantics(spark):
     s_prefix = hyperplane_signature(prefix, n_dims=64).first()["sig"]
     assert s_wide is not None
     assert s_wide == s_prefix
+
+
+def test_hyperplane_signature_gemm_twin(spark):
+    """The GEMM signature pass (lsh_bucketed_topk's serving path since
+    r11) must equal the expression form SIG-FOR-SIG — on the real
+    embeddings table AND on the edge shapes the expression form defines
+    semantics for: NULL vec → sig 0 (row KEPT — unlike dedup's
+    _bucketize, which drops), empty / all-zero → 0, short vec ==
+    zero-pad == the prefix-slice rule, wide vec truncates at n_dims.
+    The mixed-width frame also forces the per-row ragged scatter branch
+    (a uniform frame takes the one-reshape fast path)."""
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    want = {
+        r["vec_id"]: r["sig"]
+        for r in SIM.hyperplane_signature(emb).collect()
+    }
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in SIM.hyperplane_signature_gemm(emb).collect()
+    }
+    assert got == want and len(got) == emb.count()
+
+    vals = [float((i * 7) % 11 - 5) for i in range(100)]
+    edge = spark.createDataFrame(
+        [
+            (1, vals[:64]),
+            (2, None),
+            (3, []),
+            (4, vals[:10]),
+            (5, [0.0] * 64),
+            (6, vals),  # wide: truncates at n_dims
+        ],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)  # one batch → NULL+ragged exercise one scatter pass
+    w = {
+        r["vec_id"]: (r["sig"], r["embedding"])
+        for r in SIM.hyperplane_signature(edge).collect()
+    }
+    g = {
+        r["vec_id"]: (r["sig"], r["embedding"])
+        for r in SIM.hyperplane_signature_gemm(edge).collect()
+    }
+    assert g == w  # sigs AND the passed-through embeddings
+    assert g[2][0] == 0 and g[2][1] is None  # NULL row kept, sig 0
+    assert g[6][0] == g[1][0]  # wide == prefix
