@@ -368,6 +368,139 @@ def brute_force_topk_gemm(
     )
 
 
+def _ivf_assign_gemm(
+    df: DataFrame,
+    cent_rows: list,
+    keep_n: int,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """GEMM twin of ``ivf_topk``'s expression ``_cells``: per input row,
+    the ``keep_n`` best centroids by rounded cosine — ``[out_id, cid,
+    vec_col]`` (norms are recomputed as expressions downstream so the
+    re-rank stays byte-identical to the JVM form).
+
+    Replaces a crossJoin(broadcast centroids) + per-pair interpreted
+    cosine fold + ranking WINDOW (a shuffle on the row id) with one
+    narrow ``mapInArrow``: batch matrix × centroidᵀ GEMM, half-up round,
+    per-row lexsort.  Edge semantics replicate the expression form
+    exactly (fuzz-pinned by ``test_ivf_assign_gemm_twin``):
+
+    - zero-norm / NULL vector, or zero-norm centroid → ccos 0.0 (the
+      ``when(na>0 & nb>0)`` otherwise-branch);
+    - width mismatch with both norms > 0 → NULL ccos (``zip_with``
+      null-pads, one null poisons the fold) — ranks AFTER every
+      non-null ccos, ties by cid ascending;
+    - ranking key is the ROUNDED ccos (F.round's BigDecimal HALF_UP —
+      the inline half-up formula, see ann_index._half_up), cid breaks
+      ties.
+    """
+    import numpy as np
+
+    from .ann_index import _arrow_schema
+
+    cids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    cvecs = [np.asarray(r[1], dtype=np.float64) for r in cent_rows]
+    clens = np.array([len(v) for v in cvecs], dtype=np.int64)
+    cw = max((int(x) for x in clens), default=1)
+    cmat_base = np.zeros((len(cvecs), cw), dtype=np.float64)
+    for i, v in enumerate(cvecs):
+        cmat_base[i, : len(v)] = v
+    cnorms = np.linalg.norm(cmat_base, axis=1)
+    keep = min(int(keep_n), len(cids)) if len(cids) else 0
+
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_ddl = (
+        f"{out_id} {in_fields[id_col]}, cid long, "
+        f"{vec_col} {in_fields[vec_col]}"
+    )
+    pa_schema = _arrow_schema(out_ddl)
+    p10 = 10.0 ** int(round_digits)
+
+    def _assign(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n or not keep:
+                continue
+            col = rb.column(1)
+            live = (
+                col.is_valid().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.ones(n, dtype=bool)
+            )
+            lv_live = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )[live].astype(np.int64)
+            lens = np.zeros(n, dtype=np.int64)
+            lens[live] = lv_live
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            w = max(int(lens.max(initial=0)), cw, 1)
+            mat = np.zeros((n, w), dtype=np.float64)
+            if lv_live.size and (lv_live == lv_live[0]).all():
+                uw = int(lv_live[0])
+                if uw:
+                    mat[live, :uw] = flat.reshape(-1, uw)
+            else:
+                pos = 0
+                for j, rl in zip(np.nonzero(live)[0], lv_live):
+                    rl = int(rl)
+                    mat[j, :rl] = flat[pos: pos + rl]
+                    pos += rl
+            cmat = (
+                cmat_base
+                if cw == w
+                else np.pad(cmat_base, ((0, 0), (0, w - cw)))
+            )
+            norms = np.linalg.norm(mat, axis=1)
+            safe_n = np.where(norms > 0, norms, 1.0)
+            safe_c = np.where(cnorms > 0, cnorms, 1.0)
+            cos = (mat @ cmat.T) / np.outer(safe_n, safe_c)
+            # half-up, matches F.round (ann_index._half_up, inlined per
+            # the self-contained pickling convention)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * p10 + 0.5) / p10
+            zero_pair = (norms == 0)[:, None] | (cnorms == 0)[None, :]
+            cos[zero_pair] = 0.0
+            # width mismatch (both norms > 0): the expression fold is
+            # NULL — sorts after all non-null ccos
+            null_pair = (lens[:, None] != clens[None, :]) & ~zero_pair
+            # primary: nulls last; secondary: ccos desc; tertiary: cid
+            # asc (np.lexsort: LAST key is primary)
+            order = np.lexsort(
+                (
+                    np.broadcast_to(cids, cos.shape),
+                    np.where(null_pair, 0.0, -cos),
+                    null_pair,
+                ),
+                axis=1,
+            )[:, :keep]
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0)
+                    .take(pa.array(row_idx))
+                    .cast(pa_schema.field(0).type),
+                    pa.array(
+                        cids[order.ravel()], type=pa_schema.field(1).type
+                    ),
+                    col.take(pa.array(row_idx)).cast(
+                        pa_schema.field(2).type
+                    ),
+                ],
+                schema=pa_schema,
+            )
+
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col)
+    ).mapInArrow(_assign, out_ddl)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -377,6 +510,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    assign: str = "gemm",
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) partition.
 
@@ -384,12 +518,20 @@ def ivf_topk(
       deterministic seeding, no RNG and no training job (a k-means
       refinement is a drop-in replacement: it only changes the centroid
       frame).  Centroids are tiny and broadcast.
-    - **Assign**: every corpus vector joins the broadcast centroids, keeps
-      its argmax-cosine centroid — one narrow pass over the corpus, output
-      is an (id, cell) inverted file.  At 100 TB this is the one full scan,
-      and it's reusable across queries (materialize like an index).
+    - **Assign**: every corpus vector scores against every centroid and
+      keeps its argmax-cosine cell — one narrow pass over the corpus,
+      output is an (id, cell) inverted file.  At 100 TB this is the one
+      full scan, and it's reusable across queries (materialize like an
+      index).  ``assign="gemm"`` (default) runs it as one Arrow-batched
+      GEMM per input batch (:func:`_ivf_assign_gemm` — the crossJoin ×
+      interpreted-cosine × ranking-window form measured 1.40 s at
+      sf0.1, the GEMM form replaces both the per-pair folds AND the
+      window shuffle); ``assign="expr"`` keeps the pure-JVM expression
+      form as the equality twin.
     - **Probe**: each query ranks centroids, searches only its ``nprobe``
-      best cells via an equi-join on cell id, exact cosine re-ranks.
+      best cells via an equi-join on cell id, exact cosine re-ranks —
+      the re-rank cosine stays an expression in BOTH modes, so the
+      emitted cos_sim is byte-identical to the DuckDB oracle's.
 
     Recall dial = (n_centroids, nprobe): cost per query ~ |corpus| ·
     nprobe / n_centroids candidates.  Complements LSH bucketing: IVF
@@ -436,12 +578,39 @@ def ivf_topk(
             .select(out_id, "cid", "v", "vn")
         )
 
-    inv_file = _cells(corpus, "neighbor_id", 1).withColumnRenamed(
-        "v", "cv"
-    ).withColumnRenamed("vn", "cn")
-    probes = _cells(queries, "query_id", nprobe).withColumnRenamed(
-        "v", "qv"
-    ).withColumnRenamed("vn", "qn")
+    if assign == "gemm":
+        # bounded collect: exactly the ≤n_centroids seed rows (the same
+        # dial-bounded centroid fetch ann_index's assign path does)
+        cent_rows = [
+            (r["cid"], r["centv"])
+            for r in cent.select("cid", "centv").collect()
+        ]
+        inv_file = _ivf_assign_gemm(
+            corpus, cent_rows, 1, "neighbor_id", id_col, vec_col,
+            round_digits,
+        ).select(
+            "neighbor_id",
+            "cid",
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cn"),  # expression norm — the
+            # re-rank below stays byte-identical to the "expr" mode
+        )
+        probes = _ivf_assign_gemm(
+            queries, cent_rows, nprobe, "query_id", id_col, vec_col,
+            round_digits,
+        ).select(
+            "query_id",
+            "cid",
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
+    else:
+        inv_file = _cells(corpus, "neighbor_id", 1).withColumnRenamed(
+            "v", "cv"
+        ).withColumnRenamed("vn", "cn")
+        probes = _cells(queries, "query_id", nprobe).withColumnRenamed(
+            "v", "qv"
+        ).withColumnRenamed("vn", "qn")
     scored = (
         probes.join(inv_file, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -603,3 +603,54 @@ def test_hyperplane_signature_gemm_twin(spark):
     assert g == w  # sigs AND the passed-through embeddings
     assert g[2][0] == 0 and g[2][1] is None  # NULL row kept, sig 0
     assert g[6][0] == g[1][0]  # wide == prefix
+
+
+def test_ivf_assign_gemm_twin(spark):
+    """ivf_topk's GEMM cell assignment (default since r11) must produce
+    the SAME final result frame as the pure-expression assign — on the
+    real embeddings table and on an edge corpus exercising every branch
+    the expression form defines: a ragged centroid (width mismatch →
+    NULL ccos, ranks last), a zero-norm centroid and a zero-norm row
+    (→ ccos 0.0 via the otherwise-branch), a ragged and a wide row, and
+    a NULL query vector (scores 0.0 everywhere, probes the lowest
+    cids)."""
+    from polars_w_inverted_index_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    want = sorted(
+        map(tuple, SIM.ivf_topk(emb, q, k=5, assign="expr").collect())
+    )
+    got = sorted(
+        map(tuple, SIM.ivf_topk(emb, q, k=5, assign="gemm").collect())
+    )
+    assert got == want and got
+
+    vals = [float((i * 7) % 11 - 5) or 1.0 for i in range(100)]
+    rows = [
+        (0, vals[:64]),            # centroid 0
+        (1, [-v for v in vals[:64]]),  # centroid 1
+        (2, vals[:32]),            # centroid 2: RAGGED width
+        (3, [0.0] * 64),           # centroid 3: zero norm
+        (4, vals[16:80]),
+        (5, [v * 0.5 for v in vals[:64]]),
+        (6, vals[:10]),            # ragged row
+        (7, vals),                 # wide row (100)
+        (8, [0.0] * 64),           # zero-norm row
+        (9, [-v * 2 for v in vals[8:72]]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100, vals[:64]), (101, None), (102, vals[:20]), (103, [0.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(k=3, n_centroids=4, nprobe=2)
+    w2 = sorted(
+        map(tuple, SIM.ivf_topk(corpus, queries, assign="expr", **kw).collect())
+    )
+    g2 = sorted(
+        map(tuple, SIM.ivf_topk(corpus, queries, assign="gemm", **kw).collect())
+    )
+    assert g2 == w2
