@@ -328,6 +328,44 @@ _register(
 _register("similarity_pq_rerank_topk", q_ann_pq_rerank, _BRUTE_SQL)
 
 
+def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k served THROUGH the materialized ANN index family via
+    the r11 serving policy: ``build_ann_index`` (Lloyd train + GEMM
+    assign + cell-partitioned parquet), ``pq_augment_ann_index`` (codes
+    sidecar — present so the policy has BOTH dials to choose between),
+    then ``ann_search_auto`` at FULL SWEEP (nprobe = n_centroids).
+    The policy's measured rule resolves a full sweep to the float path
+    from ``_ann_meta.json`` alone (no file-size probe — deterministic
+    on any machine), and a full sweep is exact by construction (same
+    rounding, same tie order as brute force — the ann_index
+    equivalence tests), so the brute SQL is this row's oracle while
+    the driver gate drives build → augment → policy → serve every
+    round.  This is ann_index.py's first driver row: before r11 the
+    module (index build/ingest/compact/PQ-sidecar/serve, the largest
+    operator surface in the repo) carried pytest evidence only."""
+    from .operators import ann_index as AI
+    from .registry import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = scratch_dir("ann_auto_idx", sf_dir, wipe=True)
+    # one Lloyd iteration / two codebook iterations: every train loop
+    # still executes (≥1 full iteration each), and full-sweep serving
+    # is exact REGARDLESS of centroid quality, so extra iterations only
+    # add lifecycle jobs to the row without widening what the hash pins
+    AI.build_ann_index(emb, root, n_centroids=8, n_iters=1)
+    AI.pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=16, n_iters=2)
+    return AI.ann_search_auto(
+        spark,
+        root,
+        emb.where(F.col("vec_id") < N_QUERY_VECS),
+        k=TOPK,
+        nprobe=8,
+    )
+
+
+_register("similarity_ann_auto_topk", q_ann_auto, _BRUTE_SQL)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(
@@ -923,14 +961,31 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(
-    "sql_rollup",
-    q_rollup,
-    """
+SQL_ROLLUP = """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
+    """
+
+# ROTATED OUT r11 (slot went to similarity_ann_auto_topk): of the three
+# A5 agg-breadth rows this one exercised the LEAST engine code — the
+# plan is pure Catalyst GROUPING SETS over a plain scan (no engine
+# operator, no index path, no UDF), so its driver hash re-proved
+# upstream Spark, not this repo.  The same Spark-vs-DuckDB hash check
+# moved to tests/test_pytest_oracles.py::test_rollup_matches_duckdb;
+# sql_agg_breadth + sql_median_exact keep A5's driver evidence.
+_register(
+    "sql_rollup",
+    q_rollup,
+    SQL_ROLLUP,
+    registered=False,
+    evidence=(
+        "rotated out r11 (slot went to similarity_ann_auto_topk — "
+        "ann_index.py's first driver row): ROLLUP is pure Catalyst "
+        "grouping-sets with no engine code in the path; the identical "
+        "oracle hash check runs in tests/test_pytest_oracles.py::"
+        "test_rollup_matches_duckdb every pytest run"
+    ),
 )
 
 

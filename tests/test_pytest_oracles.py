@@ -75,6 +75,29 @@ def test_simhash_pairs_match_duckdb(spark, con, docs):
     assert got == want and len(got) > 0
 
 
+def test_rollup_matches_duckdb(spark, con):
+    """sql_rollup's driver-row check, relocated verbatim (r11 rotation:
+    its slot went to similarity_ann_auto_topk — ROLLUP is pure Catalyst
+    grouping-sets with no engine code in the path, so the hash proof
+    belongs here, not in one of the 50 driver rows)."""
+    from polars_w_inverted_index_spark.registry_ext import (
+        SQL_ROLLUP,
+        q_rollup,
+    )
+
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS lineitem AS"
+        f" SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    key = lambda r: tuple("␀" if v is None else str(v) for v in r)  # noqa: E731
+    got = sorted(
+        (key((r["l_returnflag"], r["l_linestatus"], r["n"], r["sum_qty"]))
+         for r in q_rollup(spark, SF_DIR).collect())
+    )
+    want = sorted(key(r) for r in con.execute(SQL_ROLLUP).fetchall())
+    assert got == want and len(got) > 4  # groups + subtotals + grand
+
+
 def test_stratified_sample_matches_duckdb(spark, con, docs):
     """The hash-threshold membership itself, hash-exact vs DuckDB."""
     frac, seed = 0.37, 5
