@@ -3,12 +3,14 @@ inverted file, persisted as parquet artifacts and served with ZERO
 corpus scans per query.
 
 The inline :func:`..operators.similarity.ivf_topk` re-derives its
-inverted file on every call — correct, but at 100 TB the corpus
-assignment pass is the dominant cost and it is a pure function of the
-corpus content, so it belongs in a reusable artifact exactly like the
-postings index (`plans/catalog.py`, SURVEY.md §4's "one custom piece";
-the reference likewise rebuilds its postings map per query,
-main.rs:325-385 — materialization is the same fix applied to vectors).
+inverted file on every call (since r11 through the same GEMM assign
+shape as this module; ``assign="expr"`` keeps its pure-expression twin)
+— correct, but at 100 TB the corpus assignment pass is the dominant
+cost and it is a pure function of the corpus content, so it belongs in
+a reusable artifact exactly like the postings index
+(`plans/catalog.py`, SURVEY.md §4's "one custom piece"; the reference
+likewise rebuilds its postings map per query, main.rs:325-385 —
+materialization is the same fix applied to vectors).
 
 Layout under ``root``::
 
@@ -367,8 +369,10 @@ def _assign_cells(
     enter whole-stage codegen), which measured out at tens of MINUTES
     for 1M rows × 32 centroids on local[32] (r9 crossover run) and
     then still paid a |corpus|-row shuffle for the argmax.  The inline
-    ``similarity.ivf_topk`` keeps the pure-SQL-expression form — it is
-    the cross-engine-oracled twin; this operator is the scale path.
+    ``similarity.ivf_topk`` defaults to the same GEMM assign shape
+    since r11 (its ``assign="expr"`` mode keeps the pure-expression
+    twin that cross-engine fuzz compares against); this operator stays
+    the scale path because its assignment is a REUSABLE artifact.
 
     r10: ``mapInArrow``, not ``mapInPandas`` — the pandas bridge
     materializes every vector as its own numpy OBJECT and the pad loop

@@ -814,8 +814,11 @@ def embedding_cosine_pairs_gemm(
     )
     bits_vec = (1 << np.arange(n_planes, dtype=np.int64)) & mask
 
+    from ..functions.arrow_batches import decode_list_matrix
+    from ..functions.pickling import by_value
     from .ann_index import _arrow_schema
 
+    dec = by_value(decode_list_matrix)
     sig_ddl = f"vec_id long, bucket long, {vec_col} array<double>"
     sig_pa_schema = _arrow_schema(sig_ddl)
 
@@ -823,44 +826,19 @@ def embedding_cosine_pairs_gemm(
         # Arrow-native (r10): this is the corpus-wide signature pass —
         # the pandas bridge's per-row vector objects measured ~2 s per
         # million rows (see ann_index._assign_cells); the Arrow list
-        # column decodes with one flatten+reshape and the id/vector
+        # column decodes with one flatten+reshape (the shared
+        # functions/arrow_batches decode since r11) and the id/vector
         # columns pass through untouched
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         for rb in batches:
             n = rb.num_rows
             if not n:
                 continue
             col = rb.column(1)
-            live = (
-                col.is_valid().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.ones(n, dtype=bool)
-            )
-            lv = pc.list_value_length(col).to_numpy(
-                zero_copy_only=False
-            )[live].astype(np.int64)
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            mat = np.zeros((n, n_dims), dtype=np.float64)
-            if lv.size and (lv == lv[0]).all():
-                w = int(lv[0])
-                if w:
-                    # zero-pad/truncate == weight-slice in the JVM form
-                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
-                        :, :n_dims
-                    ]
-            else:  # ragged widths: per-row scatter
-                pos = 0
-                for j, w in zip(np.nonzero(live)[0], lv):
-                    w = int(w)
-                    mat[j, : min(w, n_dims)] = flat[
-                        pos: pos + min(w, n_dims)
-                    ]
-                    pos += w
+            # zero-pad/truncate == weight-slice in the JVM form
+            mat, live, _lens = dec(col, n, width=n_dims)
             proj = mat @ w_mat.T
             bucket = (proj > 0) @ bits_vec
             # NULL vectors are never emitted (r10 ADVICE): the

@@ -384,23 +384,36 @@ def _ivf_assign_gemm(
 
     Replaces a crossJoin(broadcast centroids) + per-pair interpreted
     cosine fold + ranking WINDOW (a shuffle on the row id) with one
-    narrow ``mapInArrow``: batch matrix × centroidᵀ GEMM, half-up round,
-    per-row lexsort.  Edge semantics replicate the expression form
-    exactly (fuzz-pinned by ``test_ivf_assign_gemm_twin``):
+    narrow ``mapInArrow``: batch matrix × centroidᵀ GEMM, half-up
+    round, then a per-row argmax (``keep_n`` = 1, the corpus-assign
+    hot path — columns pass through untouched, the ann_index
+    ``_assign_cells`` discipline) or lexsort (probe side).  Edge
+    semantics replicate the expression form exactly (fuzz-pinned by
+    ``test_ivf_assign_gemm_twin``):
 
-    - zero-norm / NULL vector, or zero-norm centroid → ccos 0.0 (the
-      ``when(na>0 & nb>0)`` otherwise-branch);
+    - zero-norm / NULL / NULL-or-NaN-ELEMENT vector, or zero-norm
+      centroid → ccos 0.0: the mask is ``~(norm > 0)``, NOT
+      ``norm == 0``, so a NaN norm (NULL element decodes to NaN) fails
+      into the zero branch exactly like the expression
+      ``when(na>0 & nb>0)`` guard whose NULL/NaN comparison is not
+      true (r11 review finding — ``norm == 0`` let NaN cosines leak
+      past both masks);
     - width mismatch with both norms > 0 → NULL ccos (``zip_with``
       null-pads, one null poisons the fold) — ranks AFTER every
       non-null ccos, ties by cid ascending;
     - ranking key is the ROUNDED ccos (F.round's BigDecimal HALF_UP —
       the inline half-up formula, see ann_index._half_up), cid breaks
-      ties.
+      ties (``cent_rows`` is sorted by cid, so argmax-first-hit ==
+      lowest cid, the _collect_centroids convention).
     """
     import numpy as np
 
+    from ..functions.arrow_batches import decode_list_matrix
+    from ..functions.pickling import by_value
     from .ann_index import _arrow_schema
 
+    dec = by_value(decode_list_matrix)
+    cent_rows = sorted(cent_rows, key=lambda r: int(r[0]))
     cids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
     cvecs = [np.asarray(r[1], dtype=np.float64) for r in cent_rows]
     clens = np.array([len(v) for v in cvecs], dtype=np.int64)
@@ -421,55 +434,47 @@ def _ivf_assign_gemm(
 
     def _assign(batches):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         for rb in batches:
             n = rb.num_rows
             if not n or not keep:
                 continue
             col = rb.column(1)
-            live = (
-                col.is_valid().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.ones(n, dtype=bool)
-            )
-            lv_live = pc.list_value_length(col).to_numpy(
-                zero_copy_only=False
-            )[live].astype(np.int64)
-            lens = np.zeros(n, dtype=np.int64)
-            lens[live] = lv_live
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            w = max(int(lens.max(initial=0)), cw, 1)
-            mat = np.zeros((n, w), dtype=np.float64)
-            if lv_live.size and (lv_live == lv_live[0]).all():
-                uw = int(lv_live[0])
-                if uw:
-                    mat[live, :uw] = flat.reshape(-1, uw)
-            else:
-                pos = 0
-                for j, rl in zip(np.nonzero(live)[0], lv_live):
-                    rl = int(rl)
-                    mat[j, :rl] = flat[pos: pos + rl]
-                    pos += rl
+            mat, _live, lens = dec(col, n, min_width=cw)
+            w = mat.shape[1]
             cmat = (
                 cmat_base
                 if cw == w
                 else np.pad(cmat_base, ((0, 0), (0, w - cw)))
             )
             norms = np.linalg.norm(mat, axis=1)
-            safe_n = np.where(norms > 0, norms, 1.0)
+            live_n = norms > 0  # False for zero-norm AND NaN norms
+            safe_n = np.where(live_n, norms, 1.0)
             safe_c = np.where(cnorms > 0, cnorms, 1.0)
             cos = (mat @ cmat.T) / np.outer(safe_n, safe_c)
             # half-up, matches F.round (ann_index._half_up, inlined per
             # the self-contained pickling convention)
             cos = np.sign(cos) * np.floor(np.abs(cos) * p10 + 0.5) / p10
-            zero_pair = (norms == 0)[:, None] | (cnorms == 0)[None, :]
+            zero_pair = ~(live_n[:, None] & (cnorms > 0)[None, :])
             cos[zero_pair] = 0.0
             # width mismatch (both norms > 0): the expression fold is
             # NULL — sorts after all non-null ccos
             null_pair = (lens[:, None] != clens[None, :]) & ~zero_pair
+            if keep == 1:
+                # argmax fast path (the corpus-assign full scan):
+                # first max == lowest cid because cids are sorted
+                best = np.argmax(np.where(null_pair, -np.inf, cos), axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(0).cast(pa_schema.field(0).type),
+                        pa.array(
+                            cids[best], type=pa_schema.field(1).type
+                        ),
+                        col.cast(pa_schema.field(2).type),
+                    ],
+                    schema=pa_schema,
+                )
+                continue
             # primary: nulls last; secondary: ccos desc; tertiary: cid
             # asc (np.lexsort: LAST key is primary)
             order = np.lexsort(
@@ -579,12 +584,25 @@ def ivf_topk(
         )
 
     if assign == "gemm":
-        # bounded collect: exactly the ≤n_centroids seed rows (the same
-        # dial-bounded centroid fetch ann_index's assign path does)
+        # Bounded collect with a LOUD guard (the _collect_centroids
+        # discipline): `id < n_centroids` caps the row count only for
+        # dense non-negative id spaces — with negative/offset ids every
+        # low-id row qualifies, and an unguarded collect would pull an
+        # arbitrary corpus slice to the driver (r11 review finding).
         cent_rows = [
             (r["cid"], r["centv"])
-            for r in cent.select("cid", "centv").collect()
+            for r in cent.select("cid", "centv")
+            .limit(int(n_centroids) + 1)
+            .collect()
         ]
+        if len(cent_rows) > int(n_centroids):
+            raise ValueError(
+                f"ivf_topk centroid seeding matched more than "
+                f"n_centroids={n_centroids} rows: the seed rule "
+                f"`{id_col} < n_centroids` assumes a dense non-negative "
+                "id space. Re-id the corpus (or pass assign='expr', "
+                "which keeps the seed frame executor-side)."
+            )
         inv_file = _ivf_assign_gemm(
             corpus, cent_rows, 1, "neighbor_id", id_col, vec_col,
             round_digits,
@@ -668,8 +686,11 @@ def hyperplane_signature_gemm(
     """
     import numpy as np
 
+    from ..functions.arrow_batches import decode_list_matrix
+    from ..functions.pickling import by_value
     from .ann_index import _arrow_schema
 
+    dec = by_value(decode_list_matrix)
     w_mat = np.array(
         [plane_weights(p, n_dims) for p in range(n_planes)],
         dtype=np.float64,
@@ -685,42 +706,18 @@ def hyperplane_signature_gemm(
 
     def _sign(batches):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         for rb in batches:
             n = rb.num_rows
             if not n:
                 continue
             col = rb.column(1)
-            live = (
-                col.is_valid().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.ones(n, dtype=bool)
-            )
-            lv = pc.list_value_length(col).to_numpy(
-                zero_copy_only=False
-            )[live].astype(np.int64)
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
             # NULL rows stay all-zero → proj 0 → sig 0, the expression
             # form's value (its NULL-poisoned fold lands in when()'s
-            # otherwise-0 branch per plane)
-            mat = np.zeros((n, n_dims), dtype=np.float64)
-            if lv.size and (lv == lv[0]).all():
-                w = int(lv[0])
-                if w:
-                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
-                        :, :n_dims
-                    ]
-            else:  # ragged widths: per-row scatter
-                pos = 0
-                for j, w in zip(np.nonzero(live)[0], lv):
-                    w = int(w)
-                    mat[j, : min(w, n_dims)] = flat[
-                        pos: pos + min(w, n_dims)
-                    ]
-                    pos += w
+            # otherwise-0 branch per plane); a NULL/NaN ELEMENT decodes
+            # to NaN → NaN proj → NaN > 0 is False → sig bit 0, again
+            # the expression value (poisoned fold, otherwise-0 branch)
+            mat, _live, _lens = dec(col, n, width=n_dims)
             sig = ((mat @ w_mat.T) > 0) @ bits_vec
             yield pa.RecordBatch.from_arrays(
                 [

@@ -589,6 +589,7 @@ def test_hyperplane_signature_gemm_twin(spark):
             (4, vals[:10]),
             (5, [0.0] * 64),
             (6, vals),  # wide: truncates at n_dims
+            (7, vals[:30] + [None] + vals[31:64]),  # NULL ELEMENT → sig 0
         ],
         "vec_id long, embedding array<double>",
     ).coalesce(1)  # one batch → NULL+ragged exercise one scatter pass
@@ -603,6 +604,7 @@ def test_hyperplane_signature_gemm_twin(spark):
     assert g == w  # sigs AND the passed-through embeddings
     assert g[2][0] == 0 and g[2][1] is None  # NULL row kept, sig 0
     assert g[6][0] == g[1][0]  # wide == prefix
+    assert g[7][0] == 0  # NULL element poisons the fold → sig 0
 
 
 def test_ivf_assign_gemm_twin(spark):
@@ -638,12 +640,21 @@ def test_ivf_assign_gemm_twin(spark):
         (7, vals),                 # wide row (100)
         (8, [0.0] * 64),           # zero-norm row
         (9, [-v * 2 for v in vals[8:72]]),
+        (10, vals[:20] + [None] + vals[21:64]),  # NULL ELEMENT row:
+        # the expression guard's NULL norm → ccos 0.0 everywhere; the
+        # GEMM mask is norm > 0 (NaN fails) → same branch (r11 review)
     ]
     corpus = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
     )
     queries = spark.createDataFrame(
-        [(100, vals[:64]), (101, None), (102, vals[:20]), (103, [0.0] * 64)],
+        [
+            (100, vals[:64]),
+            (101, None),
+            (102, vals[:20]),
+            (103, [0.0] * 64),
+            (104, vals[:40] + [None] + vals[41:64]),  # NULL element
+        ],
         "vec_id long, embedding array<double>",
     )
     kw = dict(k=3, n_centroids=4, nprobe=2)
@@ -654,3 +665,20 @@ def test_ivf_assign_gemm_twin(spark):
         map(tuple, SIM.ivf_topk(corpus, queries, assign="gemm", **kw).collect())
     )
     assert g2 == w2
+
+
+def test_ivf_gemm_centroid_seed_guard(spark):
+    """gemm-mode ivf_topk collects the centroid seed to the driver;
+    with a NEGATIVE id space `id < n_centroids` matches far more than
+    n_centroids rows, and the collect must raise loudly instead of
+    pulling an arbitrary corpus slice (r11 review finding)."""
+    import pytest
+
+    vals = [float(i % 7 - 3) or 1.0 for i in range(64)]
+    corpus = spark.createDataFrame(
+        [(-i, vals) for i in range(1, 20)],
+        "vec_id long, embedding array<double>",
+    )
+    q = corpus.limit(2)
+    with pytest.raises(ValueError, match="dense non-negative"):
+        SIM.ivf_topk(corpus, q, k=2, n_centroids=4, assign="gemm")
