@@ -320,6 +320,56 @@ def test_fuzz_brute_force_gemm_matches_expression(cq):
 
 
 @_SETTINGS
+@given(cq=_corpus_and_queries(min_corpus=5, max_corpus=10, max_q=2))
+def test_fuzz_ivf_topk_gemm_assign_matches_expression(cq):
+    """r11: ivf_topk's default GEMM cell assignment vs its
+    ``assign="expr"`` twin under the same NULL/zero/dyadic fuzz — the
+    whole result frame (ids, half-up-rounded sims, ranks) must match,
+    which pins the argmax/lexsort tie rule (rounded ccos desc, cid
+    asc) and the ~(norm > 0) zero/NaN mask against the expression
+    semantics (NULL/ragged QUERY shapes are the deterministic twin
+    test's job — this fuzz varies the corpus)."""
+    from polars_w_inverted_index_spark.operators.similarity import ivf_topk
+
+    corpus_vecs, query_vecs = cq
+    assume(sum(v is not None for v in corpus_vecs) >= 2)
+    spark = get_session("property_tests")
+    corpus, queries, _twin = _frames(spark, corpus_vecs, query_vecs)
+    kw = dict(k=K, n_centroids=2, nprobe=2)
+    got = _key(ivf_topk(corpus, queries, assign="gemm", **kw))
+    want = _key(ivf_topk(corpus, queries, assign="expr", **kw))
+    assert got == want
+
+
+@_SETTINGS
+@given(cq=_corpus_and_queries(min_corpus=4, max_corpus=10))
+def test_fuzz_hyperplane_signature_gemm_matches_expression(cq):
+    """r11: the LSH signature GEMM pass vs the expression form,
+    sig-for-sig, under NULL/zero/dyadic fuzz.  Dyadic components make
+    every ±1-weighted projection exactly representable, so sign
+    decisions land ON the 0 boundary repeatedly — the class where an
+    engine disagreement would show (both engines must call proj == 0
+    'not positive')."""
+    from polars_w_inverted_index_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_signature_gemm,
+    )
+
+    corpus_vecs, _ = cq
+    spark = get_session("property_tests")
+    corpus = spark.createDataFrame(list(enumerate(corpus_vecs)), SCHEMA)
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in hyperplane_signature_gemm(corpus).collect()
+    }
+    want = {
+        r["vec_id"]: r["sig"]
+        for r in hyperplane_signature(corpus).collect()
+    }
+    assert got == want and len(got) == len(corpus_vecs)
+
+
+@_SETTINGS
 @given(cq=_corpus_and_queries(min_corpus=6, max_corpus=12))
 def test_fuzz_embedding_cosine_pairs_gemm_matches_expression(cq):
     """The dedup family's GEMM/expression twins under the same fuzz:
