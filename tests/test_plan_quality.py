@@ -20,6 +20,9 @@ PYTHON_OK = {
     "multimodal_frame_sample",
     "dedup_embedding_cosine_pairs",  # GEMM-per-bucket applyInPandas
     "similarity_pq_rerank_topk",  # PQ encode + ADC scan (mapInPandas)
+    "similarity_lsh_topk",  # r11 GEMM signature pass (mapInArrow)
+    "similarity_ivf_topk",  # r11 GEMM cell assignment (mapInArrow)
+    "similarity_ann_auto_topk",  # r11 auto-dispatch float serve (GEMM)
 }
 
 
