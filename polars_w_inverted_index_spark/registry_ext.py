@@ -329,17 +329,25 @@ _register("similarity_pq_rerank_topk", q_ann_pq_rerank, _BRUTE_SQL)
 
 
 def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k served THROUGH the materialized ANN index family via
-    the r11 serving policy: ``build_ann_index`` (Lloyd train + GEMM
-    assign + cell-partitioned parquet), ``pq_augment_ann_index`` (codes
-    sidecar — present so the policy has BOTH dials to choose between),
-    then ``ann_search_auto`` at FULL SWEEP (nprobe = n_centroids).
-    The policy's measured rule resolves a full sweep to the float path
-    from ``_ann_meta.json`` alone (no file-size probe — deterministic
-    on any machine), and a full sweep is exact by construction (same
-    rounding, same tie order as brute force — the ann_index
-    equivalence tests), so the brute SQL is this row's oracle while
-    the driver gate drives build → augment → policy → serve every
+    """Exact top-k served THROUGH the materialized ANN index family,
+    BOTH serving paths in one row: ``build_ann_index`` (Lloyd train +
+    GEMM assign + cell-partitioned parquet), ``pq_augment_ann_index``
+    (codes sidecar), then
+
+    - ``served_path='float'``: ``ann_search_auto`` at FULL SWEEP
+      (nprobe = n_centroids) — the policy's measured rule resolves a
+      full sweep to the float path from ``_ann_meta.json`` alone (no
+      file-size probe — deterministic on any machine), and a full
+      sweep is exact by construction (same rounding, same tie order as
+      brute force — the ann_index equivalence tests);
+    - ``served_path='pq_rerank'``: ``ann_search_pq`` at full sweep
+      with the rerank candidate width covering the corpus — ADC ranks
+      from the codes sidecar, the float re-rank restores exactness
+      (the pq fuzz pin), so the SAME brute contract holds.
+
+    One oracle (the brute SQL × the two path literals) therefore pins
+    the index build, the sidecar write + fingerprint gate, the policy
+    dispatch, the GEMM float serve, AND the ADC + rerank serve, every
     round.  This is ann_index.py's first driver row: before r11 the
     module (index build/ingest/compact/PQ-sidecar/serve, the largest
     operator surface in the repo) carried pytest evidence only."""
@@ -354,16 +362,24 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # add lifecycle jobs to the row without widening what the hash pins
     AI.build_ann_index(emb, root, n_centroids=8, n_iters=1)
     AI.pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=16, n_iters=2)
-    return AI.ann_search_auto(
-        spark,
-        root,
-        emb.where(F.col("vec_id") < N_QUERY_VECS),
-        k=TOPK,
-        nprobe=8,
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    auto = AI.ann_search_auto(spark, root, q, k=TOPK, nprobe=8)
+    # rerank_factor × k ≥ corpus rows at every SF ⇒ exact (pq fuzz pin)
+    pq = AI.ann_search_pq(
+        spark, root, q, k=TOPK, nprobe=8, rerank_factor=200_000
+    )
+    return auto.withColumn("served_path", F.lit("float")).unionByName(
+        pq.withColumn("served_path", F.lit("pq_rerank"))
     )
 
 
-_register("similarity_ann_auto_topk", q_ann_auto, _BRUTE_SQL)
+_ANN_AUTO_SQL = f"""
+    WITH paths(served_path) AS (VALUES ('float'), ('pq_rerank')),
+    base AS ({_BRUTE_SQL})
+    SELECT base.*, served_path FROM base, paths
+    """
+
+_register("similarity_ann_auto_topk", q_ann_auto, _ANN_AUTO_SQL)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
