@@ -517,18 +517,41 @@ def _uniform_width(
     loudly — same discipline as the query-width identity gate below
     ("a silent truncation would return plausible nonsense").
 
+    r11.5: the same aggregate also refuses NULL ELEMENTS inside
+    vectors (``array_compact`` size comparison — a codegen collection
+    function, NOT an interpreted per-element lambda, so the guard pass
+    stays cheap at crossover-scale builds).  A NULL element decodes to
+    NaN in every GEMM kernel and makes cosine undefined — the serve
+    would rank that row arbitrarily vs the expression twins' 0.0
+    (`when(norm > 0)` guard), which is exactly the "plausible
+    nonsense" class this lifecycle gate exists to refuse.  The inline
+    similarity paths (ivf_topk / lsh / brute twins) stay lenient: they
+    define and fuzz-pin an exact NULL-element semantics instead,
+    because they score transient frames, not a persisted artifact.
+
     Returns the width (or ``want``; None for an all-NULL/empty frame).
     """
+    c = F.col(vec_col)
     row = (
-        df.where(F.col(vec_col).isNotNull())
+        df.where(c.isNotNull())
         .select(
-            F.min(F.size(vec_col)).alias("lo"),
-            F.max(F.size(vec_col)).alias("hi"),
+            F.min(F.size(c)).alias("lo"),
+            F.max(F.size(c)).alias("hi"),
+            F.max(
+                (F.size(F.array_compact(c)) != F.size(c)).cast("int")
+            ).alias("null_elem"),
         )
         .first()
     )
     if row is None or row["lo"] is None:
         return want
+    if row["null_elem"]:
+        raise ValueError(
+            f"{where}: vector column {vec_col!r} contains NULL elements "
+            "inside vectors — cosine over a NULL element is undefined "
+            "and a materialized index must never rank it. Filter those "
+            "rows (or impute the elements) before build/ingest."
+        )
     lo, hi = int(row["lo"]), int(row["hi"])
     if lo != hi:
         raise ValueError(

@@ -192,6 +192,30 @@ def test_fuzz_assign_cells_matches_expression_twin(cq):
     assert got == want
 
 
+def test_null_element_corpus_refused_at_lifecycle(spark, tmp_path):
+    """A vector containing a NULL ELEMENT (not a NULL vector) decodes
+    to NaN in every GEMM kernel — cosine is undefined and the serve
+    would rank the row arbitrarily where the expression twins score
+    0.0.  The lifecycle guard must refuse it loudly at build AND at
+    ingest (r11.5; the array_compact check rides the existing
+    width-guard aggregate)."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_index_add_batch,
+    )
+
+    good = [(i, [1.0, 0.5]) for i in range(4)]
+    bad = spark.createDataFrame(good + [(9, [1.0, None])], SCHEMA)
+    with pytest.raises(ValueError, match="NULL element"):
+        build_ann_index(bad, str(tmp_path / "idx"), n_centroids=2)
+    # clean build, then a poisoned ingest batch must be refused too
+    clean = spark.createDataFrame(good, SCHEMA)
+    root = str(tmp_path / "idx2")
+    build_ann_index(clean, root, n_centroids=2, n_iters=1)
+    batch = spark.createDataFrame([(10, [None, 2.0])], SCHEMA)
+    with pytest.raises(ValueError, match="NULL element"):
+        ann_index_add_batch(spark, root, batch)
+
+
 def test_ragged_corpus_refused_at_lifecycle(spark, tmp_path):
     """The fuzz counterexample, pinned as the lifecycle contract: a
     mixed-width corpus must raise loudly at build (and a mismatched
