@@ -847,6 +847,14 @@ def embedding_cosine_pairs_gemm(
             # produces no pairs there; dropping the row here keeps the
             # twins identical and spares _pairs an unattributable
             # np.asarray(None) failure deep in the pairwise stage.
+            # r11.5 — same rule for NULL/NaN ELEMENTS inside a vector:
+            # cosine is undefined, the Spark expression form scores the
+            # row 0.0 (below any positive threshold → no pairs), and
+            # pre-r11.5 the GEMM path only excluded it because NaN
+            # comparisons happen to be False.  Dropping makes
+            # "undefined-norm vectors never pair" the explicit
+            # contract instead of an accident (test-pinned).
+            live = live & ~np.isnan(mat).any(axis=1)
             live_mask = pa.array(live)  # don't shadow the prefix mask
             yield pa.RecordBatch.from_arrays(
                 [

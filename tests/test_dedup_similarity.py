@@ -667,6 +667,27 @@ def test_ivf_assign_gemm_twin(spark):
     assert g2 == w2
 
 
+def test_embedding_cosine_gemm_null_element_vectors_never_pair(spark):
+    """r11.5: a vector with a NULL (or NaN) ELEMENT has an undefined
+    cosine — the GEMM path now drops it in the signature pass (the
+    explicit 'undefined-norm vectors never pair' rule; before, it was
+    excluded only because NaN comparisons happen to be False), and the
+    expression form agrees observably for any positive threshold (it
+    scores the row 0.0 through the when(norm > 0) guard)."""
+    base = [float((i * 3) % 7 - 3) or 1.0 for i in range(8)]
+    rows = [
+        (0, base),
+        (1, list(base)),                 # exact dup of 0 → must pair
+        (2, base[:3] + [None] + base[4:]),   # NULL element
+        (3, base[:5] + [float("nan")] + base[6:]),  # NaN element
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for fn in (DD.embedding_cosine_pairs_gemm, DD.embedding_cosine_pairs):
+        got = fn(emb, threshold=0.5, n_dims=8).collect()
+        ids = {i for r in got for i in (r["doc_a"], r["doc_b"])}
+        assert ids == {0, 1}, (fn.__name__, got)
+
+
 def test_ivf_gemm_centroid_seed_guard(spark):
     """gemm-mode ivf_topk collects the centroid seed to the driver;
     with a NEGATIVE id space `id < n_centroids` matches far more than
