@@ -517,17 +517,22 @@ def _uniform_width(
     loudly — same discipline as the query-width identity gate below
     ("a silent truncation would return plausible nonsense").
 
-    r11.5: the same aggregate also refuses NULL ELEMENTS inside
-    vectors (``array_compact`` size comparison — a codegen collection
-    function, NOT an interpreted per-element lambda, so the guard pass
-    stays cheap at crossover-scale builds).  A NULL element decodes to
-    NaN in every GEMM kernel and makes cosine undefined — the serve
-    would rank that row arbitrarily vs the expression twins' 0.0
-    (`when(norm > 0)` guard), which is exactly the "plausible
-    nonsense" class this lifecycle gate exists to refuse.  The inline
-    similarity paths (ivf_topk / lsh / brute twins) stay lenient: they
-    define and fuzz-pin an exact NULL-element semantics instead,
-    because they score transient frames, not a persisted artifact.
+    r11.5: the same aggregate also refuses NULL and NaN ELEMENTS
+    inside vectors — both make cosine undefined (a NULL element
+    decodes to NaN in every GEMM kernel), and the float serve would
+    rank such a row ARBITRARILY: Spark's window `ORDER BY cos_sim
+    DESC` sorts NaN above every double, so a NaN-element row serves at
+    rank 1 from the float path while the PQ path's `~isnan(vnorm)`
+    mask drops it — the two serving paths the driver row pins against
+    one oracle would disagree (r11.5 review, verified by running it).
+    Both checks are codegen collection functions, NOT interpreted
+    per-element lambdas (`array_compact` size comparison for NULLs;
+    `array_contains(c, NaN)` for NaNs — Spark SQL defines NaN = NaN as
+    TRUE, unlike IEEE, so array_contains finds it), so the guard pass
+    stays cheap at crossover-scale builds.  The inline similarity
+    paths (ivf_topk / lsh / brute twins) stay lenient: they define and
+    fuzz-pin an exact NULL/NaN-element semantics instead, because they
+    score transient frames, not a persisted artifact.
 
     Returns the width (or ``want``; None for an all-NULL/empty frame).
     """
@@ -538,19 +543,24 @@ def _uniform_width(
             F.min(F.size(c)).alias("lo"),
             F.max(F.size(c)).alias("hi"),
             F.max(
-                (F.size(F.array_compact(c)) != F.size(c)).cast("int")
-            ).alias("null_elem"),
+                (
+                    (F.size(F.array_compact(c)) != F.size(c))
+                    | F.array_contains(c, F.lit(float("nan")))
+                ).cast("int")
+            ).alias("bad_elem"),
         )
         .first()
     )
     if row is None or row["lo"] is None:
         return want
-    if row["null_elem"]:
+    if row["bad_elem"]:
         raise ValueError(
-            f"{where}: vector column {vec_col!r} contains NULL elements "
-            "inside vectors — cosine over a NULL element is undefined "
-            "and a materialized index must never rank it. Filter those "
-            "rows (or impute the elements) before build/ingest."
+            f"{where}: vector column {vec_col!r} contains NULL or NaN "
+            "elements inside vectors — cosine over them is undefined "
+            "and a materialized index must never rank such a row "
+            "(the float serve would emit it at rank 1: NaN sorts above "
+            "every double in Spark). Filter those rows (or impute the "
+            "elements) before build/ingest."
         )
     lo, hi = int(row["lo"]), int(row["hi"])
     if lo != hi:

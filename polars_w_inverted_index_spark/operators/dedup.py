@@ -837,8 +837,14 @@ def embedding_cosine_pairs_gemm(
             if not n:
                 continue
             col = rb.column(1)
-            # zero-pad/truncate == weight-slice in the JVM form
-            mat, live, _lens = dec(col, n, width=n_dims)
+            # decode at NATURAL width (min n_dims): the signature GEMM
+            # uses the n_dims prefix (== the JVM form's weight-slice),
+            # but the NaN sweep below must see the WHOLE vector — the
+            # pairwise cosine downstream is full-width, so a NaN past
+            # n_dims still makes the row's cosine undefined (r11.5
+            # review: the width=n_dims decode hid exactly those)
+            full, live, _lens = dec(col, n, min_width=n_dims)
+            mat = full[:, :n_dims]
             proj = mat @ w_mat.T
             bucket = (proj > 0) @ bits_vec
             # NULL vectors are never emitted (r10 ADVICE): the
@@ -853,8 +859,10 @@ def embedding_cosine_pairs_gemm(
             # pre-r11.5 the GEMM path only excluded it because NaN
             # comparisons happen to be False.  Dropping makes
             # "undefined-norm vectors never pair" the explicit
-            # contract instead of an accident (test-pinned).
-            live = live & ~np.isnan(mat).any(axis=1)
+            # contract instead of an accident (test-pinned).  The
+            # sweep runs over the FULL decoded width, not the n_dims
+            # signature prefix (see the decode comment above).
+            live = live & ~np.isnan(full).any(axis=1)
             live_mask = pa.array(live)  # don't shadow the prefix mask
             yield pa.RecordBatch.from_arrays(
                 [

@@ -205,15 +205,27 @@ def test_null_element_corpus_refused_at_lifecycle(spark, tmp_path):
 
     good = [(i, [1.0, 0.5]) for i in range(4)]
     bad = spark.createDataFrame(good + [(9, [1.0, None])], SCHEMA)
-    with pytest.raises(ValueError, match="NULL element"):
+    with pytest.raises(ValueError, match="NULL or NaN"):
         build_ann_index(bad, str(tmp_path / "idx"), n_centroids=2)
+    # NaN elements too: array_compact does NOT strip NaN, and an
+    # unguarded NaN-element row serves at rank 1 from the float path
+    # (Spark sorts NaN above every double) while the PQ path drops it
+    # — the review-verified two-path divergence this gate closes
+    nan_bad = spark.createDataFrame(
+        good + [(9, [1.0, float("nan")])], SCHEMA
+    )
+    with pytest.raises(ValueError, match="NULL or NaN"):
+        build_ann_index(nan_bad, str(tmp_path / "idx_nan"), n_centroids=2)
     # clean build, then a poisoned ingest batch must be refused too
     clean = spark.createDataFrame(good, SCHEMA)
     root = str(tmp_path / "idx2")
     build_ann_index(clean, root, n_centroids=2, n_iters=1)
     batch = spark.createDataFrame([(10, [None, 2.0])], SCHEMA)
-    with pytest.raises(ValueError, match="NULL element"):
+    with pytest.raises(ValueError, match="NULL or NaN"):
         ann_index_add_batch(spark, root, batch)
+    nan_batch = spark.createDataFrame([(10, [float("nan"), 2.0])], SCHEMA)
+    with pytest.raises(ValueError, match="NULL or NaN"):
+        ann_index_add_batch(spark, root, nan_batch)
 
 
 def test_ragged_corpus_refused_at_lifecycle(spark, tmp_path):
@@ -352,14 +364,18 @@ def test_fuzz_ivf_topk_gemm_assign_matches_expression(cq):
     which pins the argmax/lexsort tie rule (rounded ccos desc, cid
     asc) and the ~(norm > 0) zero/NaN mask against the expression
     semantics (NULL/ragged QUERY shapes are the deterministic twin
-    test's job — this fuzz varies the corpus)."""
+    test's job — this fuzz varies the corpus).  nprobe=1 <
+    n_centroids=2 is LOAD-BEARING: at full probe every query searches
+    every cell and the result is invariant to the assignment, so a
+    broken tie rule would pass unnoticed (r11.5 review finding) —
+    a selective probe makes the cell choice observable."""
     from polars_w_inverted_index_spark.operators.similarity import ivf_topk
 
     corpus_vecs, query_vecs = cq
     assume(sum(v is not None for v in corpus_vecs) >= 2)
     spark = get_session("property_tests")
     corpus, queries, _twin = _frames(spark, corpus_vecs, query_vecs)
-    kw = dict(k=K, n_centroids=2, nprobe=2)
+    kw = dict(k=K, n_centroids=2, nprobe=1)
     got = _key(ivf_topk(corpus, queries, assign="gemm", **kw))
     want = _key(ivf_topk(corpus, queries, assign="expr", **kw))
     assert got == want

@@ -680,6 +680,11 @@ def test_embedding_cosine_gemm_null_element_vectors_never_pair(spark):
         (1, list(base)),                 # exact dup of 0 → must pair
         (2, base[:3] + [None] + base[4:]),   # NULL element
         (3, base[:5] + [float("nan")] + base[6:]),  # NaN element
+        # NaN PAST the n_dims signature prefix (r11.5 review): the
+        # sweep must see the full width — the pairwise cosine is
+        # full-width, so this row's cosine is undefined even though
+        # its 8-dim signature prefix is clean
+        (4, base + [float("nan")]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     for fn in (DD.embedding_cosine_pairs_gemm, DD.embedding_cosine_pairs):
