@@ -391,7 +391,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hyperplane_sig_sql(vec: str, n_planes: int = 16, n_dims: int = 64) -> str:
     """sig as a sum of per-plane sign bits (mirrors hyperplane_signature):
-    the same literal ±1 weights SIM.plane_weights embeds in the Spark plan."""
+    the same literal ±1 weights SIM.plane_weights embeds in the Spark plan.
+
+    Contract edge (same class as cosine_sql's ragged note): a vector
+    containing a NULL ELEMENT signs to 0 in BOTH Spark forms (the
+    expression fold poisons to NULL → otherwise-0 per plane; the GEMM
+    NaN never compares > 0) but DuckDB's ``list_sum`` SKIPS the null
+    product and signs the PARTIAL sum — a different bucket.  The twins
+    agree on every NULL-element-free corpus (all testdata; the r11
+    fuzz classes); callers feeding vectors with NULL elements are out
+    of the oracle contract here, exactly as cosine_sql documents."""
     terms = []
     for p in range(n_planes):
         w = "[" + ",".join(
