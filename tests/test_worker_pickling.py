@@ -96,6 +96,12 @@ _DRIVER = textwrap.dedent(
         "streaming_session_windows",
         "dedup_embedding_cosine_pairs",
         "similarity_pq_rerank_topk",
+        # r11 GEMM serving rows: mapInArrow closures shipping the
+        # shared decode via pickling.by_value — exactly this gate's
+        # failure class if a repo-global reference sneaks in
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
+        "similarity_ann_auto_topk",
     ):
         out[name] = QUERIES[name](spark, "/root/testdata/sf0.01").count()
 
