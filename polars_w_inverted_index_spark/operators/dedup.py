@@ -645,6 +645,28 @@ def ngram_jaccard_pairs_against(
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _check_cosine_threshold(threshold: float) -> None:
+    """All three cosine-pair forms require ``threshold > 0`` (r11
+    ADVICE): the undefined-cosine no-pair rule — NULL vectors, NULL/NaN
+    elements — only coincides across the twins for a positive
+    threshold.  The expression form scores such rows 0.0 through the
+    ``when(norm > 0)`` otherwise-branch and would EMIT them at
+    ``threshold <= 0``, while the GEMM form drops them in the signature
+    pass and can never produce those pairs.  A non-positive threshold
+    also makes every same-bucket pair a result (the filter is vacuous),
+    which is never the near-dup question — raise loudly, the
+    interval-join dial discipline."""
+    if not threshold > 0:  # catches NaN too
+        raise ValueError(
+            f"embedding cosine pair threshold must be > 0, got "
+            f"{threshold!r}: at a non-positive threshold the "
+            "undefined-cosine no-pair rule diverges between the "
+            "expression and GEMM twins (expression scores NULL/NaN "
+            "vectors 0.0; GEMM drops them), and the filter stops "
+            "meaning near-duplicate at all"
+        )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -665,6 +687,7 @@ def embedding_cosine_pairs(
     different buckets are missed: that is the LSH recall trade-off, same as
     banding in :func:`minhash_lsh_pairs`.
     """
+    _check_cosine_threshold(threshold)
     from .similarity import hyperplane_signature
 
     mask = (1 << prefix_bits) - 1
@@ -718,6 +741,7 @@ def embedding_cosine_pairs_against(
     batch); candidates are a batch⋈corpus bucket equi-join — with a
     small batch AQE broadcasts it, the corpus is never reshuffled.
     Same LSH recall trade as the self-join form, same dials."""
+    _check_cosine_threshold(threshold)
     from .similarity import hyperplane_signature
 
     mask = (1 << prefix_bits) - 1
@@ -802,6 +826,7 @@ def embedding_cosine_pairs_gemm(
     embedding-width drift degrades both identically; the shared oracle
     pins the on-contract behavior.
     """
+    _check_cosine_threshold(threshold)
     import numpy as np
 
     from .similarity import plane_weights
@@ -855,7 +880,9 @@ def embedding_cosine_pairs_gemm(
             # np.asarray(None) failure deep in the pairwise stage.
             # r11.5 — same rule for NULL/NaN ELEMENTS inside a vector:
             # cosine is undefined, the Spark expression form scores the
-            # row 0.0 (below any positive threshold → no pairs), and
+            # row 0.0 (below any positive threshold → no pairs; r11
+            # ADVICE: threshold > 0 is validated at entry by
+            # _check_cosine_threshold, so this equivalence holds), and
             # pre-r11.5 the GEMM path only excluded it because NaN
             # comparisons happen to be False.  Dropping makes
             # "undefined-norm vectors never pair" the explicit

@@ -402,17 +402,26 @@ def _ivf_assign_gemm(
       null-pads, one null poisons the fold) — ranks AFTER every
       non-null ccos, ties by cid ascending;
     - ranking key is the ROUNDED ccos (F.round's BigDecimal HALF_UP —
-      the inline half-up formula, see ann_index._half_up), cid breaks
-      ties (``cent_rows`` is sorted by cid, so argmax-first-hit ==
-      lowest cid, the _collect_centroids convention).
+      ``ann_index._half_up``, shipped by value like the decode; both
+      twins pass NaN/±inf through the round, matching Spark's
+      non-finite special case in ``Round``), cid breaks ties
+      (``cent_rows`` is sorted by cid, so argmax-first-hit == lowest
+      cid, the _collect_centroids convention);
+    - an INF-element vector (r11 ADVICE) has norm inf, passes the
+      ``norm > 0`` live mask in BOTH twins, and its cosines come out
+      NaN (inf/inf) identically in both — the divergence was ORDER:
+      Spark sorts NaN above every double (DESC → rank first) while a
+      plain lexsort/argmax ranks NaN last, so the sort key is tiered
+      ``NaN < value < NULL`` to replicate Spark exactly.
     """
     import numpy as np
 
     from ..functions.arrow_batches import decode_list_matrix
     from ..functions.pickling import by_value
-    from .ann_index import _arrow_schema
+    from .ann_index import _arrow_schema, _half_up
 
     dec = by_value(decode_list_matrix)
+    hup = by_value(_half_up)
     cent_rows = sorted(cent_rows, key=lambda r: int(r[0]))
     cids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
     cvecs = [np.asarray(r[1], dtype=np.float64) for r in cent_rows]
@@ -430,7 +439,7 @@ def _ivf_assign_gemm(
         f"{vec_col} {in_fields[vec_col]}"
     )
     pa_schema = _arrow_schema(out_ddl)
-    p10 = 10.0 ** int(round_digits)
+    rdigits = int(round_digits)
 
     def _assign(batches):
         import pyarrow as pa
@@ -451,18 +460,27 @@ def _ivf_assign_gemm(
             live_n = norms > 0  # False for zero-norm AND NaN norms
             safe_n = np.where(live_n, norms, 1.0)
             safe_c = np.where(cnorms > 0, cnorms, 1.0)
-            cos = (mat @ cmat.T) / np.outer(safe_n, safe_c)
-            # half-up, matches F.round (ann_index._half_up, inlined per
-            # the self-contained pickling convention)
-            cos = np.sign(cos) * np.floor(np.abs(cos) * p10 + 0.5) / p10
+            cos = hup(
+                (mat @ cmat.T) / np.outer(safe_n, safe_c), rdigits
+            )  # NaN/inf pass through, like Spark Round's non-finite case
             zero_pair = ~(live_n[:, None] & (cnorms > 0)[None, :])
             cos[zero_pair] = 0.0
             # width mismatch (both norms > 0): the expression fold is
             # NULL — sorts after all non-null ccos
             null_pair = (lens[:, None] != clens[None, :]) & ~zero_pair
-            if keep == 1:
+            # NaN cosines (inf-element vectors): Spark ranks NaN ABOVE
+            # every double and NULLS LAST under DESC, so the full Spark
+            # order is NaN, values desc, NULL — the tiers below.
+            nan_cos = np.isnan(cos)
+            if keep == 1 and not (
+                nan_cos.any() or (np.isneginf(cos) & ~null_pair).any()
+            ):
                 # argmax fast path (the corpus-assign full scan):
-                # first max == lowest cid because cids are sorted
+                # first max == lowest cid because cids are sorted.
+                # Guarded: a NaN cos must rank FIRST (argmax ranks it
+                # by propagation order, not Spark's rule) and a true
+                # -inf cos must beat the NULL sentinel — both fall to
+                # the tiered lexsort below.
                 best = np.argmax(np.where(null_pair, -np.inf, cos), axis=1)
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -475,16 +493,31 @@ def _ivf_assign_gemm(
                     schema=pa_schema,
                 )
                 continue
-            # primary: nulls last; secondary: ccos desc; tertiary: cid
-            # asc (np.lexsort: LAST key is primary)
+            # tiered primary: 0 = NaN (Spark's largest double, first
+            # under DESC), 1 = ordinary value, 2 = NULL (NULLS LAST);
+            # secondary: ccos desc; tertiary: cid asc (np.lexsort:
+            # LAST key is primary)
             order = np.lexsort(
                 (
                     np.broadcast_to(cids, cos.shape),
-                    np.where(null_pair, 0.0, -cos),
-                    null_pair,
+                    np.where(null_pair | nan_cos, 0.0, -cos),
+                    np.where(null_pair, 2, np.where(nan_cos, 0, 1)),
                 ),
                 axis=1,
             )[:, :keep]
+            if keep == 1:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(0).cast(pa_schema.field(0).type),
+                        pa.array(
+                            cids[order[:, 0]],
+                            type=pa_schema.field(1).type,
+                        ),
+                        col.cast(pa_schema.field(2).type),
+                    ],
+                    schema=pa_schema,
+                )
+                continue
             row_idx = np.repeat(np.arange(n, dtype=np.int64), keep)
             yield pa.RecordBatch.from_arrays(
                 [

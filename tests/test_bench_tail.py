@@ -145,3 +145,21 @@ def test_stamp_phase_rejects_noncontiguous_group(bench):
     with pytest.raises(RuntimeError, match="non-contiguously"):
         bench._stamp_phase(stamps, "headline", 0.99)
     assert stamps["headline"] == 0.31  # untouched by the failed stamp
+
+
+def test_round_detail_sidecar_naming(bench, universe, tmp_path):
+    """r11 VERDICT (Missing #2): the per-entry record must survive
+    round-over-round.  The round number is max(existing BENCH_r*)+1 —
+    the driver writes BENCH_r{N}.json only AFTER the round's bench —
+    and the per-round sidecar carries the SAME complete record as the
+    stable name (which stays for compatibility)."""
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    lines, timings, _ = _render(bench, universe, tmp_path)
+    round_file = tmp_path / "BENCH_DETAIL_r12.json"
+    assert round_file.exists(), sorted(p.name for p in tmp_path.iterdir())
+    with open(bench.DETAIL_FILE) as f:
+        stable = json.load(f)
+    per_round = json.loads(round_file.read_text())
+    assert per_round == stable
+    assert set(per_round["queries"]) == set(timings)

@@ -643,6 +643,11 @@ def test_ivf_assign_gemm_twin(spark):
         (10, vals[:20] + [None] + vals[21:64]),  # NULL ELEMENT row:
         # the expression guard's NULL norm → ccos 0.0 everywhere; the
         # GEMM mask is norm > 0 (NaN fails) → same branch (r11 review)
+        (11, vals[:40] + [float("inf")] + vals[41:64]),  # INF element:
+        # norm inf passes the >0 mask in BOTH twins, cosines are NaN
+        # (inf/inf) — Spark ranks NaN ABOVE every double under DESC, so
+        # the GEMM sort key is tiered NaN < value < NULL (r11 ADVICE)
+        (12, [float("-inf")] * 64),
     ]
     corpus = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
@@ -654,17 +659,35 @@ def test_ivf_assign_gemm_twin(spark):
             (102, vals[:20]),
             (103, [0.0] * 64),
             (104, vals[:40] + [None] + vals[41:64]),  # NULL element
+            (105, vals[:30] + [float("inf")] + vals[31:64]),  # INF:
+            # ccos NaN vs every centroid → NaN tier ranks first in
+            # both twins, ties by cid asc → probes the lowest cids
+            (106, [float("inf")] * 64),
         ],
         "vec_id long, embedding array<double>",
     )
     kw = dict(k=3, n_centroids=4, nprobe=2)
-    w2 = sorted(
-        map(tuple, SIM.ivf_topk(corpus, queries, assign="expr", **kw).collect())
-    )
-    g2 = sorted(
-        map(tuple, SIM.ivf_topk(corpus, queries, assign="gemm", **kw).collect())
-    )
+
+    def canon(df):
+        # NaN-aware row comparison: the inf-element rows legitimately
+        # produce NaN cos_sim (identically in both twins), and tuple
+        # equality would call NaN != NaN a mismatch
+        rows = [
+            tuple(
+                "NaN" if isinstance(x, float) and x != x else x
+                for x in r
+            )
+            for r in df.collect()
+        ]
+        return sorted(rows, key=lambda t: tuple(repr(x) for x in t))
+
+    w2 = canon(SIM.ivf_topk(corpus, queries, assign="expr", **kw))
+    g2 = canon(SIM.ivf_topk(corpus, queries, assign="gemm", **kw))
     assert g2 == w2
+    # the inf-element query's NaN cosines rank FIRST in both twins
+    # (Spark: NaN above every double under DESC) — presence proves the
+    # NaN tier is exercised, not vacuously green
+    assert any(t[0] == 105 and t[2] == "NaN" for t in g2), g2[-8:]
 
 
 def test_embedding_cosine_gemm_null_element_vectors_never_pair(spark):
@@ -691,6 +714,28 @@ def test_embedding_cosine_gemm_null_element_vectors_never_pair(spark):
         got = fn(emb, threshold=0.5, n_dims=8).collect()
         ids = {i for r in got for i in (r["doc_a"], r["doc_b"])}
         assert ids == {0, 1}, (fn.__name__, got)
+
+
+def test_embedding_cosine_threshold_must_be_positive(spark):
+    """r11 ADVICE: the undefined-cosine no-pair rule only coincides
+    across the twins for threshold > 0 (the expression form scores
+    NULL/NaN-element rows 0.0 and would EMIT them at threshold <= 0;
+    the GEMM form drops them in the signature pass).  All three forms
+    must refuse a non-positive threshold LOUDLY at plan-build time —
+    before any job runs."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    for bad in (0.0, -0.5, float("nan")):
+        with pytest.raises(ValueError, match="threshold must be > 0"):
+            DD.embedding_cosine_pairs(emb, threshold=bad)
+        with pytest.raises(ValueError, match="threshold must be > 0"):
+            DD.embedding_cosine_pairs_gemm(emb, threshold=bad)
+        with pytest.raises(ValueError, match="threshold must be > 0"):
+            DD.embedding_cosine_pairs_against(emb, emb, threshold=bad)
 
 
 def test_ivf_gemm_centroid_seed_guard(spark):
