@@ -58,6 +58,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.arrow_batches import decode_list_matrix
+from ..functions.pickling import by_value
 from ..functions.vectors import cosine_with_norms, norm
 
 
@@ -394,6 +396,10 @@ def _assign_cells(
         f"_id {id_ddl}, cell {cell_ddl}, crank int, v {vec_ddl}, vn double"
     )
     out_pa_schema = _arrow_schema(out_ddl)
+    dec = by_value(decode_list_matrix)  # the canonical list→matrix
+    # decode (functions/arrow_batches, r12 consolidation — this closure
+    # inlined its own copy r10–r11), shipped by value per the
+    # self-contained pickling convention
 
     def _gemm(batches):
         # SELF-CONTAINED worker closure (repo convention: imports inside,
@@ -401,39 +407,6 @@ def _assign_cells(
         # pickle by reference and executors would need the repo on path)
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
-
-        def _mat(col, n):
-            # Arrow list column -> ((n, n_dims) float64, live mask):
-            # one flatten+reshape for the uniform-width case — zero
-            # per-row Python (see docstring); ragged widths fall back
-            # to a per-row scatter (mixed-dim corpora only)
-            live = (
-                col.is_valid().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.ones(n, dtype=bool)
-            )
-            lens = pc.list_value_length(col).to_numpy(
-                zero_copy_only=False
-            )
-            lv = lens[live].astype(np.int64)
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            mat = np.zeros((n, n_dims), dtype=np.float64)
-            if lv.size and (lv == lv[0]).all():
-                w = int(lv[0])
-                if w:
-                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
-                        :, :n_dims
-                    ]
-                return mat, live
-            pos = 0
-            for j, w in zip(np.nonzero(live)[0], lv):
-                w = int(w)
-                mat[j, : min(w, n_dims)] = flat[pos: pos + min(w, n_dims)]
-                pos += w
-            return mat, live
 
         C = np.zeros((len(cmat), n_dims), dtype=np.float64)
         for i, c in enumerate(cmat):
@@ -447,7 +420,9 @@ def _assign_cells(
                 continue
             id_arr = rb.column(0)
             v_arr = rb.column(1)
-            mat, _ = _mat(v_arr, n)  # NULL vec -> zero vector (scores 0)
+            # NULL vec -> zero row (scores 0); width pins to n_dims
+            # (truncate/zero-pad, the _pad_matrix contract)
+            mat, _live, _lens = dec(v_arr, n, width=n_dims)
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
@@ -517,8 +492,9 @@ def _uniform_width(
     loudly — same discipline as the query-width identity gate below
     ("a silent truncation would return plausible nonsense").
 
-    r11.5: the same aggregate also refuses NULL and NaN ELEMENTS
-    inside vectors — both make cosine undefined (a NULL element
+    r11.5 (inf added r12): the same aggregate also refuses NULL, NaN
+    and ±inf ELEMENTS
+    inside vectors — all make cosine undefined (a NULL element
     decodes to NaN in every GEMM kernel), and the float serve would
     rank such a row ARBITRARILY: Spark's window `ORDER BY cos_sim
     DESC` sorts NaN above every double, so a NaN-element row serves at
@@ -546,6 +522,14 @@ def _uniform_width(
                 (
                     (F.size(F.array_compact(c)) != F.size(c))
                     | F.array_contains(c, F.lit(float("nan")))
+                    # r12: ±inf elements are the same failure class —
+                    # norm inf makes every cosine NaN (inf/inf), so the
+                    # float serve would rank the row FIRST while the PQ
+                    # serve's ~isnan(vnorm) mask drops it (vnorm = inf
+                    # survives that mask, but the ADC sims are NaN) —
+                    # refuse at the gate like NULL/NaN elements
+                    | F.array_contains(c, F.lit(float("inf")))
+                    | F.array_contains(c, F.lit(float("-inf")))
                 ).cast("int")
             ).alias("bad_elem"),
         )
@@ -555,12 +539,13 @@ def _uniform_width(
         return want
     if row["bad_elem"]:
         raise ValueError(
-            f"{where}: vector column {vec_col!r} contains NULL or NaN "
-            "elements inside vectors — cosine over them is undefined "
-            "and a materialized index must never rank such a row "
-            "(the float serve would emit it at rank 1: NaN sorts above "
-            "every double in Spark). Filter those rows (or impute the "
-            "elements) before build/ingest."
+            f"{where}: vector column {vec_col!r} contains NULL, NaN or "
+            "infinite elements inside vectors — cosine over them is "
+            "undefined (an inf element makes the norm inf and every "
+            "cosine NaN) and a materialized index must never rank such "
+            "a row (the float serve would emit it at rank 1: NaN sorts "
+            "above every double in Spark). Filter those rows (or impute "
+            "the elements) before build/ingest."
         )
     lo, hi = int(row["lo"]), int(row["hi"])
     if lo != hi:
@@ -579,6 +564,92 @@ def _uniform_width(
     return lo
 
 
+def _measure_cold_bandwidth_mbps(
+    cells_dir: str,
+    budget_bytes: int = 64 << 20,
+    min_bytes: int = 4 << 20,
+) -> tuple[float, int] | None:
+    """One bounded cold-read probe of the index's own cell files:
+    ``(MB/s, bytes_read)`` or None when unmeasurable.
+
+    r11 VERDICT Missing #3: ``ann_serving_policy``'s bandwidth default
+    was this dev box's measured 344 MB/s — a deployment that never
+    passes ``bandwidth_mbps`` silently inherited the wrong disk.  The
+    build now stamps a measured number into ``_ann_meta.json`` so the
+    policy is portable by default.  Method = the crossover tool's
+    (tools/pq_crossover_io.py): fsync each probed file (DONTNEED only
+    drops CLEAN pages — the cells were just written), evict via
+    ``posix_fadvise(POSIX_FADV_DONTNEED)``, then one timed sequential
+    read.  Bounded to ``budget_bytes`` of the largest-first files so a
+    100 TB build pays a fixed ~64 MB probe; refuses to stamp under
+    ``min_bytes`` (a few-MB read times syscall overhead, not the disk)
+    and on any OSError / non-POSIX platform — the policy then falls
+    back to its documented literal."""
+    if not hasattr(os, "posix_fadvise"):  # non-POSIX: nothing to evict
+        return None
+    import time
+
+    try:
+        sizes = []
+        for dirpath, _dirs, files in os.walk(cells_dir):
+            for name in files:
+                if name.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, name)
+                sizes.append((os.path.getsize(p), p))
+        sizes.sort(reverse=True)  # largest first: fewest opens per byte
+        picked, acc = [], 0
+        for sz, p in sizes:
+            picked.append(p)
+            acc += sz
+            if acc >= budget_bytes:
+                break
+        if acc < min_bytes:
+            return None
+        for p in picked:
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+        n = 0
+        t0 = time.perf_counter()
+        for p in picked:
+            with open(p, "rb") as f:
+                while True:
+                    b = f.read(1 << 22)
+                    if not b:
+                        break
+                    n += len(b)
+        dt = time.perf_counter() - t0
+        if dt <= 0:
+            return None
+        return round(n / dt / 1e6, 1), n
+    except OSError:
+        return None
+
+
+def _stamp_bandwidth(root: str) -> None:
+    """Measure and record ``bandwidth_mbps`` (+ ``bandwidth_probe_bytes``)
+    in ``_ann_meta.json`` — best-effort: an unmeasurable tree leaves the
+    meta untouched and the policy on its documented default."""
+    measured = _measure_cold_bandwidth_mbps(os.path.join(root, "cells"))
+    if measured is None:
+        return
+    mbps, probed = measured
+    meta_path = os.path.join(root, "_ann_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["bandwidth_mbps"] = mbps
+        meta["bandwidth_probe_bytes"] = probed
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    except (OSError, ValueError):
+        pass
+
+
 def build_ann_index(
     corpus: DataFrame,
     root: str,
@@ -592,6 +663,10 @@ def build_ann_index(
     One corpus-wide pass per training iteration plus one for the final
     assignment — all reusable across every future query.  The cells
     write partitions by cell id so serving can prune at file level.
+    The meta sidecar carries a measured cold-read bandwidth stamp
+    (:func:`_measure_cold_bandwidth_mbps`) so :func:`ann_serving_policy`
+    resolves its float-vs-PQ tie from THIS deployment's disk, not the
+    dev box's literal.
     """
     spark = corpus.sparkSession
     dims = _uniform_width(corpus, vec_col, f"build_ann_index({root})")
@@ -624,6 +699,7 @@ def build_ann_index(
             },
             f,
         )
+    _stamp_bandwidth(root)
     return root
 
 
@@ -872,6 +948,8 @@ def ann_search(
 
     score_ddl = f"query_id {q_id_ddl}, neighbor_id long, cos_sim double"
     score_pa_schema = _arrow_schema(score_ddl)
+    dec = by_value(decode_list_matrix)  # canonical decode (r12; this
+    # closure inlined its own copy r10–r11), shipped by value
 
     def _score(batches):
         # Arrow-native (r10): the pandas bridge's per-row vector objects
@@ -880,7 +958,6 @@ def ann_search(
         # each batch with zero per-row Python (see _assign_cells).
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         qn_safe = np.where(q_norm > 0, q_norm, 1.0)
         p = 10.0 ** round_digits
@@ -896,32 +973,7 @@ def ann_search(
             # 0.0 emission would outrank genuine negative-sim matches
             # (r9 ADVICE).  Genuine zero VECTORS keep the 0.0 zero-norm
             # rule (the twin rounds them to 0.0 too).
-            live = (
-                col.is_valid().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.ones(nrows, dtype=bool)
-            )
-            lv = pc.list_value_length(col).to_numpy(
-                zero_copy_only=False
-            )[live].astype(np.int64)
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            mat = np.zeros((nrows, n_dims), dtype=np.float64)
-            if lv.size and (lv == lv[0]).all():
-                w = int(lv[0])
-                if w:
-                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
-                        :, :n_dims
-                    ]
-            else:  # ragged widths (mixed-dim corpora): per-row scatter
-                pos = 0
-                for j, w in zip(np.nonzero(live)[0], lv):
-                    w = int(w)
-                    mat[j, : min(w, n_dims)] = flat[
-                        pos: pos + min(w, n_dims)
-                    ]
-                    pos += w
+            mat, live, _lens = dec(col, nrows, width=n_dims)
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             out_q, out_n, out_s = [], [], []
@@ -1184,6 +1236,16 @@ def pq_augment_ann_index(
             },
             f,
         )
+    # An index built before the bandwidth stamp existed (or whose probe
+    # failed) gets a second chance here — augmentation is the moment a
+    # deployment opts into the float-vs-PQ choice the stamp informs.
+    try:
+        with open(os.path.join(root, "_ann_meta.json")) as f:
+            has_stamp = "bandwidth_mbps" in json.load(f)
+    except (OSError, ValueError):
+        has_stamp = True  # unreadable meta: nothing to stamp into
+    if not has_stamp:
+        _stamp_bandwidth(root)
     return root
 
 
@@ -1347,6 +1409,8 @@ def ann_search_pq(
 
     adc_ddl = f"query_id {q_id_ddl}, neighbor_id long, adc_sim double"
     adc_pa_schema = _arrow_schema(adc_ddl)
+    dec = by_value(decode_list_matrix)  # canonical decode (r12); codes
+    # are small ints, exactly representable through its float64 matrix
 
     def _adc(batches):
         # Arrow-native (r10): codes decode to the (batch × m) int matrix
@@ -1373,12 +1437,10 @@ def ann_search_pq(
             codes_col = rb.column(2)
             # codes are fixed-width (one per subspace) and never null —
             # pq_encode emits a row for every input, NULLs marked via
-            # NaN vnorm below
-            codes_all = (
-                codes_col.flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64, copy=False)
-                .reshape(nrows, m)
+            # NaN vnorm below; the shared decode's float64 matrix is
+            # exact for code ids (all << 2^53)
+            codes_all = dec(codes_col, nrows, width=m)[0].astype(
+                np.int64
             )
             vnorm_all = rb.column(3).to_numpy(zero_copy_only=False)
             out_q, out_n, out_s = [], [], []
@@ -1555,15 +1617,35 @@ def ann_serving_policy(
       the ADC gather over every code row is itself O(corpus) compute
       (r11 measured: 45.6 s float vs 55.0 s PQ at 22.4 GB).
 
-    ``bandwidth_mbps`` defaults to 344 (this box's measured cold-scan
-    rate) — pass the deployment's actual cold bandwidth (object stores
-    are often 100–200 MB/s per node, moving the tie down to
-    0.6–1.2 GB).  An unlistable root assumes large (``"pq"`` when the
+    Bandwidth resolution (r12, r11 VERDICT Missing #3): an explicit
+    ``bandwidth_mbps`` argument wins; otherwise the ``bandwidth_mbps``
+    stamp :func:`build_ann_index` measured into ``_ann_meta.json`` (a
+    bounded cold-read probe of the index's own cells — the policy is
+    portable by default); only then the 344 MB/s dev-box literal.
+    ``bandwidth_source`` in the result names which applied.  Object
+    stores are often 100–200 MB/s per node, moving the tie down to
+    0.6–1.2 GB.  An unlistable root assumes large (``"pq"`` when the
     sidecar exists), the same fail direction as the rerank pushdown
     gate."""
-    bw = 344.0 if bandwidth_mbps is None else float(bandwidth_mbps)
+    meta = {}
+    try:
+        with open(os.path.join(root, "_ann_meta.json")) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        pass  # unlistable/remote root: meta is a local stat
+    if bandwidth_mbps is not None:
+        bw, bw_src = float(bandwidth_mbps), "argument"
+    elif meta.get("bandwidth_mbps"):
+        bw, bw_src = float(meta["bandwidth_mbps"]), "index_stamp"
+    else:
+        bw, bw_src = 344.0, "default"
     tie_bytes = int(bw * 1e6 * pq_tie_seconds)
-    out = {"tie_bytes": tie_bytes, "probed_bytes_est": None}
+    out = {
+        "tie_bytes": tie_bytes,
+        "probed_bytes_est": None,
+        "bandwidth_mbps": bw,
+        "bandwidth_source": bw_src,
+    }
     if not os.path.isdir(root):
         # non-local root (object store): the sidecar check below is a
         # LOCAL stat, so falling through would misreport "no PQ
@@ -1583,12 +1665,7 @@ def ann_serving_policy(
             "to enable the codes path)",
         )
         return out
-    n_centroids = None
-    try:
-        with open(os.path.join(root, "_ann_meta.json")) as f:
-            n_centroids = json.load(f).get("n_centroids")
-    except OSError:
-        pass
+    n_centroids = meta.get("n_centroids")
     if n_centroids is not None and int(nprobe) >= int(n_centroids):
         out.update(
             path="float",

@@ -42,6 +42,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.arrow_batches import decode_list_matrix
+from ..functions.pickling import by_value
 from ..functions.vectors import cosine_with_norms, norm
 
 __all__ = [
@@ -215,6 +217,8 @@ def pq_encode(
     from .ann_index import _arrow_schema
 
     out_pa_schema = _arrow_schema(schema)
+    dec = by_value(decode_list_matrix)  # canonical decode (r12; this
+    # closure inlined its own copy r10–r11), shipped by value
 
     def _enc(batches):
         # SELF-CONTAINED worker closure (repo convention): referencing
@@ -225,7 +229,6 @@ def pq_encode(
         # Everything this touches is an import or a closure VALUE.
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         cents = [np.asarray(b, dtype=np.float64) for b in books]
         cent_sq = [(c**2).sum(axis=1) for c in cents]
@@ -235,32 +238,7 @@ def pq_encode(
             if not n:
                 continue
             col = rb.column(1)
-            live = (
-                col.is_valid().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.ones(n, dtype=bool)
-            )
-            lv = pc.list_value_length(col).to_numpy(
-                zero_copy_only=False
-            )[live].astype(np.int64)
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            mat = np.zeros((n, n_dims), dtype=np.float64)
-            if lv.size and (lv == lv[0]).all():
-                w = int(lv[0])
-                if w:
-                    mat[live, : min(w, n_dims)] = flat.reshape(-1, w)[
-                        :, :n_dims
-                    ]
-            else:  # ragged widths: per-row scatter (mixed-dim corpora)
-                pos = 0
-                for j, w in zip(np.nonzero(live)[0], lv):
-                    w = int(w)
-                    mat[j, : min(w, n_dims)] = flat[
-                        pos: pos + min(w, n_dims)
-                    ]
-                    pos += w
+            mat, live, _lens = dec(col, n, width=n_dims)
             codes = np.empty((n, m), dtype=np.int64)
             for s, (lo, hi) in enumerate(slices):
                 sub = mat[:, lo:hi]
@@ -331,6 +309,8 @@ def pq_topk(
 
     scan_ddl = "query_id long, neighbor_id long, cos_sim double"
     scan_pa_schema = _arrow_schema(scan_ddl)
+    dec = by_value(decode_list_matrix)  # canonical decode (r12); codes
+    # are small ints, exactly representable through its float64 matrix
 
     def _scan(batches):
         # Arrow-native (r10): codes decode to the (batch × m) int
@@ -353,13 +333,7 @@ def pq_topk(
             if not n:
                 continue
             c_ids = rb.column(0).to_numpy(zero_copy_only=False)
-            codes = (
-                rb.column(1)
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64, copy=False)
-                .reshape(n, m)
-            )
+            codes = dec(rb.column(1), n, width=m)[0].astype(np.int64)
             vnorm = rb.column(2).to_numpy(zero_copy_only=False)
             dots = luts[0][codes[:, 0]]
             for s in range(1, m):

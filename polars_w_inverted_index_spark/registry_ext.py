@@ -329,10 +329,15 @@ _register("similarity_pq_rerank_topk", q_ann_pq_rerank, _BRUTE_SQL)
 
 
 def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k served THROUGH the materialized ANN index family,
-    BOTH serving paths in one row: ``build_ann_index`` (Lloyd train +
-    GEMM assign + cell-partitioned parquet), ``pq_augment_ann_index``
-    (codes sidecar), then
+    """Exact top-k served THROUGH the materialized ANN index family —
+    since r12 the FULL INCREMENTAL LIFECYCLE (r11 VERDICT task 1), BOTH
+    serving paths, in one row: ``build_ann_index`` on HALF the
+    embeddings (Lloyd train + GEMM assign + cell-partitioned parquet),
+    ``ann_index_add_batch`` ingesting the other half against the frozen
+    centroids (which first runs the ``_recover_cells`` crash-heal
+    check), ``ann_index_compact`` folding the ingest delta back into
+    the base layout, ``pq_augment_ann_index`` (codes sidecar over the
+    compacted cells), then
 
     - ``served_path='float'``: ``ann_search_auto`` at FULL SWEEP
       (nprobe = n_centroids) — the policy's measured rule resolves a
@@ -346,11 +351,14 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the pq fuzz pin), so the SAME brute contract holds.
 
     One oracle (the brute SQL × the two path literals) therefore pins
-    the index build, the sidecar write + fingerprint gate, the policy
-    dispatch, the GEMM float serve, AND the ADC + rerank serve, every
-    round.  This is ann_index.py's first driver row: before r11 the
-    module (index build/ingest/compact/PQ-sidecar/serve, the largest
-    operator surface in the repo) carried pytest evidence only."""
+    the index build, the incremental ingest, the compaction fold, the
+    sidecar write + fingerprint gate, the policy dispatch, the GEMM
+    float serve, AND the ADC + rerank serve, every round — the same
+    r10→r11 pattern that took the LSM composite row from pytest-only
+    to hash-pinned (``q_index_composite_streaming_lookup`` runs ITS
+    maintenance mutations in-path).  Before r12, ``ann_index_add_batch``
+    / ``ann_index_compact`` — the most-mutated production path of the
+    repo's largest module — carried pytest evidence only."""
     from .operators import ann_index as AI
     from .registry import scratch_dir
 
@@ -359,14 +367,33 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Lloyd iteration / two codebook iterations: every train loop
     # still executes (≥1 full iteration each), and full-sweep serving
     # is exact REGARDLESS of centroid quality, so extra iterations only
-    # add lifecycle jobs to the row without widening what the hash pins
-    AI.build_ann_index(emb, root, n_centroids=8, n_iters=1)
+    # add lifecycle jobs to the row without widening what the hash pins.
+    # Half/half split: the even-id half trains + builds, the odd-id
+    # half ingests as a tagged delta batch — together exactly the
+    # whole table, so the brute oracle is unchanged by the lifecycle.
+    AI.build_ann_index(
+        emb.where(F.col("vec_id") % 2 == 0), root,
+        n_centroids=8, n_iters=1,
+    )
+    AI.ann_index_add_batch(
+        spark, root, emb.where(F.col("vec_id") % 2 == 1), batch_tag=0
+    )
+    if AI.ann_index_compact(spark, root) < 1:
+        # the hash can't see WHERE rows live, only what serves — so the
+        # fold must prove it ran (>= 1 per-cell delta dir folded; the
+        # count is directories, one per cell the ingest batch touched)
+        raise AssertionError("ann lifecycle row: compact folded nothing")
     AI.pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=16, n_iters=2)
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
     auto = AI.ann_search_auto(spark, root, q, k=TOPK, nprobe=8)
-    # rerank_factor × k ≥ corpus rows at every SF ⇒ exact (pq fuzz pin)
+    # rerank covers the corpus BY CONSTRUCTION: rerank_factor × k ≥
+    # table rows + k at any SF (r11 VERDICT task 6 — computed from the
+    # table size, not a 200 000 literal), so the pq fuzz pin's
+    # exactness precondition holds without an oversized dial
+    n_rows = emb.count()
     pq = AI.ann_search_pq(
-        spark, root, q, k=TOPK, nprobe=8, rerank_factor=200_000
+        spark, root, q, k=TOPK, nprobe=8,
+        rerank_factor=-(-n_rows // TOPK) + 1,
     )
     return auto.withColumn("served_path", F.lit("float")).unionByName(
         pq.withColumn("served_path", F.lit("pq_rerank"))

@@ -205,7 +205,7 @@ def test_null_element_corpus_refused_at_lifecycle(spark, tmp_path):
 
     good = [(i, [1.0, 0.5]) for i in range(4)]
     bad = spark.createDataFrame(good + [(9, [1.0, None])], SCHEMA)
-    with pytest.raises(ValueError, match="NULL or NaN"):
+    with pytest.raises(ValueError, match="NULL, NaN or infinite"):
         build_ann_index(bad, str(tmp_path / "idx"), n_centroids=2)
     # NaN elements too: array_compact does NOT strip NaN, and an
     # unguarded NaN-element row serves at rank 1 from the float path
@@ -214,18 +214,32 @@ def test_null_element_corpus_refused_at_lifecycle(spark, tmp_path):
     nan_bad = spark.createDataFrame(
         good + [(9, [1.0, float("nan")])], SCHEMA
     )
-    with pytest.raises(ValueError, match="NULL or NaN"):
+    with pytest.raises(ValueError, match="NULL, NaN or infinite"):
         build_ann_index(nan_bad, str(tmp_path / "idx_nan"), n_centroids=2)
     # clean build, then a poisoned ingest batch must be refused too
     clean = spark.createDataFrame(good, SCHEMA)
     root = str(tmp_path / "idx2")
     build_ann_index(clean, root, n_centroids=2, n_iters=1)
     batch = spark.createDataFrame([(10, [None, 2.0])], SCHEMA)
-    with pytest.raises(ValueError, match="NULL or NaN"):
+    with pytest.raises(ValueError, match="NULL, NaN or infinite"):
         ann_index_add_batch(spark, root, batch)
     nan_batch = spark.createDataFrame([(10, [float("nan"), 2.0])], SCHEMA)
-    with pytest.raises(ValueError, match="NULL or NaN"):
+    with pytest.raises(ValueError, match="NULL, NaN or infinite"):
         ann_index_add_batch(spark, root, nan_batch)
+    # ±inf elements are the same failure class (r12): norm inf makes
+    # every cosine NaN (inf/inf), so the float serve would rank the
+    # row FIRST (Spark sorts NaN above every double) while the PQ
+    # ADC's sims go NaN — refuse at build AND ingest like NULL/NaN
+    for inf_val in (float("inf"), float("-inf")):
+        inf_bad = spark.createDataFrame(good + [(9, [1.0, inf_val])], SCHEMA)
+        with pytest.raises(ValueError, match="NULL, NaN or infinite"):
+            build_ann_index(
+                inf_bad, str(tmp_path / f"idx_inf_{inf_val > 0}"),
+                n_centroids=2,
+            )
+        inf_batch = spark.createDataFrame([(10, [inf_val, 2.0])], SCHEMA)
+        with pytest.raises(ValueError, match="NULL, NaN or infinite"):
+            ann_index_add_batch(spark, root, inf_batch)
 
 
 def test_ragged_corpus_refused_at_lifecycle(spark, tmp_path):
@@ -327,6 +341,86 @@ def test_serving_policy_encodes_measured_rule(spark, tmp_path, monkeypatch):
     # stat and misreport "no PQ sidecar" — it assumes large up front
     pol = ai.ann_serving_policy("s3a://bucket/index", 2)
     assert pol["path"] == "pq" and "not locally listable" in pol["reason"]
+
+
+def test_serving_policy_prefers_index_bandwidth_stamp(spark, tmp_path):
+    """r11 VERDICT Missing #3: a deployment that never passes
+    ``bandwidth_mbps`` must resolve the float-vs-PQ tie from the
+    measured stamp in ``_ann_meta.json``, not the dev box's 344 MB/s
+    literal.  Plant a stamp and observe the tie (and the chosen path)
+    move; an explicit argument still outranks the stamp."""
+    import json as _json
+
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            ((F.col("id") % 7) / 3.0 - 1.0),
+            ((F.col("id") % 5) / 2.0 - 1.0),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "ann_bw")
+    ai.build_ann_index(emb, root, n_centroids=4, n_iters=1)
+    ai.pq_augment_ann_index(spark, root, m_subspaces=2, n_codes=4)
+    meta_path = tmp_path / "ann_bw" / "_ann_meta.json"
+    meta = _json.loads(meta_path.read_text())
+    # this test index is a few KB — the bounded probe refuses to stamp
+    # (min_bytes gate: a tiny read times syscall overhead, not the
+    # disk) and the policy stays on its documented default
+    assert "bandwidth_mbps" not in meta
+    pol = ai.ann_serving_policy(root, 2)
+    assert pol["bandwidth_source"] == "default"
+    assert pol["bandwidth_mbps"] == 344.0 and pol["path"] == "float"
+
+    # plant a near-zero stamp: the tie collapses and the same probe
+    # now resolves to pq — from index metadata alone, no argument
+    meta["bandwidth_mbps"] = 0.001
+    meta_path.write_text(_json.dumps(meta))
+    pol = ai.ann_serving_policy(root, 2)
+    assert pol["bandwidth_source"] == "index_stamp"
+    assert pol["tie_bytes"] == int(0.001 * 1e6 * 6.0)
+    assert pol["path"] == "pq"
+
+    # a huge stamp moves the tie the other way
+    meta["bandwidth_mbps"] = 1e9
+    meta_path.write_text(_json.dumps(meta))
+    pol = ai.ann_serving_policy(root, 2)
+    assert pol["bandwidth_source"] == "index_stamp"
+    assert pol["path"] == "float"
+
+    # an explicit argument outranks the stamp
+    pol = ai.ann_serving_policy(root, 2, bandwidth_mbps=0.001)
+    assert pol["bandwidth_source"] == "argument" and pol["path"] == "pq"
+
+
+def test_measure_cold_bandwidth_bounded_probe(tmp_path):
+    """The build-time probe: refuses tiny trees (min_bytes), skips
+    hidden marker files, measures a plausible positive rate on a real
+    multi-MB tree, and never reads more than ~budget_bytes."""
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    cells = tmp_path / "cells" / "cell=0" / "ingest_batch=-1"
+    cells.mkdir(parents=True)
+    (cells / "part-0.parquet").write_bytes(b"x" * (1 << 20))
+    (cells / "_SUCCESS").write_bytes(b"")
+    # 1 MB visible < min_bytes=4 MB -> unmeasurable, no stamp
+    assert ai._measure_cold_bandwidth_mbps(str(tmp_path / "cells")) is None
+
+    (cells / "part-1.parquet").write_bytes(b"y" * (8 << 20))
+    got = ai._measure_cold_bandwidth_mbps(str(tmp_path / "cells"))
+    assert got is not None
+    mbps, probed = got
+    assert mbps > 0
+    # both visible files fit the budget; the hidden marker is skipped
+    assert probed == (1 << 20) + (8 << 20)
+    # budget bound: with a tiny budget only the largest file is probed
+    got2 = ai._measure_cold_bandwidth_mbps(
+        str(tmp_path / "cells"), budget_bytes=5 << 20, min_bytes=1 << 20
+    )
+    assert got2 is not None and got2[1] == (8 << 20)
+    # missing tree -> None, never a raise (best-effort stamping)
+    assert ai._measure_cold_bandwidth_mbps(str(tmp_path / "nope")) is None
 
 
 @_SETTINGS

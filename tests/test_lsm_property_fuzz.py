@@ -416,3 +416,192 @@ def test_fuzz_composite_index_serving_equals_base_filter(
         if did is not None and a == q1 and b == q2
     )
     assert got == want
+
+
+class _Crash(RuntimeError):
+    """Injected crash — distinguishable from any real failure."""
+
+
+CRASH_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), ROWS),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("rebucket"), st.sampled_from([1, 3, 8])),
+        st.tuples(st.just("crash_compact"), st.none()),
+        st.tuples(st.just("crash_rebucket"), st.sampled_from([1, 3, 8])),
+        st.tuples(st.just("crash_prune"), st.none()),
+    ),
+    min_size=3,
+    max_size=7,
+)
+
+
+@_SETTINGS
+@given(ops=CRASH_OPS, cap=st.sampled_from([1, 3]))
+def test_fuzz_crash_windows_heal(ops, cap, tmp_path_factory):
+    """r11 VERDICT task 7: crash-inject the two O(index) maintenance
+    jobs (compact_index / rebucket_index) at their documented windows —
+
+    - BETWEEN the ``m=`` data write and the marker swap
+      (``crash_compact`` / ``crash_rebucket``: ``_commit`` raises): the
+      marker must be byte-identical afterwards (readers never saw
+      anything), the fresh ``m=`` directory is an orphan;
+    - AFTER the swap but BEFORE pruning (``crash_prune``: ``_prune``
+      raises inside ``_commit``): the marker must have advanced (the
+      swap is the commit point), the superseded segment dirs are
+      orphans.
+
+    Interleaved with normal merges/folds in hypothesis-chosen orders,
+    the logical view must always converge to the merged truth, and a
+    final successful fold must leave the on-disk ``m=*/bucket=*`` set
+    EXACTLY equal to the marker's live pointer set — every orphan from
+    every injected crash collected (the orphan-collection story in
+    ``_prune``'s docstring, pinned the way the ``_delta_state`` chaos
+    tests pin streaming commits)."""
+    spark = get_session("property_tests")
+    idx = str(tmp_path_factory.mktemp("lsm_crash") / "idx")
+    schema = "event_id long, event_type string"
+    merged: list[tuple] = []
+    batch_id = 0
+
+    def _marker():
+        with open(os.path.join(idx, "_LATEST")) as f:
+            return json.load(f)
+
+    def _df(rows):
+        return spark.createDataFrame(rows, schema) if rows else (
+            spark.createDataFrame([], schema)
+        )
+
+    for op, arg in ops:
+        has = os.path.exists(os.path.join(idx, "_LATEST"))
+        if op == "merge":
+            im.merge_postings_batch(
+                _df(arg), "event_type", idx, "event_id",
+                batch_id=batch_id, max_postings_per_row=cap,
+                n_buckets=2, max_segments_per_bucket=None,
+            )
+            merged.extend(arg)
+            batch_id += 1
+        elif op == "compact":
+            im.compact_index(spark, idx)
+        elif op == "rebucket":
+            if not has:
+                continue
+            im.rebucket_index(spark, idx, arg)
+        else:
+            if not has:
+                continue
+            before = _marker()
+            target = "_prune" if op == "crash_prune" else "_commit"
+            real = getattr(im, target)
+
+            def _boom(*a, **k):
+                raise _Crash()
+
+            setattr(im, target, _boom)
+            crashed = False
+            try:
+                if op == "crash_rebucket":
+                    im.rebucket_index(spark, idx, arg)
+                else:
+                    im.compact_index(spark, idx)
+            except _Crash:
+                crashed = True
+            finally:
+                setattr(im, target, real)
+            after = _marker()
+            if op == "crash_prune":
+                if crashed:  # swap IS the commit point: marker advanced
+                    assert after["merge"] == before["merge"] + 1
+            elif crashed:  # crash before the swap: marker untouched
+                assert after == before
+            else:  # job no-opped before its commit (e.g. empty index)
+                assert after == before
+
+    if not os.path.exists(os.path.join(idx, "_LATEST")):
+        return  # sequence never merged anything
+
+    def _view():
+        view = im.read_index_postings(spark, idx)
+        return {} if view is None else {
+            r["value"]: sorted(r["doc_ids"]) for r in view.collect()
+        }
+
+    truth = {
+        r["value"]: sorted(r["doc_ids"])
+        for r in postings(_df(merged), "event_type", "event_id").collect()
+    }
+    assert _view() == truth  # correct THROUGH every injected crash
+
+    # a later successful fold collects every orphan the crashes left
+    im.compact_index(spark, idx)
+    marker = _marker()
+    live = {rel for segs in marker["buckets"].values() for rel in segs}
+    on_disk = {
+        os.path.join(m_dir, b_dir)
+        for m_dir in os.listdir(idx)
+        if m_dir.startswith("m=")
+        for b_dir in os.listdir(os.path.join(idx, m_dir))
+        if b_dir.startswith("bucket=")
+    }
+    assert on_disk == live
+    assert _view() == truth  # healing changed layout, never content
+
+
+def test_crash_orphan_dir_collected_deterministic(tmp_path):
+    """Deterministic pin of the orphan window (the fuzz above covers it
+    statistically): a compact that crashes between its ``m=`` write and
+    the marker swap leaves an on-disk directory the marker never
+    references; the NEXT successful commit's prune collects it."""
+    spark = get_session("property_tests")
+    idx = str(tmp_path / "idx")
+    schema = "event_id long, event_type string"
+    im.merge_postings_batch(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], schema),
+        "event_type", idx, "event_id",
+        batch_id=0, max_postings_per_row=1, n_buckets=2,
+        max_segments_per_bucket=None,
+    )
+
+    def _state():
+        with open(os.path.join(idx, "_LATEST")) as f:
+            marker = json.load(f)
+        live = {r for segs in marker["buckets"].values() for r in segs}
+        on_disk = {
+            os.path.join(m, b)
+            for m in os.listdir(idx)
+            if m.startswith("m=")
+            for b in os.listdir(os.path.join(idx, m))
+            if b.startswith("bucket=")
+        }
+        return marker, live, on_disk
+
+    before, live0, disk0 = _state()
+    assert disk0 == live0  # clean before the crash
+
+    real = im._commit
+    im._commit = lambda *a, **k: (_ for _ in ()).throw(_Crash())
+    try:
+        im.compact_index(spark, idx)
+        raise AssertionError("injected crash did not fire")
+    except _Crash:
+        pass
+    finally:
+        im._commit = real
+
+    after, live1, disk1 = _state()
+    assert after == before            # readers never saw the crash
+    assert disk1 > live1              # the orphan m= dir is on disk
+
+    im.merge_postings_batch(
+        spark.createDataFrame([(4, "a")], schema),
+        "event_type", idx, "event_id", batch_id=1,
+    )
+    _, live2, disk2 = _state()
+    assert disk2 == live2             # orphan collected by the commit
+    got = {
+        r["value"]: sorted(r["doc_ids"])
+        for r in im.read_index_postings(spark, idx).collect()
+    }
+    assert got == {"a": [1, 3, 4], "b": [2]}
