@@ -28,8 +28,12 @@ from __future__ import annotations
 __all__ = ["decode_list_matrix"]
 
 
-def decode_list_matrix(col, n: int, width=None, min_width: int = 1):
-    """Decode an Arrow list column to ``(mat, live, lens)``.
+def decode_list_matrix(
+    col, n: int, width=None, min_width: int = 1,
+    with_null_elem: bool = False,
+):
+    """Decode an Arrow list column to ``(mat, live, lens)`` — or
+    ``(mat, live, lens, null_elem)`` with ``with_null_elem=True``.
 
     - ``mat``: ``(n × W)`` float64, zero-padded; ``W = width``
       (truncating longer rows — the prefix rule) when given, else
@@ -39,11 +43,24 @@ def decode_list_matrix(col, n: int, width=None, min_width: int = 1):
       (drop, sig-0, zero-norm score...), this helper never decides.
     - ``lens``: per-row list lengths (0 for NULL rows), for
       width-mismatch rules.
+    - ``null_elem`` (opt-in): per-row "has a NULL ELEMENT within the
+      decoded ``W``-prefix" mask, from the Arrow child validity bitmap
+      (vectorized — one cumsum, no per-row Python).
 
-    NULL/NaN ELEMENTS inside a list decode to NaN and propagate through
-    any GEMM — callers whose expression twin treats a NULL element as a
-    poisoned fold must mask on ``norm > 0`` (NaN fails the comparison,
-    same branch as the ``when(na > 0)`` guard), not ``norm != 0``.
+    NULL and NaN ELEMENTS both decode to NaN in ``mat`` — but Spark
+    treats them DIFFERENTLY (r12, found by the bad-element fuzz): a
+    NULL element poisons the expression fold to NULL, so ``when(norm >
+    0)`` guards fall to their otherwise-0 branch, while a NaN element
+    gives a NaN norm and **Spark's ``NaN > 0`` is TRUE** (NaN is the
+    largest double in Spark's total order, unlike numpy/IEEE), so the
+    guard PASSES and the score is NaN, ranked FIRST under DESC.  A
+    GEMM twin replicating expression semantics therefore needs
+    ``null_elem`` to split the branches: zero-branch =
+    ``null_elem | (norm == 0)``; NaN norms (NaN/±inf elements) stay
+    scored and their NaN results tier first.  The old guidance here
+    ("mask on norm > 0") replicated numpy's NaN-fails-comparison, which
+    is exactly backwards for Spark — it survived only because the
+    dyadic fuzz never generated bare-NaN elements.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -58,7 +75,8 @@ def decode_list_matrix(col, n: int, width=None, min_width: int = 1):
     ].astype(np.int64)
     lens = np.zeros(n, dtype=np.int64)
     lens[live] = lv
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+    fa = col.flatten()
+    flat = fa.to_numpy(zero_copy_only=False).astype(
         np.float64, copy=False
     )
     w = (
@@ -77,4 +95,16 @@ def decode_list_matrix(col, n: int, width=None, min_width: int = 1):
             rl = int(rl)
             mat[j, : min(rl, w)] = flat[pos: pos + min(rl, w)]
             pos += rl
-    return mat, live, lens
+    if not with_null_elem:
+        return mat, live, lens
+    null_elem = np.zeros(n, dtype=bool)
+    if fa.null_count:
+        # prefix-scoped: a NULL past the decoded width is invisible to
+        # the expression twin too (both sides slice to the same W)
+        invalid = ~fa.is_valid().to_numpy(zero_copy_only=False)
+        cum = np.concatenate(([0], np.cumsum(invalid)))
+        ends = np.cumsum(lv)
+        starts = ends - lv
+        pref_ends = starts + np.minimum(lv, w)
+        null_elem[live] = (cum[pref_ends] - cum[starts]) > 0
+    return mat, live, lens, null_elem

@@ -215,7 +215,26 @@ def _collect_centroids(centroids: DataFrame):
     return cids, cmat, cns, n_dims
 
 
-def _probe_rank(q_mat, cmat, cns, nprobe: int, round_digits: int):
+def _null_elem_flags(vec_lists, width):
+    """Driver-side per-row "has a NULL element within the ``width``
+    prefix" flags for COLLECTED vectors — the numpy conversion turns
+    None into NaN, indistinguishable from a NaN element, but Spark
+    branches them apart (NULL norm → the guard's otherwise-0; NaN norm
+    → scored NaN, ranked first)."""
+    import numpy as np
+
+    w = int(width)
+    return np.array(
+        [
+            any(x is None for x in (v[:w] if v is not None else []))
+            for v in vec_lists
+        ],
+        dtype=bool,
+    )
+
+
+def _probe_rank(q_mat, cmat, cns, nprobe: int, round_digits: int,
+                q_zero=None):
     """Driver-side probe ranking: ``(|Q|, min(nprobe, n_cells))``
     CENTROID INDICES (index order == sorted-cid order), same GEMM +
     tie rule as ``_assign_cells`` (round before rank, stable sort →
@@ -236,9 +255,17 @@ def _probe_rank(q_mat, cmat, cns, nprobe: int, round_digits: int):
     qn = np.linalg.norm(q_mat, axis=1)
     qn_safe = np.where(qn > 0, qn, 1.0)
     cos = (q_mat @ C.T) / np.outer(qn_safe, cn_safe)
-    cos[qn == 0, :] = 0.0
-    cos[:, cn == 0] = 0.0
+    # Spark-branch zero mask (r12): NULL-element queries (via q_zero,
+    # passed from the collected rows) and zero queries probe like zero
+    # vectors — 0.0 everywhere, ties to the lowest cids; NaN norms
+    # (NaN/±inf elements) stay scored, their NaN cos remapped below
+    cos[(qn == 0) if q_zero is None else q_zero, :] = 0.0
+    cos[:, cn == 0] = 0.0  # centroids come from the gated lifecycle
     cos = _half_up(cos, round_digits)
+    # NaN cos (an inf-element query): rank those cells FIRST (Spark's
+    # NaN-largest rule, the serve tie-tier) — argsort would rank NaN
+    # last; cell choice only steers recall, but keep one ordering rule
+    cos = np.where(np.isnan(cos), np.inf, cos)
     k = min(int(nprobe), len(cmat))
     return np.argsort(-cos, axis=1, kind="stable")[:, :k]
 
@@ -263,12 +290,13 @@ def _cell_partial_sums(
     rd = int(round_digits)
     out_ddl = f"cell {cell_ddl}, psum array<double>, n long"
     out_pa_schema = _arrow_schema(out_ddl)
+    dec = by_value(decode_list_matrix)  # canonical decode (r12)
+    hup = by_value(_half_up)
 
     def _sums(batches):
         # SELF-CONTAINED worker closure (repo convention)
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         C = np.zeros((len(cmat), n_dims), dtype=np.float64)
         for i, c in enumerate(cmat):
@@ -277,7 +305,6 @@ def _cell_partial_sums(
         cn_safe = np.where(cn > 0, cn, 1.0)
         acc = np.zeros((len(cmat), n_dims), dtype=np.float64)
         cnt = np.zeros(len(cmat), dtype=np.int64)
-        p = 10.0 ** rd
         for rb in batches:
             n = rb.num_rows
             if not n:
@@ -288,42 +315,16 @@ def _cell_partial_sums(
             # rows for them, and counting a zero row dilutes the
             # lowest-cid centroid's mean toward zero (r9 ADVICE).
             # Genuine zero VECTORS still count (they did pre-r9 too).
-            live = (
-                col.is_valid().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.ones(n, dtype=bool)
-            )
+            full, live, _lens = dec(col, n, width=n_dims)
             if not live.any():
                 continue
-            lv = pc.list_value_length(col).to_numpy(
-                zero_copy_only=False
-            )[live].astype(np.int64)
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            mat = np.zeros((int(live.sum()), n_dims), dtype=np.float64)
-            if lv.size and (lv == lv[0]).all():
-                w = int(lv[0])
-                if w:
-                    mat[:, : min(w, n_dims)] = flat.reshape(-1, w)[
-                        :, :n_dims
-                    ]
-            else:  # ragged widths: per-row scatter (mixed-dim corpora)
-                pos = 0
-                for j, w in enumerate(lv):
-                    w = int(w)
-                    mat[j, : min(w, n_dims)] = flat[
-                        pos: pos + min(w, n_dims)
-                    ]
-                    pos += w
+            mat = full[live]  # compact to live rows for the accumulate
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
-            cos[vn == 0, :] = 0.0
-            cos[:, cn == 0] = 0.0
-            # half-up round: matches F.round / BigDecimal HALF_UP (see
-            # _half_up; inlined — self-contained closure convention)
-            cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
+            cos[~(vn > 0), :] = 0.0  # NaN norms fail > 0 (family rule)
+            cos[:, ~(cn > 0)] = 0.0
+            cos = hup(cos, rd)
             best = cos.argmax(axis=1)
             np.add.at(acc, best, mat)
             np.add.at(cnt, best, 1)
@@ -400,6 +401,7 @@ def _assign_cells(
     # decode (functions/arrow_batches, r12 consolidation — this closure
     # inlined its own copy r10–r11), shipped by value per the
     # self-contained pickling convention
+    hup = by_value(_half_up)  # one rounding implementation (r12)
 
     def _gemm(batches):
         # SELF-CONTAINED worker closure (repo convention: imports inside,
@@ -426,11 +428,9 @@ def _assign_cells(
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
-            cos[vn == 0, :] = 0.0
-            cos[:, cn == 0] = 0.0
-            # half-up round, matches F.round (see _half_up; inlined)
-            p = 10.0 ** rd
-            cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
+            cos[~(vn > 0), :] = 0.0  # NaN norms fail > 0 (family rule)
+            cos[:, ~(cn > 0)] = 0.0
+            cos = hup(cos, rd)
             if kn == 1:
                 best = cos.argmax(axis=1)  # first max == lowest cid
                 yield pa.RecordBatch.from_arrays(
@@ -931,10 +931,17 @@ def ann_search(
     q_mat = _pad_matrix([r["qv"] for r in q_rows], n_dims)
     q_ids = [r["qid"] for r in q_rows]
     q_norm = np.linalg.norm(q_mat, axis=1)
+    # Spark's otherwise-0 branch for the query side (r12): NULL-element
+    # queries (NULL norm in the brute twin's guard) and zero queries
+    # score 0.0; NaN norms (NaN/±inf elements) PASS Spark's `> 0` and
+    # score NaN — ranked first, the serve tie-tier
+    q_zero = _null_elem_flags(
+        [r["qv"] for r in q_rows], n_dims
+    ) | (q_norm == 0)
     # probe ranking runs driver-side over the ALREADY-collected matrix
     # (same GEMM + tie rule as _assign_cells): no second execution of
     # the query plan, no KeyError on a nondeterministic query frame
-    ranked = _probe_rank(q_mat, cmat, cns, nprobe, round_digits)
+    ranked = _probe_rank(q_mat, cmat, cns, nprobe, round_digits, q_zero)
     cell_qidx: dict = {}
     for j in range(len(q_ids)):
         for ci in ranked[j]:
@@ -950,6 +957,7 @@ def ann_search(
     score_pa_schema = _arrow_schema(score_ddl)
     dec = by_value(decode_list_matrix)  # canonical decode (r12; this
     # closure inlined its own copy r10–r11), shipped by value
+    hup = by_value(_half_up)  # one rounding implementation (r12)
 
     def _score(batches):
         # Arrow-native (r10): the pandas bridge's per-row vector objects
@@ -960,7 +968,6 @@ def ann_search(
         import pyarrow as pa
 
         qn_safe = np.where(q_norm > 0, q_norm, 1.0)
-        p = 10.0 ** round_digits
         for rb in batches:
             nrows = rb.num_rows
             if not nrows:
@@ -991,10 +998,15 @@ def ann_search(
                 sims = (mat[sel] @ q_mat[qi].T) / np.outer(
                     vn_safe[sel], qn_safe[qi]
                 )
+                # Spark-branch zero mask (r12): q_zero carries the
+                # NULL-element flag from the collected rows (the brute
+                # twin's guard sees a NULL norm there → otherwise-0),
+                # plus genuine zero norms; NaN norms (NaN/±inf
+                # elements) PASS Spark's `> 0`, score NaN, rank first.
+                # Corpus norms are gate-clean: only real zeros here.
                 sims[vn[sel] == 0, :] = 0.0
-                sims[:, q_norm[qi] == 0] = 0.0
-                # half-up round, matches F.round (see _half_up; inlined)
-                sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
+                sims[:, q_zero[qi]] = 0.0
+                sims = hup(sims, round_digits)
                 c_ids = ids_np[sel]
                 g_live = live[sel]
                 for cj, j in enumerate(qi):
@@ -1002,8 +1014,22 @@ def ann_search(
                     keep = np.nonzero((c_ids != qid) & g_live)[0]
                     if not len(keep):
                         continue
+                    # NaN sims (an INF-element query — the lifecycle
+                    # gate keeps the corpus clean) rank FIRST like
+                    # Spark's NaN-above-every-double DESC window, so
+                    # the local cut keeps the same candidates the
+                    # global rank would (r12)
                     vals = sims[keep, cj]
-                    top = keep[np.lexsort((c_ids[keep], -vals))[:k]]
+                    nan_v = np.isnan(vals)
+                    top = keep[
+                        np.lexsort(
+                            (
+                                c_ids[keep],
+                                np.where(nan_v, 0.0, -vals),
+                                ~nan_v,
+                            )
+                        )[:k]
+                    ]
                     out_q.extend([qid] * len(top))
                     out_n.extend(c_ids[top])
                     out_s.extend(sims[top, cj])
@@ -1365,7 +1391,12 @@ def ann_search_pq(
     cent = spark.read.parquet(os.path.join(root, "centroids"))
     cids, cmat, cns, cent_dims = _collect_centroids(cent)
     probe_mat = _pad_matrix([r["qv"] for r in q_rows], cent_dims)
-    ranked = _probe_rank(probe_mat, cmat, cns, nprobe, round_digits)
+    probe_zero = _null_elem_flags(
+        [r["qv"] for r in q_rows], cent_dims
+    ) | (np.linalg.norm(probe_mat, axis=1) == 0)
+    ranked = _probe_rank(
+        probe_mat, cmat, cns, nprobe, round_digits, probe_zero
+    )
     cell_qidx: dict = {}
     for j in range(len(q_rows)):
         for ci in ranked[j]:
@@ -1405,12 +1436,16 @@ def ann_search_pq(
     q_mat = _pad_matrix([r["qv"] for r in q_rows], cb.n_dims)
     q_ids = [r["qid"] for r in q_rows]
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_zero = _null_elem_flags(
+        [r["qv"] for r in q_rows], cb.n_dims
+    ) | (q_norm == 0)  # Spark's otherwise-0 branch (r12)
     n_cand = max(k * rerank_factor, k)
 
     adc_ddl = f"query_id {q_id_ddl}, neighbor_id long, adc_sim double"
     adc_pa_schema = _arrow_schema(adc_ddl)
     dec = by_value(decode_list_matrix)  # canonical decode (r12); codes
     # are small ints, exactly representable through its float64 matrix
+    hup = by_value(_half_up)  # one rounding implementation (r12)
 
     def _adc(batches):
         # Arrow-native (r10): codes decode to the (batch × m) int matrix
@@ -1427,7 +1462,6 @@ def ann_search_pq(
             for s, (lo, hi) in enumerate(slices)
         ]
         m = len(luts)
-        p = 10.0 ** round_digits
         for rb in batches:
             nrows = rb.num_rows
             if not nrows:
@@ -1476,17 +1510,35 @@ def ann_search_pq(
                 for s in range(1, m):
                     dots = dots + luts[s][:, qi][codes[:, s]]
                 sims = dots / np.outer(vn_safe, qn_safe)
+                # Spark-branch zero mask (r12): q_zero carries the
+                # NULL-element query flag; NaN q-norms (NaN/±inf
+                # elements) stay scored — NaN, ranked first below.
+                # Corpus rows: NaN vnorm (pq_encode's undefined-norm
+                # marker) is dropped by `live`; the mask catches
+                # genuine zeros only.
                 sims[vnorm == 0, :] = 0.0
-                sims[:, qn == 0] = 0.0
-                # half-up round, matches F.round (see _half_up; inlined)
-                sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
+                sims[:, q_zero[qi]] = 0.0
+                sims = hup(sims, round_digits)
                 for cj, j in enumerate(qi):
                     qid = q_ids[j]
                     keep = np.nonzero((c_ids != qid) & live)[0]
                     if not len(keep):
                         continue
+                    # NaN ADC sims (inf-element query): rank first,
+                    # Spark's NaN-largest DESC rule — the candidate
+                    # cut then feeds the exact rerank the same rows
+                    # the global rank would keep (r12)
                     vals = sims[keep, cj]
-                    top = keep[np.lexsort((c_ids[keep], -vals))[:n_cand]]
+                    nan_v = np.isnan(vals)
+                    top = keep[
+                        np.lexsort(
+                            (
+                                c_ids[keep],
+                                np.where(nan_v, 0.0, -vals),
+                                ~nan_v,
+                            )
+                        )[:n_cand]
+                    ]
                     out_q.extend([qid] * len(top))
                     out_n.extend(c_ids[top])
                     out_s.extend(sims[top, cj])

@@ -645,17 +645,46 @@ def ngram_jaccard_pairs_against(
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _drop_nonfinite_element_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """The expression side of the undefined-cosine no-pair rule for
+    NaN/±INF elements (r12, the similarity NaN-ordering class): an
+    inf-element vector has norm inf and a NaN-element vector has norm
+    NaN — BOTH pass the ``when(norm > 0)`` guard (Spark's ``NaN > 0``
+    is TRUE: NaN is the largest double in its total order, unlike
+    IEEE/numpy) — and their cosines come out NaN, which Spark's ``>=``
+    also treats as larger than any threshold, so the expression twin
+    would EMIT every same-bucket pair for such rows while the GEMM
+    twin's finite sweep drops them.  NULL elements need no filter:
+    they poison the norm to NULL, genuinely fail the guard, score 0.0,
+    and the validated ``threshold > 0`` excludes them.  The ``~`` of a
+    NULL ``array_contains`` is NULL, so NULL vectors are dropped here
+    too — identical pair output (their NULL bucket never joined
+    anyway).  ``array_contains(c, NaN)`` finds NaN because Spark
+    defines NaN = NaN as TRUE (the lifecycle gate's trick)."""
+    c = F.col(vec_col)
+    return df.where(
+        ~(
+            F.array_contains(c, F.lit(float("nan")))
+            | F.array_contains(c, F.lit(float("inf")))
+            | F.array_contains(c, F.lit(float("-inf")))
+        )
+    )
+
+
 def _check_cosine_threshold(threshold: float) -> None:
     """All three cosine-pair forms require ``threshold > 0`` (r11
-    ADVICE): the undefined-cosine no-pair rule — NULL vectors, NULL/NaN
-    elements — only coincides across the twins for a positive
-    threshold.  The expression form scores such rows 0.0 through the
-    ``when(norm > 0)`` otherwise-branch and would EMIT them at
-    ``threshold <= 0``, while the GEMM form drops them in the signature
-    pass and can never produce those pairs.  A non-positive threshold
-    also makes every same-bucket pair a result (the filter is vacuous),
-    which is never the near-dup question — raise loudly, the
-    interval-join dial discipline."""
+    ADVICE): the undefined-cosine no-pair rule only coincides across
+    the twins for a positive threshold.  NULL vectors and NULL-ELEMENT
+    rows score 0.0 in the expression form (the ``when(norm > 0)``
+    guard's otherwise branch — a NULL element poisons the norm to
+    NULL) and would be EMITTED at ``threshold <= 0``, while the GEMM
+    form drops them in the signature pass and can never produce those
+    pairs.  (NaN/±inf-element rows are dropped explicitly on BOTH
+    sides — ``_drop_nonfinite_element_vectors`` — because Spark's
+    ``NaN >= t`` is TRUE at ANY threshold; r12.)  A non-positive
+    threshold also makes every same-bucket pair a result (the filter
+    is vacuous), which is never the near-dup question — raise loudly,
+    the interval-join dial discipline."""
     if not threshold > 0:  # catches NaN too
         raise ValueError(
             f"embedding cosine pair threshold must be > 0, got "
@@ -691,6 +720,7 @@ def embedding_cosine_pairs(
     from .similarity import hyperplane_signature
 
     mask = (1 << prefix_bits) - 1
+    df = _drop_nonfinite_element_vectors(df, vec_col)
     sig = hyperplane_signature(df, n_planes, id_col, vec_col, n_dims).select(
         F.col("vec_id"),
         F.col("sig").bitwiseAND(mask).alias("bucket"),
@@ -747,6 +777,7 @@ def embedding_cosine_pairs_against(
     mask = (1 << prefix_bits) - 1
 
     def _sig(df):
+        df = _drop_nonfinite_element_vectors(df, vec_col)
         return hyperplane_signature(
             df, n_planes, id_col, vec_col, n_dims
         ).select(
@@ -841,9 +872,10 @@ def embedding_cosine_pairs_gemm(
 
     from ..functions.arrow_batches import decode_list_matrix
     from ..functions.pickling import by_value
-    from .ann_index import _arrow_schema
+    from .ann_index import _arrow_schema, _half_up
 
     dec = by_value(decode_list_matrix)
+    hup = by_value(_half_up)  # one rounding implementation (r12)
     sig_ddl = f"vec_id long, bucket long, {vec_col} array<double>"
     sig_pa_schema = _arrow_schema(sig_ddl)
 
@@ -878,18 +910,19 @@ def embedding_cosine_pairs_gemm(
             # produces no pairs there; dropping the row here keeps the
             # twins identical and spares _pairs an unattributable
             # np.asarray(None) failure deep in the pairwise stage.
-            # r11.5 — same rule for NULL/NaN ELEMENTS inside a vector:
-            # cosine is undefined, the Spark expression form scores the
-            # row 0.0 (below any positive threshold → no pairs; r11
-            # ADVICE: threshold > 0 is validated at entry by
-            # _check_cosine_threshold, so this equivalence holds), and
-            # pre-r11.5 the GEMM path only excluded it because NaN
-            # comparisons happen to be False.  Dropping makes
-            # "undefined-norm vectors never pair" the explicit
-            # contract instead of an accident (test-pinned).  The
-            # sweep runs over the FULL decoded width, not the n_dims
-            # signature prefix (see the decode comment above).
-            live = live & ~np.isnan(full).any(axis=1)
+            # r11.5/r12 — same rule for NULL/NaN/±inf ELEMENTS inside
+            # a vector: cosine is undefined, so the row never pairs.
+            # Expression-side mechanics differ per class (NULL element
+            # → NULL norm fails the guard → 0.0 < the validated
+            # positive threshold; NaN/inf element → NaN cosine, which
+            # Spark's `>=` would EMIT — NaN is its largest double — so
+            # those rows are dropped up front by
+            # _drop_nonfinite_element_vectors, whose NULL-propagating
+            # where() drops NULL-element rows too); here ONE isfinite
+            # sweep covers all three classes.  The sweep runs over the
+            # FULL decoded width, not the n_dims signature prefix (see
+            # the decode comment above).
+            live = live & np.isfinite(full).all(axis=1)
             live_mask = pa.array(live)  # don't shadow the prefix mask
             yield pa.RecordBatch.from_arrays(
                 [
@@ -952,12 +985,12 @@ def embedding_cosine_pairs_gemm(
         for i0 in range(0, m, blk):
             i1 = min(i0 + blk, m)
             sims = (mat[i0:i1] @ mat.T) / np.outer(safe[i0:i1], safe)
-            sims[norms[i0:i1] == 0, :] = 0.0
-            sims[:, norms == 0] = 0.0
-            # half-up round, matches the expression twin's F.round on
-            # dyadic .5 boundaries (r9 ADVICE; see ann_index._half_up)
-            p10 = 10.0 ** round_digits
-            sims = np.sign(sims) * np.floor(np.abs(sims) * p10 + 0.5) / p10
+            # ~(norm > 0) for uniformity with the family (r12): after
+            # the signature pass's isfinite sweep the norms here are
+            # finite, so this only ever catches genuine zero vectors
+            sims[~(norms[i0:i1] > 0), :] = 0.0
+            sims[:, ~(norms > 0)] = 0.0
+            sims = hup(sims, round_digits)
             ia, ib = np.nonzero(sims >= threshold)
             keep = ids[i0:i1][ia] < ids[ib]  # strict order = triangle
             out_a.append(ids[i0:i1][ia][keep])

@@ -245,7 +245,14 @@ def pq_encode(
                 d2 = cent_sq[s][None, :] - 2.0 * (sub @ cents[s].T)
                 codes[:, s] = d2.argmin(axis=1)  # |x|^2 const per row
             vnorm = np.linalg.norm(mat, axis=1)
-            vnorm[~live] = np.nan  # NULL marker (zero vec stays 0.0)
+            # NaN vnorm marks "never a candidate": NULL vectors, and
+            # (r12) any undefined-norm row — NULL/NaN elements already
+            # norm to NaN; an ±inf element norms to inf, so force it —
+            # the codes path quantizes honest geometry only (the
+            # gated index can't contain such rows anyway; bare
+            # pq_encode callers get the documented drop)
+            vnorm[~live | ~np.isfinite(vnorm)] = np.nan
+            # (zero vectors stay exactly 0.0 — scored 0 downstream)
             codes_arr = pa.ListArray.from_arrays(
                 pa.array(
                     np.arange(0, (n + 1) * m, m, dtype=np.int32)
@@ -303,14 +310,28 @@ def pq_topk(
     q_mat = _pad_matrix([r["qv"] for r in q_rows], cb.n_dims)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm_safe = np.where(q_norm > 0, q_norm, 1.0)
+    # Spark's otherwise-0 branch (r12): NULL-element queries (NULL norm
+    # in an expression guard) + genuine zero queries; NaN norms
+    # (NaN/±inf elements) stay scored and rank first
+    q_zero = np.array(
+        [
+            any(
+                x is None
+                for x in (r["qv"][: cb.n_dims] if r["qv"] else [])
+            )
+            for r in q_rows
+        ],
+        dtype=bool,
+    ) | (q_norm == 0)
     slices = _subspace_slices(cb.n_dims, cb.m_subspaces)
     books = cb.books
-    from .ann_index import _arrow_schema
+    from .ann_index import _arrow_schema, _half_up
 
     scan_ddl = "query_id long, neighbor_id long, cos_sim double"
     scan_pa_schema = _arrow_schema(scan_ddl)
     dec = by_value(decode_list_matrix)  # canonical decode (r12); codes
     # are small ints, exactly representable through its float64 matrix
+    hup = by_value(_half_up)  # one rounding implementation (r12)
 
     def _scan(batches):
         # Arrow-native (r10): codes decode to the (batch × m) int
@@ -327,7 +348,6 @@ def pq_topk(
             for s, (lo, hi) in enumerate(slices)
         ]
         m = len(slices)
-        p = 10.0 ** round_digits
         for rb in batches:
             n = rb.num_rows
             if not n:
@@ -344,18 +364,28 @@ def pq_topk(
             live = ~np.isnan(vnorm)
             vsafe = np.where(vnorm > 0, vnorm, 1.0)
             sims = dots / np.outer(vsafe, q_norm_safe)
+            # Spark-branch zero mask (r12): q_zero carries the
+            # NULL-element query flag; NaN q-norms (NaN/±inf elements)
+            # stay scored — NaN, ranked first below.  NaN vnorm rows
+            # (the undefined-norm corpus marker) are dropped by `live`;
+            # the row mask catches genuine zeros only.
             sims[vnorm == 0, :] = 0.0
-            sims[:, q_norm == 0] = 0.0
-            # half-up round, matches F.round (r9 ADVICE; see
-            # ann_index._half_up — inlined, self-contained closure)
-            sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
+            sims[:, q_zero] = 0.0
+            sims = hup(sims, round_digits)
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
                 col = sims[:, j]
                 idx = np.nonzero((c_ids != q_ids[j]) & live)[0]
                 if not len(idx):
                     continue
-                top = idx[np.lexsort((c_ids[idx], -col[idx]))[:k]]
+                # NaN sims rank first (Spark's NaN-largest DESC; r12)
+                vals = col[idx]
+                nan_v = np.isnan(vals)
+                top = idx[
+                    np.lexsort(
+                        (c_ids[idx], np.where(nan_v, 0.0, -vals), ~nan_v)
+                    )[:k]
+                ]
                 out_q.extend([q_ids[j]] * len(top))
                 out_n.extend(c_ids[top])
                 out_s.extend(col[top])

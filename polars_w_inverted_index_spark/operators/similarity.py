@@ -265,13 +265,26 @@ def brute_force_topk_gemm(
         )
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    # NULL ELEMENTS decode to NaN in q_mat, identically to NaN
+    # elements — but Spark branches them apart (NULL norm fails the
+    # when(norm > 0) guard → 0.0; NaN norm PASSES it, Spark's NaN is
+    # larger than any double → NaN scores, ranked first), so the flag
+    # must come from the raw rows (r12, found by the bad-element fuzz)
+    q_nullelem = np.array(
+        [any(x is None for x in r["qv"]) for r in q_rows], dtype=bool
+    )
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm_safe = np.where(q_norm > 0, q_norm, 1.0)
+    q_zero = q_nullelem | (q_norm == 0)  # Spark's otherwise-0 branch
 
-    from .ann_index import _arrow_schema
+    from .ann_index import _arrow_schema, _half_up
+    from ..functions.arrow_batches import decode_list_matrix
+    from ..functions.pickling import by_value
 
     score_ddl = "query_id long, neighbor_id long, cos_sim double"
     score_pa_schema = _arrow_schema(score_ddl)
+    dec = by_value(decode_list_matrix)  # canonical decode (r12)
+    hup = by_value(_half_up)
 
     def _score(batches):
         # Arrow-native (r10): the pandas bridge's per-row vector
@@ -280,10 +293,8 @@ def brute_force_topk_gemm(
         # Python (ann_index._assign_cells has the pattern's rationale)
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         nd = q_mat.shape[1]
-        p = 10.0 ** round_digits
         for rb in batches:
             n = rb.num_rows
             if not n:
@@ -293,38 +304,21 @@ def brute_force_topk_gemm(
             # NULL corpus vectors never surface as neighbors — the SQL
             # twin scores them NULL (sorted last under desc); a 0.0
             # emission would outrank genuine negative sims (r9 ADVICE).
-            live = (
-                col.is_valid().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.ones(n, dtype=bool)
+            c_mat, live, _lens, c_nullelem = dec(
+                col, n, width=nd, with_null_elem=True
             )
-            lv = pc.list_value_length(col).to_numpy(
-                zero_copy_only=False
-            )[live].astype(np.int64)
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            c_mat = np.zeros((n, nd), dtype=np.float64)
-            if lv.size and (lv == lv[0]).all():
-                w = int(lv[0])
-                if w:
-                    c_mat[live, : min(w, nd)] = flat.reshape(-1, w)[
-                        :, :nd
-                    ]
-            else:  # ragged widths (mixed-dim corpora): per-row scatter
-                pos = 0
-                for j, w in zip(np.nonzero(live)[0], lv):
-                    w = int(w)
-                    c_mat[j, : min(w, nd)] = flat[pos: pos + min(w, nd)]
-                    pos += w
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm_safe = np.where(c_norm > 0, c_norm, 1.0)
             sims = (c_mat @ q_mat.T) / np.outer(c_norm_safe, q_norm_safe)
-            sims[c_norm == 0, :] = 0.0
-            sims[:, q_norm == 0] = 0.0
-            # half-up round, matches F.round (r9 ADVICE; see
-            # ann_index._half_up — inlined, self-contained closure)
-            sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
+            # Spark's otherwise-0 branch is `null_elem | norm == 0`,
+            # NOT ~(norm > 0) (r12, the bad-element fuzz): a NULL
+            # element poisons the expression norm to NULL (guard falls
+            # to 0.0), but a NaN norm — NaN/±inf ELEMENTS — PASSES
+            # Spark's `> 0` (NaN is the largest double there, unlike
+            # numpy), scores NaN, and ranks FIRST under DESC
+            sims[c_nullelem | (c_norm == 0), :] = 0.0
+            sims[:, q_zero] = 0.0
+            sims = hup(sims, round_digits)
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
                 col_j = sims[:, j]
@@ -332,8 +326,18 @@ def brute_force_topk_gemm(
                 idx = np.nonzero(mask)[0]
                 if not len(idx):
                     continue
-                # local top-k, ties broken by id (matches the global rank)
-                top = idx[np.lexsort((c_ids[idx], -col_j[idx]))[:k]]
+                # local top-k, ties broken by id (matches the global
+                # rank); NaN sims (inf-element vectors — norm inf
+                # passes the mask, cosine inf/inf) rank FIRST like
+                # Spark's NaN-above-every-double DESC order, not last
+                # like a plain lexsort (r12)
+                vals = col_j[idx]
+                nan_v = np.isnan(vals)
+                top = idx[
+                    np.lexsort(
+                        (c_ids[idx], np.where(nan_v, 0.0, -vals), ~nan_v)
+                    )[:k]
+                ]
                 out_q.extend([q_ids[j]] * len(top))
                 out_n.extend(c_ids[top])
                 out_s.extend(col_j[top])
@@ -391,13 +395,15 @@ def _ivf_assign_gemm(
     semantics replicate the expression form exactly (fuzz-pinned by
     ``test_ivf_assign_gemm_twin``):
 
-    - zero-norm / NULL / NULL-or-NaN-ELEMENT vector, or zero-norm
-      centroid → ccos 0.0: the mask is ``~(norm > 0)``, NOT
-      ``norm == 0``, so a NaN norm (NULL element decodes to NaN) fails
-      into the zero branch exactly like the expression
-      ``when(na>0 & nb>0)`` guard whose NULL/NaN comparison is not
-      true (r11 review finding — ``norm == 0`` let NaN cosines leak
-      past both masks);
+    - zero-norm / NULL / NULL-ELEMENT vector (or centroid) → ccos
+      0.0: Spark's guard falls to otherwise-0 when the norm is NULL (a
+      NULL element poisons the fold) or fails ``> 0`` (zero norm) —
+      the GEMM mask is ``null_elem | (norm == 0)``, with ``null_elem``
+      from the Arrow validity bitmap because the decoded matrix can't
+      tell a NULL element from a NaN one (r12 bad-element fuzz);
+    - a NaN-ELEMENT vector is the OTHER branch: its NaN norm PASSES
+      Spark's ``> 0`` (NaN is Spark's largest double, unlike numpy),
+      ccos is NaN, and NaN ranks FIRST under DESC — tiered below;
     - width mismatch with both norms > 0 → NULL ccos (``zip_with``
       null-pads, one null poisons the fold) — ranks AFTER every
       non-null ccos, ties by cid ascending;
@@ -425,6 +431,12 @@ def _ivf_assign_gemm(
     cent_rows = sorted(cent_rows, key=lambda r: int(r[0]))
     cids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
     cvecs = [np.asarray(r[1], dtype=np.float64) for r in cent_rows]
+    # NULL-element flags from the RAW rows: np.asarray turns None into
+    # NaN, indistinguishable from a NaN element, but Spark branches
+    # them apart (NULL norm → otherwise-0; NaN norm → scored NaN)
+    c_nullelem = np.array(
+        [any(x is None for x in r[1]) for r in cent_rows], dtype=bool
+    )
     clens = np.array([len(v) for v in cvecs], dtype=np.int64)
     cw = max((int(x) for x in clens), default=1)
     cmat_base = np.zeros((len(cvecs), cw), dtype=np.float64)
@@ -449,7 +461,9 @@ def _ivf_assign_gemm(
             if not n or not keep:
                 continue
             col = rb.column(1)
-            mat, _live, lens = dec(col, n, min_width=cw)
+            mat, _live, lens, null_e = dec(
+                col, n, min_width=cw, with_null_elem=True
+            )
             w = mat.shape[1]
             cmat = (
                 cmat_base
@@ -457,13 +471,20 @@ def _ivf_assign_gemm(
                 else np.pad(cmat_base, ((0, 0), (0, w - cw)))
             )
             norms = np.linalg.norm(mat, axis=1)
-            live_n = norms > 0  # False for zero-norm AND NaN norms
-            safe_n = np.where(live_n, norms, 1.0)
+            safe_n = np.where(norms > 0, norms, 1.0)
             safe_c = np.where(cnorms > 0, cnorms, 1.0)
             cos = hup(
                 (mat @ cmat.T) / np.outer(safe_n, safe_c), rdigits
             )  # NaN/inf pass through, like Spark Round's non-finite case
-            zero_pair = ~(live_n[:, None] & (cnorms > 0)[None, :])
+            # Spark's otherwise-0 branch: NULL norm (a NULL ELEMENT —
+            # from null_e, the decode's NaN can't tell it apart) or a
+            # genuine zero norm.  A NaN norm (NaN/±inf elements) PASSES
+            # Spark's `> 0` (NaN is its largest double) and scores NaN
+            # — ranked first by the tiers below (r12 bad-element fuzz;
+            # the old `norms > 0` mask replicated numpy, not Spark)
+            zero_pair = (null_e | (norms == 0))[:, None] | (
+                c_nullelem | (cnorms == 0)
+            )[None, :]
             cos[zero_pair] = 0.0
             # width mismatch (both norms > 0): the expression fold is
             # NULL — sorts after all non-null ccos
@@ -714,8 +735,11 @@ def hyperplane_signature_gemm(
     expression form's exactly, fuzz-pinned by
     ``test_dedup_similarity.test_hyperplane_signature_gemm_twin``:
     NULL / empty / all-zero vectors sign to 0 (a zero matrix row),
-    short vectors zero-pad (== the prefix-slice rule), wide vectors
-    truncate at ``n_dims``.
+    NULL-ELEMENT vectors sign to 0 (NULL-poisoned fold, every plane's
+    otherwise-0 branch), NaN-ELEMENT vectors set EVERY NaN plane's bit
+    (Spark's ``NaN > 0`` is TRUE — r12 bad-element fuzz), short
+    vectors zero-pad (== the prefix-slice rule), wide vectors truncate
+    at ``n_dims``.
     """
     import numpy as np
 
@@ -738,6 +762,7 @@ def hyperplane_signature_gemm(
     sig_pa_schema = _arrow_schema(sig_ddl)
 
     def _sign(batches):
+        import numpy as np
         import pyarrow as pa
 
         for rb in batches:
@@ -747,11 +772,21 @@ def hyperplane_signature_gemm(
             col = rb.column(1)
             # NULL rows stay all-zero → proj 0 → sig 0, the expression
             # form's value (its NULL-poisoned fold lands in when()'s
-            # otherwise-0 branch per plane); a NULL/NaN ELEMENT decodes
-            # to NaN → NaN proj → NaN > 0 is False → sig bit 0, again
-            # the expression value (poisoned fold, otherwise-0 branch)
-            mat, _live, _lens = dec(col, n, width=n_dims)
-            sig = ((mat @ w_mat.T) > 0) @ bits_vec
+            # otherwise-0 branch per plane).  A NULL ELEMENT poisons
+            # the expression fold to NULL → bit 0 on EVERY plane →
+            # sig 0 (null_e rows forced below — the decode's NaN can't
+            # tell NULL from NaN elements).  A NaN ELEMENT is the
+            # OTHER branch (r12 bad-element fuzz): the fold value is
+            # NaN and Spark's `NaN > 0` is TRUE (NaN is its largest
+            # double), so every NaN plane sets its bit — hence the
+            # isnan term, where plain numpy `> 0` would leave it 0.
+            mat, _live, _lens, null_e = dec(
+                col, n, width=n_dims, with_null_elem=True
+            )
+            proj = mat @ w_mat.T
+            bits = (proj > 0) | np.isnan(proj)
+            bits[null_e] = False
+            sig = bits @ bits_vec
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(0).cast(sig_pa_schema.field(0).type),

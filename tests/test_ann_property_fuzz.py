@@ -530,3 +530,69 @@ def test_fuzz_embedding_cosine_pairs_gemm_matches_expression(cq):
         )
     )
     assert got == want
+
+
+def _corpus_with_bad_elements(min_corpus=5, max_corpus=10, max_q=3):
+    """Like _corpus_and_queries, but corpus AND query vectors may carry
+    NULL / NaN / ±inf ELEMENTS (one shared width, the brute contract).
+    Separate strategy on purpose: the lifecycle fuzzes must stay on
+    gate-clean corpora (the index gate REFUSES these elements)."""
+    elem = st.one_of(
+        st.sampled_from(DYADIC),
+        st.sampled_from(
+            [None, float("nan"), float("inf"), float("-inf")]
+        ),
+    )
+    return st.integers(2, 4).flatmap(
+        lambda w: st.tuples(
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.lists(elem, min_size=w, max_size=w),
+                ),
+                min_size=min_corpus,
+                max_size=max_corpus,
+            ),
+            st.lists(
+                st.lists(elem, min_size=w, max_size=w),
+                min_size=1,
+                max_size=max_q,
+            ),
+        )
+    )
+
+
+def _nan_key(df):
+    return sorted(
+        (
+            (
+                r["query_id"],
+                r["neighbor_id"],
+                "NaN" if r["cos_sim"] != r["cos_sim"] else r["cos_sim"],
+                r["rank"],
+            )
+            for r in df.collect()
+        ),
+        key=lambda t: tuple(repr(x) for x in t),
+    )
+
+
+@_SETTINGS
+@given(cq=_corpus_with_bad_elements())
+def test_fuzz_brute_twins_agree_on_undefined_norm_vectors(cq):
+    """r12: the brute twins under NULL/NaN/±inf ELEMENT fuzz.  The
+    dyadic generator intentionally avoided these shapes, which is how
+    the `norm == 0` mask (NaN slipped past into inconsistent NaN
+    ranks) and lexsort's NaN-last order (Spark ranks NaN FIRST under
+    DESC) survived to r12 — this generator makes both permanent."""
+    from polars_w_inverted_index_spark.operators.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    corpus_vecs, query_vecs = cq
+    assume(sum(v is not None for v in corpus_vecs) >= 2)
+    spark = get_session("property_tests")
+    corpus, queries, _twin = _frames(spark, corpus_vecs, query_vecs)
+    got = _nan_key(brute_force_topk_gemm(corpus, queries, k=K))
+    want = _nan_key(brute_force_topk(corpus, queries, k=K))
+    assert got == want

@@ -216,6 +216,70 @@ def test_gemm_topk_matches_expression_path(spark):
     assert got == want
 
 
+def _canon_nan_rows(df):
+    """NaN-aware row canon: tuple equality calls NaN != NaN a mismatch,
+    and the inf-element edge rows legitimately score NaN identically in
+    both twins."""
+    rows = [
+        tuple("NaN" if isinstance(x, float) and x != x else x for x in r)
+        for r in df.collect()
+    ]
+    return sorted(rows, key=lambda t: tuple(repr(x) for x in t))
+
+
+def test_gemm_topk_undefined_norm_edges_match_expression(spark):
+    """r12 (the _ivf_assign_gemm ADVICE class, applied to the brute
+    twins — then CORRECTED by the bad-element fuzz): Spark branches
+    undefined norms in two ways the decoded matrix can't distinguish.
+    A NULL-ELEMENT vector poisons the expression norm to NULL → the
+    `when(norm > 0)` guard falls to its otherwise-0 branch → 0.0.  A
+    NaN-ELEMENT (or ±inf-element) vector has a NaN (or inf) norm and
+    Spark's `NaN > 0` is TRUE (NaN is its largest double, unlike
+    numpy) → the guard PASSES → the score is NaN → ranked FIRST under
+    DESC.  The GEMM twin therefore needs the Arrow-validity
+    null-element mask for the zero branch and a NaN-first tier in its
+    local top-k.  One width everywhere: ragged-vs-query-width rows are
+    the documented out-of-contract shape for the brute pair."""
+    base = [float((i * 7) % 11 - 5) or 1.0 for i in range(8)]
+    corpus = spark.createDataFrame(
+        [
+            (0, base),
+            (1, [-v for v in base]),
+            (2, base[:3] + [None] + base[4:]),          # NULL element
+            (3, base[:5] + [float("nan")] + base[6:]),  # NaN element
+            (4, base[:2] + [float("inf")] + base[3:]),  # inf element
+            (5, [0.0] * 8),                              # zero vector
+            (6, None),                                   # NULL vector
+            (7, [v * 2 for v in base]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (100, base),
+            (101, base[:4] + [float("-inf")] + base[5:]),  # inf query
+            (102, base[:6] + [None] + base[7:]),           # NULL elem
+            (103, [0.0] * 8),                              # zero query
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    want = _canon_nan_rows(SIM.brute_force_topk(corpus, queries, k=7))
+    got = _canon_nan_rows(SIM.brute_force_topk_gemm(corpus, queries, k=7))
+    assert got == want and got
+    # the NaN tier is exercised, not vacuously green: BOTH the
+    # NaN-element (3) and inf-element (4) corpus rows score NaN for
+    # the clean query and rank first, ties by id
+    top2 = sorted(
+        [t for t in got if t[0] == 100 and t[3] in (1, 2)],
+        key=lambda t: t[3],
+    )
+    assert top2 == [(100, 3, "NaN", 1), (100, 4, "NaN", 2)], got[:8]
+    # and the NULL-element corpus row scores 0.0 (the OTHER branch),
+    # never NaN, for the clean query
+    r2 = [t for t in got if t[0] == 100 and t[1] == 2]
+    assert r2 and r2[0][2] == 0.0, r2
+
+
 def test_jaccard_release_frees_cache_with_dfcut(spark, docs):
     """release_intermediates must unpersist the frame that was actually
     persisted — with max_shingle_freq the shingle frame is rebound after
@@ -590,21 +654,33 @@ def test_hyperplane_signature_gemm_twin(spark):
             (5, [0.0] * 64),
             (6, vals),  # wide: truncates at n_dims
             (7, vals[:30] + [None] + vals[31:64]),  # NULL ELEMENT → sig 0
+            (8, vals[:20] + [float("nan")] + vals[21:64]),  # NaN ELEMENT
+            # → every plane's fold is NaN and Spark's NaN > 0 is TRUE
+            # (r12) → ALL bits set, the opposite branch from NULL
+            (9, vals[:20] + [float("inf")] + vals[21:64]),  # inf elem
         ],
         "vec_id long, embedding array<double>",
     ).coalesce(1)  # one batch → NULL+ragged exercise one scatter pass
-    w = {
-        r["vec_id"]: (r["sig"], r["embedding"])
-        for r in SIM.hyperplane_signature(edge).collect()
-    }
-    g = {
-        r["vec_id"]: (r["sig"], r["embedding"])
-        for r in SIM.hyperplane_signature_gemm(edge).collect()
-    }
+
+    def _sig_emb(df):
+        out = {}
+        for r in df.collect():
+            emb = r["embedding"]
+            canon = (
+                None
+                if emb is None
+                else tuple("NaN" if x != x else x for x in emb)
+            )
+            out[r["vec_id"]] = (r["sig"], canon)
+        return out
+
+    w = _sig_emb(SIM.hyperplane_signature(edge))
+    g = _sig_emb(SIM.hyperplane_signature_gemm(edge))
     assert g == w  # sigs AND the passed-through embeddings
     assert g[2][0] == 0 and g[2][1] is None  # NULL row kept, sig 0
     assert g[6][0] == g[1][0]  # wide == prefix
     assert g[7][0] == 0  # NULL element poisons the fold → sig 0
+    assert g[8][0] == (1 << 16) - 1  # NaN element → every bit set
 
 
 def test_ivf_assign_gemm_twin(spark):
@@ -644,10 +720,14 @@ def test_ivf_assign_gemm_twin(spark):
         # the expression guard's NULL norm → ccos 0.0 everywhere; the
         # GEMM mask is norm > 0 (NaN fails) → same branch (r11 review)
         (11, vals[:40] + [float("inf")] + vals[41:64]),  # INF element:
-        # norm inf passes the >0 mask in BOTH twins, cosines are NaN
+        # norm inf passes the >0 guard in BOTH twins, cosines are NaN
         # (inf/inf) — Spark ranks NaN ABOVE every double under DESC, so
         # the GEMM sort key is tiered NaN < value < NULL (r11 ADVICE)
         (12, [float("-inf")] * 64),
+        (13, vals[:7] + [float("nan")] + vals[8:64]),  # NaN ELEMENT:
+        # unlike a NULL element, Spark's guard PASSES (NaN > 0 is TRUE
+        # there) and the ccos is NaN — the NaN tier again, NOT the
+        # zero branch (r12 bad-element fuzz finding)
     ]
     corpus = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
@@ -663,6 +743,9 @@ def test_ivf_assign_gemm_twin(spark):
             # ccos NaN vs every centroid → NaN tier ranks first in
             # both twins, ties by cid asc → probes the lowest cids
             (106, [float("inf")] * 64),
+            (107, vals[:15] + [float("nan")] + vals[16:64]),  # NaN
+            # element: guard passes in Spark (NaN > 0 TRUE) → NaN
+            # ccos → NaN tier, NOT the NULL-element zero branch
         ],
         "vec_id long, embedding array<double>",
     )
@@ -708,6 +791,13 @@ def test_embedding_cosine_gemm_null_element_vectors_never_pair(spark):
         # full-width, so this row's cosine is undefined even though
         # its 8-dim signature prefix is clean
         (4, base + [float("nan")]),
+        # r12: ±INF elements are the same undefined-cosine class, but
+        # they PASS the when(norm > 0) guard (norm inf) and score NaN,
+        # which Spark's `>=` treats as larger than any threshold — the
+        # expression twin now drops them explicitly
+        # (_drop_nonfinite_element_vectors) and the GEMM sweep is isfinite
+        (5, base[:2] + [float("inf")] + base[3:]),
+        (6, base + [float("-inf")]),  # inf past the signature prefix
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     for fn in (DD.embedding_cosine_pairs_gemm, DD.embedding_cosine_pairs):
