@@ -829,6 +829,15 @@ def ann_index_compact(spark: SparkSession, root: str) -> int:
 
     _recover_cells(root)
     cells_dir = os.path.join(root, "cells")
+    tmp = os.path.join(root, "cells__compacting")
+    # A compaction that crashed BEFORE its first rename leaves a
+    # complete-but-stale staging dir beside the LIVE cells tree.
+    # _recover_cells must NOT touch it (it runs on the concurrent serve
+    # path, which could race an in-flight compaction's staging write);
+    # this single-writer job owns the staging dir, so it collects the
+    # orphan here — BEFORE the no-work early return, or a delta-free
+    # index would carry the stale snapshot forever (r12 crash fuzz).
+    shutil.rmtree(tmp, ignore_errors=True)
     deltas = glob.glob(os.path.join(cells_dir, "cell=*", "ingest_batch=*"))
     deltas = [d for d in deltas if not d.endswith("ingest_batch=-1")]
     legacy = _legacy_cell_layout(cells_dir)
@@ -837,8 +846,6 @@ def ann_index_compact(spark: SparkSession, root: str) -> int:
     current = spark.read.parquet(cells_dir).select(
         "cell", "vec_id", "cv", "cn"
     )
-    tmp = os.path.join(root, "cells__compacting")
-    shutil.rmtree(tmp, ignore_errors=True)
     (
         current.withColumn("ingest_batch", F.lit(-1))
         .write.mode("overwrite")

@@ -596,3 +596,204 @@ def test_fuzz_brute_twins_agree_on_undefined_norm_vectors(cq):
     got = _nan_key(brute_force_topk_gemm(corpus, queries, k=K))
     want = _nan_key(brute_force_topk(corpus, queries, k=K))
     assert got == want
+
+
+def test_ann_serves_match_brute_on_undefined_norm_queries(spark, tmp_path):
+    """r12: the serve paths' QUERY side is not lifecycle-gated, so a
+    NULL-element / NaN-element / ±inf-element / zero query must serve
+    exactly like the brute expression twin at full coverage: NULL
+    element → the guard's NULL norm → 0.0 everywhere (q_zero, wired
+    from the collected rows through _score/_adc/_probe_rank); NaN/inf
+    element → NaN scores, ranked FIRST (Spark's NaN-largest order);
+    zero → 0.0.  Pins ann_search AND ann_search_pq (corpus-covering
+    rerank) against brute_force_topk."""
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+
+    base = [float((i * 5) % 9 - 4) or 2.0 for i in range(4)]
+    corpus = spark.createDataFrame(
+        [
+            (0, base),
+            (1, [-v for v in base]),
+            (2, [v * 0.5 for v in base]),
+            (3, [0.0] * 4),
+            (4, None),  # NULL vector rides through the build unscored
+            (5, [v * 3 for v in base]),
+        ],
+        SCHEMA,
+    )
+    queries = spark.createDataFrame(
+        [
+            (100, base),
+            (101, base[:1] + [None] + base[2:]),           # NULL elem
+            (102, base[:2] + [float("nan")] + base[3:]),   # NaN elem
+            (103, base[:3] + [float("-inf")]),             # inf elem
+            (104, [0.0] * 4),                              # zero query
+        ],
+        SCHEMA,
+    )
+
+    def nan_key(df):
+        return sorted(
+            (
+                (
+                    r["query_id"],
+                    r["neighbor_id"],
+                    "NaN" if r["cos_sim"] != r["cos_sim"] else r["cos_sim"],
+                    r["rank"],
+                )
+                for r in df.collect()
+            ),
+            key=lambda t: tuple(repr(x) for x in t),
+        )
+
+    twin = corpus.where(F.col("embedding").isNotNull())
+    want = nan_key(brute_force_topk(twin, queries, k=K))
+    root = str(tmp_path / "ann_badq")
+    build_ann_index(corpus, root, n_centroids=2, n_iters=1)
+    got = nan_key(ann_search(spark, root, queries, k=K, nprobe=2))
+    assert got == want
+    pq_augment_ann_index(spark, root, m_subspaces=2, n_codes=4)
+    got_pq = nan_key(
+        ann_search_pq(
+            spark, root, queries, k=K, nprobe=2, rerank_factor=1000
+        )
+    )
+    assert got_pq == want
+    # observability: the NaN-element and inf-element queries really do
+    # emit NaN-scored neighbors at rank 1 in every path
+    for rows in (want, got, got_pq):
+        for qid in (102, 103):
+            r1 = [t for t in rows if t[0] == qid and t[3] == 1]
+            assert r1 and r1[0][2] == "NaN", (qid, rows)
+
+
+@_SETTINGS
+@given(cq=_corpus_with_bad_elements(min_corpus=5, max_corpus=10, max_q=2))
+def test_fuzz_ivf_gemm_assign_matches_expression_on_bad_elements(cq):
+    """The ivf twins under the same NULL/NaN/±inf ELEMENT fuzz that
+    corrected the brute twins (r12): centroids seed from the corpus, so
+    bad elements reach BOTH sides of the assign GEMM — NULL elements
+    must take the guard's zero branch (from the Arrow validity mask /
+    the collected centroid rows), NaN/inf elements must score NaN and
+    rank in the NaN tier, exactly like the expression form.  nprobe=1
+    < n_centroids=2 keeps the assignment observable (full probe is
+    invariant to it)."""
+    from polars_w_inverted_index_spark.operators.similarity import ivf_topk
+
+    corpus_vecs, query_vecs = cq
+    assume(sum(v is not None for v in corpus_vecs) >= 2)
+    spark = get_session("property_tests")
+    corpus, queries, _twin = _frames(spark, corpus_vecs, query_vecs)
+    kw = dict(k=K, n_centroids=2, nprobe=1)
+    want = _nan_key(ivf_topk(corpus, queries, assign="expr", **kw))
+    got = _nan_key(ivf_topk(corpus, queries, assign="gemm", **kw))
+    assert got == want
+
+
+ANN_CRASH_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("ingest"), st.integers(0, 3)),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("crash_pre_swap"), st.none()),
+        st.tuples(st.just("crash_mid_swap"), st.none()),
+        st.tuples(st.just("crash_post_swap"), st.none()),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+_ANN_CRASH_SETTINGS = settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@_ANN_CRASH_SETTINGS
+@given(ops=ANN_CRASH_OPS)
+def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
+    """The ANN-index analog of the LSM crash fuzz (r12, extending r11
+    VERDICT task 7 to the repo's other O(index) maintenance job):
+    interleave ingest / compact with the three on-disk states a crashed
+    compaction swap can leave —
+
+    - PRE-swap: a complete ``cells__compacting`` beside LIVE cells
+      (crash after the staging write, before the first rename);
+    - MID-swap: cells RENAMED AWAY, only the staging dir present
+      (crash between the two renames — the documented heal window);
+    - POST-swap: a stale ``cells__old`` beside live cells (crash
+      before the final cleanup);
+
+    and assert the next lifecycle touch (_recover_cells runs first in
+    ingest/compact/serve) heals each, serving always equals brute
+    force over exactly the ingested rows, and a final compact leaves
+    no stray staging/old directories."""
+    import os
+    import shutil
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_index_add_batch,
+        ann_index_compact,
+    )
+
+    spark = get_session("property_tests")
+    root = str(tmp_path_factory.mktemp("ann_crash") / "idx")
+    W = 3
+
+    def vec(i):
+        return [float((i * 3 + j) % 7 - 3) or 1.0 for j in range(W)]
+
+    base_rows = [(i, vec(i)) for i in range(6)]
+    build_ann_index(
+        spark.createDataFrame(base_rows, SCHEMA), root,
+        n_centroids=2, n_iters=1,
+    )
+    ingested = list(base_rows)
+    next_id = 100
+    cells = os.path.join(root, "cells")
+    tmp_dir, old_dir = cells + "__compacting", cells + "__old"
+
+    for op, arg in ops:
+        if op == "ingest":
+            rows = [(next_id + j, vec(next_id + j)) for j in range(arg)]
+            batch = (
+                spark.createDataFrame(rows, SCHEMA)
+                if rows
+                else spark.createDataFrame([], SCHEMA)
+            )
+            assert ann_index_add_batch(
+                spark, root, batch, batch_tag=next_id
+            ) == len(rows)
+            ingested.extend(rows)
+            next_id += arg + 1
+        elif op == "compact":
+            ann_index_compact(spark, root)
+        elif not os.path.isdir(cells):
+            continue  # already mid-swap: a second crash state is moot
+        elif op == "crash_pre_swap":
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            shutil.copytree(cells, tmp_dir)
+        elif op == "crash_mid_swap":
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            os.rename(cells, tmp_dir)
+        elif op == "crash_post_swap":
+            shutil.rmtree(old_dir, ignore_errors=True)
+            shutil.copytree(cells, old_dir)
+
+    queries = spark.createDataFrame(
+        [(1000, vec(0)), (1001, vec(3))], SCHEMA
+    )
+    truth = _key(
+        brute_force_topk(
+            spark.createDataFrame(ingested, SCHEMA), queries, k=K
+        )
+    )
+    # full probe through whatever crash state the sequence left —
+    # _recover_cells heals it on this first touch
+    assert _key(ann_search(spark, root, queries, k=K, nprobe=2)) == truth
+    ann_index_compact(spark, root)
+    assert not os.path.exists(tmp_dir) and not os.path.exists(old_dir)
+    assert _key(ann_search(spark, root, queries, k=K, nprobe=2)) == truth
