@@ -56,17 +56,62 @@ def test_fixed_width_truncates_both_paths():
     assert lr.tolist() == [3, 1]  # lens report the TRUE lengths
 
 
-def test_null_element_decodes_to_nan_and_norm_gt_zero_is_false():
-    """The documented caller contract: a NULL element inside a list
-    becomes NaN, and the mask callers must use (``norm > 0``) routes
-    the row into the zero/otherwise branch — ``norm == 0`` would not."""
-    col = _col([[1.0, None], [1.0, 2.0]])
-    mat, live, lens = decode_list_matrix(col, 2)
-    assert live.all() and lens.tolist() == [2, 2]
-    assert np.isnan(mat[0, 1]) and mat[1].tolist() == [1.0, 2.0]
+def test_null_element_decodes_to_nan_and_mask_flags_it():
+    """The r12 caller contract: a NULL element inside a list becomes
+    NaN in the matrix — indistinguishable from a NaN element there —
+    so the zero-branch decision must come from the ``null_elem`` mask
+    (Arrow child validity), combined as ``null_elem | (norm == 0)``.
+    Spark's ``NaN > 0`` is TRUE (its NaN is the largest double), so
+    the pre-r12 guidance of masking on ``~(norm > 0)`` would wrongly
+    zero NaN-element rows the expression twins SCORE (NaN, ranked
+    first)."""
+    col = _col([[1.0, None], [1.0, 2.0], [1.0, float("nan")]])
+    mat, live, lens, null_e = decode_list_matrix(
+        col, 3, with_null_elem=True
+    )
+    assert live.all() and lens.tolist() == [2, 2, 2]
+    assert np.isnan(mat[0, 1]) and np.isnan(mat[2, 1])  # identical mats
+    assert mat[1].tolist() == [1.0, 2.0]
+    assert null_e.tolist() == [True, False, False]  # the ONLY signal
     norms = np.linalg.norm(mat, axis=1)
-    assert not (norms[0] > 0)  # NaN fails the guard — the safe branch
-    assert norms[0] != 0  # ...which `norm == 0` would NOT catch
+    zero_branch = null_e | (norms == 0)
+    assert zero_branch.tolist() == [True, False, False]
+
+
+def test_null_elem_mask_prefix_scoped_and_default_off():
+    """The mask is prefix-scoped to the decode width (a NULL past the
+    truncation is invisible to the expression twin's sliced fold too)
+    and respects NULL rows (no flag — they're not NULL-ELEMENT rows);
+    the default 3-tuple return is unchanged for callers that don't opt
+    in."""
+    col = _col([[1.0, 2.0, None], [None, 2.0, 3.0], None, [1.0, 2.0]])
+    mat, live, lens, null_e = decode_list_matrix(
+        col, 4, width=2, with_null_elem=True
+    )
+    # row 0's NULL sits past width=2 -> not flagged; row 1's is inside
+    assert null_e.tolist() == [False, True, False, False]
+    assert live.tolist() == [True, True, False, True]
+    # no-null child fast path: mask exists and is all-False
+    clean = _col([[1.0], [2.0]])
+    _m, _l, _s, ne = decode_list_matrix(clean, 2, with_null_elem=True)
+    assert not ne.any()
+    # default return stays a 3-tuple
+    assert len(decode_list_matrix(col, 4, width=2)) == 3
+
+
+def test_null_elem_mask_respects_slice_offset():
+    """Sliced RecordBatch columns must produce the mask for the SLICED
+    rows, not the parent buffer (the flatten-offset trap, null_elem
+    edition)."""
+    col = _col(
+        [[9.0, None], [1.0, 2.0], [None, 4.0], [5.0, 6.0]]
+    ).slice(1, 3)
+    mat, live, lens, null_e = decode_list_matrix(
+        col, 3, with_null_elem=True
+    )
+    assert null_e.tolist() == [False, True, False]
+    assert mat[0].tolist() == [1.0, 2.0]
+    assert np.isnan(mat[1, 0]) and mat[2].tolist() == [5.0, 6.0]
 
 
 def test_sliced_batch_offsets_respected():

@@ -718,7 +718,9 @@ def test_ivf_assign_gemm_twin(spark):
         (9, [-v * 2 for v in vals[8:72]]),
         (10, vals[:20] + [None] + vals[21:64]),  # NULL ELEMENT row:
         # the expression guard's NULL norm → ccos 0.0 everywhere; the
-        # GEMM mask is norm > 0 (NaN fails) → same branch (r11 review)
+        # GEMM zero branch is null_elem | (norm == 0), the null flag
+        # from the Arrow validity bitmap (r12 — NULL and NaN elements
+        # both decode to NaN but Spark branches them apart)
         (11, vals[:40] + [float("inf")] + vals[41:64]),  # INF element:
         # norm inf passes the >0 guard in BOTH twins, cosines are NaN
         # (inf/inf) — Spark ranks NaN ABOVE every double under DESC, so
@@ -774,12 +776,13 @@ def test_ivf_assign_gemm_twin(spark):
 
 
 def test_embedding_cosine_gemm_null_element_vectors_never_pair(spark):
-    """r11.5: a vector with a NULL (or NaN) ELEMENT has an undefined
-    cosine — the GEMM path now drops it in the signature pass (the
-    explicit 'undefined-norm vectors never pair' rule; before, it was
-    excluded only because NaN comparisons happen to be False), and the
-    expression form agrees observably for any positive threshold (it
-    scores the row 0.0 through the when(norm > 0) guard)."""
+    """r11.5/r12: a vector with a NULL, NaN or ±inf ELEMENT has an
+    undefined cosine — the GEMM path drops it in the signature pass
+    (one isfinite sweep), and the expression form agrees observably:
+    NULL elements score 0.0 through the when(norm > 0) guard (below
+    the validated positive threshold), while NaN/inf elements — whose
+    NaN cosine Spark's `>=` would EMIT, NaN being its largest double —
+    are dropped up front by _drop_nonfinite_element_vectors."""
     base = [float((i * 3) % 7 - 3) or 1.0 for i in range(8)]
     rows = [
         (0, base),
