@@ -322,7 +322,10 @@ def _cell_partial_sums(
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
-            cos[~(vn > 0), :] = 0.0  # NaN norms fail > 0 (family rule)
+            # gate-clean inputs (the lifecycle refuses NULL/NaN/inf
+            # elements), so norms are finite and ~(>0) == (== 0) —
+            # genuine zero vectors take the guard's zero branch
+            cos[~(vn > 0), :] = 0.0
             cos[:, ~(cn > 0)] = 0.0
             cos = hup(cos, rd)
             best = cos.argmax(axis=1)
@@ -428,7 +431,10 @@ def _assign_cells(
             vn = np.linalg.norm(mat, axis=1)
             vn_safe = np.where(vn > 0, vn, 1.0)
             cos = (mat @ C.T) / np.outer(vn_safe, cn_safe)
-            cos[~(vn > 0), :] = 0.0  # NaN norms fail > 0 (family rule)
+            # gate-clean inputs (the lifecycle refuses NULL/NaN/inf
+            # elements), so norms are finite and ~(>0) == (== 0) —
+            # genuine zero vectors take the guard's zero branch
+            cos[~(vn > 0), :] = 0.0
             cos[:, ~(cn > 0)] = 0.0
             cos = hup(cos, rd)
             if kn == 1:
