@@ -263,19 +263,32 @@ def brute_force_topk_gemm(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"
         )
+    from .ann_index import _null_elem_flags
+    from .pq import _pad_matrix
+
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    # NULL ELEMENTS decode to NaN in q_mat, identically to NaN
-    # elements — but Spark branches them apart (NULL norm fails the
+    q_lists = [r["qv"] for r in q_rows]
+    widths = sorted({len(v) for v in q_lists if v is not None})
+    if len(widths) > 1:
+        raise ValueError(
+            f"brute_force_topk_gemm queries carry mixed widths "
+            f"{widths}: the GEMM contract is ONE query width (the "
+            "corpus decodes to it) — project the queries to a fixed "
+            "width first, or use brute_force_topk (whose zip_with "
+            "null-pad semantics define the ragged case)."
+        )
+    # NULL query vectors zero-pad (norm 0 → the guard's 0.0, exactly
+    # the expression twin's value — and ann_search's _pad_matrix
+    # behavior); NULL ELEMENTS decode to NaN in q_mat, identically to
+    # NaN elements, but Spark branches them apart (NULL norm fails the
     # when(norm > 0) guard → 0.0; NaN norm PASSES it, Spark's NaN is
     # larger than any double → NaN scores, ranked first), so the flag
     # must come from the raw rows (r12, found by the bad-element fuzz)
-    q_nullelem = np.array(
-        [any(x is None for x in r["qv"]) for r in q_rows], dtype=bool
-    )
+    nd_q = widths[0] if widths else 1
+    q_mat = _pad_matrix(q_lists, nd_q)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm_safe = np.where(q_norm > 0, q_norm, 1.0)
-    q_zero = q_nullelem | (q_norm == 0)  # Spark's otherwise-0 branch
+    q_zero = _null_elem_flags(q_lists, nd_q) | (q_norm == 0)
 
     from .ann_index import _arrow_schema, _half_up
     from ..functions.arrow_batches import decode_list_matrix

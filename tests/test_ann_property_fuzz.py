@@ -534,9 +534,11 @@ def test_fuzz_embedding_cosine_pairs_gemm_matches_expression(cq):
 
 def _corpus_with_bad_elements(min_corpus=5, max_corpus=10, max_q=3):
     """Like _corpus_and_queries, but corpus AND query vectors may carry
-    NULL / NaN / ±inf ELEMENTS (one shared width, the brute contract).
-    Separate strategy on purpose: the lifecycle fuzzes must stay on
-    gate-clean corpora (the index gate REFUSES these elements)."""
+    NULL / NaN / ±inf ELEMENTS, and queries may be NULL vectors (one
+    shared width, the brute contract — a NULL query zero-pads → norm 0
+    → the guard's 0.0 in both twins, r12).  Separate strategy on
+    purpose: the lifecycle fuzzes must stay on gate-clean corpora (the
+    index gate REFUSES these elements)."""
     elem = st.one_of(
         st.sampled_from(DYADIC),
         st.sampled_from(
@@ -554,7 +556,10 @@ def _corpus_with_bad_elements(min_corpus=5, max_corpus=10, max_q=3):
                 max_size=max_corpus,
             ),
             st.lists(
-                st.lists(elem, min_size=w, max_size=w),
+                st.one_of(
+                    st.none(),
+                    st.lists(elem, min_size=w, max_size=w),
+                ),
                 min_size=1,
                 max_size=max_q,
             ),
