@@ -39,7 +39,22 @@ import shutil
 
 from pyspark.sql import DataFrame
 
-from ..operators.ann_index import ann_index_add_batch
+from ..operators.ann_index import (
+    ann_index_add_batch,
+    ann_index_compact,
+    pq_augment_ann_index,
+)
+
+# Autocompaction dial (r12): fold the per-batch delta directories back
+# into the base layout once any cell has accumulated more than this
+# many.  Measured knee (tools/ann_frag_knee.py, result JSON beside it;
+# SAME-SIZE fragmented-vs-compacted warm serves on an incompressible
+# 0.9–3.9 M-row corpus): amplification 1.41× at 4 dirs, 1.60× at 8,
+# 1.84× at 16, then 3.09× at 32 and 3.53× at 64 — 16 is the last
+# point inside the ≤2× discipline the LSM postings index pins its
+# DEFAULT_MAX_SEGMENTS_PER_BUCKET at (r11 read-amplification knee).
+# ``None`` disables (operators who schedule compaction off-peak).
+DEFAULT_MAX_BATCH_DIRS_PER_CELL = 16
 
 
 def _marker_path(root: str) -> str:
@@ -75,15 +90,75 @@ def _drop_batch_dirs(root: str, batch_id: int) -> int:
     return len(dirs)
 
 
+def _worst_batch_dirs_per_cell(root: str) -> int:
+    """Max count of ``ingest_batch=<id>`` delta directories in any one
+    cell — the serve-cost fragmentation signal.  O(#cells × #dirs)
+    directory listing, never a data scan (the index_fragmentation
+    discipline)."""
+    cells = os.path.join(root, "cells")
+    worst = 0
+    try:
+        for cell in os.listdir(cells):
+            if not cell.startswith("cell="):
+                continue
+            n = sum(
+                1
+                for d in os.listdir(os.path.join(cells, cell))
+                if d.startswith("ingest_batch=")
+                and not d.endswith("ingest_batch=-1")
+            )
+            worst = max(worst, n)
+    except OSError:
+        return 0  # unlistable: let the explicit schedule handle it
+    return worst
+
+
+def _maybe_autocompact(
+    spark, root: str, max_batch_dirs_per_cell: int | None
+) -> bool:
+    """Inline compaction trigger for the streaming ingest (r12 — the
+    ``_maybe_autocompact`` the LSM merge paths got in r11): once any
+    cell's delta-directory count exceeds the dial, fold the index, so
+    a long-running stream pays one O(index / dial)-amortized write
+    stall instead of relying on an external scheduler to ever run
+    :func:`ann_index_compact` (serve cost measured ~1.9× at 64
+    accumulated dirs, tools/ann_frag_knee.py).
+
+    A PQ codes sidecar, if present, is re-augmented in the same job
+    with its RECORDED geometry (m_subspaces/n_codes read back from the
+    codebooks): the sidecar was already fingerprint-stale — the very
+    batches that triggered the fold changed the cells tree after the
+    last augment — and leaving it stale would make ``ann_search_pq``
+    raise until an external re-augment ran.  Both jobs are O(index),
+    so the amortized per-batch cost stays O(index / dial)."""
+    if max_batch_dirs_per_cell is None:
+        return False
+    if _worst_batch_dirs_per_cell(root) <= int(max_batch_dirs_per_cell):
+        return False
+    ann_index_compact(spark, root)
+    pq_meta = os.path.join(root, "_pq_meta.json")
+    if os.path.exists(pq_meta):
+        with open(pq_meta) as f:
+            books = json.load(f)["books"]
+        pq_augment_ann_index(
+            spark, root, m_subspaces=len(books), n_codes=len(books[0])
+        )
+    return True
+
+
 def ann_ingest_batch(
     batch_df: DataFrame,
     root: str,
     batch_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_batch_dirs_per_cell: int | None = DEFAULT_MAX_BATCH_DIRS_PER_CELL,
 ) -> int:
     """Append one micro-batch to the index at ``root``; returns rows
-    appended (0 for a committed replay)."""
+    appended (0 for a committed replay).  After the commit, the
+    autocompaction dial may fold accumulated delta directories (see
+    :func:`_maybe_autocompact`; pass ``None`` to schedule compaction
+    externally instead)."""
     meta = _read_marker(root)
     if (
         batch_id is not None
@@ -119,6 +194,11 @@ def ann_ingest_batch(
             else (meta or {}).get("batch_id"),
         },
     )
+    # maintenance runs AFTER the durable commit: a crash mid-fold
+    # leaves the batch committed and the swap heals via _recover_cells
+    _maybe_autocompact(
+        batch_df.sparkSession, root, max_batch_dirs_per_cell
+    )
     return n
 
 
@@ -128,11 +208,15 @@ def start_ann_ingest(
     checkpoint: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_batch_dirs_per_cell: int | None = DEFAULT_MAX_BATCH_DIRS_PER_CELL,
 ):
     """Wire a vector stream into the index: returns the StreamingQuery."""
 
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
-        ann_ingest_batch(batch_df, root, batch_id, id_col, vec_col)
+        ann_ingest_batch(
+            batch_df, root, batch_id, id_col, vec_col,
+            max_batch_dirs_per_cell=max_batch_dirs_per_cell,
+        )
 
     return (
         vec_stream.writeStream.foreachBatch(_proc)

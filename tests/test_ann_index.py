@@ -859,3 +859,73 @@ def test_probed_cell_bytes_unlistable_root_is_none(tmp_path, monkeypatch):
 
     monkeypatch.setattr(os, "scandir", deny)
     assert ai._probed_cell_bytes(str(root), [0]) is None
+
+
+def test_ingest_autocompact_dial_folds_and_reaugments(spark, emb, tmp_path):
+    """r12: the streaming ingest's autocompaction dial (the LSM
+    ``_maybe_autocompact`` pattern at the measured fragmentation knee).
+    With ``max_batch_dirs_per_cell=1``, the second guarded batch pushes
+    a cell past the dial and the ingest folds the index inline: no
+    delta directory survives, serving equals brute force, the replay
+    guard still holds after the fold, AND a PQ sidecar — fingerprint-
+    stale the moment the batches landed — is re-augmented with its
+    recorded geometry so ``ann_search_pq`` keeps serving without an
+    external scheduler."""
+    import glob
+    import json as _json
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+    )
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+
+    root = str(tmp_path / "ann_autocompact")
+    build_ann_index(emb.where(F.col("vec_id") < 200), root,
+                    n_centroids=6, n_iters=1)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+
+    def delta_dirs():
+        return [
+            d
+            for d in glob.glob(f"{root}/cells/cell=*/ingest_batch=*")
+            if not d.endswith("ingest_batch=-1")
+        ]
+
+    b0 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    b1 = emb.where(F.col("vec_id") >= 300)
+    assert ann_ingest_batch(
+        b0, root, batch_id=0, max_batch_dirs_per_cell=1
+    ) == b0.count()
+    assert delta_dirs()  # one batch: at the dial, not past it
+    assert ann_ingest_batch(
+        b1, root, batch_id=1, max_batch_dirs_per_cell=1
+    ) == b1.count()
+    assert not delta_dirs()  # past the dial: folded inline
+
+    # replay guard survives the fold (the ingest marker is separate
+    # from the cells swap)
+    assert ann_ingest_batch(
+        b1, root, batch_id=1, max_batch_dirs_per_cell=1
+    ) == 0
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = _key(brute_force_topk(emb, queries, k=5))
+    assert _key(ann_search(spark, root, queries, k=5, nprobe=6)) == exact
+    # the sidecar was re-augmented in the fold: pq serves (it would
+    # raise on a stale fingerprint) with the SAME recorded geometry
+    served_pq = ann_search_pq(
+        spark, root, queries, k=5, nprobe=6, rerank_factor=1000
+    )
+    assert _key(served_pq) == exact
+    meta = _json.load(open(f"{root}/_pq_meta.json"))
+    assert len(meta["books"]) == 4 and len(meta["books"][0]) == 8
+
+    # None disables: deltas accumulate for the external scheduler
+    b_extra = emb.where(F.col("vec_id") < 50).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    assert ann_ingest_batch(
+        b_extra, root, batch_id=2, max_batch_dirs_per_cell=None
+    ) == b_extra.count()
+    assert delta_dirs()
