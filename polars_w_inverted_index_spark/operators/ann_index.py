@@ -636,22 +636,50 @@ def _measure_cold_bandwidth_mbps(
         return None
 
 
+# Readings above this are page cache / tmpfs, not a disk: DONTNEED only
+# evicts on filesystems with a real page-cache-backed store — on
+# tmpfs/overlay it is a no-op and the probe times RAM (r12 ADVICE).  The
+# fastest shipping NVMe reads ~14 GB/s; RAM streams are 20+ GB/s, so
+# 16 GB/s separates the populations.  Refusing (rather than clamping)
+# keeps the policy on its documented literal — the conservative
+# direction, same as the min_bytes refusal.
+_MAX_PLAUSIBLE_DISK_MBPS = 16_000.0
+
+
+def _write_meta_atomic(meta_path: str, meta: dict) -> None:
+    """tmp + ``os.replace`` — a crash mid-write leaves the OLD meta
+    intact, never a truncated JSON that poisons every later read (r12
+    ADVICE; the same convention as the streaming ingest marker)."""
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
 def _stamp_bandwidth(root: str) -> None:
-    """Measure and record ``bandwidth_mbps`` (+ ``bandwidth_probe_bytes``)
-    in ``_ann_meta.json`` — best-effort: an unmeasurable tree leaves the
-    meta untouched and the policy on its documented default."""
+    """Measure and record ``bandwidth_mbps`` (+ ``bandwidth_probe_bytes``
+    and ``bandwidth_probe_method``) in ``_ann_meta.json`` — best-effort:
+    an unmeasurable tree leaves the meta untouched and the policy on its
+    documented default.  A reading above ``_MAX_PLAUSIBLE_DISK_MBPS`` is
+    a cache-tainted probe (fadvise-DONTNEED is a no-op on tmpfs/NFS/
+    overlay mounts) and is refused rather than stamped — stamping it
+    would bias :func:`ann_serving_policy` toward the float path at sizes
+    where PQ wins.  The method string lets operators of exotic mounts
+    spot a tainted stamp in the meta (r12 ADVICE)."""
     measured = _measure_cold_bandwidth_mbps(os.path.join(root, "cells"))
     if measured is None:
         return
     mbps, probed = measured
+    if mbps > _MAX_PLAUSIBLE_DISK_MBPS:
+        return
     meta_path = os.path.join(root, "_ann_meta.json")
     try:
         with open(meta_path) as f:
             meta = json.load(f)
         meta["bandwidth_mbps"] = mbps
         meta["bandwidth_probe_bytes"] = probed
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+        meta["bandwidth_probe_method"] = "fsync+fadvise_dontneed+seqread"
+        _write_meta_atomic(meta_path, meta)
     except (OSError, ValueError):
         pass
 
@@ -694,17 +722,16 @@ def build_ann_index(
         .partitionBy("cell", "ingest_batch")
         .parquet(os.path.join(root, "cells"))
     )
-    with open(os.path.join(root, "_ann_meta.json"), "w") as f:
-        json.dump(
-            {
-                "n_centroids": n_centroids,
-                "n_iters": n_iters,
-                "dims": dims,
-                "id_col": id_col,
-                "vec_col": vec_col,
-            },
-            f,
-        )
+    _write_meta_atomic(
+        os.path.join(root, "_ann_meta.json"),
+        {
+            "n_centroids": n_centroids,
+            "n_iters": n_iters,
+            "dims": dims,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
     _stamp_bandwidth(root)
     return root
 
@@ -749,7 +776,10 @@ def ann_index_add_batch(
     try:
         with open(os.path.join(root, "_ann_meta.json")) as f:
             recorded = json.load(f).get("dims")
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError: a meta truncated by a pre-r13 (non-atomic) writer's
+        # crash must not block ingest forever (r12 ADVICE) — the dims
+        # gate simply has no recorded width to check against
         pass
     _uniform_width(
         batch, vec_col, f"ann_index_add_batch({root})", want=recorded
@@ -772,12 +802,25 @@ def ann_index_add_batch(
 
 
 def _recover_cells(root: str) -> None:
-    """Finish a compaction swap a crash interrupted: the swap is two
-    renames (write tmp → rename cells away → rename tmp in), so a crash
-    between them leaves no ``cells`` but a COMPLETE ``cells__compacting``
-    — promote it; a leftover ``cells__old`` beside a live ``cells`` is
-    post-swap garbage — drop it.  Serving and ingest call this first,
-    so an interrupted compaction self-heals on the next touch."""
+    """Finish a compaction swap a crash interrupted.  Two swap shapes
+    exist, both healed here so serving and ingest self-repair on the
+    next touch (single-writer contract: this must not run CONCURRENTLY
+    with a live compaction — see the module docstring of
+    streaming/ann_ingest.py):
+
+    - whole-index (:func:`ann_index_compact`): write tmp → rename cells
+      away → rename tmp in.  A crash between the renames leaves no
+      ``cells`` but a COMPLETE ``cells__compacting`` — promote it; a
+      leftover ``cells__old`` beside a live ``cells`` is post-swap
+      garbage — drop it.
+    - per-cell (:func:`ann_index_compact_cells`, r13): each folded cell
+      is swapped by rename(cell → cells__cellfold_old/cell) +
+      rename(stage/cell → cell).  A crash between the two leaves that
+      ONE cell missing from the live tree: promote the staged copy when
+      the stage write committed (``_SUCCESS`` present — the swap phase
+      only starts after it), else restore the old copy.  A leftover
+      old dir whose every cell is live again is post-swap garbage.
+    """
     import shutil
 
     cells = os.path.join(root, "cells")
@@ -790,6 +833,25 @@ def _recover_cells(root: str) -> None:
             os.rename(old, cells)
     if os.path.exists(cells) and os.path.exists(old):
         shutil.rmtree(old, ignore_errors=True)
+    # --- per-cell fold windows (r13) ---------------------------------
+    stage = os.path.join(root, "cells__cellfold")
+    cell_old = os.path.join(root, "cells__cellfold_old")
+    if os.path.exists(cell_old):
+        staged_ok = os.path.exists(os.path.join(stage, "_SUCCESS"))
+        for entry in os.listdir(cell_old):
+            if not entry.startswith("cell="):
+                continue
+            live = os.path.join(cells, entry)
+            if os.path.exists(live):
+                continue
+            staged = os.path.join(stage, entry)
+            if staged_ok and os.path.exists(staged):
+                os.rename(staged, live)  # finish the interrupted swap
+            else:
+                os.rename(os.path.join(cell_old, entry), live)
+        shutil.rmtree(cell_old, ignore_errors=True)
+    # the stage dir itself is owned by the (single-writer) compact job —
+    # collected there, never here, same rule as cells__compacting
 
 
 def _legacy_cell_layout(cells_dir: str) -> bool:
@@ -843,7 +905,10 @@ def ann_index_compact(spark: SparkSession, root: str) -> int:
     # this single-writer job owns the staging dir, so it collects the
     # orphan here — BEFORE the no-work early return, or a delta-free
     # index would carry the stale snapshot forever (r12 crash fuzz).
+    # The per-cell fold's staging dir (r13) has the same owner, so a
+    # selective fold that crashed mid-write is collected here too.
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "cells__cellfold"), ignore_errors=True)
     deltas = glob.glob(os.path.join(cells_dir, "cell=*", "ingest_batch=*"))
     deltas = [d for d in deltas if not d.endswith("ingest_batch=-1")]
     legacy = _legacy_cell_layout(cells_dir)
@@ -863,7 +928,105 @@ def ann_index_compact(spark: SparkSession, root: str) -> int:
     os.rename(cells_dir, old)
     os.rename(tmp, cells_dir)
     shutil.rmtree(old, ignore_errors=True)
+    # the fold just rewrote the cells tree cold — a free probe window;
+    # re-stamping here keeps a long-lived index's serving policy on its
+    # CURRENT volume instead of the build-day number (r12 VERDICT #3)
+    _stamp_bandwidth(root)
     return len(deltas)
+
+
+def ann_index_compact_cells(
+    spark: SparkSession, root: str, cells
+) -> int:
+    """Fold ONLY the given cells' ``ingest_batch=<id>`` delta
+    directories into their base layout; returns the number of delta
+    directories folded.
+
+    The selective counterpart of :func:`ann_index_compact` (r12 VERDICT
+    task 1): under skewed ingest the hot cell crosses the fragmentation
+    dial while cold cells hold 1–2 delta dirs, and folding the WHOLE
+    index on the hot cell's schedule is a corpus-scale synchronous
+    stall inside a micro-batch — the same problem the postings LSM
+    solved with per-bucket segment lists (streaming/index_maintenance).
+    Each cell's ``base + deltas`` set is self-contained, so the fold
+    reads and rewrites ONLY the requested cells: cost is O(requested
+    cells' bytes), never O(index).
+
+    ``cells`` is an iterable of cell partition VALUES (the ``<c>`` of
+    ``cell=<c>`` — ints for the default long id column); values whose
+    directory is missing or delta-free are skipped.
+
+    Crash-safety: all requested cells are rewritten into a staging tree
+    in ONE Spark job (``cells__cellfold``, committed by its
+    ``_SUCCESS``), then swapped per cell via two renames through
+    ``cells__cellfold_old``; every window is healed by
+    :func:`_recover_cells` — promote the staged copy after the commit
+    marker, restore the old copy before it, and cells not yet swapped
+    simply keep their deltas for a later fold.  Single-writer, like
+    :func:`ann_index_compact`.  Legacy (pre-``ingest_batch``) layouts
+    must migrate through the full compact first — partition discovery
+    cannot read a mixed tree.
+    """
+    import glob
+    import shutil
+
+    _recover_cells(root)
+    cells_dir = os.path.join(root, "cells")
+    if _legacy_cell_layout(cells_dir):
+        raise ValueError(
+            f"index at {root} uses the pre-ingest_batch cell layout — "
+            "run ann_index_compact(spark, root) once to migrate before "
+            "selective folds."
+        )
+    stage = os.path.join(root, "cells__cellfold")
+    old = os.path.join(root, "cells__cellfold_old")
+    # this single-writer job owns both; a prior crash's leftovers were
+    # either healed by _recover_cells (old) or are orphan staging (stage)
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    todo: dict[str, list[str]] = {}
+    for c in cells:
+        cdir = os.path.join(cells_dir, f"cell={c}")
+        if not os.path.isdir(cdir):
+            continue
+        deltas = [
+            d
+            for d in glob.glob(os.path.join(cdir, "ingest_batch=*"))
+            if not d.endswith("ingest_batch=-1")
+        ]
+        if deltas:
+            todo[f"cell={c}"] = deltas
+    if not todo:
+        return 0
+    # one job over ONLY the requested cells: basePath keeps `cell` as a
+    # partition column so the staged tree mirrors the live layout
+    current = (
+        spark.read.option("basePath", cells_dir)
+        .parquet(*(os.path.join(cells_dir, name) for name in todo))
+        .select("cell", "vec_id", "cv", "cn")
+    )
+    (
+        current.withColumn("ingest_batch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(stage)
+    )
+    os.makedirs(old, exist_ok=True)
+    folded = 0
+    for name, deltas in todo.items():
+        staged = os.path.join(stage, name)
+        if not os.path.isdir(staged):
+            # zero-row cell after the fold (possible only from empty
+            # delta files): leave the live dir untouched rather than
+            # dropping data on a read glitch
+            continue
+        os.rename(os.path.join(cells_dir, name), os.path.join(old, name))
+        os.rename(staged, os.path.join(cells_dir, name))
+        folded += len(deltas)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    _stamp_bandwidth(root)  # same free-probe window as the full fold
+    return folded
 
 
 def ann_search(
@@ -1173,6 +1336,43 @@ def _cells_fingerprint(root: str, use_cache: bool = True) -> str:
     )
 
 
+def _cell_fingerprints(
+    root: str, cells=None, use_cache: bool = True
+) -> dict[str, str]:
+    """Per-cell content digests: ``{cell value (dir-name string) →
+    digest of cells/cell=<c>}``, restricted to ``cells`` when given
+    (values str()-matched against the partition dir names).  Missing /
+    empty cell directories get NO entry — serving treats
+    absent-on-both-sides as consistent (an empty probed cell has no
+    codes either).  This is the staleness gate's r13 granularity: a
+    selective fold + re-encode updates only the folded cells' entries,
+    and a PQ serve checks only its PROBED cells, so streaming ingest
+    into cell A never blocks serves probing untouched cell B."""
+    from ..functions.listing import cached_listing_digest
+
+    cells_dir = os.path.join(root, "cells")
+    want = None if cells is None else {f"cell={c}" for c in cells}
+    out: dict[str, str] = {}
+    try:
+        entries = os.listdir(cells_dir)
+    except OSError:
+        return out
+    for entry in entries:
+        if not entry.startswith("cell="):
+            continue
+        if want is not None and entry not in want:
+            continue
+        d = os.path.join(cells_dir, entry)
+        if not os.path.isdir(d):
+            continue
+        digest = cached_listing_digest(
+            d, _cells_walk, "cell", use_cache=use_cache
+        )
+        if digest is not None:
+            out[entry[len("cell="):]] = digest
+    return out
+
+
 def pq_augment_ann_index(
     spark: SparkSession,
     root: str,
@@ -1212,7 +1412,7 @@ def pq_augment_ann_index(
         try:
             with open(ann_meta_path) as f:
                 recorded = json.load(f).get("dims")
-        except OSError:
+        except (OSError, ValueError):  # truncated legacy meta: no dims
             recorded = None
         if recorded is None:
             raise ValueError(
@@ -1235,6 +1435,7 @@ def pq_augment_ann_index(
         n_dims=n_dims,
     )
     fp = _cells_fingerprint(root, use_cache=False)
+    cell_fps = _cell_fingerprints(root, use_cache=False)
     codes_dir = os.path.join(root, "pq_codes")
     tmp_dir = codes_dir + "__tmp"
     old_dir = codes_dir + "__old"
@@ -1261,20 +1462,32 @@ def pq_augment_ann_index(
     os.rename(tmp_dir, codes_dir)
     if os.path.exists(old_dir):
         shutil.rmtree(old_dir)
-    with open(meta_path, "w") as f:
-        json.dump(
-            {
-                "books": cb.books,
-                "n_dims": cb.n_dims,
-                "cells_fingerprint": fp,
-                # v2 (r9): hidden ('.'/'_') entries are skipped by the
-                # walk — versioned so serving can tell "format changed,
-                # re-augment" from "cells tree really changed" when an
-                # older sidecar mismatches (r9 ADVICE)
-                "fingerprint_version": _FINGERPRINT_VERSION,
-            },
-            f,
-        )
+    _write_meta_atomic(
+        meta_path,
+        {
+            "books": cb.books,
+            "n_dims": cb.n_dims,
+            "cells_fingerprint": fp,
+            # v2 (r9): hidden ('.'/'_') entries are skipped by the
+            # walk — versioned so serving can tell "format changed,
+            # re-augment" from "cells tree really changed" when an
+            # older sidecar mismatches (r9 ADVICE)
+            "fingerprint_version": _FINGERPRINT_VERSION,
+            # r13: the gate's selective granularity — serving checks
+            # only its PROBED cells against this map, and the selective
+            # fold's re-encode updates only the folded cells' entries
+            # (the whole-tree digest above stays for debugging and for
+            # pre-r13 readers)
+            "cell_fingerprints": cell_fps,
+            # training dials recorded so maintenance re-augments replay
+            # the operator's geometry AND training budget instead of
+            # silently reverting to defaults (r12 ADVICE)
+            "m_subspaces": m_subspaces,
+            "n_codes": n_codes,
+            "n_iters": n_iters,
+            "sample_rows": sample_rows,
+        },
+    )
     # An index built before the bandwidth stamp existed (or whose probe
     # failed) gets a second chance here — augmentation is the moment a
     # deployment opts into the float-vs-PQ choice the stamp informs.
@@ -1286,6 +1499,107 @@ def pq_augment_ann_index(
     if not has_stamp:
         _stamp_bandwidth(root)
     return root
+
+
+def pq_reencode_stale_cells(spark: SparkSession, root: str) -> int:
+    """Re-encode ONLY the cells whose recorded per-cell fingerprint no
+    longer matches the cells tree, reusing the sidecar's EXISTING
+    codebooks (no retrain); returns the number of cells refreshed.
+
+    The selective counterpart of :func:`pq_augment_ann_index` (r12
+    VERDICT task 1): after a selective fold — or plain ingest — only
+    the touched cells' codes are stale, and re-encoding the whole
+    corpus (plus re-training) to fix them is the same O(index) stall
+    the selective fold exists to avoid.  Codebooks are a SAMPLE-trained
+    artifact: reusing them over refreshed rows keeps ADC ranking
+    quality on the drift monitor's rebuild cadence, exactly like the
+    frozen centroids (streaming/ann_ingest.py's rebuild recipe).
+
+    Self-healing by construction: staleness is diffed from the live
+    tree (not from "what the caller folded"), so cells left stale by a
+    prior crash — or by ingest batches below the autocompact dial —
+    are refreshed on the next call, which also keeps
+    :func:`ann_search_pq` AVAILABLE during streaming instead of raising
+    between full augments.  Crash-safe fail-closed: each refreshed
+    cell's codes are swapped in before the meta is rewritten (atomic,
+    LAST), so a crash anywhere leaves a fingerprint mismatch the
+    serving gate refuses — never a wrong answer.
+
+    Requires a per-cell-gated sidecar (``cell_fingerprints`` in
+    ``_pq_meta.json``, written since r13); legacy whole-tree sidecars
+    must re-run :func:`pq_augment_ann_index` once.
+    """
+    import shutil
+
+    from .pq import PQCodebooks, pq_encode
+
+    _recover_cells(root)
+    meta_path = os.path.join(root, "_pq_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"pq_reencode_stale_cells: no PQ sidecar at {root} — run "
+            "pq_augment_ann_index(spark, root) first."
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    recorded = meta.get("cell_fingerprints")
+    if recorded is None:
+        raise ValueError(
+            f"pq_reencode_stale_cells: the sidecar at {root} predates "
+            "per-cell fingerprints — re-run pq_augment_ann_index(spark, "
+            "root) once to upgrade it."
+        )
+    current = _cell_fingerprints(root, use_cache=False)
+    refresh = sorted(
+        c for c, d in current.items() if recorded.get(c) != d
+    )
+    dropped = sorted(c for c in recorded if c not in current)
+    if not refresh and not dropped:
+        return 0
+    cb = PQCodebooks(
+        books=tuple(tuple(tuple(x) for x in b) for b in meta["books"]),
+        n_dims=meta["n_dims"],
+    )
+    cells_dir = os.path.join(root, "cells")
+    codes_dir = os.path.join(root, "pq_codes")
+    stage = codes_dir + "__cellfold"
+    shutil.rmtree(stage, ignore_errors=True)
+    if refresh:
+        cells = (
+            spark.read.option("basePath", cells_dir)
+            .parquet(
+                *(os.path.join(cells_dir, f"cell={c}") for c in refresh)
+            )
+            .select("cell", "vec_id", "cv", "cn")
+        )
+        cell_ddl = cells.schema["cell"].dataType.simpleString()
+        (
+            pq_encode(
+                cells,
+                cb,
+                id_col="vec_id",
+                vec_col="cv",
+                extra_cols={"cell": cell_ddl},
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(stage)
+        )
+    for c in refresh + dropped:
+        live = os.path.join(codes_dir, f"cell={c}")
+        staged = os.path.join(stage, f"cell={c}")
+        # swap = drop + rename: a crash between the two leaves this
+        # cell's codes missing AND its meta entry stale — the serving
+        # gate refuses it until the next (self-healing) call
+        shutil.rmtree(live, ignore_errors=True)
+        if os.path.isdir(staged):
+            os.rename(staged, live)
+    shutil.rmtree(stage, ignore_errors=True)
+    meta["cell_fingerprints"] = current
+    # keep the debugging whole-tree digest truthful alongside
+    meta["cells_fingerprint"] = _cells_fingerprint(root, use_cache=False)
+    _write_meta_atomic(meta_path, meta)
+    return len(refresh) + len(dropped)
 
 
 def ann_search_pq(
@@ -1338,7 +1652,13 @@ def ann_search_pq(
         )
     with open(meta_path) as f:
         meta = json.load(f)
-    if meta["cells_fingerprint"] != _cells_fingerprint(root):
+    recorded_cell_fps = meta.get("cell_fingerprints")
+    # r13 sidecars gate per PROBED cell (after the probe set is known,
+    # below): ingest into cell A must not block serves probing only
+    # untouched cell B.  Legacy sidecars keep the whole-tree gate.
+    if recorded_cell_fps is None and (
+        meta["cells_fingerprint"] != _cells_fingerprint(root)
+    ):
         if meta.get("fingerprint_version") != _FINGERPRINT_VERSION:
             # an older sidecar whose recorded digest predates the
             # current walk format mismatches on EVERY serve even when
@@ -1421,6 +1741,20 @@ def ann_search_pq(
             "cells; shrink the query set / nprobe or raise the cap "
             "explicitly"
         )
+    if recorded_cell_fps is not None:
+        current_fps = _cell_fingerprints(root, cells=probe_cells)
+        stale = [
+            c
+            for c in probe_cells
+            if current_fps.get(str(c)) != recorded_cell_fps.get(str(c))
+        ]
+        if stale:
+            raise ValueError(
+                f"ann_search_pq: probed cells {stale} at {root} changed "
+                "since their PQ codes were written (ingest/fold) — those "
+                "codes are STALE. Run pq_reencode_stale_cells(spark, "
+                "root) (or pq_augment_ann_index to retrain)."
+            )
     if _stop_after == "probe":
         cell_ddl = cent.schema["cid"].dataType.simpleString()
         return spark.createDataFrame(

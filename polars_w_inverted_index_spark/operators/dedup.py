@@ -658,8 +658,12 @@ def _drop_nonfinite_element_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     they poison the norm to NULL, genuinely fail the guard, score 0.0,
     and the validated ``threshold > 0`` excludes them.  The ``~`` of a
     NULL ``array_contains`` is NULL, so NULL vectors are dropped here
-    too — identical pair output (their NULL bucket never joined
-    anyway).  ``array_contains(c, NaN)`` finds NaN because Spark
+    too — identical pair output, but ONLY because of that threshold
+    validation: a NULL vector signs to sig 0 and lands in bucket 0,
+    which DOES join, and its cosines come out 0.0 — excluded solely by
+    the validated ``threshold > 0`` (r12 ADVICE: there is no "NULL
+    bucket"; weaken `_check_cosine_threshold` and this equivalence
+    breaks).  ``array_contains(c, NaN)`` finds NaN because Spark
     defines NaN = NaN as TRUE (the lifecycle gate's trick)."""
     c = F.col(vec_col)
     return df.where(

@@ -28,6 +28,22 @@ batch is a no-op" guarantee to actually hold):
 Centroids never move during ingest; rebuild with ``build_ann_index``
 on the cadence the drift monitor (streaming/drift.py) indicates —
 standard IVF operating procedure.
+
+**Single-writer / serve-concurrency contract** (r12 ADVICE): index
+MAINTENANCE (compaction — including the autocompaction dial below —
+and PQ re-encodes) swaps directories via renames whose crash windows
+are healed by ``_recover_cells`` on the NEXT touch, not during a
+CONCURRENT touch: a serve running while a fold is mid-swap can observe
+a missing cell or race the healer's promote against the fold's own
+rename.  Serves against an index fed by a stream with the autocompact
+dial enabled must therefore be scheduled between batches (the
+foreachBatch body is the natural mutual-exclusion point — serve from
+it, or from a coordinator that knows the stream is idle); to serve
+concurrently with ingest, disable the dial
+(``max_batch_dirs_per_cell=None``) and run compaction in the
+scheduler's own serve-free window.  The r13 selective fold narrows
+every such window to the offending cells' bytes but does not remove
+the contract.
 """
 
 from __future__ import annotations
@@ -41,8 +57,9 @@ from pyspark.sql import DataFrame
 
 from ..operators.ann_index import (
     ann_index_add_batch,
-    ann_index_compact,
+    ann_index_compact_cells,
     pq_augment_ann_index,
+    pq_reencode_stale_cells,
 )
 
 # Autocompaction dial (r12): fold the per-batch delta directories back
@@ -90,13 +107,14 @@ def _drop_batch_dirs(root: str, batch_id: int) -> int:
     return len(dirs)
 
 
-def _worst_batch_dirs_per_cell(root: str) -> int:
-    """Max count of ``ingest_batch=<id>`` delta directories in any one
-    cell — the serve-cost fragmentation signal.  O(#cells × #dirs)
-    directory listing, never a data scan (the index_fragmentation
-    discipline)."""
+def _cells_past_dial(root: str, dial: int) -> list[str]:
+    """Cell partition values (dir-name strings) whose ``ingest_batch=``
+    delta-directory count EXCEEDS the dial — the serve-cost
+    fragmentation signal, per cell so maintenance can stay selective.
+    O(#cells × #dirs) directory listing, never a data scan (the
+    index_fragmentation discipline)."""
     cells = os.path.join(root, "cells")
-    worst = 0
+    out: list[str] = []
     try:
         for cell in os.listdir(cells):
             if not cell.startswith("cell="):
@@ -107,42 +125,68 @@ def _worst_batch_dirs_per_cell(root: str) -> int:
                 if d.startswith("ingest_batch=")
                 and not d.endswith("ingest_batch=-1")
             )
-            worst = max(worst, n)
+            if n > dial:
+                out.append(cell[len("cell="):])
     except OSError:
-        return 0  # unlistable: let the explicit schedule handle it
-    return worst
+        return []  # unlistable: let the explicit schedule handle it
+    return out
 
 
 def _maybe_autocompact(
     spark, root: str, max_batch_dirs_per_cell: int | None
 ) -> bool:
     """Inline compaction trigger for the streaming ingest (r12 — the
-    ``_maybe_autocompact`` the LSM merge paths got in r11): once any
-    cell's delta-directory count exceeds the dial, fold the index, so
-    a long-running stream pays one O(index / dial)-amortized write
-    stall instead of relying on an external scheduler to ever run
-    :func:`ann_index_compact` (serve cost measured ~1.9× at 64
-    accumulated dirs, tools/ann_frag_knee.py).
+    ``_maybe_autocompact`` the LSM merge paths got in r11): once a
+    cell's delta-directory count exceeds the dial, fold THAT CELL (and
+    any siblings past the dial), so a long-running stream pays a write
+    stall bounded by the offending cells' bytes instead of relying on
+    an external scheduler to ever run :func:`ann_index_compact` (serve
+    cost measured ~1.9× at 64 accumulated dirs, tools/ann_frag_knee.py).
 
-    A PQ codes sidecar, if present, is re-augmented in the same job
-    with its RECORDED geometry (m_subspaces/n_codes read back from the
-    codebooks): the sidecar was already fingerprint-stale — the very
-    batches that triggered the fold changed the cells tree after the
-    last augment — and leaving it stale would make ``ann_search_pq``
-    raise until an external re-augment ran.  Both jobs are O(index),
-    so the amortized per-batch cost stays O(index / dial)."""
+    Selective since r13 (r12 VERDICT #1): real ingest is skewed — the
+    hot cell crosses the dial while cold cells hold 1–2 dirs, and the
+    r12 whole-index fold made the trigger FREQUENCY the hot cell's
+    while the COST stayed O(index), a corpus-scale synchronous stall
+    inside a micro-batch at 100 TB.  :func:`ann_index_compact_cells`
+    folds only the offenders (each cell's base + deltas are
+    self-contained — the postings LSM's per-bucket segment-list idea
+    applied to cells), so under skew both trigger frequency and cost
+    follow the hot cells.
+
+    A PQ codes sidecar, if present, is refreshed in the same job —
+    selectively: :func:`pq_reencode_stale_cells` re-encodes (with the
+    EXISTING codebooks — geometry and training dials untouched) exactly
+    the cells whose fingerprint moved, which covers the just-folded
+    cells AND any cell made stale by sub-dial ingest or a prior crash,
+    keeping ``ann_search_pq`` available throughout the stream.  A
+    legacy (pre-per-cell-fingerprint) sidecar falls back to one full
+    ``pq_augment_ann_index`` replaying the dials recorded at augment
+    time (m_subspaces/n_codes/n_iters/sample_rows — r12 ADVICE; older
+    metas recover geometry from the books and keep default training
+    dials), which upgrades it to the per-cell gate for every later
+    trigger."""
     if max_batch_dirs_per_cell is None:
         return False
-    if _worst_batch_dirs_per_cell(root) <= int(max_batch_dirs_per_cell):
+    offending = _cells_past_dial(root, int(max_batch_dirs_per_cell))
+    if not offending:
         return False
-    ann_index_compact(spark, root)
+    ann_index_compact_cells(spark, root, offending)
     pq_meta = os.path.join(root, "_pq_meta.json")
     if os.path.exists(pq_meta):
         with open(pq_meta) as f:
-            books = json.load(f)["books"]
-        pq_augment_ann_index(
-            spark, root, m_subspaces=len(books), n_codes=len(books[0])
-        )
+            meta = json.load(f)
+        if meta.get("cell_fingerprints") is not None:
+            pq_reencode_stale_cells(spark, root)
+        else:
+            books = meta["books"]
+            pq_augment_ann_index(
+                spark,
+                root,
+                m_subspaces=meta.get("m_subspaces", len(books)),
+                n_codes=meta.get("n_codes", len(books[0])),
+                n_iters=meta.get("n_iters", 4),
+                sample_rows=meta.get("sample_rows", 65_536),
+            )
     return True
 
 

@@ -485,9 +485,17 @@ def test_pq_cells_fingerprint_cached_on_warm_serve(
         ai, "_cells_walk", lambda p: (walks.append(p), real_walk(p))[1]
     )
     q = emb.where(F.col("vec_id") < 3)
-    for _ in range(3):
+    assert ai.ann_search_pq(spark, root, q, k=3, nprobe=4).count() > 0
+    cold = list(walks)
+    # r13 per-cell gate: one cold walk PER PROBED CELL dir (not one
+    # whole-tree walk), each a distinct cell=* path
+    assert cold and all(
+        os.path.basename(p).startswith("cell=") for p in cold
+    )
+    assert len(set(cold)) == len(cold)
+    for _ in range(2):
         assert ai.ann_search_pq(spark, root, q, k=3, nprobe=4).count() > 0
-    assert len(walks) == 1, walks  # one cold walk, then token hits
+    assert walks == cold, walks  # warm serves: token hits, no re-walk
 
     # ingest moves a cell dir mtime: the gate flips THROUGH the cache
     ai.ann_index_add_batch(
@@ -760,14 +768,19 @@ def test_pq_fingerprint_version_mismatch_names_cause(spark, emb, tmp_path):
     assert meta["fingerprint_version"] == 2  # pinned: bump = new test
 
     q = emb.where(F.col("vec_id") < 2)
+    # a real pre-r13 sidecar has no per-cell map — drop it so the
+    # legacy whole-tree gate (the path under test) engages
     legacy = dict(meta, cells_fingerprint="0" * 64)
     legacy.pop("fingerprint_version")
+    legacy.pop("cell_fingerprints")
     with open(meta_path, "w") as f:
         _json.dump(legacy, f)
     with pytest.raises(ValueError, match="digest format changed"):
         ann_search_pq(spark, root, q, k=1)
+    v2 = dict(meta, cells_fingerprint="0" * 64)
+    v2.pop("cell_fingerprints")
     with open(meta_path, "w") as f:
-        _json.dump(dict(meta, cells_fingerprint="0" * 64), f)
+        _json.dump(v2, f)
     with pytest.raises(ValueError, match="STALE"):
         ann_search_pq(spark, root, q, k=1)
 
@@ -865,12 +878,15 @@ def test_ingest_autocompact_dial_folds_and_reaugments(spark, emb, tmp_path):
     """r12: the streaming ingest's autocompaction dial (the LSM
     ``_maybe_autocompact`` pattern at the measured fragmentation knee).
     With ``max_batch_dirs_per_cell=1``, the second guarded batch pushes
-    a cell past the dial and the ingest folds the index inline: no
-    delta directory survives, serving equals brute force, the replay
-    guard still holds after the fold, AND a PQ sidecar — fingerprint-
-    stale the moment the batches landed — is re-augmented with its
-    recorded geometry so ``ann_search_pq`` keeps serving without an
-    external scheduler."""
+    cells past the dial and the ingest folds — SELECTIVELY since r13
+    (r12 VERDICT #1): only the offending cells lose their delta
+    directories (sub-dial cells keep theirs for a later fold), serving
+    equals brute force, the replay guard still holds after the fold,
+    AND the PQ sidecar — per-cell-fingerprint-stale the moment the
+    batches landed — is refreshed with its EXISTING codebooks
+    (``pq_reencode_stale_cells`` covers folded AND sub-dial stale
+    cells) so ``ann_search_pq`` keeps serving without an external
+    scheduler."""
     import glob
     import json as _json
 
@@ -879,11 +895,15 @@ def test_ingest_autocompact_dial_folds_and_reaugments(spark, emb, tmp_path):
         pq_augment_ann_index,
     )
     from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+    from polars_w_inverted_index_spark.streaming.ann_ingest import (
+        _cells_past_dial,
+    )
 
     root = str(tmp_path / "ann_autocompact")
     build_ann_index(emb.where(F.col("vec_id") < 200), root,
                     n_centroids=6, n_iters=1)
     pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    books_before = _json.load(open(f"{root}/_pq_meta.json"))["books"]
 
     def delta_dirs():
         return [
@@ -898,10 +918,17 @@ def test_ingest_autocompact_dial_folds_and_reaugments(spark, emb, tmp_path):
         b0, root, batch_id=0, max_batch_dirs_per_cell=1
     ) == b0.count()
     assert delta_dirs()  # one batch: at the dial, not past it
+    before_fold = len(delta_dirs())
     assert ann_ingest_batch(
         b1, root, batch_id=1, max_batch_dirs_per_cell=1
     ) == b1.count()
-    assert not delta_dirs()  # past the dial: folded inline
+    # past the dial: offending cells folded inline — every cell is back
+    # at or under the dial (cells both batches touched held 2 dirs and
+    # lost both; cells one batch touched keep their single dir for a
+    # later fold — the r13 selective contract, pinned cell-by-cell by
+    # test_autocompact_selective_fold_is_per_cell)
+    assert _cells_past_dial(root, 1) == []
+    assert before_fold > 0
 
     # replay guard survives the fold (the ingest marker is separate
     # from the cells swap)
@@ -919,7 +946,9 @@ def test_ingest_autocompact_dial_folds_and_reaugments(spark, emb, tmp_path):
     )
     assert _key(served_pq) == exact
     meta = _json.load(open(f"{root}/_pq_meta.json"))
-    assert len(meta["books"]) == 4 and len(meta["books"][0]) == 8
+    # selective refresh reuses the codebooks VERBATIM — geometry and
+    # every centroid value (a retrain would have moved them)
+    assert meta["books"] == books_before
 
     # None disables: deltas accumulate for the external scheduler
     b_extra = emb.where(F.col("vec_id") < 50).withColumn(
