@@ -702,9 +702,13 @@ ANN_CRASH_OPS = st.lists(
     st.one_of(
         st.tuples(st.just("ingest"), st.integers(0, 3)),
         st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("fold_cells"), st.none()),
         st.tuples(st.just("crash_pre_swap"), st.none()),
         st.tuples(st.just("crash_mid_swap"), st.none()),
         st.tuples(st.just("crash_post_swap"), st.none()),
+        st.tuples(st.just("crash_cellfold_pre_success"), st.none()),
+        st.tuples(st.just("crash_cellfold_mid_swap"), st.none()),
+        st.tuples(st.just("crash_cellfold_post_swap"), st.none()),
     ),
     min_size=2,
     max_size=5,
@@ -732,6 +736,18 @@ def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
     - POST-swap: a stale ``cells__old`` beside live cells (crash
       before the final cleanup);
 
+    plus (r13) the SELECTIVE fold's per-cell windows — real
+    ``ann_index_compact_cells`` runs interleaved, and the three crash
+    states its two-rename-per-cell swap can leave:
+
+    - cellfold PRE-_SUCCESS: a cell renamed away with only an
+      UNCOMMITTED staging tree (no ``_SUCCESS``) — heal must restore
+      the OLD copy, never promote partial data;
+    - cellfold MID-swap: a cell renamed away with a COMMITTED staging
+      tree — heal must finish the swap (promote the staged copy);
+    - cellfold POST-swap: a stale ``cells__cellfold_old`` beside a
+      fully-live tree — heal must drop it;
+
     and assert the next lifecycle touch (_recover_cells runs first in
     ingest/compact/serve) heals each, serving always equals brute
     force over exactly the ingested rows, and a final compact leaves
@@ -740,8 +756,10 @@ def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
     import shutil
 
     from polars_w_inverted_index_spark.operators.ann_index import (
+        _recover_cells as _recover,
         ann_index_add_batch,
         ann_index_compact,
+        ann_index_compact_cells,
     )
 
     spark = get_session("property_tests")
@@ -760,6 +778,14 @@ def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
     next_id = 100
     cells = os.path.join(root, "cells")
     tmp_dir, old_dir = cells + "__compacting", cells + "__old"
+    stage_dir = cells + "__cellfold"
+    cellfold_old = cells + "__cellfold_old"
+
+    def any_cell():
+        names = sorted(
+            d for d in os.listdir(cells) if d.startswith("cell=")
+        )
+        return names[0] if names else None
 
     for op, arg in ops:
         if op == "ingest":
@@ -776,6 +802,15 @@ def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
             next_id += arg + 1
         elif op == "compact":
             ann_index_compact(spark, root)
+        elif op == "fold_cells":
+            if os.path.isdir(cells):
+                values = [
+                    d[len("cell="):]
+                    for d in os.listdir(cells)
+                    if d.startswith("cell=")
+                ]
+                ann_index_compact_cells(spark, root, values)
+            continue
         elif not os.path.isdir(cells):
             continue  # already mid-swap: a second crash state is moot
         elif op == "crash_pre_swap":
@@ -787,6 +822,51 @@ def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
         elif op == "crash_post_swap":
             shutil.rmtree(old_dir, ignore_errors=True)
             shutil.copytree(cells, old_dir)
+        elif op == "crash_cellfold_pre_success":
+            # a real fold heals prior windows before staging its own
+            # (compact_cells runs _recover_cells first) — injecting a
+            # second raw state over an unhealed one would simulate an
+            # impossible history (and delete the only surviving copy)
+            _recover(root)
+            name = any_cell()
+            if name is None:
+                continue
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            shutil.rmtree(cellfold_old, ignore_errors=True)
+            os.makedirs(os.path.join(stage_dir, name))  # NO _SUCCESS
+            os.makedirs(cellfold_old)
+            os.rename(
+                os.path.join(cells, name),
+                os.path.join(cellfold_old, name),
+            )
+        elif op == "crash_cellfold_mid_swap":
+            _recover(root)
+            name = any_cell()
+            if name is None:
+                continue
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            shutil.rmtree(cellfold_old, ignore_errors=True)
+            os.makedirs(stage_dir)
+            shutil.copytree(
+                os.path.join(cells, name), os.path.join(stage_dir, name)
+            )
+            open(os.path.join(stage_dir, "_SUCCESS"), "w").close()
+            os.makedirs(cellfold_old)
+            os.rename(
+                os.path.join(cells, name),
+                os.path.join(cellfold_old, name),
+            )
+        elif op == "crash_cellfold_post_swap":
+            _recover(root)
+            name = any_cell()
+            if name is None:
+                continue
+            shutil.rmtree(cellfold_old, ignore_errors=True)
+            os.makedirs(cellfold_old)
+            shutil.copytree(
+                os.path.join(cells, name),
+                os.path.join(cellfold_old, name),
+            )
 
     queries = spark.createDataFrame(
         [(1000, vec(0)), (1001, vec(3))], SCHEMA
@@ -800,5 +880,130 @@ def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
     # _recover_cells heals it on this first touch
     assert _key(ann_search(spark, root, queries, k=K, nprobe=2)) == truth
     ann_index_compact(spark, root)
-    assert not os.path.exists(tmp_dir) and not os.path.exists(old_dir)
+    for stray in (tmp_dir, old_dir, stage_dir, cellfold_old):
+        assert not os.path.exists(stray), stray
     assert _key(ann_search(spark, root, queries, k=K, nprobe=2)) == truth
+
+
+class _Crash(RuntimeError):
+    """Injected crash — distinguishable from any real failure."""
+
+
+INGEST_CRASH_OPS = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.sampled_from(["ok", "crash_marker", "crash_autocompact"]),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=INGEST_CRASH_OPS)
+def test_fuzz_ann_ingest_wrapper_crash_windows(ops, tmp_path_factory):
+    """r12 VERDICT task 5: crash-inject ``ann_ingest_batch`` (the
+    streaming wrapper) at its two commit-adjacent windows and replay
+    each crashed batch the way foreachBatch's at-least-once contract
+    does —
+
+    - BETWEEN ``ann_index_add_batch`` and ``_write_marker``
+      (``crash_marker``): the marker never advanced, so the replay
+      must re-run the batch (return its row count), with
+      ``_drop_batch_dirs`` removing the crashed attempt's files so
+      nothing double-inserts;
+    - AFTER the marker but BEFORE ``_maybe_autocompact``
+      (``crash_autocompact``): the batch is durably committed, so the
+      replay must NO-OP (return 0), and the skipped maintenance is
+      picked up by a later batch's dial check;
+
+    with the autocompact dial at 1 throughout (real selective folds +
+    PQ refreshes interleave with the crashes), a live PQ sidecar, and
+    a final refresh+serve asserting BOTH paths equal brute force over
+    exactly the ingested rows."""
+    import os
+
+    import polars_w_inverted_index_spark.streaming.ann_ingest as si
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+        pq_reencode_stale_cells,
+    )
+
+    spark = get_session("property_tests")
+    root = str(tmp_path_factory.mktemp("ann_wrap_crash") / "idx")
+    W = 4
+
+    def vec(i):
+        return [float((i * 5 + j) % 9 - 4) or 2.0 for j in range(W)]
+
+    base_rows = [(i, vec(i)) for i in range(8)]
+    build_ann_index(
+        spark.createDataFrame(base_rows, SCHEMA), root,
+        n_centroids=2, n_iters=1,
+    )
+    pq_augment_ann_index(spark, root, m_subspaces=2, n_codes=4)
+    ingested = list(base_rows)
+    next_id, batch_id = 100, 0
+
+    for n_rows, mode in ops:
+        rows = [(next_id + j, vec(next_id + j)) for j in range(n_rows)]
+        batch = (
+            spark.createDataFrame(rows, SCHEMA)
+            if rows
+            else spark.createDataFrame([], SCHEMA)
+        )
+        if mode != "ok":
+            target = (
+                "_write_marker" if mode == "crash_marker"
+                else "_maybe_autocompact"
+            )
+            real = getattr(si, target)
+
+            def _boom(*a, **k):
+                raise _Crash()
+
+            setattr(si, target, _boom)
+            try:
+                with pytest.raises(_Crash):
+                    si.ann_ingest_batch(
+                        batch, root, batch_id=batch_id,
+                        max_batch_dirs_per_cell=1,
+                    )
+            finally:
+                setattr(si, target, real)
+        # the (re)play — for "ok" the only attempt
+        got = si.ann_ingest_batch(
+            batch, root, batch_id=batch_id, max_batch_dirs_per_cell=1
+        )
+        if mode == "crash_autocompact":
+            assert got == 0  # marker landed: committed replay no-ops
+        else:
+            assert got == len(rows)  # marker lost: replay re-runs
+        ingested.extend(rows)
+        next_id += n_rows + 1
+        batch_id += 1
+
+    # marker reflects the last committed batch through every crash
+    with open(os.path.join(root, "_ANN_INGEST")) as f:
+        import json as _json
+
+        assert _json.load(f)["batch_id"] == batch_id - 1
+
+    queries = spark.createDataFrame([(1000, vec(1)), (1001, vec(5))], SCHEMA)
+    truth = _key(
+        brute_force_topk(
+            spark.createDataFrame(ingested, SCHEMA), queries, k=K
+        )
+    )
+    assert _key(ann_search(spark, root, queries, k=K, nprobe=2)) == truth
+    pq_reencode_stale_cells(spark, root)
+    assert _key(
+        ann_search_pq(
+            spark, root, queries, k=K, nprobe=2, rerank_factor=1000
+        )
+    ) == truth
