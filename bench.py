@@ -938,7 +938,15 @@ def main() -> None:
         # Extension entries get best-of-2: single-shot timings showed
         # one-off 1 s→9 s transients (JIT/GC landing mid-query) that
         # would mislabel a tracked operator as a regression.
-        reps = 3 if name in baseline_keys else 2
+        # The logs10m section gets best-of-5 (r12 VERDICT task 3): two
+        # same-HEAD runs differed up to 1.5× on full_host while ref_*
+        # stayed flat — the section reads a 400 MB fixture whose page-
+        # cache state swings more than the CPU probe the calibration
+        # normalizes by, so it needs more reps than the ref_* phase to
+        # report its floor (each entry is sub-second; +2 reps across
+        # the 8 entries costs ~10 s of bench wall).
+        logs_keys = set(logs) | set(logs_extra)
+        reps = 5 if name in logs_keys else 3 if name in baseline_keys else 2
         best = float("inf")
         try:
             for _ in range(reps):
@@ -958,6 +966,28 @@ def main() -> None:
     calib_end = _calibration(spark)
     calibration_s = min(calib_start, calib_end)
 
+    # Per-row budget flag (r12 VERDICT task 6): the driver-row sweep's
+    # cost creep must be visible IN-REPO — any registry row costing
+    # more than 3× the registry median is named here, so a row that
+    # doubles (the r12 ann widening went 4.6 → 8.5 s before anyone
+    # noticed) shows up in the sidecar diff, not in the judge's
+    # arithmetic.  Informational, never poisons totals.
+    reg_rows = {k: v for k, v in timings.items() if _group(k) == "registry"}
+    row_budget: dict = {}
+    if reg_rows:
+        med = sorted(reg_rows.values())[len(reg_rows) // 2]
+        row_budget = {
+            "registry_rows": len(reg_rows),
+            "registry_median_s": round(med, 3),
+            "flagged_over_3x_median": {
+                k: round(v, 2)
+                for k, v in sorted(
+                    reg_rows.items(), key=lambda kv: -kv[1]
+                )
+                if v > 3 * med
+            },
+        }
+
     total = _total(headline)
     out = {
         "metric": "reference_workload_total",
@@ -973,6 +1003,8 @@ def main() -> None:
         # timing against the probe of ITS phase, not the run brackets
         "calib_phase": {k: round(v, 3) for k, v in calib_phase.items()},
     }
+    if row_budget:
+        out["row_budget"] = row_budget
     if logs:
         # apples-to-apples vs BASELINE.md: same 10 M-record workload
         out["logs10m_total"] = _total(logs)
