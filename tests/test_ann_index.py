@@ -1264,3 +1264,38 @@ def test_truncated_legacy_meta_does_not_block_lifecycle(
         pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
     pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8, n_dims=64)
     assert not os.path.exists(meta_path + ".tmp")
+
+
+def test_reencode_drops_codes_of_removed_cells(spark, emb, tmp_path):
+    """The refresh's DROPPED branch: a cell that disappears from the
+    cells tree (re-shard / manual surgery) must lose its codes dir and
+    its meta entry on the next refresh — otherwise ann_search_pq would
+    gate-pass a probed cell whose floats are gone but whose codes
+    still rank candidates."""
+    import json as _json
+    import shutil
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+        pq_reencode_stale_cells,
+    )
+
+    root = str(tmp_path / "drop_cell")
+    build_ann_index(emb.where(F.col("vec_id") < 200), root,
+                    n_centroids=6, n_iters=1)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    (cell_a, _vec_a), (cell_b, vec_b) = _two_cell_vectors(spark, root)
+
+    shutil.rmtree(os.path.join(root, "cells", f"cell={cell_a}"))
+    assert pq_reencode_stale_cells(spark, root) == 1  # the dropped cell
+    meta = _json.load(open(os.path.join(root, "_pq_meta.json")))
+    assert str(cell_a) not in meta["cell_fingerprints"]
+    assert not os.path.exists(
+        os.path.join(root, "pq_codes", f"cell={cell_a}")
+    )
+    # surviving cells still gate-pass and serve
+    q_b = spark.createDataFrame([(900_002, vec_b)], _VEC_SCHEMA)
+    assert ann_search_pq(
+        spark, root, q_b, k=3, nprobe=1, rerank_factor=1000
+    ).count() == 3
