@@ -1445,6 +1445,10 @@ def pq_augment_ann_index(
     meta_path = os.path.join(root, "_pq_meta.json")
     if os.path.exists(meta_path):
         os.remove(meta_path)  # serving gate off during the swap
+    # two-level layout since r13 (mirrors the cells tree): the initial
+    # encode lands under ingest_batch=-1 so the streaming ingest can
+    # append each micro-batch's codes under its own tagged directory
+    # (pq_append_batch_codes) without breaking partition discovery
     (
         pq_encode(
             cells,
@@ -1453,8 +1457,9 @@ def pq_augment_ann_index(
             vec_col="cv",
             extra_cols={"cell": cell_ddl},
         )
+        .withColumn("ingest_batch", F.lit(-1))
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("cell", "ingest_batch")
         .parquet(tmp_dir)
     )
     if os.path.exists(codes_dir):
@@ -1562,6 +1567,15 @@ def pq_reencode_stale_cells(spark: SparkSession, root: str) -> int:
     )
     cells_dir = os.path.join(root, "cells")
     codes_dir = os.path.join(root, "pq_codes")
+    if _legacy_cell_layout(codes_dir):
+        # single-level (pre-r13.2) codes beside a two-level staged swap
+        # would break partition discovery for the whole sidecar — one
+        # full augment rewrites the tree into the current layout
+        raise ValueError(
+            f"pq sidecar at {root} uses the single-level codes layout — "
+            "re-run pq_augment_ann_index(spark, root) once to migrate, "
+            "then selective refreshes work."
+        )
     stage = codes_dir + "__cellfold"
     shutil.rmtree(stage, ignore_errors=True)
     if refresh:
@@ -1573,6 +1587,10 @@ def pq_reencode_stale_cells(spark: SparkSession, root: str) -> int:
             .select("cell", "vec_id", "cv", "cn")
         )
         cell_ddl = cells.schema["cell"].dataType.simpleString()
+        # a refreshed cell's codes are rewritten WHOLE under
+        # ingest_batch=-1 — the refresh doubles as that cell's codes
+        # defragmentation (tagged per-batch code dirs from
+        # pq_append_batch_codes fold away here)
         (
             pq_encode(
                 cells,
@@ -1581,8 +1599,9 @@ def pq_reencode_stale_cells(spark: SparkSession, root: str) -> int:
                 vec_col="cv",
                 extra_cols={"cell": cell_ddl},
             )
+            .withColumn("ingest_batch", F.lit(-1))
             .write.mode("overwrite")
-            .partitionBy("cell")
+            .partitionBy("cell", "ingest_batch")
             .parquet(stage)
         )
     for c in refresh + dropped:
@@ -1600,6 +1619,109 @@ def pq_reencode_stale_cells(spark: SparkSession, root: str) -> int:
     meta["cells_fingerprint"] = _cells_fingerprint(root, use_cache=False)
     _write_meta_atomic(meta_path, meta)
     return len(refresh) + len(dropped)
+
+
+def pq_append_batch_codes(
+    spark: SparkSession, root: str, batch_tag: int
+) -> list:
+    """Encode ONE ingest batch's rows (already appended to the cells
+    tree under ``ingest_batch=<batch_tag>``) with the sidecar's
+    EXISTING codebooks, append them under the same tag in the codes
+    tree, and refresh the touched cells' fingerprints; returns the
+    touched cell values.
+
+    The encode-at-ingest half of the r13 LSM discipline for the codes
+    sidecar: without it, every ingest batch leaves its cells
+    fingerprint-stale and ``ann_search_pq`` fails closed on those cells
+    until the next fold's refresh — correct, but an availability hole
+    exactly while the stream is healthiest.  Appending the batch's own
+    codes (an O(batch) GEMM — the batch is read back from its tagged
+    cell directories, so the stored assignment is reused, never
+    recomputed) keeps codes content equal to cells content after every
+    commit, so the per-cell gate passes continuously.  Tagged code
+    directories fold away whenever :func:`pq_reencode_stale_cells`
+    rewrites their cell (the fold path), mirroring the cells tree's
+    own fragmentation lifecycle — both trees cross the autocompaction
+    dial together because their delta-directory counts are identical.
+
+    Crash-safe fail-closed: codes land before the meta refresh (atomic,
+    LAST), so a crash anywhere leaves the touched cells' recorded
+    fingerprints behind the tree and the serving gate refuses them; the
+    streaming wrapper's replay drops BOTH trees' tagged directories
+    before re-appending (``_drop_batch_dirs``), so nothing
+    double-inserts.  The whole-tree ``cells_fingerprint`` is NOT
+    refreshed here (that would cost an O(#files) walk per micro-batch);
+    it stays a debugging value wherever ``cell_fingerprints`` exists.
+
+    Raises if the sidecar is missing, predates per-cell fingerprints,
+    or uses the single-level codes layout (one ``pq_augment_ann_index``
+    migrates).  ``batch_tag`` must name a REAL tagged batch — the
+    untagged ``-1`` base is refused (encoding "batch -1" would
+    duplicate every base row's codes).
+    """
+    import glob
+
+    from .pq import PQCodebooks, pq_encode
+
+    if int(batch_tag) == -1:
+        raise ValueError(
+            "pq_append_batch_codes: batch_tag=-1 is the untagged base "
+            "partition, not a batch — guarded callers must skip codes "
+            "maintenance for untagged appends."
+        )
+    meta_path = os.path.join(root, "_pq_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("cell_fingerprints") is None:
+        raise ValueError(
+            f"pq_append_batch_codes: the sidecar at {root} predates "
+            "per-cell fingerprints — re-run pq_augment_ann_index once."
+        )
+    codes_dir = os.path.join(root, "pq_codes")
+    if _legacy_cell_layout(codes_dir):
+        raise ValueError(
+            f"pq sidecar at {root} uses the single-level codes layout — "
+            "re-run pq_augment_ann_index(spark, root) once to migrate."
+        )
+    cells_dir = os.path.join(root, "cells")
+    delta_dirs = sorted(
+        glob.glob(
+            os.path.join(cells_dir, "cell=*", f"ingest_batch={batch_tag}")
+        )
+    )
+    if not delta_dirs:
+        return []  # empty batch: nothing appended, nothing stale
+    touched = [
+        os.path.basename(os.path.dirname(d))[len("cell="):]
+        for d in delta_dirs
+    ]
+    cb = PQCodebooks(
+        books=tuple(tuple(tuple(x) for x in b) for b in meta["books"]),
+        n_dims=meta["n_dims"],
+    )
+    batch = (
+        spark.read.option("basePath", cells_dir)
+        .parquet(*delta_dirs)
+        .select("cell", "vec_id", "cv", "cn")
+    )
+    cell_ddl = batch.schema["cell"].dataType.simpleString()
+    (
+        pq_encode(
+            batch,
+            cb,
+            id_col="vec_id",
+            vec_col="cv",
+            extra_cols={"cell": cell_ddl},
+        )
+        .withColumn("ingest_batch", F.lit(int(batch_tag)))
+        .write.mode("append")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(codes_dir)
+    )
+    current = _cell_fingerprints(root, cells=touched, use_cache=False)
+    meta["cell_fingerprints"].update(current)
+    _write_meta_atomic(meta_path, meta)
+    return touched
 
 
 def ann_search_pq(

@@ -24,6 +24,12 @@ batch is a no-op" guarantee to actually hold):
   listing, O(n_centroids) — never corpus-sized), then re-appends.
   Without the tag the half-committed files would be indistinguishable
   from older data and the replay would double-insert.
+- the PQ codes sidecar, when maintainable (r13 encode-at-ingest,
+  ``pq_append_batch_codes``), rides the SAME tag: its per-batch code
+  directories are dropped by the same replay cleanup, and its per-cell
+  fingerprint refresh lands before the marker — a crash anywhere
+  leaves the touched cells failing closed at the serving gate until
+  the replay converges.
 
 Centroids never move during ingest; rebuild with ``build_ann_index``
 on the cadence the drift monitor (streaming/drift.py) indicates —
@@ -58,6 +64,7 @@ from pyspark.sql import DataFrame
 from ..operators.ann_index import (
     ann_index_add_batch,
     ann_index_compact_cells,
+    pq_append_batch_codes,
     pq_augment_ann_index,
     pq_reencode_stale_cells,
 )
@@ -98,13 +105,39 @@ def _write_marker(root: str, meta: dict) -> None:
 
 def _drop_batch_dirs(root: str, batch_id: int) -> int:
     """Remove any ``cells/cell=*/ingest_batch=<batch_id>`` leftovers from
-    an append that committed without its marker (crashed attempt)."""
+    an append that committed without its marker (crashed attempt) —
+    and, since the codes sidecar mirrors the tag (r13,
+    ``pq_append_batch_codes``), the same batch's code directories, so
+    a replayed batch can never double-insert in EITHER tree."""
     dirs = glob.glob(
         os.path.join(root, "cells", "cell=*", f"ingest_batch={batch_id}")
+    ) + glob.glob(
+        os.path.join(root, "pq_codes", "cell=*", f"ingest_batch={batch_id}")
     )
     for d in dirs:
         shutil.rmtree(d)
     return len(dirs)
+
+
+def _pq_codes_maintainable(root: str) -> bool:
+    """True when the sidecar can take per-batch code appends: per-cell
+    fingerprints recorded AND the two-level codes layout (a legacy tree
+    migrates via one full ``pq_augment_ann_index``; until then ingest
+    skips codes maintenance and the serving gate fails closed on the
+    touched cells — the pre-r13.2 behavior)."""
+    from ..operators.ann_index import _legacy_cell_layout
+
+    meta_path = os.path.join(root, "_pq_meta.json")
+    if not os.path.exists(meta_path):
+        return False
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if meta.get("cell_fingerprints") is None:
+        return False
+    return not _legacy_cell_layout(os.path.join(root, "pq_codes"))
 
 
 def _cells_past_dial(root: str, dial: int) -> list[str]:
@@ -173,11 +206,17 @@ def _maybe_autocompact(
     ann_index_compact_cells(spark, root, offending)
     pq_meta = os.path.join(root, "_pq_meta.json")
     if os.path.exists(pq_meta):
-        with open(pq_meta) as f:
-            meta = json.load(f)
-        if meta.get("cell_fingerprints") is not None:
+        if _pq_codes_maintainable(root):
             pq_reencode_stale_cells(spark, root)
         else:
+            # legacy sidecar (whole-tree fingerprint and/or single-level
+            # codes layout): one full augment — replaying the dials
+            # recorded at augment time (r12 ADVICE; older metas recover
+            # geometry from the books and keep default training dials) —
+            # migrates it to the per-cell gate + two-level layout, so
+            # every later trigger takes the selective path above
+            with open(pq_meta) as f:
+                meta = json.load(f)
             books = meta["books"]
             pq_augment_ann_index(
                 spark,
@@ -230,6 +269,15 @@ def ann_ingest_batch(
         vec_col,
         batch_tag=batch_id if batch_id is not None else -1,
     )
+    # encode-at-ingest (r13): append this batch's PQ codes under the
+    # same tag and refresh the touched cells' fingerprints, so
+    # ann_search_pq stays continuously fresh during the stream instead
+    # of failing closed between folds.  Guarded batches only — an
+    # untagged (-1) append cannot be replay-cleaned, so its codes
+    # cannot be either.  Runs BEFORE the marker: a crash in between
+    # replays as a full re-run with both trees' tagged dirs dropped.
+    if batch_id is not None and _pq_codes_maintainable(root):
+        pq_append_batch_codes(batch_df.sparkSession, root, batch_id)
     _write_marker(
         root,
         {

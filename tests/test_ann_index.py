@@ -1299,3 +1299,108 @@ def test_reencode_drops_codes_of_removed_cells(spark, emb, tmp_path):
     assert ann_search_pq(
         spark, root, q_b, k=3, nprobe=1, rerank_factor=1000
     ).count() == 3
+
+
+def test_encode_at_ingest_keeps_pq_fresh(spark, emb, tmp_path):
+    """r13 encode-at-ingest: a guarded micro-batch appends its own PQ
+    codes under its tag and refreshes the touched cells' fingerprints,
+    so ann_search_pq serves IMMEDIATELY after the commit — no refresh,
+    no fold — and equals brute force including the new rows; a replayed
+    batch leaves both trees untouched."""
+    import glob
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+        pq_reencode_stale_cells,
+    )
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+
+    root = str(tmp_path / "codes_ingest")
+    base = emb.where(F.col("vec_id") < 200)
+    build_ann_index(base, root, n_centroids=6, n_iters=1)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    assert glob.glob(f"{root}/pq_codes/cell=*/ingest_batch=-1")  # 2-level
+
+    b0 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    assert ann_ingest_batch(
+        b0, root, batch_id=0, max_batch_dirs_per_cell=None
+    ) == b0.count()
+    assert glob.glob(f"{root}/pq_codes/cell=*/ingest_batch=0")
+
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    want = _key(brute_force_topk(base.unionByName(b0), q, k=5))
+    got = ann_search_pq(spark, root, q, k=5, nprobe=6, rerank_factor=1000)
+    assert _key(got) == want            # fresh WITHOUT any refresh
+    assert pq_reencode_stale_cells(spark, root) == 0  # nothing stale
+
+    assert ann_ingest_batch(b0, root, batch_id=0) == 0  # replay no-op
+    assert pq_reencode_stale_cells(spark, root) == 0
+
+
+def test_legacy_single_level_codes_migrate_via_full_augment(
+    spark, emb, tmp_path
+):
+    """A pre-r13.2 single-level codes tree: ingest skips codes
+    maintenance (gate fails closed on the touched cell), the selective
+    refresh refuses loudly (a staged two-level swap would break
+    partition discovery), and the autocompact trigger migrates the
+    sidecar with ONE full augment replaying the recorded dials — after
+    which the tree is two-level and the selective path serves."""
+    import glob
+    import json as _json
+    import shutil
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        ann_search_pq,
+        pq_augment_ann_index,
+        pq_reencode_stale_cells,
+    )
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+    from polars_w_inverted_index_spark.streaming.ann_ingest import (
+        _maybe_autocompact,
+        _pq_codes_maintainable,
+    )
+
+    root = str(tmp_path / "codes_legacy")
+    base = emb.where(F.col("vec_id") < 200)
+    build_ann_index(base, root, n_centroids=6, n_iters=1)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    # flatten the codes tree to the single-level layout
+    for cell in glob.glob(f"{root}/pq_codes/cell=*"):
+        batch_dir = os.path.join(cell, "ingest_batch=-1")
+        for f in os.listdir(batch_dir):
+            shutil.move(os.path.join(batch_dir, f), os.path.join(cell, f))
+        os.rmdir(batch_dir)
+    assert not _pq_codes_maintainable(root)
+    # nothing stale yet: the refresh correctly no-ops WITHOUT raising
+    # (a clean single-level tree still serves — only a staged swap
+    # would mix layouts)
+    assert pq_reencode_stale_cells(spark, root) == 0
+
+    b0 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    assert ann_ingest_batch(
+        b0, root, batch_id=0, max_batch_dirs_per_cell=None
+    ) == b0.count()
+    assert not glob.glob(f"{root}/pq_codes/cell=*/ingest_batch=0")
+    # NOW there is stale work, and the selective refresh must refuse
+    # rather than stage a two-level swap beside single-level siblings
+    with pytest.raises(ValueError, match="single-level"):
+        pq_reencode_stale_cells(spark, root)
+    # a probed touched cell fails closed (codes lack the new rows)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    with pytest.raises(ValueError, match="STALE"):
+        ann_search_pq(spark, root, q, k=5, nprobe=6, rerank_factor=1000)
+
+    # second batch crosses the dial: the trigger's legacy fallback runs
+    # ONE full augment with the recorded dials, migrating the layout
+    b1 = emb.where(F.col("vec_id") >= 300)
+    assert ann_ingest_batch(
+        b1, root, batch_id=1, max_batch_dirs_per_cell=1
+    ) == b1.count()
+    assert _pq_codes_maintainable(root)
+    meta = _json.load(open(f"{root}/_pq_meta.json"))
+    assert len(meta["books"]) == 4 and len(meta["books"][0]) == 8
+    want = _key(brute_force_topk(emb, q, k=5))
+    got = ann_search_pq(spark, root, q, k=5, nprobe=6, rerank_factor=1000)
+    assert _key(got) == want

@@ -892,7 +892,9 @@ class _Crash(RuntimeError):
 INGEST_CRASH_OPS = st.lists(
     st.tuples(
         st.integers(0, 3),
-        st.sampled_from(["ok", "crash_marker", "crash_autocompact"]),
+        st.sampled_from(
+            ["ok", "crash_codes", "crash_marker", "crash_autocompact"]
+        ),
     ),
     min_size=2,
     max_size=5,
@@ -911,11 +913,14 @@ def test_fuzz_ann_ingest_wrapper_crash_windows(ops, tmp_path_factory):
     each crashed batch the way foreachBatch's at-least-once contract
     does —
 
-    - BETWEEN ``ann_index_add_batch`` and ``_write_marker``
-      (``crash_marker``): the marker never advanced, so the replay
-      must re-run the batch (return its row count), with
-      ``_drop_batch_dirs`` removing the crashed attempt's files so
-      nothing double-inserts;
+    - BETWEEN ``ann_index_add_batch`` and the codes append
+      (``crash_codes``, r13): cells landed, codes did not — the marker
+      never advanced, so the replay must re-run the batch with
+      ``_drop_batch_dirs`` removing the crashed attempt's files from
+      BOTH trees;
+    - BETWEEN the codes append and ``_write_marker``
+      (``crash_marker``): same replay contract — both trees' tagged
+      directories dropped, nothing double-inserts in either;
     - AFTER the marker but BEFORE ``_maybe_autocompact``
       (``crash_autocompact``): the batch is durably committed, so the
       replay must NO-OP (return 0), and the skipped maintenance is
@@ -958,10 +963,11 @@ def test_fuzz_ann_ingest_wrapper_crash_windows(ops, tmp_path_factory):
             else spark.createDataFrame([], SCHEMA)
         )
         if mode != "ok":
-            target = (
-                "_write_marker" if mode == "crash_marker"
-                else "_maybe_autocompact"
-            )
+            target = {
+                "crash_codes": "pq_append_batch_codes",
+                "crash_marker": "_write_marker",
+                "crash_autocompact": "_maybe_autocompact",
+            }[mode]
             real = getattr(si, target)
 
             def _boom(*a, **k):
