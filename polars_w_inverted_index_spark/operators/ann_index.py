@@ -858,7 +858,18 @@ def _legacy_cell_layout(cells_dir: str) -> bool:
     """True when cell directories hold parquet files directly — the
     pre-``ingest_batch`` layout.  Appending the two-level layout beside
     it would make partition discovery fail for the WHOLE table
-    ('conflicting directory structures'), so writers must gate."""
+    ('conflicting directory structures'), so writers must gate.
+
+    Answers from the FIRST decisive entry (r13.2): every writer gates,
+    so a tree is homogeneous by construction — a data file directly
+    under a cell dir means legacy, an ``ingest_batch=`` subdirectory
+    means current, and the scan stops there.  The pre-r13.2 form
+    listed EVERY cell dir before returning False, an O(#cells)
+    per-ingest-batch cost in the streaming hot path (this guard and
+    the codes-maintainability check both run per micro-batch); empty
+    cell dirs keep scanning.  A hand-mixed tree (no writer produces
+    one) answers by whichever decisive entry lists first — such a
+    tree already fails partition discovery on any read."""
     import glob
 
     for cell in glob.glob(os.path.join(cells_dir, "cell=*")):
@@ -867,6 +878,8 @@ def _legacy_cell_layout(cells_dir: str) -> bool:
                 continue
             if os.path.isfile(os.path.join(cell, entry)):
                 return True
+            if entry.startswith("ingest_batch="):
+                return False
     return False
 
 

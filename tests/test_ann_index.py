@@ -1404,3 +1404,31 @@ def test_legacy_single_level_codes_migrate_via_full_augment(
     want = _key(brute_force_topk(emb, q, k=5))
     got = ann_search_pq(spark, root, q, k=5, nprobe=6, rerank_factor=1000)
     assert _key(got) == want
+
+
+def test_legacy_layout_check_is_first_entry_decisive(tmp_path):
+    """The layout guard runs per micro-batch on both trees, so it must
+    answer from the first decisive entry instead of listing every cell
+    (r13.2): direct file → legacy True, ingest_batch= subdir → current
+    False, hidden entries and empty cells skipped."""
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    cells = tmp_path / "cells"
+    # empty tree / empty cell dirs: not legacy
+    (cells / "cell=0").mkdir(parents=True)
+    assert ai._legacy_cell_layout(str(cells)) is False
+    # hidden entries are ignored
+    (cells / "cell=0" / "_SUCCESS").write_bytes(b"")
+    assert ai._legacy_cell_layout(str(cells)) is False
+    # homogeneous two-level: False (decided at the first subdir entry)
+    (cells / "cell=0" / "ingest_batch=-1").mkdir()
+    (cells / "cell=1" / "ingest_batch=-1").mkdir(parents=True)
+    assert ai._legacy_cell_layout(str(cells)) is False
+    # homogeneous flat: True (decided at the first file entry)
+    import shutil
+
+    for c in ("cell=0", "cell=1"):
+        shutil.rmtree(cells / c)
+        (cells / c).mkdir()
+        (cells / c / "part-0.parquet").write_bytes(b"x")
+    assert ai._legacy_cell_layout(str(cells)) is True
