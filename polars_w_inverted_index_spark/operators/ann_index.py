@@ -1691,6 +1691,14 @@ def pq_append_batch_codes(
             "per-cell fingerprints — re-run pq_augment_ann_index once."
         )
     codes_dir = os.path.join(root, "pq_codes")
+    if not os.path.isdir(codes_dir):
+        # meta without its codes tree (manual surgery): appending would
+        # recreate the tree from new batches alone, and the refreshed
+        # fingerprints would serve cells whose BASE rows have no codes
+        raise ValueError(
+            f"pq_append_batch_codes: {root}/_pq_meta.json exists but the "
+            "pq_codes tree is missing — re-run pq_augment_ann_index."
+        )
     if _legacy_cell_layout(codes_dir):
         raise ValueError(
             f"pq sidecar at {root} uses the single-level codes layout — "

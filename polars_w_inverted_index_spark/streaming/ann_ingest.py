@@ -137,7 +137,14 @@ def _pq_codes_maintainable(root: str) -> bool:
         return False
     if meta.get("cell_fingerprints") is None:
         return False
-    return not _legacy_cell_layout(os.path.join(root, "pq_codes"))
+    codes_dir = os.path.join(root, "pq_codes")
+    # a meta without its codes tree (manual surgery) must NOT take
+    # appends: recreating the tree from new batches alone would let
+    # refreshed fingerprints serve cells whose BASE rows have no codes
+    # — silent wrong top-k instead of the loud missing-dir read
+    if not os.path.isdir(codes_dir):
+        return False
+    return not _legacy_cell_layout(codes_dir)
 
 
 def _cells_past_dial(root: str, dial: int) -> list[str]:

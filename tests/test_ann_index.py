@@ -1432,3 +1432,39 @@ def test_legacy_layout_check_is_first_entry_decisive(tmp_path):
         (cells / c).mkdir()
         (cells / c / "part-0.parquet").write_bytes(b"x")
     assert ai._legacy_cell_layout(str(cells)) is True
+
+
+def test_missing_codes_tree_disables_ingest_maintenance(
+    spark, emb, tmp_path
+):
+    """A _pq_meta.json whose codes tree was deleted (manual surgery)
+    must NOT take per-batch code appends: recreating the tree from new
+    batches alone would let refreshed fingerprints serve cells whose
+    BASE rows have no codes — silent wrong top-k.  Ingest skips the
+    maintenance, the direct append raises, and a full augment repairs."""
+    import shutil
+
+    from polars_w_inverted_index_spark.operators.ann_index import (
+        pq_append_batch_codes,
+        pq_augment_ann_index,
+    )
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+    from polars_w_inverted_index_spark.streaming.ann_ingest import (
+        _pq_codes_maintainable,
+    )
+
+    root = str(tmp_path / "codes_gone")
+    build_ann_index(emb.where(F.col("vec_id") < 150), root,
+                    n_centroids=4, n_iters=0)
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    shutil.rmtree(os.path.join(root, "pq_codes"))
+    assert not _pq_codes_maintainable(root)
+    with pytest.raises(ValueError, match="pq_codes tree is missing"):
+        pq_append_batch_codes(spark, root, 0)
+    b0 = emb.where(F.col("vec_id").between(150, 200))
+    assert ann_ingest_batch(
+        b0, root, batch_id=0, max_batch_dirs_per_cell=None
+    ) == b0.count()
+    assert not os.path.isdir(os.path.join(root, "pq_codes"))  # skipped
+    pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    assert _pq_codes_maintainable(root)
