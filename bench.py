@@ -966,6 +966,22 @@ def main() -> None:
     calib_end = _calibration(spark)
     calibration_s = min(calib_start, calib_end)
 
+    # Cross-run floor merge (r13 VERDICT task 5): the committed sidecar
+    # convention ("fastest complete run") was violated by hand in r13 —
+    # the last run wrote the sidecar even though an earlier same-round
+    # run was faster, so sidecar diffs read a phantom regression.  The
+    # convention is now mechanical: when this round's sidecar already
+    # exists, every entry keeps its cross-run MINIMUM (the page-cache /
+    # JIT floor the ±30% same-code swing sits above), totals are
+    # recomputed from the merged floor, and every contributing run's
+    # calibration is stamped (`calib_runs`) so the floor's machine
+    # conditions stay auditable.  Entries the current run errored on
+    # stay errored (poisoned totals are never papered over by an old
+    # success), and prior-only entries are dropped (the current
+    # workload defines the entry set — registry rotations must not
+    # resurrect ghosts).
+    timings, prior_calibs = _floor_merge_round_sidecar(timings)
+
     # Per-row budget flag (r12 VERDICT task 6): the driver-row sweep's
     # cost creep must be visible IN-REPO — any registry row costing
     # more than 3× the registry median is named here, so a row that
@@ -1003,6 +1019,11 @@ def main() -> None:
         # timing against the probe of ITS phase, not the run brackets
         "calib_phase": {k: round(v, 3) for k, v in calib_phase.items()},
     }
+    if prior_calibs:
+        out["floor_merged"] = True
+        out["calib_runs"] = [
+            round(c, 4) for c in prior_calibs + [calibration_s]
+        ]
     if row_budget:
         out["row_budget"] = row_budget
     if logs:
@@ -1072,6 +1093,33 @@ def _round_detail_file() -> str:
     except OSError:
         pass  # unreadable checkout: fall back to the stable name only
     return os.path.join(here, f"BENCH_DETAIL_r{max(rounds) + 1:02d}.json")
+
+
+def _floor_merge_round_sidecar(
+    timings: dict[str, float],
+) -> tuple[dict[str, float], list[float] | None]:
+    """Per-entry cross-run minima against THIS ROUND's existing sidecar
+    (r13 VERDICT task 5 — see the call site's comment).  Returns the
+    merged timings plus the prior runs' calibration stamps, or
+    ``(timings, None)`` when no prior same-round sidecar exists.  Only
+    entries present in the CURRENT run merge (prior-only names are
+    dropped; current errors stay errors)."""
+    path = _round_detail_file()
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return timings, None
+    pq = prior.get("queries")
+    if not isinstance(pq, dict):
+        return timings, None
+    merged = {
+        k: min(v, pq[k]) if isinstance(pq.get(k), (int, float)) else v
+        for k, v in timings.items()
+    }
+    runs = prior.get("calib_runs") or [prior.get("calibration_s")]
+    runs = [float(r) for r in runs if isinstance(r, (int, float))]
+    return merged, runs
 
 
 def _chunk_lines(label: str, entries: dict[str, float]) -> list[str]:

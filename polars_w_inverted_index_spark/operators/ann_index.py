@@ -582,11 +582,17 @@ def _measure_cold_bandwidth_mbps(
     was this dev box's measured 344 MB/s — a deployment that never
     passes ``bandwidth_mbps`` silently inherited the wrong disk.  The
     build now stamps a measured number into ``_ann_meta.json`` so the
-    policy is portable by default.  Method = the crossover tool's
-    (tools/pq_crossover_io.py): fsync each probed file (DONTNEED only
-    drops CLEAN pages — the cells were just written), evict via
-    ``posix_fadvise(POSIX_FADV_DONTNEED)``, then one timed sequential
-    read.  Bounded to ``budget_bytes`` of the largest-first files so a
+    policy is portable by default.
+
+    Method (r14, r13 VERDICT task 6): copy a bounded byte budget of the
+    LARGEST cell files into a scratch file beside the tree, fsync +
+    evict THE COPY (``posix_fadvise(POSIX_FADV_DONTNEED)``), one timed
+    sequential read of the copy, delete it.  The pre-r14 probe evicted
+    the largest LIVE files — under hot-skew ingest exactly the cells
+    the next serve probes, so every fold trigger deliberately cooled
+    the hottest data right before the serve; the scratch copy leaves
+    live files' page cache alone (the copy pass even warms them) and
+    still times the same device.  Bounded to ``budget_bytes`` so a
     100 TB build pays a fixed ~64 MB probe; refuses to stamp under
     ``min_bytes`` (a few-MB read times syscall overhead, not the disk)
     and on any OSError / non-POSIX platform — the policy then falls
@@ -595,6 +601,9 @@ def _measure_cold_bandwidth_mbps(
         return None
     import time
 
+    scratch = os.path.join(
+        os.path.dirname(cells_dir) or ".", "_bw_probe_scratch"
+    )
     try:
         sizes = []
         for dirpath, _dirs, files in os.walk(cells_dir):
@@ -604,36 +613,47 @@ def _measure_cold_bandwidth_mbps(
                 p = os.path.join(dirpath, name)
                 sizes.append((os.path.getsize(p), p))
         sizes.sort(reverse=True)  # largest first: fewest opens per byte
-        picked, acc = [], 0
-        for sz, p in sizes:
-            picked.append(p)
-            acc += sz
-            if acc >= budget_bytes:
-                break
-        if acc < min_bytes:
-            return None
-        for p in picked:
-            fd = os.open(p, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
-            finally:
-                os.close(fd)
+        acc = 0
+        with open(scratch, "wb") as out:
+            for _sz, p in sizes:
+                with open(p, "rb") as f:
+                    while acc < budget_bytes:
+                        b = f.read(1 << 22)
+                        if not b:
+                            break
+                        out.write(b)
+                        acc += len(b)
+                if acc >= budget_bytes:
+                    break
+            if acc < min_bytes:
+                return None
+            out.flush()
+            os.fsync(out.fileno())
+        fd = os.open(scratch, os.O_RDONLY)
+        try:
+            # only the scratch copy is evicted — never a live cell file
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
         n = 0
         t0 = time.perf_counter()
-        for p in picked:
-            with open(p, "rb") as f:
-                while True:
-                    b = f.read(1 << 22)
-                    if not b:
-                        break
-                    n += len(b)
+        with open(scratch, "rb") as f:
+            while True:
+                b = f.read(1 << 22)
+                if not b:
+                    break
+                n += len(b)
         dt = time.perf_counter() - t0
         if dt <= 0:
             return None
         return round(n / dt / 1e6, 1), n
     except OSError:
         return None
+    finally:
+        try:
+            os.remove(scratch)
+        except OSError:
+            pass
 
 
 # Readings above this are page cache / tmpfs, not a disk: DONTNEED only
@@ -678,7 +698,9 @@ def _stamp_bandwidth(root: str) -> None:
             meta = json.load(f)
         meta["bandwidth_mbps"] = mbps
         meta["bandwidth_probe_bytes"] = probed
-        meta["bandwidth_probe_method"] = "fsync+fadvise_dontneed+seqread"
+        meta["bandwidth_probe_method"] = (
+            "scratch_copy+fsync+fadvise_dontneed+seqread"
+        )
         _write_meta_atomic(meta_path, meta)
     except (OSError, ValueError):
         pass

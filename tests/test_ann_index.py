@@ -1214,7 +1214,9 @@ def test_compact_restamps_bandwidth(spark, emb, tmp_path, monkeypatch):
     assert ai.ann_index_compact(spark, root) > 0
     meta = _json.loads(open(meta_path).read())
     assert meta["bandwidth_mbps"] == 777.0       # full fold re-stamped
-    assert meta["bandwidth_probe_method"] == "fsync+fadvise_dontneed+seqread"
+    assert meta["bandwidth_probe_method"] == (
+        "scratch_copy+fsync+fadvise_dontneed+seqread"
+    )
 
     plant(1.0)
     ingest(2)
@@ -1236,6 +1238,61 @@ def test_compact_restamps_bandwidth(spark, emb, tmp_path, monkeypatch):
     ingest(3)
     assert ai.ann_index_compact(spark, root) > 0
     assert _json.loads(open(meta_path).read())["bandwidth_mbps"] == 42.0
+
+
+def test_fold_probe_never_evicts_live_cells(spark, emb, tmp_path, monkeypatch):
+    """r13 VERDICT task 6 done-criterion: the bandwidth re-stamp at fold
+    time must leave the folded cells' files OUT of the probe's evict set
+    (the pre-r14 probe fadvise-DONTNEEDed the largest live files — under
+    hot-skew ingest exactly the cells the next serve probes), and the
+    stamp must still refresh.  The probe here runs for REAL (tiny
+    min_bytes so the test tree is measurable; plausibility cap lifted
+    because a page-cached scratch read on overlay mounts times RAM) with
+    every fadvise call recorded via /proc/self/fd."""
+    import json as _json
+
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    root = str(tmp_path / "noevict")
+    ai.build_ann_index(
+        emb.where(F.col("vec_id") < 400), root, n_centroids=4, n_iters=0
+    )
+    ai.ann_index_add_batch(
+        spark, root,
+        emb.where(F.col("vec_id").between(400, 450)), batch_tag=1,
+    )
+
+    evicted = []
+    real_fadvise = os.posix_fadvise
+
+    def record(fd, off, ln, advice):
+        evicted.append(os.readlink(f"/proc/self/fd/{fd}"))
+        return real_fadvise(fd, off, ln, advice)
+
+    real_measure = ai._measure_cold_bandwidth_mbps
+    monkeypatch.setattr(os, "posix_fadvise", record)
+    monkeypatch.setattr(
+        ai,
+        "_measure_cold_bandwidth_mbps",
+        lambda d: real_measure(d, budget_bytes=1 << 20, min_bytes=1 << 10),
+    )
+    monkeypatch.setattr(ai, "_MAX_PLAUSIBLE_DISK_MBPS", float("inf"))
+
+    meta_path = os.path.join(root, "_ann_meta.json")
+    meta = _json.loads(open(meta_path).read())
+    meta.pop("bandwidth_mbps", None)
+    open(meta_path, "w").write(_json.dumps(meta))
+
+    assert ai.ann_index_compact(spark, root) > 0
+    assert evicted, "the probe must have run for real"
+    for p in evicted:
+        assert p.endswith("_bw_probe_scratch"), (
+            f"probe evicted a live file: {p}"
+        )
+    meta = _json.loads(open(meta_path).read())
+    assert meta["bandwidth_mbps"] > 0  # the stamp still refreshes
+    # the scratch copy is removed after the probe
+    assert not os.path.exists(os.path.join(root, "_bw_probe_scratch"))
 
 
 def test_truncated_legacy_meta_does_not_block_lifecycle(
