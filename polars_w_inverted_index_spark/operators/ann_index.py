@@ -754,8 +754,103 @@ def build_ann_index(
             "vec_col": vec_col,
         },
     )
+    # snapshot manifest (r14): one build-time listing of the fresh tree.
+    # A REBUILD over an existing root invalidates any PQ sidecar
+    # wholesale (new centroids → new cells → every code stale): the new
+    # manifest carries no codes/fingerprints (PQ serves refuse loudly
+    # until the next pq_augment_ann_index) and the old codes directories
+    # retire behind the grace window.  Rebuild-in-place is itself
+    # stop-the-world for serving — the cells overwrite above deletes
+    # live files — so zero-downtime deployments rebuild into a NEW root
+    # and flip the pointer.
+    import time as _time
+
+    now = _time.time()
+    retired = []
+    old_code_tags = _list_tree_tags(os.path.join(root, "pq_codes"))
+    for c, tags in old_code_tags.items():
+        for t in tags:
+            retired.append([f"pq_codes/cell={c}/ingest_batch={t}", now])
+    # the generation counter must survive a rebuild: old gen-tagged
+    # codes directories retire behind the grace window, and a reset
+    # counter would let the next augment REUSE their tag — appending
+    # fresh codes beside retired ones in the same directory, i.e.
+    # duplicate candidates (caught by the lifecycle row's oracle the
+    # round this was built).  Carry max(previous gen, any gen tag still
+    # physically present) forward.
+    prev = _load_manifest(root)
+    gen = max(
+        [1, int(prev["gen"]) if prev is not None else 1]
+        + [-t for tags in old_code_tags.values() for t in tags if t < -1]
+    )
+    _write_manifest(
+        root,
+        {
+            "format": _MANIFEST_FORMAT,
+            "gen": gen,
+            "cells": _list_tree_tags(os.path.join(root, "cells")),
+            "codes": {},
+            "code_fps": {},
+            "books_id": None,
+            "retired": retired,
+        },
+    )
     _stamp_bandwidth(root)
     return root
+
+
+def _assign_batch_checkpoint(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+):
+    """Width-gate + GEMM-assign one batch against the frozen centroids;
+    returns ``(assigned_df, touched, n)`` where ``assigned_df`` is
+    localCheckpointed (one GEMM pass serves both the parquet write and
+    the touched-cell collect — bounded: micro-batch sized), ``touched``
+    is the sorted cell values (dir-name strings) the batch lands in,
+    and ``n`` the row count.  The touched set is what makes every
+    downstream ingest decision O(touched cells) instead of an
+    O(#cells) tree walk (r13 VERDICT task 4)."""
+    recorded = None
+    try:
+        with open(os.path.join(root, "_ann_meta.json")) as f:
+            recorded = json.load(f).get("dims")
+    except (OSError, ValueError):
+        # ValueError: a meta truncated by a pre-r13 (non-atomic) writer's
+        # crash must not block ingest forever (r12 ADVICE) — the dims
+        # gate simply has no recorded width to check against
+        pass
+    _uniform_width(
+        batch, vec_col, f"ann_index_add_batch({root})", want=recorded
+    )
+    cent = spark.read.parquet(os.path.join(root, "centroids"))
+    assigned = _assign_cells(
+        batch, cent, id_col, vec_col, keep_n=1
+    ).localCheckpoint(eager=True)
+    rows = assigned.groupBy("cell").count().collect()
+    touched = sorted(str(r["cell"]) for r in rows)
+    n = int(sum(r["count"] for r in rows))
+    return assigned, touched, n
+
+
+def _append_assigned(
+    root: str, assigned: DataFrame, batch_tag: int
+) -> None:
+    (
+        assigned.select(
+            "cell",
+            F.lit(int(batch_tag)).alias("ingest_batch"),
+            F.col("_id").alias("vec_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+        )
+        .write.mode("append")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(os.path.join(root, "cells"))
+    )
 
 
 def ann_index_add_batch(
@@ -777,50 +872,35 @@ def ann_index_add_batch(
     merge has.  Centroids drift from optimal as the distribution moves;
     rebuild with :func:`build_ann_index` on whatever cadence the drift
     monitor (streaming/drift.py) says, exactly like any IVF system.
-    Parquet-append visibility: a concurrent reader sees the batch only
-    once its files land — per-file atomicity, same discipline as the
-    sorted-write path.  ``batch_tag`` names the ``ingest_batch=``
-    partition the files land in: streaming ingest passes its checkpoint
-    batch id so a crashed-then-replayed batch can be removed exactly
-    (streaming/ann_ingest.py); direct callers default to -1 (same
-    directory as the build — untagged, not replay-cleanable).
+
+    The manifest swap lands AFTER the parquet append, so snapshot
+    readers see the batch only once it is complete — a crash in between
+    leaves invisible files a tagged replay removes
+    (streaming/ann_ingest.py).  ``batch_tag`` names the
+    ``ingest_batch=`` partition the files land in: streaming ingest
+    passes its checkpoint batch id so a crashed-then-replayed batch can
+    be removed exactly; direct callers default to -1 (same directory as
+    the build — untagged: NOT replay-cleanable, and appending into an
+    already-live directory means a concurrent snapshot reader may
+    observe the batch's committed files early.  Guarded streaming
+    ingest never does this; direct untagged appends are a
+    batch-pipeline convenience).
     """
-    _recover_cells(root)
-    cells_dir = os.path.join(root, "cells")
-    if _legacy_cell_layout(cells_dir):
-        raise ValueError(
-            f"index at {root} uses the pre-ingest_batch cell layout; "
-            "appending the partitioned layout beside it would break "
-            "partition discovery for the whole table — run "
-            "ann_index_compact(spark, root) once to migrate, then ingest."
-        )
-    recorded = None
-    try:
-        with open(os.path.join(root, "_ann_meta.json")) as f:
-            recorded = json.load(f).get("dims")
-    except (OSError, ValueError):
-        # ValueError: a meta truncated by a pre-r13 (non-atomic) writer's
-        # crash must not block ingest forever (r12 ADVICE) — the dims
-        # gate simply has no recorded width to check against
-        pass
-    _uniform_width(
-        batch, vec_col, f"ann_index_add_batch({root})", want=recorded
+    m = _ensure_manifest(root)
+    assigned, touched, n = _assign_batch_checkpoint(
+        spark, root, batch, id_col, vec_col
     )
-    cent = spark.read.parquet(os.path.join(root, "centroids"))
-    assigned = _assign_cells(batch, cent, id_col, vec_col, keep_n=1)
-    (
-        assigned.select(
-            "cell",
-            F.lit(int(batch_tag)).alias("ingest_batch"),
-            F.col("_id").alias("vec_id"),
-            F.col("v").alias("cv"),
-            F.col("vn").alias("cn"),
-        )
-        .write.mode("append")
-        .partitionBy("cell", "ingest_batch")
-        .parquet(os.path.join(root, "cells"))
-    )
-    return batch.count()
+    _append_assigned(root, assigned, batch_tag)
+    changed = False
+    for c in touched:
+        tags = m["cells"].setdefault(c, [])
+        if int(batch_tag) not in tags:
+            tags.append(int(batch_tag))
+            tags.sort()
+            changed = True
+    if changed:
+        _write_manifest(root, m)
+    return n
 
 
 def _recover_cells(root: str) -> None:
@@ -905,76 +985,443 @@ def _legacy_cell_layout(cells_dir: str) -> bool:
     return False
 
 
-def ann_index_compact(spark: SparkSession, root: str) -> int:
-    """Fold accumulated ``ingest_batch=<id>`` delta directories back into
-    the base layout (everything under ``ingest_batch=-1``); returns the
-    NUMBER OF DELTA DIRECTORIES FOLDED.  Also migrates a
-    pre-``ingest_batch`` (legacy flat-cell) index into the current
-    layout, which unblocks :func:`ann_index_add_batch` on old roots —
-    a pure legacy migration rewrites the index but folds 0 deltas and
-    returns 0, so the return value is only "did nothing happen" when
-    the layout was already current (ADVICE r5: the old code returned 1
-    for a zero-delta migration, misreporting the documented count).
+# ---------------------------------------------------------------------------
+# Snapshot manifest (r14, r13 VERDICT task 1): serves overlap maintenance
+# ---------------------------------------------------------------------------
+#
+# Pre-r14 maintenance swapped directories via renames whose crash windows
+# `_recover_cells` healed on the NEXT touch — which forced the module
+# contract "no serves while a fold/ingest-with-dial runs" (a serve could
+# observe a mid-swap tree or race the healer).  At 100 TB with continuous
+# ingest, serve windows are the norm, so the index now uses MANIFEST
+# INDIRECTION, the same discipline the postings LSM's per-bucket segment
+# lists approximate:
+#
+# - `_cells_manifest.json` (atomic tmp+replace) names every cell's LIVE
+#   `ingest_batch=` directory set for BOTH trees (cells + pq_codes), the
+#   recorded per-cell code fingerprints, and a `books_id` pairing the
+#   codes with the codebooks in `_pq_meta.json`;
+# - readers resolve the manifest ONCE per serve and read those explicit
+#   directories (never partition discovery over the physical tree), so a
+#   pinned snapshot stays self-consistent at every instant;
+# - folds APPEND the folded cell's rows (and its re-encoded codes) under
+#   a fresh generation tag `ingest_batch=-<gen>` — never touching a live
+#   path — then swap the manifest once: live set, codes set, and
+#   fingerprint move together, so even the PQ gate stays green through a
+#   fold;
+# - superseded directories are RETIRED (timestamped in the manifest) and
+#   pruned only after `retire_grace_seconds`, so a serve that resolved
+#   the previous manifest keeps its files; the grace bounds how long a
+#   serve may run after resolving its snapshot;
+# - generation numbers are allocated by a manifest write BEFORE the fold
+#   writes data, so a crashed fold's directories (never referenced by
+#   any manifest) can never collide with a retry — they are orphans,
+#   collected by the next fold's O(touched-cells) sweep.
+#
+# MAINTENANCE jobs (ingest commits, folds, re-encodes, augments) still
+# must not overlap EACH OTHER — one maintenance writer at a time, the
+# normal single-writer rule — but serves need no coordination at all.
+# Roots built before r14 migrate on the first maintenance touch
+# (`_ensure_manifest`): one full tree listing, after which every
+# per-batch decision is O(touched cells) from the manifest (r13 VERDICT
+# task 4).  Manifest-less roots keep the legacy read path (whole-tree
+# partition discovery + `_recover_cells`), so old indexes stay readable.
 
-    A long-running stream leaves one small directory per cell per batch
-    (the price of crash-exact replay, streaming/ann_ingest.py); serving
-    cost grows with file count, not data size.  Compaction is the same
-    amortized rewrite the near-dedup band state and any LSM layout use:
-    read current cells, rewrite partitioned by cell into a fresh
-    directory, then swap.  The swap is two renames, NOT atomic — the
-    crash window between them is closed by :func:`_recover_cells`
-    (the complete ``cells__compacting`` directory is promoted on the
-    next touch).  Run between batches only (same single-writer contract
-    as ingest).
-    """
-    import glob
+_MANIFEST_FORMAT = 1
+
+# How long a pinned snapshot's retired directories stay on disk.  A
+# serve must finish within this window of resolving its manifest; the
+# default comfortably covers interactive top-k serves (sub-second to
+# seconds) while keeping a streaming index's disk overhead to one
+# superseded generation per fold cycle.
+DEFAULT_RETIRE_GRACE_SECONDS = 300.0
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "_cells_manifest.json")
+
+
+def _load_manifest(root: str) -> dict | None:
+    """The manifest dict, or None for a legacy (pre-r14) root.  An
+    unreadable/torn manifest also reads as None — the writer is atomic
+    (tmp+replace), so that only happens for hand-damaged roots, where
+    the legacy whole-tree read path is the conservative fallback."""
+    try:
+        with open(_manifest_path(root)) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if m.get("format") != _MANIFEST_FORMAT:
+        raise ValueError(
+            f"index manifest at {root} has format {m.get('format')!r}; "
+            f"this engine writes v{_MANIFEST_FORMAT} — rebuild the index "
+            "or upgrade the engine."
+        )
+    return m
+
+
+def _write_manifest(root: str, m: dict) -> None:
+    _write_meta_atomic(_manifest_path(root), m)
+
+
+def _books_id(books) -> str:
+    """Content id pairing a codes tree with the codebooks that encoded
+    it: a serve that would mix new codes with old books (or vice versa,
+    mid-augment) sees the mismatch and refuses loudly."""
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(books).encode()
+    ).hexdigest()[:16]
+
+
+def _list_tree_tags(tree_dir: str) -> dict[str, list[int]]:
+    """``{cell value (dir-name string) → sorted ingest_batch tags}`` from
+    one physical listing — migration/build-time only; per-batch paths
+    read the manifest instead."""
+    out: dict[str, list[int]] = {}
+    try:
+        entries = os.listdir(tree_dir)
+    except OSError:
+        return out
+    for entry in entries:
+        if not entry.startswith("cell="):
+            continue
+        d = os.path.join(tree_dir, entry)
+        if not os.path.isdir(d):
+            continue
+        tags = []
+        for sub in os.listdir(d):
+            if not sub.startswith("ingest_batch="):
+                continue
+            try:
+                tags.append(int(sub[len("ingest_batch="):]))
+            except ValueError:
+                continue
+        if tags:
+            out[entry[len("cell="):]] = sorted(tags)
+    return out
+
+
+def _ensure_manifest(root: str) -> dict:
+    """Load the manifest, or migrate a legacy root to one (single
+    maintenance writer only: heals legacy crash shapes via
+    :func:`_recover_cells`, collects pre-manifest staging leftovers,
+    lists both trees once — the one O(#cells) walk per index lifetime,
+    after which every per-batch decision reads the manifest).
+
+    A legacy PQ sidecar migrates with it: ``books_id`` is stamped into
+    ``_pq_meta.json`` so codes/books pairing is checkable, and per-cell
+    fingerprints carry over ONLY for cells that actually have codes
+    directories — a fingerprint without codes would gate-pass a cell
+    whose rows have no codes (the r13.2 silent-wrong-top-k refusal,
+    preserved here as fail-closed staleness).  A flat (pre-r13.2) codes
+    tree cannot be referenced by the manifest; it is derived data, so it
+    is dropped and one ``pq_augment_ann_index`` rebuilds it (the same
+    migration the legacy path demanded)."""
     import shutil
 
+    m = _load_manifest(root)
+    if m is not None:
+        return m
     _recover_cells(root)
+    # pre-manifest orphan staging (owned by the legacy compact jobs —
+    # dead weight once manifest-mode folds take over)
+    for leftover in ("cells__compacting", "cells__cellfold"):
+        shutil.rmtree(os.path.join(root, leftover), ignore_errors=True)
     cells_dir = os.path.join(root, "cells")
-    tmp = os.path.join(root, "cells__compacting")
-    # A compaction that crashed BEFORE its first rename leaves a
-    # complete-but-stale staging dir beside the LIVE cells tree.
-    # _recover_cells must NOT touch it (it runs on the concurrent serve
-    # path, which could race an in-flight compaction's staging write);
-    # this single-writer job owns the staging dir, so it collects the
-    # orphan here — BEFORE the no-work early return, or a delta-free
-    # index would carry the stale snapshot forever (r12 crash fuzz).
-    # The per-cell fold's staging dir (r13) has the same owner, so a
-    # selective fold that crashed mid-write is collected here too.
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(os.path.join(root, "cells__cellfold"), ignore_errors=True)
-    deltas = glob.glob(os.path.join(cells_dir, "cell=*", "ingest_batch=*"))
-    deltas = [d for d in deltas if not d.endswith("ingest_batch=-1")]
-    legacy = _legacy_cell_layout(cells_dir)
-    if not deltas and not legacy:
+    if os.path.isdir(cells_dir) and _legacy_cell_layout(cells_dir):
+        raise ValueError(
+            f"index at {root} uses the pre-ingest_batch cell layout — "
+            "run ann_index_compact(spark, root) once to migrate, then "
+            "every maintenance path works."
+        )
+    codes_dir = os.path.join(root, "pq_codes")
+    codes: dict[str, list[int]] = {}
+    code_fps: dict[str, str] = {}
+    bid = None
+    meta_path = os.path.join(root, "_pq_meta.json")
+    pq_meta = None
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                pq_meta = json.load(f)
+        except (OSError, ValueError):
+            pq_meta = None
+    if os.path.isdir(codes_dir) and _legacy_cell_layout(codes_dir):
+        shutil.rmtree(codes_dir)  # flat codes: rebuild via one augment
+    elif pq_meta is not None and pq_meta.get("books"):
+        bid = pq_meta.get("books_id") or _books_id(pq_meta["books"])
+        if pq_meta.get("books_id") != bid:
+            pq_meta["books_id"] = bid
+            _write_meta_atomic(meta_path, pq_meta)
+        codes = _list_tree_tags(codes_dir)
+        recorded = pq_meta.get("cell_fingerprints")
+        if codes and isinstance(recorded, dict):
+            code_fps = {c: d for c, d in recorded.items() if c in codes}
+    cells_tags = _list_tree_tags(cells_dir)
+    m = {
+        "format": _MANIFEST_FORMAT,
+        # a hand-deleted manifest may leave gen-tagged dirs behind:
+        # start past them so a fold can never append into one
+        "gen": max(
+            [1]
+            + [
+                -t
+                for tags in list(cells_tags.values()) + list(codes.values())
+                for t in tags
+                if t < -1
+            ]
+        ),
+        "cells": cells_tags,
+        "codes": codes,
+        "code_fps": code_fps,
+        "books_id": bid,
+        "retired": [],
+    }
+    _write_manifest(root, m)
+    return m
+
+
+def _live_paths(root: str, tree: str, m: dict, cells=None) -> list[str]:
+    """Absolute live directories of ``tree`` (``"cells"`` or
+    ``"pq_codes"``) under the manifest snapshot, restricted to ``cells``
+    (iterable of partition VALUES) when given.  Readers hand these to
+    ``spark.read.option("basePath", <tree>).parquet(*paths)`` — every
+    path segment below basePath is a k=v pair, so partition columns
+    still parse, and the listing is exactly the live set (static
+    pruning with snapshot isolation)."""
+    key = "cells" if tree == "cells" else "codes"
+    base = os.path.join(root, tree)
+    want = None if cells is None else {str(c) for c in cells}
+    out: list[str] = []
+    for c, tags in m[key].items():
+        if want is not None and c not in want:
+            continue
+        for t in tags:
+            out.append(
+                os.path.join(base, f"cell={c}", f"ingest_batch={t}")
+            )
+    return out
+
+
+def _manifest_walk(cdir: str, tags) -> str | None:
+    """The live-set digest walk behind :func:`_manifest_cell_digest`:
+    sha256 over sorted (path relative to the cell dir, size) of every
+    visible file under the given ``ingest_batch=`` tag directories —
+    the same per-file format as :func:`_cells_walk`, so a
+    freshly-migrated manifest's digests match the legacy recorded
+    fingerprints exactly (no spurious whole-index re-encode at
+    migration).  Module-level so tests can interpose it (warm serves
+    must not re-walk — the r8 staleness-cache discipline)."""
+    import hashlib
+
+    entries = []
+    for t in sorted(tags):
+        d = os.path.join(cdir, f"ingest_batch={t}")
+        if not os.path.isdir(d):
+            continue
+        for dirpath, dirnames, files in os.walk(d):
+            dirnames[:] = [
+                x for x in dirnames if not x.startswith((".", "_"))
+            ]
+            for name in files:
+                if name.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, name)
+                entries.append(
+                    (os.path.relpath(p, cdir), os.path.getsize(p))
+                )
+    if not entries:
+        return None
+    h = hashlib.sha256()
+    for rel, size in sorted(entries):
+        h.update(f"{rel}\x00{size}\n".encode())
+    return h.hexdigest()
+
+
+def _manifest_cell_digest(
+    root: str, m: dict, cell: str, extra_tags=(), use_cache: bool = True
+) -> str | None:
+    """Digest of one cell's LIVE content under the manifest snapshot.
+    ``extra_tags`` lets an ingest commit compute the post-append digest
+    before the manifest swap makes the tag live.  None when the live
+    set is empty (consistent-empty: an empty probed cell has no codes
+    either).
+
+    Serving memoizes the walk behind the O(#dirs) mtime token
+    (functions/listing.py) keyed by the live tag set — a fold or prune
+    moves the cell dir's mtime, so the cache can never serve a digest
+    for a superseded live set; maintenance passes ``use_cache=False``
+    so recorded fingerprints always come from a real walk."""
+    from ..functions.listing import cached_listing_digest
+
+    tags = sorted(
+        set(m["cells"].get(str(cell), [])) | {int(t) for t in extra_tags}
+    )
+    cdir = os.path.join(root, "cells", f"cell={cell}")
+    return cached_listing_digest(
+        cdir,
+        lambda src: _manifest_walk(src, tags),
+        "mcell:" + ",".join(map(str, tags)),
+        use_cache=use_cache,
+    )
+
+
+def _live_tree_bytes(root: str, m: dict, cells=None) -> int:
+    """On-disk bytes of the LIVE cells directories only — retired (but
+    not yet pruned) generations must not inflate the serving policy's
+    probed-bytes estimate."""
+    total = 0
+    for d in _live_paths(root, "cells", m, cells):
+        if os.path.isdir(d):
+            total += _tree_bytes(d)
+    return total
+
+
+def _prune_retired(root: str, m: dict, grace_seconds: float) -> None:
+    """Delete retired directories older than the grace window and drop
+    them from the list.  rmtree runs BEFORE the manifest swap that
+    removes the entries: a crash in between leaves entries naming
+    missing paths, which the next prune re-ignores (ignore_errors) —
+    never an unreferenced orphan.  Readers never resolve retired paths;
+    the grace only protects serves still reading a PREVIOUS manifest's
+    live set."""
+    import shutil
+    import time
+
+    now = time.time()
+    keep = []
+    for rel, ts in m.get("retired", []):
+        if now - float(ts) >= float(grace_seconds):
+            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+        else:
+            keep.append([rel, ts])
+    m["retired"] = keep
+
+
+def _sweep_orphan_dirs(root: str, m: dict, cells) -> None:
+    """Remove ``ingest_batch=`` directories in the given cells that no
+    manifest references (not live, not retired) — a crashed fold's
+    generation dirs (its generation was allocated by a manifest write
+    BEFORE the data write, so a retry never reuses the tag) and a
+    crashed-then-abandoned ingest attempt's tagged dirs (invisible: the
+    attempt never swapped the manifest).  No reader can hold an
+    unreferenced path, and MAINTENANCE is single-writer (an in-flight
+    ingest append cannot overlap this fold), so the sweep is safe.
+    O(touched cells) listings."""
+    import shutil
+
+    retired_paths = {rel for rel, _ in m.get("retired", [])}
+    for tree, key in (("cells", "cells"), ("pq_codes", "codes")):
+        base = os.path.join(root, tree)
+        for c in cells:
+            c = str(c)
+            cdir = os.path.join(base, f"cell={c}")
+            try:
+                subs = os.listdir(cdir)
+            except OSError:
+                continue
+            live = set(m[key].get(c, []))
+            for sub in subs:
+                if not sub.startswith("ingest_batch="):
+                    continue
+                try:
+                    t = int(sub[len("ingest_batch="):])
+                except ValueError:
+                    continue
+                if t in live:
+                    continue
+                if f"{tree}/cell={c}/ingest_batch={t}" in retired_paths:
+                    continue
+                shutil.rmtree(os.path.join(cdir, sub), ignore_errors=True)
+
+
+def _sidecar_books(root: str, m: dict):
+    """The sidecar's :class:`PQCodebooks` when the manifest can maintain
+    codes — meta present, books recorded, and the manifest's
+    ``books_id`` pairs with them.  A mid-retrain (or crashed-augment)
+    state mismatches and reads as None: not maintainable, and serving
+    refuses loudly rather than mixing codes with foreign books."""
+    try:
+        with open(os.path.join(root, "_pq_meta.json")) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return None
+    books = meta.get("books")
+    if not books:
+        return None
+    bid = meta.get("books_id") or _books_id(books)
+    if m.get("books_id") != bid:
+        return None
+    from .pq import PQCodebooks
+
+    return PQCodebooks(
+        books=tuple(tuple(tuple(x) for x in b) for b in books),
+        n_dims=meta["n_dims"],
+    )
+
+
+def ann_index_compact(
+    spark: SparkSession,
+    root: str,
+    retire_grace_seconds: float = DEFAULT_RETIRE_GRACE_SECONDS,
+) -> int:
+    """Fold EVERY cell's accumulated ``ingest_batch=<id>`` delta
+    directories into a fresh generation; returns the NUMBER OF DELTA
+    DIRECTORIES FOLDED.  Also migrates a pre-``ingest_batch`` (legacy
+    flat-cell) index into the current layout + manifest, which unblocks
+    :func:`ann_index_add_batch` on old roots — a pure legacy migration
+    rewrites the index but folds 0 deltas and returns 0, so the return
+    value is only "did nothing happen" when the layout was already
+    current (ADVICE r5).
+
+    Since r14 this is :func:`ann_index_compact_cells` over every cell
+    with deltas (manifest snapshot isolation — see the section comment
+    above): serves may run concurrently; only other MAINTENANCE must
+    not."""
+    import shutil
+
+    cells_dir = os.path.join(root, "cells")
+    if _load_manifest(root) is None and _legacy_cell_layout(cells_dir):
+        # flat-file cells cannot be named by a manifest: one whole-tree
+        # rewrite into the two-level layout (the pre-r14 migration,
+        # single-writer, no concurrent serves on a pre-manifest root),
+        # then the manifest takes over.
+        _recover_cells(root)
+        tmp = os.path.join(root, "cells__compacting")
+        shutil.rmtree(tmp, ignore_errors=True)
+        current = spark.read.parquet(cells_dir).select(
+            "cell", "vec_id", "cv", "cn"
+        )
+        (
+            current.withColumn("ingest_batch", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(tmp)
+        )
+        old = os.path.join(root, "cells__old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(cells_dir, old)
+        os.rename(tmp, cells_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        _ensure_manifest(root)
+        _stamp_bandwidth(root)
         return 0
-    current = spark.read.parquet(cells_dir).select(
-        "cell", "vec_id", "cv", "cn"
+    m = _ensure_manifest(root)
+    return ann_index_compact_cells(
+        spark, root, sorted(m["cells"]), retire_grace_seconds
     )
-    (
-        current.withColumn("ingest_batch", F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy("cell", "ingest_batch")
-        .parquet(tmp)
-    )
-    old = os.path.join(root, "cells__old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(cells_dir, old)
-    os.rename(tmp, cells_dir)
-    shutil.rmtree(old, ignore_errors=True)
-    # the fold just rewrote the cells tree cold — a free probe window;
-    # re-stamping here keeps a long-lived index's serving policy on its
-    # CURRENT volume instead of the build-day number (r12 VERDICT #3)
-    _stamp_bandwidth(root)
-    return len(deltas)
 
 
 def ann_index_compact_cells(
-    spark: SparkSession, root: str, cells
+    spark: SparkSession,
+    root: str,
+    cells,
+    retire_grace_seconds: float = DEFAULT_RETIRE_GRACE_SECONDS,
 ) -> int:
     """Fold ONLY the given cells' ``ingest_batch=<id>`` delta
-    directories into their base layout; returns the number of delta
+    directories into a fresh generation; returns the number of delta
     directories folded.
 
     The selective counterpart of :func:`ann_index_compact` (r12 VERDICT
@@ -983,85 +1430,126 @@ def ann_index_compact_cells(
     index on the hot cell's schedule is a corpus-scale synchronous
     stall inside a micro-batch — the same problem the postings LSM
     solved with per-bucket segment lists (streaming/index_maintenance).
-    Each cell's ``base + deltas`` set is self-contained, so the fold
-    reads and rewrites ONLY the requested cells: cost is O(requested
-    cells' bytes), never O(index).
+    Each cell's live set is self-contained, so the fold reads and
+    rewrites ONLY the requested cells: cost is O(requested cells'
+    bytes), never O(index).
 
     ``cells`` is an iterable of cell partition VALUES (the ``<c>`` of
-    ``cell=<c>`` — ints for the default long id column); values whose
-    directory is missing or delta-free are skipped.
+    ``cell=<c>``); values whose live set is delta-free are skipped.
 
-    Crash-safety: all requested cells are rewritten into a staging tree
-    in ONE Spark job (``cells__cellfold``, committed by its
-    ``_SUCCESS``), then swapped per cell via two renames through
-    ``cells__cellfold_old``; every window is healed by
-    :func:`_recover_cells` — promote the staged copy after the commit
-    marker, restore the old copy before it, and cells not yet swapped
-    simply keep their deltas for a later fold.  Single-writer, like
-    :func:`ann_index_compact`.  Legacy (pre-``ingest_batch``) layouts
-    must migrate through the full compact first — partition discovery
-    cannot read a mixed tree.
-    """
-    import glob
-    import shutil
+    Snapshot isolation (r14 — see the manifest section comment): the
+    folded rows land under a fresh ``ingest_batch=-<gen>`` directory
+    per cell (append — no live path is touched), a PQ sidecar's folded
+    cells are re-encoded from that SAME folded content in the same
+    commit (which also heals any pre-existing staleness in those cells
+    — the re-encode is the cell's full content by construction), and
+    ONE atomic manifest swap moves live set + codes set + fingerprints
+    together, so concurrent serves — float AND PQ — stay consistent at
+    every instant.  Superseded directories retire behind
+    ``retire_grace_seconds``.  Concurrent MAINTENANCE is still
+    single-writer."""
+    import time as _time
 
-    _recover_cells(root)
+    m = _ensure_manifest(root)
     cells_dir = os.path.join(root, "cells")
-    if _legacy_cell_layout(cells_dir):
-        raise ValueError(
-            f"index at {root} uses the pre-ingest_batch cell layout — "
-            "run ann_index_compact(spark, root) once to migrate before "
-            "selective folds."
-        )
-    stage = os.path.join(root, "cells__cellfold")
-    old = os.path.join(root, "cells__cellfold_old")
-    # this single-writer job owns both; a prior crash's leftovers were
-    # either healed by _recover_cells (old) or are orphan staging (stage)
-    shutil.rmtree(stage, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    todo: dict[str, list[str]] = {}
-    for c in cells:
-        cdir = os.path.join(cells_dir, f"cell={c}")
-        if not os.path.isdir(cdir):
-            continue
-        deltas = [
-            d
-            for d in glob.glob(os.path.join(cdir, "ingest_batch=*"))
-            if not d.endswith("ingest_batch=-1")
-        ]
-        if deltas:
-            todo[f"cell={c}"] = deltas
+    codes_dir = os.path.join(root, "pq_codes")
+    want = [str(c) for c in cells]
+    todo = [
+        c
+        for c in want
+        if any(t >= 0 for t in m["cells"].get(c, []))
+    ]
+    # collect crashed folds' never-referenced generation dirs in the
+    # requested cells (single maintenance writer; O(touched))
+    _sweep_orphan_dirs(root, m, want)
     if not todo:
+        _prune_retired(root, m, retire_grace_seconds)
+        _write_manifest(root, m)
         return 0
-    # one job over ONLY the requested cells: basePath keeps `cell` as a
-    # partition column so the staged tree mirrors the live layout
+    # generation allocation commits BEFORE any data write: a crashed
+    # fold's tag is never reused, so its partial dirs stay orphans
+    g = int(m["gen"]) + 1
+    m["gen"] = g
+    _write_manifest(root, m)
+    tag = -g
+    live = [
+        p
+        for p in _live_paths(root, "cells", m, todo)
+        if os.path.isdir(p)
+    ]
     current = (
         spark.read.option("basePath", cells_dir)
-        .parquet(*(os.path.join(cells_dir, name) for name in todo))
+        .parquet(*live)
         .select("cell", "vec_id", "cv", "cn")
     )
     (
-        current.withColumn("ingest_batch", F.lit(-1))
-        .write.mode("overwrite")
+        current.withColumn("ingest_batch", F.lit(tag))
+        .write.mode("append")
         .partitionBy("cell", "ingest_batch")
-        .parquet(stage)
+        .parquet(cells_dir)
     )
-    os.makedirs(old, exist_ok=True)
-    folded = 0
-    for name, deltas in todo.items():
-        staged = os.path.join(stage, name)
-        if not os.path.isdir(staged):
-            # zero-row cell after the fold (possible only from empty
-            # delta files): leave the live dir untouched rather than
-            # dropping data on a read glitch
-            continue
-        os.rename(os.path.join(cells_dir, name), os.path.join(old, name))
-        os.rename(staged, os.path.join(cells_dir, name))
-        folded += len(deltas)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(stage, ignore_errors=True)
-    _stamp_bandwidth(root)  # same free-probe window as the full fold
-    return folded
+    folded_cells = [
+        c
+        for c in todo
+        if os.path.isdir(
+            os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
+        )
+    ]  # a zero-row cell (empty delta files only) keeps its old live set
+    codes_updates: dict[str, str] = {}
+    cb = _sidecar_books(root, m)
+    if cb is not None and folded_cells:
+        from .pq import pq_encode
+
+        folded_paths = [
+            os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
+            for c in folded_cells
+        ]
+        folded_df = (
+            spark.read.option("basePath", cells_dir)
+            .parquet(*folded_paths)
+            .select("cell", "vec_id", "cv", "cn")
+        )
+        cell_ddl = folded_df.schema["cell"].dataType.simpleString()
+        (
+            pq_encode(
+                folded_df,
+                cb,
+                id_col="vec_id",
+                vec_col="cv",
+                extra_cols={"cell": cell_ddl},
+            )
+            .withColumn("ingest_batch", F.lit(tag))
+            .write.mode("append")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(codes_dir)
+        )
+        for c in folded_cells:
+            dg = _manifest_cell_digest(
+                root, {"cells": {c: [tag]}}, c, use_cache=False
+            )
+            if dg is not None:
+                codes_updates[c] = dg
+    now = _time.time()
+    folded_deltas = 0
+    for c in folded_cells:
+        old_tags = m["cells"].get(c, [])
+        folded_deltas += sum(1 for t in old_tags if t >= 0)
+        for t in old_tags:
+            m["retired"].append(
+                [f"cells/cell={c}/ingest_batch={t}", now]
+            )
+        m["cells"][c] = [tag]
+        if c in codes_updates:
+            for t in m["codes"].get(c, []):
+                m["retired"].append(
+                    [f"pq_codes/cell={c}/ingest_batch={t}", now]
+                )
+            m["codes"][c] = [tag]
+            m["code_fps"][c] = codes_updates[c]
+    _prune_retired(root, m, retire_grace_seconds)
+    _write_manifest(root, m)
+    _stamp_bandwidth(root)  # free probe window, scratch copy (task 6)
+    return folded_deltas
 
 
 def ann_search(
@@ -1101,7 +1589,15 @@ def ann_search(
     """
     import numpy as np
 
-    _recover_cells(root)  # finish any crash-interrupted compaction swap
+    # snapshot resolve (r14): ONE manifest read pins this serve's live
+    # directory set — concurrent ingest/folds swap the manifest and
+    # retire (never delete-in-grace) directories, so the pinned snapshot
+    # stays readable and self-consistent throughout the serve.  Legacy
+    # (manifest-less) roots keep the pre-r14 behavior: whole-tree read
+    # plus the crash-swap healer, which must then not race maintenance.
+    manifest = _load_manifest(root)
+    if manifest is None:
+        _recover_cells(root)  # finish any crash-interrupted legacy swap
     q_rows = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
         .limit(max_query_rows + 1)
@@ -1260,11 +1756,24 @@ def ann_search(
                     schema=score_pa_schema,
                 )
 
-    cells = (
-        spark.read.parquet(os.path.join(root, "cells"))
-        .where(F.col("cell").isin(probe_cells))  # static partition pruning
-        .select("cell", "vec_id", "cv")
-    )
+    if manifest is not None:
+        paths = [
+            p
+            for p in _live_paths(root, "cells", manifest, probe_cells)
+        ]
+        if not paths:  # every probed cell is empty under this snapshot
+            return spark.createDataFrame([], empty_schema)
+        cells = (
+            spark.read.option("basePath", os.path.join(root, "cells"))
+            .parquet(*paths)  # the pinned live set: static pruning with
+            .select("cell", "vec_id", "cv")  # snapshot isolation
+        )
+    else:
+        cells = (
+            spark.read.parquet(os.path.join(root, "cells"))
+            .where(F.col("cell").isin(probe_cells))  # static pruning
+            .select("cell", "vec_id", "cv")
+        )
     scored = cells.mapInArrow(_score, score_ddl)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1303,15 +1812,19 @@ def _tree_bytes(d: str) -> int:
     return total
 
 
-def _probed_cell_bytes(root: str, probe_cells) -> int | None:
+def _probed_cell_bytes(root: str, probe_cells, manifest=None) -> int | None:
     """On-disk bytes of the probed float cell directories, or None when
     the root is not a locally-listable path (object stores) — callers
     treat None as 'assume large', the scale-safe direction.  One
-    os.walk per probed cell: metadata-only, never data I/O."""
+    os.walk per probed cell: metadata-only, never data I/O.  With a
+    manifest, only LIVE directories count — retired-but-unpruned
+    generations must not inflate the estimate."""
     if not os.path.isdir(os.path.join(root, "cells")):
         return None
-    total = 0
     try:
+        if manifest is not None:
+            return _live_tree_bytes(root, manifest, probe_cells)
+        total = 0
         for c in probe_cells:
             d = os.path.join(root, "cells", f"cell={c}")
             # empty cells are routine (a centroid that is nobody's
@@ -1436,12 +1949,19 @@ def pq_augment_ann_index(
     silently encoded over a 64-dim prefix (``_pad_matrix`` truncates)
     and ADC ranking would quietly degrade.  Raises if the meta is
     missing dims and no explicit override is given.
+
+    Manifest roots (r14) take the snapshot-isolated path: new codes land
+    under a fresh generation tag (invisible), the meta (books) write
+    opens a milliseconds-wide loud-refusal window (``books_id``
+    mismatch), and one manifest swap makes the new codes + fingerprints
+    + pairing live together — a crash anywhere leaves a state that
+    either serves the OLD sidecar consistently or refuses loudly, never
+    a wrong answer.
     """
     import shutil
 
     from .pq import pq_train, pq_encode
 
-    _recover_cells(root)
     if n_dims is None:
         ann_meta_path = os.path.join(root, "_ann_meta.json")
         try:
@@ -1457,6 +1977,13 @@ def pq_augment_ann_index(
                 "vector width."
             )
         n_dims = int(recorded)
+    m = _load_manifest(root)
+    if m is not None:
+        return _pq_augment_manifest(
+            spark, root, m, m_subspaces, n_codes, n_iters, sample_rows,
+            n_dims,
+        )
+    _recover_cells(root)
     cells = spark.read.parquet(os.path.join(root, "cells"))
     cell_ddl = cells.schema["cell"].dataType.simpleString()
     cb = pq_train(
@@ -1541,7 +2068,126 @@ def pq_augment_ann_index(
     return root
 
 
-def pq_reencode_stale_cells(spark: SparkSession, root: str) -> int:
+def _pq_augment_manifest(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    m_subspaces: int,
+    n_codes: int,
+    n_iters: int,
+    sample_rows: int,
+    n_dims: int,
+    retire_grace_seconds: float = DEFAULT_RETIRE_GRACE_SECONDS,
+) -> str:
+    """Manifest-mode full augmentation (train + whole-corpus encode) —
+    see :func:`pq_augment_ann_index`'s manifest paragraph for the
+    commit-order argument."""
+    import time as _time
+
+    from .pq import pq_train, pq_encode
+
+    cells_dir = os.path.join(root, "cells")
+    codes_dir = os.path.join(root, "pq_codes")
+    _sweep_orphan_dirs(root, m, sorted(m["cells"]))
+    g = int(m["gen"]) + 1
+    m["gen"] = g
+    _write_manifest(root, m)
+    tag = -g
+    live = [
+        p for p in _live_paths(root, "cells", m) if os.path.isdir(p)
+    ]
+    if not live:
+        raise ValueError(
+            f"pq_augment_ann_index: no live cells to encode at {root}."
+        )
+    cells = (
+        spark.read.option("basePath", cells_dir)
+        .parquet(*live)
+        .select("cell", "vec_id", "cv", "cn")
+    )
+    cb = pq_train(
+        cells,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        sample_rows=sample_rows,
+        n_iters=n_iters,
+        id_col="vec_id",
+        vec_col="cv",
+        n_dims=n_dims,
+    )
+    cell_ddl = cells.schema["cell"].dataType.simpleString()
+    (
+        pq_encode(
+            cells,
+            cb,
+            id_col="vec_id",
+            vec_col="cv",
+            extra_cols={"cell": cell_ddl},
+        )
+        .withColumn("ingest_batch", F.lit(tag))
+        .write.mode("append")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(codes_dir)
+    )
+    encoded = [
+        c
+        for c in m["cells"]
+        if os.path.isdir(
+            os.path.join(codes_dir, f"cell={c}", f"ingest_batch={tag}")
+        )
+    ]
+    digests = {}
+    for c in encoded:
+        dg = _manifest_cell_digest(root, m, c, use_cache=False)
+        if dg is not None:
+            digests[c] = dg
+    bid = _books_id(cb.books)
+    # books swap: from here until the manifest swap, PQ serves refuse
+    # via books_id mismatch — a file-write-wide window, loud, healed by
+    # re-running this augmentation
+    _write_meta_atomic(
+        os.path.join(root, "_pq_meta.json"),
+        {
+            "books": cb.books,
+            "n_dims": cb.n_dims,
+            "books_id": bid,
+            "cells_fingerprint": _cells_fingerprint(root, use_cache=False),
+            "fingerprint_version": _FINGERPRINT_VERSION,
+            # vestigial in manifest mode (the manifest's code_fps is the
+            # serving gate); kept truthful for tools and legacy readers
+            "cell_fingerprints": digests,
+            "m_subspaces": m_subspaces,
+            "n_codes": n_codes,
+            "n_iters": n_iters,
+            "sample_rows": sample_rows,
+        },
+    )
+    now = _time.time()
+    for c in list(m["codes"]):
+        for t in m["codes"][c]:
+            m["retired"].append([f"pq_codes/cell={c}/ingest_batch={t}", now])
+        del m["codes"][c]
+    for c in encoded:
+        m["codes"][c] = [tag]
+    m["code_fps"] = digests
+    m["books_id"] = bid
+    _prune_retired(root, m, retire_grace_seconds)
+    _write_manifest(root, m)
+    try:
+        with open(os.path.join(root, "_ann_meta.json")) as f:
+            has_stamp = "bandwidth_mbps" in json.load(f)
+    except (OSError, ValueError):
+        has_stamp = True
+    if not has_stamp:
+        _stamp_bandwidth(root)
+    return root
+
+
+def pq_reencode_stale_cells(
+    spark: SparkSession,
+    root: str,
+    retire_grace_seconds: float = DEFAULT_RETIRE_GRACE_SECONDS,
+) -> int:
     """Re-encode ONLY the cells whose recorded per-cell fingerprint no
     longer matches the cells tree, reusing the sidecar's EXISTING
     codebooks (no retrain); returns the number of cells refreshed.
@@ -1556,76 +2202,72 @@ def pq_reencode_stale_cells(spark: SparkSession, root: str) -> int:
     frozen centroids (streaming/ann_ingest.py's rebuild recipe).
 
     Self-healing by construction: staleness is diffed from the live
-    tree (not from "what the caller folded"), so cells left stale by a
-    prior crash — or by ingest batches below the autocompact dial —
-    are refreshed on the next call, which also keeps
-    :func:`ann_search_pq` AVAILABLE during streaming instead of raising
-    between full augments.  Crash-safe fail-closed: each refreshed
-    cell's codes are swapped in before the meta is rewritten (atomic,
-    LAST), so a crash anywhere leaves a fingerprint mismatch the
-    serving gate refuses — never a wrong answer.
+    manifest snapshot (not from "what the caller folded"), so cells
+    left stale by a prior crash — or by untagged/guarded-but-stale
+    ingest — are refreshed on the next call, which also keeps
+    :func:`ann_search_pq` AVAILABLE instead of raising between full
+    augments.
 
-    Requires a per-cell-gated sidecar (``cell_fingerprints`` in
-    ``_pq_meta.json``, written since r13); legacy whole-tree sidecars
-    must re-run :func:`pq_augment_ann_index` once.
-    """
-    import shutil
+    Snapshot-isolated and crash-safe (r14, r13 ADVICE medium: the old
+    swap was ``rmtree(live)`` + ``rename(staged)`` with no recovery —
+    a crash between the two permanently deleted the cell's codes):
+    refreshed codes land under a fresh generation tag (append — no live
+    path is touched) and ONE manifest swap moves codes set +
+    fingerprints together; a crash anywhere leaves the old state
+    serving (stale cells keep refusing) and the new generation's dirs
+    orphaned for the next maintenance sweep.  Legacy roots migrate on
+    touch (:func:`_ensure_manifest`)."""
+    import time as _time
 
-    from .pq import PQCodebooks, pq_encode
+    from .pq import pq_encode
 
-    _recover_cells(root)
-    meta_path = os.path.join(root, "_pq_meta.json")
-    if not os.path.exists(meta_path):
+    m = _ensure_manifest(root)
+    cb = _sidecar_books(root, m)
+    if cb is None:
         raise ValueError(
-            f"pq_reencode_stale_cells: no PQ sidecar at {root} — run "
-            "pq_augment_ann_index(spark, root) first."
+            f"pq_reencode_stale_cells: no usable PQ sidecar at {root} "
+            "(missing meta, or codes/books pairing broken by a crashed "
+            "retrain) — run pq_augment_ann_index(spark, root) first."
         )
-    with open(meta_path) as f:
-        meta = json.load(f)
-    recorded = meta.get("cell_fingerprints")
-    if recorded is None:
-        raise ValueError(
-            f"pq_reencode_stale_cells: the sidecar at {root} predates "
-            "per-cell fingerprints — re-run pq_augment_ann_index(spark, "
-            "root) once to upgrade it."
-        )
-    current = _cell_fingerprints(root, use_cache=False)
-    refresh = sorted(
-        c for c, d in current.items() if recorded.get(c) != d
-    )
-    dropped = sorted(c for c in recorded if c not in current)
-    if not refresh and not dropped:
-        return 0
-    cb = PQCodebooks(
-        books=tuple(tuple(tuple(x) for x in b) for b in meta["books"]),
-        n_dims=meta["n_dims"],
-    )
     cells_dir = os.path.join(root, "cells")
     codes_dir = os.path.join(root, "pq_codes")
-    if _legacy_cell_layout(codes_dir):
-        # single-level (pre-r13.2) codes beside a two-level staged swap
-        # would break partition discovery for the whole sidecar — one
-        # full augment rewrites the tree into the current layout
-        raise ValueError(
-            f"pq sidecar at {root} uses the single-level codes layout — "
-            "re-run pq_augment_ann_index(spark, root) once to migrate, "
-            "then selective refreshes work."
-        )
-    stage = codes_dir + "__cellfold"
-    shutil.rmtree(stage, ignore_errors=True)
+    current = {
+        c: _manifest_cell_digest(root, m, c, use_cache=False)
+        for c in set(m["cells"]) | set(m["code_fps"]) | set(m["codes"])
+    }
+    refresh = sorted(
+        c
+        for c, d in current.items()
+        if d is not None and m["code_fps"].get(c) != d
+    )
+    dropped = sorted(
+        c
+        for c, d in current.items()
+        if d is None and (c in m["code_fps"] or m["codes"].get(c))
+    )
+    if not refresh and not dropped:
+        return 0
+    _sweep_orphan_dirs(root, m, refresh)
+    g = int(m["gen"]) + 1
+    m["gen"] = g
+    _write_manifest(root, m)  # generation allocation commit
+    tag = -g
+    encoded: list[str] = []
     if refresh:
+        live = [
+            p
+            for p in _live_paths(root, "cells", m, refresh)
+            if os.path.isdir(p)
+        ]
         cells = (
             spark.read.option("basePath", cells_dir)
-            .parquet(
-                *(os.path.join(cells_dir, f"cell={c}") for c in refresh)
-            )
+            .parquet(*live)
             .select("cell", "vec_id", "cv", "cn")
         )
         cell_ddl = cells.schema["cell"].dataType.simpleString()
-        # a refreshed cell's codes are rewritten WHOLE under
-        # ingest_batch=-1 — the refresh doubles as that cell's codes
-        # defragmentation (tagged per-batch code dirs from
-        # pq_append_batch_codes fold away here)
+        # a refreshed cell's codes are rewritten WHOLE under the new
+        # generation — the refresh doubles as that cell's codes
+        # defragmentation (tagged per-batch code dirs retire with it)
         (
             pq_encode(
                 cells,
@@ -1634,36 +2276,128 @@ def pq_reencode_stale_cells(spark: SparkSession, root: str) -> int:
                 vec_col="cv",
                 extra_cols={"cell": cell_ddl},
             )
-            .withColumn("ingest_batch", F.lit(-1))
-            .write.mode("overwrite")
+            .withColumn("ingest_batch", F.lit(tag))
+            .write.mode("append")
             .partitionBy("cell", "ingest_batch")
-            .parquet(stage)
+            .parquet(codes_dir)
         )
-    for c in refresh + dropped:
-        live = os.path.join(codes_dir, f"cell={c}")
-        staged = os.path.join(stage, f"cell={c}")
-        # swap = drop + rename: a crash between the two leaves this
-        # cell's codes missing AND its meta entry stale — the serving
-        # gate refuses it until the next (self-healing) call
-        shutil.rmtree(live, ignore_errors=True)
-        if os.path.isdir(staged):
-            os.rename(staged, live)
-    shutil.rmtree(stage, ignore_errors=True)
-    meta["cell_fingerprints"] = current
-    # keep the debugging whole-tree digest truthful alongside
-    meta["cells_fingerprint"] = _cells_fingerprint(root, use_cache=False)
-    _write_meta_atomic(meta_path, meta)
+        encoded = [
+            c
+            for c in refresh
+            if os.path.isdir(
+                os.path.join(codes_dir, f"cell={c}", f"ingest_batch={tag}")
+            )
+        ]
+    now = _time.time()
+    for c in refresh:
+        for t in m["codes"].get(c, []):
+            m["retired"].append([f"pq_codes/cell={c}/ingest_batch={t}", now])
+        # a refreshed cell whose encode emitted no rows (live dirs hold
+        # only zero-row files) serves zero codes consistently
+        m["codes"][c] = [tag] if c in encoded else []
+        m["code_fps"][c] = current[c]
+    cells_root = os.path.join(root, "cells")
+    for c in dropped:
+        for t in m["codes"].get(c, []):
+            m["retired"].append([f"pq_codes/cell={c}/ingest_batch={t}", now])
+        m["codes"].pop(c, None)
+        m["code_fps"].pop(c, None)
+        # manual surgery (re-shard) can remove a cell's directories out
+        # from under the manifest: drop the phantom live tags too, so
+        # later snapshot readers don't resolve paths that cannot exist
+        tags = m["cells"].get(c, [])
+        if tags and not any(
+            os.path.isdir(
+                os.path.join(cells_root, f"cell={c}", f"ingest_batch={t}")
+            )
+            for t in tags
+        ):
+            del m["cells"][c]
+    _prune_retired(root, m, retire_grace_seconds)
+    _write_manifest(root, m)
     return len(refresh) + len(dropped)
 
 
+def _encode_batch_codes(
+    spark: SparkSession, root: str, m: dict, batch_tag: int, touched
+) -> dict[str, str]:
+    """Encode ONE appended batch's rows for the PRE-APPEND-FRESH
+    touched cells with the sidecar's existing codebooks and append them
+    under the same tag in the codes tree; returns ``{cell →
+    post-append fingerprint}`` for exactly the cells refreshed, WITHOUT
+    writing the manifest — the caller commits cells tags + codes tags +
+    fingerprints in ONE swap, so snapshot readers never see a
+    half-committed batch.
+
+    ``m`` must be the PRE-APPEND manifest view (the new tag not yet in
+    ``m["cells"]``), because the freshness guard (r13 ADVICE, high)
+    compares each cell's RECORDED fingerprint against its pre-append
+    live digest: a cell that was already stale — an untagged append
+    left base rows uncoded, or a crashed maintenance pass — stays
+    stale, so the gate keeps refusing it until
+    :func:`pq_reencode_stale_cells` (or a fold) re-encodes its FULL
+    content.  Refreshing unconditionally would launder that staleness
+    into a passing gate over rows that have no codes — silently wrong
+    top-k, the exact failure the fail-closed contract exists to
+    prevent.  A brand-new cell (no live dirs, no recorded fingerprint)
+    counts as fresh: all of its rows ARE this batch.
+    """
+    from .pq import pq_encode
+
+    cb = _sidecar_books(root, m)
+    cells_dir = os.path.join(root, "cells")
+    codes_dir = os.path.join(root, "pq_codes")
+    fresh = [
+        c
+        for c in touched
+        if m["code_fps"].get(str(c))
+        == _manifest_cell_digest(root, m, str(c), use_cache=False)
+    ]
+    if not fresh:
+        return {}
+    delta_dirs = [
+        os.path.join(cells_dir, f"cell={c}", f"ingest_batch={batch_tag}")
+        for c in fresh
+    ]
+    delta_dirs = [d for d in delta_dirs if os.path.isdir(d)]
+    if delta_dirs:
+        batch = (
+            spark.read.option("basePath", cells_dir)
+            .parquet(*delta_dirs)
+            .select("cell", "vec_id", "cv", "cn")
+        )
+        cell_ddl = batch.schema["cell"].dataType.simpleString()
+        (
+            pq_encode(
+                batch,
+                cb,
+                id_col="vec_id",
+                vec_col="cv",
+                extra_cols={"cell": cell_ddl},
+            )
+            .withColumn("ingest_batch", F.lit(int(batch_tag)))
+            .write.mode("append")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(codes_dir)
+        )
+    updates: dict[str, str] = {}
+    for c in fresh:
+        dg = _manifest_cell_digest(
+            root, m, str(c), extra_tags=[int(batch_tag)], use_cache=False
+        )
+        if dg is not None:
+            updates[str(c)] = dg
+    return updates
+
+
 def pq_append_batch_codes(
-    spark: SparkSession, root: str, batch_tag: int
+    spark: SparkSession, root: str, batch_tag: int, touched=None
 ) -> list:
     """Encode ONE ingest batch's rows (already appended to the cells
     tree under ``ingest_batch=<batch_tag>``) with the sidecar's
     EXISTING codebooks, append them under the same tag in the codes
-    tree, and refresh the touched cells' fingerprints; returns the
-    touched cell values.
+    tree, and refresh those cells' fingerprints; returns the refreshed
+    cell values.
 
     The encode-at-ingest half of the r13 LSM discipline for the codes
     sidecar: without it, every ingest batch leaves its cells
@@ -1674,29 +2408,23 @@ def pq_append_batch_codes(
     cell directories, so the stored assignment is reused, never
     recomputed) keeps codes content equal to cells content after every
     commit, so the per-cell gate passes continuously.  Tagged code
-    directories fold away whenever :func:`pq_reencode_stale_cells`
-    rewrites their cell (the fold path), mirroring the cells tree's
-    own fragmentation lifecycle — both trees cross the autocompaction
-    dial together because their delta-directory counts are identical.
+    directories retire whenever a fold or
+    :func:`pq_reencode_stale_cells` rewrites their cell.
 
-    Crash-safe fail-closed: codes land before the meta refresh (atomic,
-    LAST), so a crash anywhere leaves the touched cells' recorded
-    fingerprints behind the tree and the serving gate refuses them; the
-    streaming wrapper's replay drops BOTH trees' tagged directories
-    before re-appending (``_drop_batch_dirs``), so nothing
-    double-inserts.  The whole-tree ``cells_fingerprint`` is NOT
-    refreshed here (that would cost an O(#files) walk per micro-batch);
-    it stays a debugging value wherever ``cell_fingerprints`` exists.
+    Freshness-guarded (r13 ADVICE, high — see
+    :func:`_encode_batch_codes`): only cells whose recorded fingerprint
+    matches their PRE-append content refresh; already-stale cells stay
+    stale and fail closed until a full re-encode heals them.  The
+    streaming wrapper threads the batch's touched-cell set through
+    (``touched``, O(touched) — r13 VERDICT task 4) and commits this
+    append inside its single manifest swap; standalone callers get the
+    same semantics with the tag derived from the manifest.
 
-    Raises if the sidecar is missing, predates per-cell fingerprints,
-    or uses the single-level codes layout (one ``pq_augment_ann_index``
-    migrates).  ``batch_tag`` must name a REAL tagged batch — the
-    untagged ``-1`` base is refused (encoding "batch -1" would
-    duplicate every base row's codes).
+    Raises if the sidecar is missing/unusable or ``batch_tag`` is the
+    untagged ``-1`` base (encoding "batch -1" would duplicate every
+    base row's codes).
     """
-    import glob
-
-    from .pq import PQCodebooks, pq_encode
+    import copy
 
     if int(batch_tag) == -1:
         raise ValueError(
@@ -1704,67 +2432,37 @@ def pq_append_batch_codes(
             "partition, not a batch — guarded callers must skip codes "
             "maintenance for untagged appends."
         )
-    meta_path = os.path.join(root, "_pq_meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    if meta.get("cell_fingerprints") is None:
+    m = _ensure_manifest(root)
+    if _sidecar_books(root, m) is None:
         raise ValueError(
-            f"pq_append_batch_codes: the sidecar at {root} predates "
-            "per-cell fingerprints — re-run pq_augment_ann_index once."
+            f"pq_append_batch_codes: no usable PQ sidecar at {root} "
+            "(missing meta/codes pairing) — run "
+            "pq_augment_ann_index(spark, root) first."
         )
-    codes_dir = os.path.join(root, "pq_codes")
-    if not os.path.isdir(codes_dir):
-        # meta without its codes tree (manual surgery): appending would
-        # recreate the tree from new batches alone, and the refreshed
-        # fingerprints would serve cells whose BASE rows have no codes
-        raise ValueError(
-            f"pq_append_batch_codes: {root}/_pq_meta.json exists but the "
-            "pq_codes tree is missing — re-run pq_augment_ann_index."
+    if touched is None:
+        touched = sorted(
+            c for c, tags in m["cells"].items() if int(batch_tag) in tags
         )
-    if _legacy_cell_layout(codes_dir):
-        raise ValueError(
-            f"pq sidecar at {root} uses the single-level codes layout — "
-            "re-run pq_augment_ann_index(spark, root) once to migrate."
-        )
-    cells_dir = os.path.join(root, "cells")
-    delta_dirs = sorted(
-        glob.glob(
-            os.path.join(cells_dir, "cell=*", f"ingest_batch={batch_tag}")
-        )
-    )
-    if not delta_dirs:
+    touched = [str(c) for c in touched]
+    if not touched:
         return []  # empty batch: nothing appended, nothing stale
-    touched = [
-        os.path.basename(os.path.dirname(d))[len("cell="):]
-        for d in delta_dirs
-    ]
-    cb = PQCodebooks(
-        books=tuple(tuple(tuple(x) for x in b) for b in meta["books"]),
-        n_dims=meta["n_dims"],
-    )
-    batch = (
-        spark.read.option("basePath", cells_dir)
-        .parquet(*delta_dirs)
-        .select("cell", "vec_id", "cv", "cn")
-    )
-    cell_ddl = batch.schema["cell"].dataType.simpleString()
-    (
-        pq_encode(
-            batch,
-            cb,
-            id_col="vec_id",
-            vec_col="cv",
-            extra_cols={"cell": cell_ddl},
-        )
-        .withColumn("ingest_batch", F.lit(int(batch_tag)))
-        .write.mode("append")
-        .partitionBy("cell", "ingest_batch")
-        .parquet(codes_dir)
-    )
-    current = _cell_fingerprints(root, cells=touched, use_cache=False)
-    meta["cell_fingerprints"].update(current)
-    _write_meta_atomic(meta_path, meta)
-    return touched
+    # pre-append view: the freshness guard must compare against the
+    # cells content WITHOUT this batch's tag
+    m_pre = copy.deepcopy(m)
+    for c in touched:
+        tags = m_pre["cells"].get(c)
+        if tags and int(batch_tag) in tags:
+            m_pre["cells"][c] = [t for t in tags if t != int(batch_tag)]
+    updates = _encode_batch_codes(spark, root, m_pre, batch_tag, touched)
+    for c, dg in updates.items():
+        tags = m["codes"].setdefault(c, [])
+        if int(batch_tag) not in tags:
+            tags.append(int(batch_tag))
+            tags.sort()
+        m["code_fps"][c] = dg
+    if updates:
+        _write_manifest(root, m)
+    return sorted(updates)
 
 
 def ann_search_pq(
@@ -1808,7 +2506,13 @@ def ann_search_pq(
 
     from .pq import PQCodebooks, _pad_matrix, _subspace_slices
 
-    _recover_cells(root)
+    # snapshot resolve (r14): the manifest pins live sets AND recorded
+    # fingerprints in one atomic read, so a serve concurrent with an
+    # ingest commit or fold pairs codes, cells and fingerprints from
+    # the SAME snapshot at every instant (see the manifest section)
+    manifest = _load_manifest(root)
+    if manifest is None:
+        _recover_cells(root)
     meta_path = os.path.join(root, "_pq_meta.json")
     if not os.path.exists(meta_path):
         raise ValueError(
@@ -1817,11 +2521,25 @@ def ann_search_pq(
         )
     with open(meta_path) as f:
         meta = json.load(f)
-    recorded_cell_fps = meta.get("cell_fingerprints")
+    if manifest is not None:
+        # codes/books pairing: a mid-retrain (or crashed-augment) state
+        # mismatches — refuse loudly rather than rank ADC sims computed
+        # from foreign codebooks
+        meta_bid = meta.get("books_id") or _books_id(meta.get("books", []))
+        if manifest.get("books_id") != meta_bid:
+            raise ValueError(
+                f"ann_search_pq: the PQ sidecar at {root} is mid-retrain "
+                "(or a retrain crashed): the manifest's codes were not "
+                "written by the codebooks in _pq_meta.json — re-run "
+                "pq_augment_ann_index(spark, root)."
+            )
+        recorded_cell_fps = manifest["code_fps"]
+    else:
+        recorded_cell_fps = meta.get("cell_fingerprints")
     # r13 sidecars gate per PROBED cell (after the probe set is known,
     # below): ingest into cell A must not block serves probing only
     # untouched cell B.  Legacy sidecars keep the whole-tree gate.
-    if recorded_cell_fps is None and (
+    if manifest is None and recorded_cell_fps is None and (
         meta["cells_fingerprint"] != _cells_fingerprint(root)
     ):
         if meta.get("fingerprint_version") != _FINGERPRINT_VERSION:
@@ -1907,7 +2625,13 @@ def ann_search_pq(
             "explicitly"
         )
     if recorded_cell_fps is not None:
-        current_fps = _cell_fingerprints(root, cells=probe_cells)
+        if manifest is not None:
+            current_fps = {
+                str(c): _manifest_cell_digest(root, manifest, str(c))
+                for c in probe_cells
+            }
+        else:
+            current_fps = _cell_fingerprints(root, cells=probe_cells)
         stale = [
             c
             for c in probe_cells
@@ -2070,11 +2794,27 @@ def ann_search_pq(
                     schema=adc_pa_schema,
                 )
 
-    codes_df = (
-        spark.read.parquet(os.path.join(root, "pq_codes"))
-        .where(F.col("cell").isin(probe_cells))  # static partition prune
-        .select("cell", "vec_id", "codes", "vnorm")
-    )
+    if manifest is not None:
+        code_paths = _live_paths(root, "pq_codes", manifest, probe_cells)
+        if not code_paths:
+            # every probed cell is codeless under this snapshot — and
+            # consistent (the per-cell gate above passed), i.e. empty
+            return spark.createDataFrame(
+                [],
+                f"query_id {q_id_ddl}, neighbor_id long, cos_sim double, "
+                "rank int",
+            )
+        codes_df = (
+            spark.read.option("basePath", os.path.join(root, "pq_codes"))
+            .parquet(*code_paths)  # pinned snapshot, static pruning
+            .select("cell", "vec_id", "codes", "vnorm")
+        )
+    else:
+        codes_df = (
+            spark.read.parquet(os.path.join(root, "pq_codes"))
+            .where(F.col("cell").isin(probe_cells))  # static prune
+            .select("cell", "vec_id", "codes", "vnorm")
+        )
     scored = codes_df.mapInArrow(_adc, adc_ddl)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id").asc()
@@ -2109,16 +2849,34 @@ def ann_search_pq(
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    floats = (
-        spark.read.parquet(os.path.join(root, "cells"))
-        .where(F.col("cell").isin(probe_cells))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("cv"),
-            F.col("cn"),
+    if manifest is not None:
+        float_paths = _live_paths(root, "cells", manifest, probe_cells)
+        if not float_paths:  # codes without cells: nothing to re-rank
+            return spark.createDataFrame(
+                [],
+                f"query_id {q_id_ddl}, neighbor_id long, cos_sim double, "
+                "rank int",
+            )
+        floats = (
+            spark.read.option("basePath", os.path.join(root, "cells"))
+            .parquet(*float_paths)  # non-empty: codes above came from
+            .select(  # these cells' live content (gate invariant)
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cv"),
+                F.col("cn"),
+            )
         )
-    )
-    probed_bytes = _probed_cell_bytes(root, probe_cells)
+    else:
+        floats = (
+            spark.read.parquet(os.path.join(root, "cells"))
+            .where(F.col("cell").isin(probe_cells))
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cv"),
+                F.col("cn"),
+            )
+        )
+    probed_bytes = _probed_cell_bytes(root, probe_cells, manifest)
     if len(q_rows) * n_cand <= max_pushdown_candidates and (
         probed_bytes is None or probed_bytes >= min_pushdown_bytes
     ):
@@ -2239,7 +2997,12 @@ def ann_serving_policy(
         )
         return out
     try:
-        cells_bytes = _tree_bytes(os.path.join(root, "cells"))
+        m = _load_manifest(root)
+        cells_bytes = (
+            _live_tree_bytes(root, m)
+            if m is not None
+            else _tree_bytes(os.path.join(root, "cells"))
+        )
     except OSError:
         cells_bytes = None
     if cells_bytes is None or not n_centroids:

@@ -360,75 +360,107 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     / ``ann_index_compact`` — the most-mutated production path of the
     repo's largest module — carried pytest evidence only.
 
-    r13 (r12 VERDICT task 2): the ingest leg now runs through the
+    r13 (r12 VERDICT task 2): the ingest legs run through the
     PRODUCTION streaming wrapper ``ann_ingest_batch`` — marker commit,
     a deliberately REPLAYED batch (must no-op, or the corpus would
     double and the hash would catch it), and the autocompaction dial
-    in-path — instead of calling ``ann_index_add_batch`` directly:
-    the odd-id half arrives as two guarded micro-batches under
-    ``max_batch_dirs_per_cell=1``, so the second batch pushes every
-    cell both batches touched past the dial and the SELECTIVE fold
-    (``ann_index_compact_cells``) plus the selective sidecar refresh
-    (``pq_reencode_stale_cells``, existing codebooks) run inside the
-    ingest exactly as a real stream would drive them.  The PQ sidecar
-    is augmented BEFORE the ingest (trained on the build slice) so the
-    refresh path — not a fresh augment — is what serves.
+    in-path (the r14 snapshot fold: fresh generation + one manifest
+    swap, codes re-encoded inside the same commit).
 
-    The row's corpus is the ``vec_id % 3 != 2`` two-thirds slice of the
-    table (oracle sliced identically): the r12 widening made this the
-    sweep's most expensive row, and r12 VERDICT task 2 directs the
-    extra wrapper legs to land WITHOUT growing it further, sanctioning
-    a shrunk embeddings slice for the lifecycle legs.  Full-table
-    serving stays pinned by the sibling rows
-    (``similarity_pq_rerank_topk`` / ``similarity_ivf_topk`` /
-    ``similarity_lsh_topk`` all build over the whole table)."""
-    import glob
+    r14 (r13 VERDICT task 2): the DRIFT-REBUILD stage — the last ANN
+    lifecycle stage without a hash pin — runs in-path too:
+    ``mark_rebuilt`` baselines the drift monitor, the real
+    ``drift_monitor_batch`` ingests a vocabulary-disjoint batch (toy
+    scale, production wiring), ``should_rebuild`` must flip True,
+    ``build_ann_index`` RETRAINS over everything ingested so far (same
+    root — new centroids, manifest reset, sidecar invalidated
+    wholesale), ``pq_augment_ann_index`` re-pins the sidecar,
+    ``mark_rebuilt`` re-baselines (``should_rebuild`` must flip back
+    False), and a further guarded batch ingests against the NEW tree
+    under the same monotone marker.  The whole
+    build→ingest→fold→rebuild→ingest cycle therefore serves into one
+    brute-force oracle every round.
+
+    The row's corpus is the ``vec_id % 3 == 0`` THIRD of the table
+    (oracle sliced identically — r13 VERDICT task 3 directs the
+    lifecycle slice smaller and n_centroids 8→4 so the rebuild stage
+    lands while the committed row returns under its budget; exactness
+    is by construction, not corpus size).  Sub-slices: %12==0 builds,
+    %12∈{3,6} arrive as guarded batches 0/1 (batch 1 crosses the
+    dial), the rebuild retrains over %12∈{0,3,6}, and %12==9 ingests
+    as batch 2 against the new tree.  Full-table serving stays pinned
+    by the sibling rows (``similarity_pq_rerank_topk`` /
+    ``similarity_ivf_topk`` / ``similarity_lsh_topk``)."""
     import os
 
+    from .functions.text import unigram_lm
     from .operators import ann_index as AI
     from .registry import scratch_dir
     from .streaming import ann_ingest_batch
+    from .streaming.ann_ingest import mark_rebuilt, should_rebuild
+    from .streaming.drift import drift_monitor_batch
 
     emb = load_table(spark, sf_dir, "embeddings")
     root = scratch_dir("ann_auto_idx", sf_dir, wipe=True)
+    report = os.path.join(root, "_drift_reports")
+    state = os.path.join(root, "_drift_state")
     # one Lloyd iteration / one codebook iteration: every train loop
     # still executes (≥1 full iteration each), and full-sweep serving
     # is exact REGARDLESS of centroid quality, so extra iterations only
     # add lifecycle jobs to the row without widening what the hash pins.
-    # Corpus split: ids ≡0 (mod 3) train + build (and train the PQ
-    # codebooks); ids ≡1,4 (mod 6) ingest as two tagged micro-batches —
-    # together exactly the oracle's % 3 != 2 slice.
     AI.build_ann_index(
-        emb.where(F.col("vec_id") % 3 == 0), root,
-        n_centroids=8, n_iters=1,
+        emb.where(F.col("vec_id") % 12 == 0), root,
+        n_centroids=4, n_iters=1,
     )
     AI.pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=16, n_iters=1)
-    b0 = emb.where(F.col("vec_id") % 6 == 1)
-    b1 = emb.where(F.col("vec_id") % 6 == 4)
+    mark_rebuilt(spark, root, report)  # baseline: no reports yet -> 0
+    b0 = emb.where(F.col("vec_id") % 12 == 3)
+    b1 = emb.where(F.col("vec_id") % 12 == 6)
     ann_ingest_batch(b0, root, batch_id=0, max_batch_dirs_per_cell=1)
     if ann_ingest_batch(b0, root, batch_id=0) != 0:
         # at-least-once replay of a COMMITTED batch must no-op — a
-        # re-append would double the odd half and break the oracle,
+        # re-append would double the slice and break the oracle,
         # but fail loudly here rather than rely on the hash alone
         raise AssertionError("ann lifecycle row: replayed batch re-ran")
-
-    def _b0_dirs():
-        return [
-            d
-            for d in glob.glob(
-                os.path.join(root, "cells", "cell=*", "ingest_batch=0")
-            )
-        ]
-
-    before = len(_b0_dirs())
     ann_ingest_batch(b1, root, batch_id=1, max_batch_dirs_per_cell=1)
-    if before - len(_b0_dirs()) < 1:
-        # the dial's selective fold must prove it ran: every cell both
-        # batches touched held 2 delta dirs (> dial) and lost both —
-        # the hash can't see WHERE rows live, only what serves
+    m = AI._load_manifest(root)
+    if not any(
+        len(tags) == 1 and tags[0] < -1 for tags in m["cells"].values()
+    ):
+        # the dial's selective fold must prove it ran: a folded cell's
+        # live set is a single fresh generation tag — the hash can't
+        # see WHERE rows live, only what serves
         raise AssertionError("ann lifecycle row: dial folded nothing")
+    # drift-rebuild (r14): the real monitor path at toy scale — a
+    # vocabulary-disjoint batch pushes cumulative JS far past the dial
+    ref_lm = unigram_lm(
+        spark.createDataFrame([("alpha beta gamma delta",)], "text string"),
+        "text",
+    )
+    rep = drift_monitor_batch(
+        spark.createDataFrame(
+            [("zeta eta theta iota kappa",)], "text string"
+        ),
+        state,
+        ref_lm,
+        batch_id=0,
+    )
+    rep.write.mode("append").parquet(report)
+    if not should_rebuild(spark, root, report):
+        raise AssertionError("ann lifecycle row: drift did not trigger")
+    AI.build_ann_index(  # retrain over everything ingested so far
+        emb.where((F.col("vec_id") % 12).isin(0, 3, 6)), root,
+        n_centroids=4, n_iters=1,
+    )
+    AI.pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=16, n_iters=1)
+    mark_rebuilt(spark, root, report)
+    if should_rebuild(spark, root, report):
+        raise AssertionError("ann lifecycle row: rebuild did not rebase")
+    # continued ingest against the NEW tree (marker ids stay monotone)
+    b2 = emb.where(F.col("vec_id") % 12 == 9)
+    ann_ingest_batch(b2, root, batch_id=2, max_batch_dirs_per_cell=1)
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    auto = AI.ann_search_auto(spark, root, q, k=TOPK, nprobe=8)
+    auto = AI.ann_search_auto(spark, root, q, k=TOPK, nprobe=4)
     # rerank covers the corpus BY CONSTRUCTION: rerank_factor × k ≥
     # corpus rows + k at any SF (r11 VERDICT task 6 — computed from the
     # data, not a 200 000 literal), so the pq fuzz pin's exactness
@@ -438,7 +470,7 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # force a scan job.
     n_rows = emb.count()
     pq = AI.ann_search_pq(
-        spark, root, q, k=TOPK, nprobe=8,
+        spark, root, q, k=TOPK, nprobe=4,
         rerank_factor=-(-n_rows // TOPK) + 1,
     )
     return auto.withColumn("served_path", F.lit("float")).unionByName(
@@ -446,14 +478,15 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the lifecycle row's oracle: brute force over the SAME % 3 != 2 corpus
-# slice the row builds+ingests (queries unsliced), × the path literals
+# the lifecycle row's oracle: brute force over the SAME % 3 == 0 corpus
+# slice the row builds+ingests+rebuilds over (queries unsliced), × the
+# path literals
 _ANN_AUTO_SQL = f"""
     WITH paths(served_path) AS (VALUES ('float'), ('pq_rerank')),
     q AS (SELECT vec_id AS query_id, embedding AS qv
           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv
-          FROM embeddings WHERE vec_id % 3 <> 2),
+          FROM embeddings WHERE vec_id % 3 = 0),
     scored AS (
       SELECT query_id, neighbor_id,
              ROUND({cosine_sql('qv', 'cv')}, 5) AS cos_sim

@@ -17,56 +17,57 @@ batch is a no-op" guarantee to actually hold):
   leaves the OLD marker intact, never a truncated JSON that poisons
   every later ``_read_marker``;
 - each batch's files land under their own ``ingest_batch=<id>``
-  partition directories (operators/ann_index.py layout), so a crash in
-  the window AFTER the parquet append commits but BEFORE the marker
-  lands is recoverable: the replay sees batch_id > committed, deletes
-  any leftover ``ingest_batch=<id>`` directories (a per-cell prefix
-  listing, O(n_centroids) — never corpus-sized), then re-appends.
-  Without the tag the half-committed files would be indistinguishable
-  from older data and the replay would double-insert.
-- the PQ codes sidecar, when maintainable (r13 encode-at-ingest,
-  ``pq_append_batch_codes``), rides the SAME tag: its per-batch code
-  directories are dropped by the same replay cleanup, and its per-cell
-  fingerprint refresh lands before the marker — a crash anywhere
-  leaves the touched cells failing closed at the serving gate until
-  the replay converges.
+  partition directories in BOTH trees (cells and, when the sidecar is
+  maintainable, pq_codes), and become visible only at the single
+  manifest swap below.  A crash anywhere before the marker lands
+  replays as a full re-run: the replay removes the attempt's tagged
+  directories — the cells are known O(touched) from the manifest
+  (post-swap crash) plus the replay's own deterministic assignment
+  (pre-swap crash) — rolls the manifest back, and re-appends.  Without
+  the tag the half-committed files would be indistinguishable from
+  older data and the replay would double-insert.
+
+**Snapshot isolation (r14 — r13 VERDICT task 1): serves may run
+concurrently with ingest and with the autocompaction dial's folds.**
+Every reader resolves ``_cells_manifest.json`` once per serve and reads
+exactly the live directories it names; every mutation here commits with
+ONE atomic manifest swap (cells tags + codes tags + fingerprints move
+together), folds append fresh generation directories instead of
+renaming live ones, and superseded directories retire behind a grace
+window (``operators/ann_index.DEFAULT_RETIRE_GRACE_SECONDS``) that
+bounds how long a serve may run after resolving its snapshot.  The only
+remaining exclusivity rule is the normal one: MAINTENANCE writers
+(ingest commits, folds, re-encodes, augments, rebuilds) must not
+overlap EACH OTHER — foreachBatch already serializes them per stream.
+
+Per-batch metadata is O(touched cells), never O(#cells) (r13 VERDICT
+task 4): the batch's own GEMM assignment names its cells, the manifest
+carries every cell's delta count for the dial, and replay cleanup
+resolves its directories from the manifest + the assignment — no
+``cell=*`` globs in the hot path.  The one full tree walk left is the
+legacy-root migration in ``_ensure_manifest`` (once per index
+lifetime).
 
 Centroids never move during ingest; rebuild with ``build_ann_index``
 on the cadence the drift monitor (streaming/drift.py) indicates —
-standard IVF operating procedure.
-
-**Single-writer / serve-concurrency contract** (r12 ADVICE): index
-MAINTENANCE (compaction — including the autocompaction dial below —
-and PQ re-encodes) swaps directories via renames whose crash windows
-are healed by ``_recover_cells`` on the NEXT touch, not during a
-CONCURRENT touch: a serve running while a fold is mid-swap can observe
-a missing cell or race the healer's promote against the fold's own
-rename.  Serves against an index fed by a stream with the autocompact
-dial enabled must therefore be scheduled between batches (the
-foreachBatch body is the natural mutual-exclusion point — serve from
-it, or from a coordinator that knows the stream is idle); to serve
-concurrently with ingest, disable the dial
-(``max_batch_dirs_per_cell=None``) and run compaction in the
-scheduler's own serve-free window.  The r13 selective fold narrows
-every such window to the offending cells' bytes but does not remove
-the contract.
+standard IVF operating procedure (see :func:`should_rebuild` /
+:func:`mark_rebuilt` below).  A rebuild-in-place is stop-the-world for
+serving (the cells overwrite deletes live files); zero-downtime
+deployments rebuild into a new root and flip the pointer.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame
 
+from ..operators import ann_index as AI
 from ..operators.ann_index import (
-    ann_index_add_batch,
     ann_index_compact_cells,
-    pq_append_batch_codes,
     pq_augment_ann_index,
-    pq_reencode_stale_cells,
 )
 
 # Autocompaction dial (r12): fold the per-batch delta directories back
@@ -103,128 +104,111 @@ def _write_marker(root: str, meta: dict) -> None:
     os.replace(tmp, p)
 
 
-def _drop_batch_dirs(root: str, batch_id: int) -> int:
-    """Remove any ``cells/cell=*/ingest_batch=<batch_id>`` leftovers from
-    an append that committed without its marker (crashed attempt) —
-    and, since the codes sidecar mirrors the tag (r13,
-    ``pq_append_batch_codes``), the same batch's code directories, so
-    a replayed batch can never double-insert in EITHER tree."""
-    dirs = glob.glob(
-        os.path.join(root, "cells", "cell=*", f"ingest_batch={batch_id}")
-    ) + glob.glob(
-        os.path.join(root, "pq_codes", "cell=*", f"ingest_batch={batch_id}")
-    )
-    for d in dirs:
-        shutil.rmtree(d)
-    return len(dirs)
+def _rollback_batch_tag(root: str, m: dict, tag: int, cells) -> bool:
+    """Remove a crashed attempt's ``ingest_batch=<tag>`` directories
+    from BOTH trees in the given cells and roll the manifest maps back,
+    so the re-append can never double-insert; returns whether the
+    manifest changed (the caller writes it before re-appending).
+
+    O(touched): ``cells`` is the union of the manifest-listed cells for
+    this tag (an attempt that crashed AFTER its manifest swap) and the
+    replay's own deterministic assignment (an attempt that crashed
+    BEFORE it — its directories are invisible but would pollute the
+    re-append's tag directory).  A fingerprint the attempt refreshed is
+    re-pinned to the post-removal live content: the attempt only
+    refreshed cells that were FRESH before it, so the rollback digest
+    equals the attempt's own pre-append digest — already-stale cells
+    stay stale (the r13 ADVICE freshness guard survives replay)."""
+    changed = False
+    roll_fps = []
+    for c in cells:
+        c = str(c)
+        for tree, key in (("cells", "cells"), ("pq_codes", "codes")):
+            d = os.path.join(root, tree, f"cell={c}", f"ingest_batch={tag}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            tags = m[key].get(c)
+            if tags and tag in tags:
+                tags.remove(tag)
+                changed = True
+                if not tags:
+                    del m[key][c]
+                if key == "codes":
+                    roll_fps.append(c)
+    for c in roll_fps:
+        dg = AI._manifest_cell_digest(root, m, c, use_cache=False)
+        if dg is None:
+            m["code_fps"].pop(c, None)
+        else:
+            m["code_fps"][c] = dg
+    return changed
 
 
-def _pq_codes_maintainable(root: str) -> bool:
-    """True when the sidecar can take per-batch code appends: per-cell
-    fingerprints recorded AND the two-level codes layout (a legacy tree
-    migrates via one full ``pq_augment_ann_index``; until then ingest
-    skips codes maintenance and the serving gate fails closed on the
-    touched cells — the pre-r13.2 behavior)."""
-    from ..operators.ann_index import _legacy_cell_layout
-
-    meta_path = os.path.join(root, "_pq_meta.json")
-    if not os.path.exists(meta_path):
-        return False
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
-        return False
-    if meta.get("cell_fingerprints") is None:
-        return False
-    codes_dir = os.path.join(root, "pq_codes")
-    # a meta without its codes tree (manual surgery) must NOT take
-    # appends: recreating the tree from new batches alone would let
-    # refreshed fingerprints serve cells whose BASE rows have no codes
-    # — silent wrong top-k instead of the loud missing-dir read
-    if not os.path.isdir(codes_dir):
-        return False
-    return not _legacy_cell_layout(codes_dir)
-
-
-def _cells_past_dial(root: str, dial: int) -> list[str]:
-    """Cell partition values (dir-name strings) whose ``ingest_batch=``
-    delta-directory count EXCEEDS the dial — the serve-cost
-    fragmentation signal, per cell so maintenance can stay selective.
-    O(#cells × #dirs) directory listing, never a data scan (the
-    index_fragmentation discipline)."""
-    cells = os.path.join(root, "cells")
-    out: list[str] = []
-    try:
-        for cell in os.listdir(cells):
-            if not cell.startswith("cell="):
-                continue
-            n = sum(
-                1
-                for d in os.listdir(os.path.join(cells, cell))
-                if d.startswith("ingest_batch=")
-                and not d.endswith("ingest_batch=-1")
-            )
-            if n > dial:
-                out.append(cell[len("cell="):])
-    except OSError:
-        return []  # unlistable: let the explicit schedule handle it
-    return out
+def _cells_past_dial(m: dict, dial: int) -> list[str]:
+    """Cell values whose live delta-tag count (tags >= 0: guarded batch
+    appends not yet folded) EXCEEDS the dial — a pure in-memory manifest
+    scan, zero filesystem listings (r13 VERDICT task 4; the pre-r14
+    form listdir'd every cell each micro-batch)."""
+    return [
+        c
+        for c, tags in m["cells"].items()
+        if sum(1 for t in tags if t >= 0) > dial
+    ]
 
 
 def _maybe_autocompact(
-    spark, root: str, max_batch_dirs_per_cell: int | None
+    spark,
+    root: str,
+    max_batch_dirs_per_cell: int | None,
+    retire_grace_seconds: float = AI.DEFAULT_RETIRE_GRACE_SECONDS,
 ) -> bool:
     """Inline compaction trigger for the streaming ingest (r12 — the
     ``_maybe_autocompact`` the LSM merge paths got in r11): once a
-    cell's delta-directory count exceeds the dial, fold THAT CELL (and
-    any siblings past the dial), so a long-running stream pays a write
+    cell's delta-tag count exceeds the dial, fold THAT CELL (and any
+    siblings past the dial), so a long-running stream pays a write
     stall bounded by the offending cells' bytes instead of relying on
     an external scheduler to ever run :func:`ann_index_compact` (serve
     cost measured ~1.9× at 64 accumulated dirs, tools/ann_frag_knee.py).
 
-    Selective since r13 (r12 VERDICT #1): real ingest is skewed — the
-    hot cell crosses the dial while cold cells hold 1–2 dirs, and the
-    r12 whole-index fold made the trigger FREQUENCY the hot cell's
-    while the COST stayed O(index), a corpus-scale synchronous stall
-    inside a micro-batch at 100 TB.  :func:`ann_index_compact_cells`
-    folds only the offenders (each cell's base + deltas are
-    self-contained — the postings LSM's per-bucket segment-list idea
-    applied to cells), so under skew both trigger frequency and cost
-    follow the hot cells.
-
-    A PQ codes sidecar, if present, is refreshed in the same job —
-    selectively: :func:`pq_reencode_stale_cells` re-encodes (with the
-    EXISTING codebooks — geometry and training dials untouched) exactly
-    the cells whose fingerprint moved, which covers the just-folded
-    cells AND any cell made stale by sub-dial ingest or a prior crash,
-    keeping ``ann_search_pq`` available throughout the stream.  A
-    legacy (pre-per-cell-fingerprint) sidecar falls back to one full
-    ``pq_augment_ann_index`` replaying the dials recorded at augment
-    time (m_subspaces/n_codes/n_iters/sample_rows — r12 ADVICE; older
-    metas recover geometry from the books and keep default training
-    dials), which upgrades it to the per-cell gate for every later
-    trigger."""
+    Selective since r13 (r12 VERDICT #1): under skewed ingest the fold
+    follows the hot cells — :func:`ann_index_compact_cells` reads and
+    rewrites only the offenders.  Snapshot-isolated since r14: the fold
+    appends a fresh generation and swaps the manifest once, with the
+    folded cells' PQ codes re-encoded from the folded content INSIDE
+    that same commit (existing codebooks — geometry and training dials
+    untouched), so concurrent float AND PQ serves stay consistent
+    through the fold and ``ann_search_pq`` needs no separate refresh
+    pass.  A legacy sidecar whose codes/books pairing the manifest
+    cannot verify (pre-``books_id`` metas, crashed retrains) falls back
+    to one full ``pq_augment_ann_index`` replaying the dials recorded
+    at augment time (m_subspaces/n_codes/n_iters/sample_rows — r12
+    ADVICE), which upgrades it for every later trigger."""
     if max_batch_dirs_per_cell is None:
         return False
-    offending = _cells_past_dial(root, int(max_batch_dirs_per_cell))
+    m = AI._load_manifest(root)
+    if m is None:  # wrapper always ensures one; direct callers may not
+        m = AI._ensure_manifest(root)
+    offending = _cells_past_dial(m, int(max_batch_dirs_per_cell))
     if not offending:
         return False
-    ann_index_compact_cells(spark, root, offending)
+    ann_index_compact_cells(
+        spark, root, offending, retire_grace_seconds=retire_grace_seconds
+    )
     pq_meta = os.path.join(root, "_pq_meta.json")
     if os.path.exists(pq_meta):
-        if _pq_codes_maintainable(root):
-            pq_reencode_stale_cells(spark, root)
-        else:
-            # legacy sidecar (whole-tree fingerprint and/or single-level
-            # codes layout): one full augment — replaying the dials
-            # recorded at augment time (r12 ADVICE; older metas recover
-            # geometry from the books and keep default training dials) —
-            # migrates it to the per-cell gate + two-level layout, so
-            # every later trigger takes the selective path above
-            with open(pq_meta) as f:
-                meta = json.load(f)
-            books = meta["books"]
+        m = AI._load_manifest(root)
+        if AI._sidecar_books(root, m) is None:
+            # legacy/unpaired sidecar: one full augment — replaying the
+            # dials recorded at augment time (r12 ADVICE; older metas
+            # recover geometry from the books and keep default training
+            # dials) — migrates it to the manifest-paired gate, so
+            # every later trigger takes the inline path above
+            try:
+                with open(pq_meta) as f:
+                    meta = json.load(f)
+                books = meta["books"]
+            except (OSError, ValueError, KeyError):
+                return True  # unreadable sidecar: fail closed at serve
             pq_augment_ann_index(
                 spark,
                 root,
@@ -243,12 +227,20 @@ def ann_ingest_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_batch_dirs_per_cell: int | None = DEFAULT_MAX_BATCH_DIRS_PER_CELL,
+    retire_grace_seconds: float = AI.DEFAULT_RETIRE_GRACE_SECONDS,
 ) -> int:
     """Append one micro-batch to the index at ``root``; returns rows
-    appended (0 for a committed replay).  After the commit, the
-    autocompaction dial may fold accumulated delta directories (see
-    :func:`_maybe_autocompact`; pass ``None`` to schedule compaction
-    externally instead)."""
+    appended (0 for a committed replay).
+
+    Commit order (every instant snapshot-consistent for readers):
+    assign (GEMM, O(batch)) → replay cleanup (tagged replays only) →
+    cells parquet append (invisible) → guarded codes append for the
+    pre-append-fresh touched cells (invisible; r13 ADVICE freshness
+    guard, see ``operators/ann_index._encode_batch_codes``) → ONE
+    manifest swap (cells tags + codes tags + fingerprints) → marker →
+    autocompaction dial (see :func:`_maybe_autocompact`; pass ``None``
+    to schedule compaction externally instead)."""
+    spark = batch_df.sparkSession
     meta = _read_marker(root)
     if (
         batch_id is not None
@@ -263,28 +255,41 @@ def ann_ingest_batch(
                 f"{meta['batch_id']}: checkpoint was reset — rebuild the "
                 f"index or replay without batch_id."
             )
-    if batch_id is not None:
-        # a prior attempt at THIS batch may have appended and crashed
-        # before the marker landed — remove its files so the re-append
-        # cannot double-insert
-        _drop_batch_dirs(root, batch_id)
-    n = ann_index_add_batch(
-        batch_df.sparkSession,
-        root,
-        batch_df,
-        id_col,
-        vec_col,
-        batch_tag=batch_id if batch_id is not None else -1,
+    m = AI._ensure_manifest(root)
+    assigned, touched, n = AI._assign_batch_checkpoint(
+        spark, root, batch_df, id_col, vec_col
     )
-    # encode-at-ingest (r13): append this batch's PQ codes under the
-    # same tag and refresh the touched cells' fingerprints, so
-    # ann_search_pq stays continuously fresh during the stream instead
-    # of failing closed between folds.  Guarded batches only — an
-    # untagged (-1) append cannot be replay-cleaned, so its codes
-    # cannot be either.  Runs BEFORE the marker: a crash in between
-    # replays as a full re-run with both trees' tagged dirs dropped.
-    if batch_id is not None and _pq_codes_maintainable(root):
-        pq_append_batch_codes(batch_df.sparkSession, root, batch_id)
+    tag = int(batch_id) if batch_id is not None else -1
+    if batch_id is not None:
+        suspect = sorted(
+            set(touched)
+            | {c for c, ts in m["cells"].items() if tag in ts}
+            | {c for c, ts in m["codes"].items() if tag in ts}
+        )
+        if _rollback_batch_tag(root, m, tag, suspect):
+            AI._write_manifest(root, m)
+    AI._append_assigned(root, assigned, tag)
+    # guarded encode-at-ingest (r13): computed against the PRE-append
+    # manifest view (the tag is added below), appended invisibly, and
+    # committed in the same swap as the cells tags — ann_search_pq
+    # serves continuously through the stream, and a cell that was stale
+    # BEFORE this batch stays stale (fail-closed) until a fold or
+    # pq_reencode_stale_cells re-encodes its full content
+    codes_updates: dict[str, str] = {}
+    if batch_id is not None and AI._sidecar_books(root, m) is not None:
+        codes_updates = AI._encode_batch_codes(spark, root, m, tag, touched)
+    for c in touched:
+        tags = m["cells"].setdefault(c, [])
+        if tag not in tags:
+            tags.append(tag)
+            tags.sort()
+    for c, dg in codes_updates.items():
+        tags = m["codes"].setdefault(c, [])
+        if tag not in tags:
+            tags.append(tag)
+            tags.sort()
+        m["code_fps"][c] = dg
+    AI._write_manifest(root, m)  # the batch's single visibility point
     _write_marker(
         root,
         {
@@ -293,10 +298,11 @@ def ann_ingest_batch(
             else (meta or {}).get("batch_id"),
         },
     )
-    # maintenance runs AFTER the durable commit: a crash mid-fold
-    # leaves the batch committed and the swap heals via _recover_cells
+    # maintenance runs AFTER the durable commit: a crash mid-fold leaves
+    # the batch committed and the fold's orphan generation dirs are
+    # collected by the next fold's sweep
     _maybe_autocompact(
-        batch_df.sparkSession, root, max_batch_dirs_per_cell
+        spark, root, max_batch_dirs_per_cell, retire_grace_seconds
     )
     return n
 

@@ -107,20 +107,23 @@ def test_approximate_recall(spark, emb, queries, index_root):
 
 
 def test_partition_pruning(spark, emb, queries, index_root):
-    # nprobe=1 with a single query: the cells scan must carry a
-    # partition filter on the probed cell (file-level pruning; the
-    # partition predicate shows as PartitionFilters on the scan node —
-    # inputFiles() reports pre-pruning listings, so inspect the plan)
+    # nprobe=1 with a single query: the serve must read ONLY the probed
+    # cell's live directories.  Since r14 pruning happens at
+    # path-listing time (the manifest snapshot hands the scan the exact
+    # live set — stronger than a PartitionFilters predicate over a
+    # whole-tree listing): every input file sits under exactly one
+    # cell= partition.
     one_q = queries.limit(1)
     served = ann_search(spark, index_root, one_q, k=3, nprobe=1)
-    plan = served._jdf.queryExecution().executedPlan().toString()
-    scan_lines = [
-        ln for ln in plan.splitlines() if "PartitionFilters" in ln
-    ]
-    assert any(
-        "cell" in ln.split("PartitionFilters", 1)[1][:120]
-        for ln in scan_lines
-    ), plan
+    files = served.inputFiles()
+    assert files, "serve must scan the probed cell's files"
+    probed_cells = {
+        part
+        for f in files
+        for part in f.split("/")
+        if part.startswith("cell=")
+    }
+    assert len(probed_cells) == 1, probed_cells
     assert served.count() > 0
 
 
@@ -266,10 +269,23 @@ def test_compaction_folds_deltas_and_preserves_serving(spark, emb, tmp_path):
 
     queries = emb.where(F.col("vec_id") % 100 == 0)
     before = _key(ann_search(spark, root, queries, k=5, nprobe=6))
-    folded = ann_index_compact(spark, root)
+    # grace=0: the superseded directories prune inside the same fold,
+    # so the physical tree collapses to the live set immediately (the
+    # default grace keeps them for in-flight snapshot readers)
+    folded = ann_index_compact(spark, root, retire_grace_seconds=0)
     assert folded >= 3
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    m = ai._load_manifest(root)
+    # every cell folded to ONE live generation directory, no deltas
+    assert all(
+        len(tags) == 1 and tags[0] < 0 for tags in m["cells"].values()
+    ), m["cells"]
     after_dirs = glob.glob(f"{root}/cells/cell=*/ingest_batch=*")
-    assert after_dirs and all(d.endswith("=-1") for d in after_dirs)
+    per_cell: dict = {}
+    for d in after_dirs:
+        per_cell.setdefault(d.rsplit("/", 2)[-2], []).append(d)
+    assert per_cell and all(len(v) == 1 for v in per_cell.values()), per_cell
     assert _key(ann_search(spark, root, queries, k=5, nprobe=6)) == before
     assert before == _key(brute_force_topk(emb, queries, k=5))
     assert ann_index_compact(spark, root) == 0  # idempotent no-op
@@ -371,6 +387,8 @@ def test_legacy_layout_gate_migration_and_swap_recovery(spark, emb, tmp_path):
         .mode("overwrite").partitionBy("cell").parquet(flat)
     shutil.rmtree(cells)
     _os.rename(flat, cells)
+    # a real pre-r14 root has no manifest — drop the build's
+    _os.remove(_os.path.join(root, "_cells_manifest.json"))
 
     with pytest.raises(ValueError, match="pre-ingest_batch"):
         ann_index_add_batch(spark, root, new_half, batch_tag=0)
@@ -386,8 +404,11 @@ def test_legacy_layout_gate_migration_and_swap_recovery(spark, emb, tmp_path):
     exact = _key(brute_force_topk(emb, queries, k=5))
     assert _key(ann_search(spark, root, queries, k=5, nprobe=6)) == exact
 
-    # simulate the crash between the two swap renames: cells gone,
-    # complete staging dir left behind
+    # simulate a PRE-r14 root that crashed between the legacy swap's two
+    # renames: cells gone, complete staging dir left behind, no manifest
+    # (manifest-mode folds never rename, so this shape only exists on
+    # legacy roots — drop the manifest to forge one)
+    _os.remove(_os.path.join(root, "_cells_manifest.json"))
     _os.rename(cells, _os.path.join(root, "cells__compacting"))
     assert _key(ann_search(spark, root, queries, k=5, nprobe=6)) == exact
     assert _os.path.isdir(cells)  # recovery promoted the staging dir
@@ -480,15 +501,18 @@ def test_pq_cells_fingerprint_cached_on_warm_serve(
 
     invalidate_listing_cache()
     walks: list[str] = []
-    real_walk = ai._cells_walk
+    real_walk = ai._manifest_walk
     monkeypatch.setattr(
-        ai, "_cells_walk", lambda p: (walks.append(p), real_walk(p))[1]
+        ai,
+        "_manifest_walk",
+        lambda p, tags: (walks.append(p), real_walk(p, tags))[1],
     )
     q = emb.where(F.col("vec_id") < 3)
     assert ai.ann_search_pq(spark, root, q, k=3, nprobe=4).count() > 0
     cold = list(walks)
-    # r13 per-cell gate: one cold walk PER PROBED CELL dir (not one
-    # whole-tree walk), each a distinct cell=* path
+    # per-cell gate (r13; manifest live-set digests since r14): one cold
+    # walk PER PROBED CELL dir (never a whole-tree walk), each a
+    # distinct cell=* path
     assert cold and all(
         os.path.basename(p).startswith("cell=") for p in cold
     )
@@ -768,8 +792,10 @@ def test_pq_fingerprint_version_mismatch_names_cause(spark, emb, tmp_path):
     assert meta["fingerprint_version"] == 2  # pinned: bump = new test
 
     q = emb.where(F.col("vec_id") < 2)
-    # a real pre-r13 sidecar has no per-cell map — drop it so the
-    # legacy whole-tree gate (the path under test) engages
+    # a real pre-r13 sidecar has no per-cell map and a pre-r14 root has
+    # no manifest — drop both so the legacy whole-tree gate (the path
+    # under test) engages
+    os.remove(os.path.join(root, "_cells_manifest.json"))
     legacy = dict(meta, cells_fingerprint="0" * 64)
     legacy.pop("fingerprint_version")
     legacy.pop("cell_fingerprints")
@@ -927,7 +953,9 @@ def test_ingest_autocompact_dial_folds_and_reaugments(spark, emb, tmp_path):
     # lost both; cells one batch touched keep their single dir for a
     # later fold — the r13 selective contract, pinned cell-by-cell by
     # test_autocompact_selective_fold_is_per_cell)
-    assert _cells_past_dial(root, 1) == []
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    assert _cells_past_dial(ai._load_manifest(root), 1) == []
     assert before_fold > 0
 
     # replay guard survives the fold (the ingest marker is separate
@@ -1005,12 +1033,14 @@ def test_compact_cells_folds_only_requested(spark, emb, tmp_path):
     (cell_a, vec_a), (cell_b, vec_b) = _two_cell_vectors(spark, root)
 
     def deltas(cell):
+        # delta dirs = guarded batch tags (>= 0); negative tags are the
+        # base/fold generations, and retired dirs prune behind grace=0
         return [
             d
             for d in glob.glob(
                 f"{root}/cells/cell={cell}/ingest_batch=*"
             )
-            if not d.endswith("ingest_batch=-1")
+            if int(d.rsplit("=", 1)[1]) >= 0
         ]
 
     # two delta batches into A, one into B (skew)
@@ -1023,7 +1053,9 @@ def test_compact_cells_folds_only_requested(spark, emb, tmp_path):
         ) == 3
     assert len(deltas(cell_a)) == 2 and len(deltas(cell_b)) == 1
 
-    assert ann_index_compact_cells(spark, root, [cell_a]) == 2
+    assert ann_index_compact_cells(
+        spark, root, [cell_a], retire_grace_seconds=0
+    ) == 2
     assert deltas(cell_a) == []          # requested: folded
     assert len(deltas(cell_b)) == 1      # untouched: kept for later
     assert not [
@@ -1070,6 +1102,8 @@ def test_compact_cells_refuses_legacy_layout(spark, emb, tmp_path):
     for f in os.listdir(batch_dir):
         shutil.move(os.path.join(batch_dir, f), os.path.join(cell, f))
     os.rmdir(batch_dir)
+    # a real flat root predates the manifest too
+    os.remove(os.path.join(root, "_cells_manifest.json"))
     with pytest.raises(ValueError, match="pre-ingest_batch"):
         ann_index_compact_cells(spark, root, [0])
 
@@ -1097,10 +1131,11 @@ def test_autocompact_selective_fold_is_per_cell(spark, emb, tmp_path):
     (cell_a, vec_a), (cell_b, vec_b) = _two_cell_vectors(spark, root)
 
     def deltas(cell):
+        # delta dirs = guarded batch tags (>= 0); see the sibling helper
         return [
             d
             for d in glob.glob(f"{root}/cells/cell={cell}/ingest_batch=*")
-            if not d.endswith("ingest_batch=-1")
+            if int(d.rsplit("=", 1)[1]) >= 0
         ]
 
     # batch 0 → cold cell B; batches 1,2 → hot cell A (dial=1: the
@@ -1111,7 +1146,8 @@ def test_autocompact_selective_fold_is_per_cell(spark, emb, tmp_path):
             [(60_000 + bid * 10 + j, vec) for j in range(3)], _VEC_SCHEMA
         )
         assert ann_ingest_batch(
-            batch, root, batch_id=bid, max_batch_dirs_per_cell=1
+            batch, root, batch_id=bid, max_batch_dirs_per_cell=1,
+            retire_grace_seconds=0,
         ) == 3
     assert deltas(cell_a) == []          # hot cell folded at batch 2
     assert len(deltas(cell_b)) == 1      # cold cell untouched: SELECTIVE
@@ -1345,11 +1381,20 @@ def test_reencode_drops_codes_of_removed_cells(spark, emb, tmp_path):
     (cell_a, _vec_a), (cell_b, vec_b) = _two_cell_vectors(spark, root)
 
     shutil.rmtree(os.path.join(root, "cells", f"cell={cell_a}"))
-    assert pq_reencode_stale_cells(spark, root) == 1  # the dropped cell
-    meta = _json.load(open(os.path.join(root, "_pq_meta.json")))
-    assert str(cell_a) not in meta["cell_fingerprints"]
-    assert not os.path.exists(
-        os.path.join(root, "pq_codes", f"cell={cell_a}")
+    # grace=0: the dropped cell's retired codes dirs prune immediately
+    assert pq_reencode_stale_cells(
+        spark, root, retire_grace_seconds=0
+    ) == 1  # the dropped cell
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    m = ai._load_manifest(root)
+    assert str(cell_a) not in m["code_fps"]
+    assert str(cell_a) not in m["codes"]
+    assert str(cell_a) not in m["cells"]  # phantom live tags dropped too
+    import glob as _glob
+
+    assert not _glob.glob(  # codes pruned (parent dir may linger empty)
+        os.path.join(root, "pq_codes", f"cell={cell_a}", "ingest_batch=*")
     )
     # surviving cells still gate-pass and serve
     q_b = spark.createDataFrame([(900_002, vec_b)], _VEC_SCHEMA)
@@ -1377,7 +1422,7 @@ def test_encode_at_ingest_keeps_pq_fresh(spark, emb, tmp_path):
     base = emb.where(F.col("vec_id") < 200)
     build_ann_index(base, root, n_centroids=6, n_iters=1)
     pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
-    assert glob.glob(f"{root}/pq_codes/cell=*/ingest_batch=-1")  # 2-level
+    assert glob.glob(f"{root}/pq_codes/cell=*/ingest_batch=*")  # 2-level
 
     b0 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
     assert ann_ingest_batch(
@@ -1398,64 +1443,72 @@ def test_encode_at_ingest_keeps_pq_fresh(spark, emb, tmp_path):
 def test_legacy_single_level_codes_migrate_via_full_augment(
     spark, emb, tmp_path
 ):
-    """A pre-r13.2 single-level codes tree: ingest skips codes
-    maintenance (gate fails closed on the touched cell), the selective
-    refresh refuses loudly (a staged two-level swap would break
-    partition discovery), and the autocompact trigger migrates the
-    sidecar with ONE full augment replaying the recorded dials — after
-    which the tree is two-level and the selective path serves."""
+    """A pre-r13.2 single-level codes tree on a pre-r14 (manifest-less)
+    root: the manifest migration drops the unreferenceable flat codes
+    (derived data — meta kept), so the sidecar fails CLOSED everywhere
+    (refresh refuses, serves raise STALE, ingest skips codes
+    maintenance) until the autocompact trigger migrates it with ONE
+    full augment replaying the recorded dials — after which the
+    manifest-paired sidecar serves."""
     import glob
     import json as _json
     import shutil
 
+    import polars_w_inverted_index_spark.operators.ann_index as ai
     from polars_w_inverted_index_spark.operators.ann_index import (
         ann_search_pq,
         pq_augment_ann_index,
         pq_reencode_stale_cells,
     )
     from polars_w_inverted_index_spark.streaming import ann_ingest_batch
-    from polars_w_inverted_index_spark.streaming.ann_ingest import (
-        _maybe_autocompact,
-        _pq_codes_maintainable,
-    )
 
     root = str(tmp_path / "codes_legacy")
     base = emb.where(F.col("vec_id") < 200)
     build_ann_index(base, root, n_centroids=6, n_iters=1)
     pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
-    # flatten the codes tree to the single-level layout
+    # forge the pre-r13.2 state: flatten the codes tree, no manifest,
+    # no books_id pairing in the meta
     for cell in glob.glob(f"{root}/pq_codes/cell=*"):
-        batch_dir = os.path.join(cell, "ingest_batch=-1")
-        for f in os.listdir(batch_dir):
-            shutil.move(os.path.join(batch_dir, f), os.path.join(cell, f))
-        os.rmdir(batch_dir)
-    assert not _pq_codes_maintainable(root)
-    # nothing stale yet: the refresh correctly no-ops WITHOUT raising
-    # (a clean single-level tree still serves — only a staged swap
-    # would mix layouts)
-    assert pq_reencode_stale_cells(spark, root) == 0
+        for batch_dir in glob.glob(os.path.join(cell, "ingest_batch=*")):
+            for f in os.listdir(batch_dir):
+                shutil.move(
+                    os.path.join(batch_dir, f), os.path.join(cell, f)
+                )
+            os.rmdir(batch_dir)
+    os.remove(os.path.join(root, "_cells_manifest.json"))
+    meta = _json.load(open(f"{root}/_pq_meta.json"))
+    for k in ("books_id", "cell_fingerprints"):
+        meta.pop(k, None)
+    with open(f"{root}/_pq_meta.json", "w") as f:
+        _json.dump(meta, f)
+
+    # the refresh migrates the root and finds an unusable sidecar —
+    # loud refusal, never a mixed-layout stage
+    with pytest.raises(ValueError, match="no usable PQ sidecar"):
+        pq_reencode_stale_cells(spark, root)
+    m = ai._load_manifest(root)
+    assert m is not None and m["books_id"] is None
+    assert not os.path.isdir(f"{root}/pq_codes")  # flat codes dropped
 
     b0 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
     assert ann_ingest_batch(
         b0, root, batch_id=0, max_batch_dirs_per_cell=None
     ) == b0.count()
     assert not glob.glob(f"{root}/pq_codes/cell=*/ingest_batch=0")
-    # NOW there is stale work, and the selective refresh must refuse
-    # rather than stage a two-level swap beside single-level siblings
-    with pytest.raises(ValueError, match="single-level"):
-        pq_reencode_stale_cells(spark, root)
-    # a probed touched cell fails closed (codes lack the new rows)
+    # a probed cell fails closed — the manifest carries no codes/books
+    # pairing, so the serve refuses naming the repair
     q = emb.where(F.col("vec_id") % 100 == 0)
-    with pytest.raises(ValueError, match="STALE"):
+    with pytest.raises(ValueError, match="pq_augment_ann_index"):
         ann_search_pq(spark, root, q, k=5, nprobe=6, rerank_factor=1000)
 
     # second batch crosses the dial: the trigger's legacy fallback runs
-    # ONE full augment with the recorded dials, migrating the layout
+    # ONE full augment with the recorded dials, migrating the sidecar
     b1 = emb.where(F.col("vec_id") >= 300)
     assert ann_ingest_batch(
         b1, root, batch_id=1, max_batch_dirs_per_cell=1
     ) == b1.count()
-    assert _pq_codes_maintainable(root)
+    m = ai._load_manifest(root)
+    assert ai._sidecar_books(root, m) is not None  # paired + usable
     meta = _json.load(open(f"{root}/_pq_meta.json"))
     assert len(meta["books"]) == 4 and len(meta["books"][0]) == 8
     want = _key(brute_force_topk(emb, q, k=5))
@@ -1494,34 +1547,244 @@ def test_legacy_layout_check_is_first_entry_decisive(tmp_path):
 def test_missing_codes_tree_disables_ingest_maintenance(
     spark, emb, tmp_path
 ):
-    """A _pq_meta.json whose codes tree was deleted (manual surgery)
-    must NOT take per-batch code appends: recreating the tree from new
-    batches alone would let refreshed fingerprints serve cells whose
-    BASE rows have no codes — silent wrong top-k.  Ingest skips the
-    maintenance, the direct append raises, and a full augment repairs."""
+    """A _pq_meta.json whose codes tree was deleted (manual surgery —
+    here forged on a pre-r14 root: no manifest) must NOT take per-batch
+    code appends: recreating the tree from new batches alone would let
+    refreshed fingerprints serve cells whose BASE rows have no codes —
+    silent wrong top-k.  The r14 freshness guard makes this structural:
+    no cell has a recorded fingerprint, so nothing is pre-append-fresh,
+    the append refreshes NOTHING (fail closed), ingest creates no codes
+    tree, and a full augment repairs."""
     import shutil
 
+    import polars_w_inverted_index_spark.operators.ann_index as ai
     from polars_w_inverted_index_spark.operators.ann_index import (
         pq_append_batch_codes,
         pq_augment_ann_index,
     )
     from polars_w_inverted_index_spark.streaming import ann_ingest_batch
-    from polars_w_inverted_index_spark.streaming.ann_ingest import (
-        _pq_codes_maintainable,
-    )
 
     root = str(tmp_path / "codes_gone")
     build_ann_index(emb.where(F.col("vec_id") < 150), root,
                     n_centroids=4, n_iters=0)
     pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
     shutil.rmtree(os.path.join(root, "pq_codes"))
-    assert not _pq_codes_maintainable(root)
-    with pytest.raises(ValueError, match="pq_codes tree is missing"):
-        pq_append_batch_codes(spark, root, 0)
+    os.remove(os.path.join(root, "_cells_manifest.json"))  # pre-r14 root
     b0 = emb.where(F.col("vec_id").between(150, 200))
     assert ann_ingest_batch(
         b0, root, batch_id=0, max_batch_dirs_per_cell=None
     ) == b0.count()
     assert not os.path.isdir(os.path.join(root, "pq_codes"))  # skipped
+    # a direct append refreshes nothing — and materializes no codes
+    assert pq_append_batch_codes(spark, root, batch_tag=0) == []
+    assert not os.path.isdir(os.path.join(root, "pq_codes"))
     pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
-    assert _pq_codes_maintainable(root)
+    m = ai._load_manifest(root)
+    assert ai._sidecar_books(root, m) is not None  # repaired + paired
+
+
+# ---------------------------------------------------------------------------
+# r14: snapshot isolation — serves overlap maintenance (r13 VERDICT task 1)
+# ---------------------------------------------------------------------------
+
+def _overlap_fixture(spark, tmp_path, n_batches=3):
+    """A tiny index + guarded batches + the set of VALID serve results:
+    every manifest snapshot a concurrent serve can pin is 'base + some
+    committed prefix of batches' (ingest commits are monotone and folds
+    don't change content), so a serve observed mid-maintenance must
+    equal brute force over exactly one of those prefixes."""
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    W = 4
+
+    def vec(i):
+        return [float((i * 5 + j) % 9 - 4) or 2.0 for j in range(W)]
+
+    root = str(tmp_path / "overlap_idx")
+    base = [(i, vec(i)) for i in range(8)]
+    build_ann_index(
+        spark.createDataFrame(base, _VEC_SCHEMA), root,
+        n_centroids=2, n_iters=1,
+    )
+    ai.pq_augment_ann_index(spark, root, m_subspaces=2, n_codes=4)
+    batches = [
+        [(100 + b * 10 + j, vec(100 + b * 10 + j)) for j in range(3)]
+        for b in range(n_batches)
+    ]
+    queries = spark.createDataFrame(
+        [(9001, vec(1)), (9002, vec(5))], _VEC_SCHEMA
+    )
+    prefix_keys, prefix = [], list(base)
+    prefix_keys.append(
+        tuple(_key(brute_force_topk(
+            spark.createDataFrame(prefix, _VEC_SCHEMA), queries, k=3
+        )))
+    )
+    for b in batches:
+        prefix = prefix + b
+        prefix_keys.append(
+            tuple(_key(brute_force_topk(
+                spark.createDataFrame(prefix, _VEC_SCHEMA), queries, k=3
+            )))
+        )
+    return root, batches, queries, prefix_keys
+
+
+def test_serves_overlap_maintenance_interleaved(spark, tmp_path, monkeypatch):
+    """Deterministic serve-vs-maintenance interleaving (r13 VERDICT
+    task 1 done-criterion): BOTH serve paths run at the most dangerous
+    instants of every mutation — immediately before and after each
+    manifest swap (ingest commits, gen allocations, fold commits) and
+    right after a prune pass — while guarded ingest batches drive the
+    autocompaction dial at 1 (selective folds + inline codes refresh
+    in-path).  Every observed result must equal brute force over some
+    committed prefix, and the PQ gate must never raise: the snapshot a
+    serve pins is consistent at EVERY instant, which is the property
+    the pre-r14 'no serves during maintenance' contract existed to
+    paper over."""
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+
+    root, batches, queries, prefix_keys = _overlap_fixture(spark, tmp_path)
+    expected = set(prefix_keys)
+    observed = []
+    in_probe = {"on": False}
+
+    def probe(where):
+        if in_probe["on"]:
+            return
+        in_probe["on"] = True
+        try:
+            kf = tuple(_key(ann_search(spark, root, queries, k=3, nprobe=2)))
+            kp = tuple(_key(ai.ann_search_pq(
+                spark, root, queries, k=3, nprobe=2, rerank_factor=1000
+            )))
+            observed.append(kf)
+            observed.append(kp)
+            assert kf in expected, (where, "float", kf)
+            assert kp in expected, (where, "pq", kp)
+        finally:
+            in_probe["on"] = False
+
+    real_write = ai._write_manifest
+    real_prune = ai._prune_retired
+
+    def hooked_write(r, m):
+        probe("pre-swap")
+        real_write(r, m)
+        probe("post-swap")
+
+    def hooked_prune(r, m, grace):
+        real_prune(r, m, grace)
+        probe("post-prune")
+
+    monkeypatch.setattr(ai, "_write_manifest", hooked_write)
+    monkeypatch.setattr(ai, "_prune_retired", hooked_prune)
+    for bid, b in enumerate(batches):
+        # default retire grace: in-flight snapshots keep their files
+        assert ann_ingest_batch(
+            spark.createDataFrame(b, _VEC_SCHEMA), root, batch_id=bid,
+            max_batch_dirs_per_cell=1,
+        ) == len(b)
+    monkeypatch.setattr(ai, "_write_manifest", real_write)
+    monkeypatch.setattr(ai, "_prune_retired", real_prune)
+    assert len(observed) >= 2 * (len(batches) + 1)
+    # quiescent: both paths equal the full corpus exactly
+    final = prefix_keys[-1]
+    assert tuple(_key(ann_search(spark, root, queries, k=3, nprobe=2))) \
+        == final
+    assert tuple(_key(ai.ann_search_pq(
+        spark, root, queries, k=3, nprobe=2, rerank_factor=1000
+    ))) == final
+
+
+def test_serves_overlap_maintenance_threaded(spark, tmp_path):
+    """Real-thread overlap (the interleaved test's nondeterministic
+    sibling): a serving thread loops float+PQ serves with NO
+    coordination while the main thread drives guarded ingests with the
+    dial at 1 — every result must be a committed prefix and no serve
+    may raise.  Spark local mode executes both workloads' jobs
+    concurrently in one JVM."""
+    import threading
+
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+
+    root, batches, queries, prefix_keys = _overlap_fixture(
+        spark, tmp_path, n_batches=4
+    )
+    expected = set(prefix_keys)
+    errors: list = []
+    serves = [0]
+    stop = threading.Event()
+
+    def server():
+        try:
+            while not stop.is_set():
+                kf = tuple(_key(
+                    ann_search(spark, root, queries, k=3, nprobe=2)
+                ))
+                if kf not in expected:
+                    errors.append(("float", kf))
+                    return
+                kp = tuple(_key(ai.ann_search_pq(
+                    spark, root, queries, k=3, nprobe=2,
+                    rerank_factor=1000,
+                )))
+                if kp not in expected:
+                    errors.append(("pq", kp))
+                    return
+                serves[0] += 1
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errors.append(repr(e))
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    try:
+        for bid, b in enumerate(batches):
+            assert ann_ingest_batch(
+                spark.createDataFrame(b, _VEC_SCHEMA), root,
+                batch_id=bid, max_batch_dirs_per_cell=1,
+            ) == len(b)
+    finally:
+        stop.set()
+        t.join(120)
+    assert not errors, errors
+    assert serves[0] >= 1  # the thread really served during the stream
+
+
+def test_rebuild_carries_generation_forward(spark, emb, tmp_path):
+    """A rebuild over an existing root must not reset the fold
+    generation: the old sidecar's gen-tagged codes directories retire
+    behind the grace window, and a reset counter would let the next
+    augment REUSE their tag — appending fresh codes beside retired ones
+    in the same directory and serving DUPLICATE candidates (the r14
+    lifecycle row's oracle caught exactly this the round the rebuild
+    stage was added)."""
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+
+    root = str(tmp_path / "regen")
+    half = emb.where(F.col("vec_id") < 200)
+    ai.build_ann_index(half, root, n_centroids=4, n_iters=1)
+    ai.pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    g1 = ai._load_manifest(root)["gen"]
+    assert g1 > 1  # the augment consumed a generation
+    ai.build_ann_index(half, root, n_centroids=4, n_iters=1)  # rebuild
+    assert ai._load_manifest(root)["gen"] >= g1
+    ai.pq_augment_ann_index(spark, root, m_subspaces=4, n_codes=8)
+    m = ai._load_manifest(root)
+    retired_paths = {rel for rel, _ in m["retired"]}
+    for c, tags in m["codes"].items():
+        for t in tags:
+            assert (
+                f"pq_codes/cell={c}/ingest_batch={t}" not in retired_paths
+            ), "live codes tag collides with a retired directory"
+    q = emb.where(F.col("vec_id") < 2)
+    served = ai.ann_search_pq(
+        spark, root, q, k=5, nprobe=4, rerank_factor=1000
+    )
+    rows = served.collect()
+    assert len(rows) == len(
+        {(r["query_id"], r["neighbor_id"]) for r in rows}
+    ), "duplicate candidates served"
+    assert _key(served) == _key(brute_force_topk(half, q, k=5))

@@ -703,12 +703,9 @@ ANN_CRASH_OPS = st.lists(
         st.tuples(st.just("ingest"), st.integers(0, 3)),
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("fold_cells"), st.none()),
-        st.tuples(st.just("crash_pre_swap"), st.none()),
-        st.tuples(st.just("crash_mid_swap"), st.none()),
-        st.tuples(st.just("crash_post_swap"), st.none()),
-        st.tuples(st.just("crash_cellfold_pre_success"), st.none()),
-        st.tuples(st.just("crash_cellfold_mid_swap"), st.none()),
-        st.tuples(st.just("crash_cellfold_post_swap"), st.none()),
+        st.tuples(st.just("crash_fold_orphan"), st.none()),
+        st.tuples(st.just("crash_ingest_pre_swap"), st.none()),
+        st.tuples(st.just("crash_prune_window"), st.none()),
     ),
     min_size=2,
     max_size=5,
@@ -724,39 +721,35 @@ _ANN_CRASH_SETTINGS = settings(
 @_ANN_CRASH_SETTINGS
 @given(ops=ANN_CRASH_OPS)
 def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
-    """The ANN-index analog of the LSM crash fuzz (r12, extending r11
-    VERDICT task 7 to the repo's other O(index) maintenance job):
-    interleave ingest / compact with the three on-disk states a crashed
-    compaction swap can leave —
+    """The ANN-index analog of the LSM crash fuzz, rewritten for the
+    r14 snapshot manifest (renames are gone, so the pre-r14 swap-window
+    states cannot arise; the manifest design's own crash states are):
 
-    - PRE-swap: a complete ``cells__compacting`` beside LIVE cells
-      (crash after the staging write, before the first rename);
-    - MID-swap: cells RENAMED AWAY, only the staging dir present
-      (crash between the two renames — the documented heal window);
-    - POST-swap: a stale ``cells__old`` beside live cells (crash
-      before the final cleanup);
+    - ``crash_fold_orphan``: a fold allocated its generation (manifest
+      gen bumped) and wrote data directories but crashed before the
+      swap — the dirs are referenced by NO manifest, invisible to every
+      reader, and must be collected by a later fold's orphan sweep,
+      never resurrected;
+    - ``crash_ingest_pre_swap``: an ingest appended tagged directories
+      but crashed before its manifest swap and was ABANDONED (no
+      replay) — same invariant: invisible, swept by a later fold;
+    - ``crash_prune_window``: a prune deleted a retired directory but
+      crashed before the swap that drops its entry — the manifest
+      names a missing path, which later prunes must tolerate
+      (ignore_errors) and eventually clear;
 
-    plus (r13) the SELECTIVE fold's per-cell windows — real
-    ``ann_index_compact_cells`` runs interleaved, and the three crash
-    states its two-rename-per-cell swap can leave:
-
-    - cellfold PRE-_SUCCESS: a cell renamed away with only an
-      UNCOMMITTED staging tree (no ``_SUCCESS``) — heal must restore
-      the OLD copy, never promote partial data;
-    - cellfold MID-swap: a cell renamed away with a COMMITTED staging
-      tree — heal must finish the swap (promote the staged copy);
-    - cellfold POST-swap: a stale ``cells__cellfold_old`` beside a
-      fully-live tree — heal must drop it;
-
-    and assert the next lifecycle touch (_recover_cells runs first in
-    ingest/compact/serve) heals each, serving always equals brute
-    force over exactly the ingested rows, and a final compact leaves
-    no stray staging/old directories."""
+    interleaved with REAL ingest / full compact / selective folds.
+    Serving must equal brute force over exactly the ingested rows at
+    every point (crash states are invisible by construction — that IS
+    the snapshot-isolation property), and a final grace-0 compact
+    leaves the physical trees exactly equal to the manifest's live
+    sets (every orphan and retired dir gone)."""
+    import glob as _glob
     import os
     import shutil
 
+    import polars_w_inverted_index_spark.operators.ann_index as ai
     from polars_w_inverted_index_spark.operators.ann_index import (
-        _recover_cells as _recover,
         ann_index_add_batch,
         ann_index_compact,
         ann_index_compact_cells,
@@ -777,15 +770,25 @@ def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
     ingested = list(base_rows)
     next_id = 100
     cells = os.path.join(root, "cells")
-    tmp_dir, old_dir = cells + "__compacting", cells + "__old"
-    stage_dir = cells + "__cellfold"
-    cellfold_old = cells + "__cellfold_old"
+    queries = spark.createDataFrame(
+        [(1000, vec(0)), (1001, vec(3))], SCHEMA
+    )
 
-    def any_cell():
-        names = sorted(
-            d for d in os.listdir(cells) if d.startswith("cell=")
+    def any_live_dir():
+        m = ai._load_manifest(root)
+        for c, tags in sorted(m["cells"].items()):
+            for t in tags:
+                d = os.path.join(cells, f"cell={c}", f"ingest_batch={t}")
+                if os.path.isdir(d):
+                    return c, d
+        return None, None
+
+    def truth():
+        return _key(
+            brute_force_topk(
+                spark.createDataFrame(ingested, SCHEMA), queries, k=K
+            )
         )
-        return names[0] if names else None
 
     for op, arg in ops:
         if op == "ingest":
@@ -803,86 +806,53 @@ def test_fuzz_ann_maintenance_crash_states_heal(ops, tmp_path_factory):
         elif op == "compact":
             ann_index_compact(spark, root)
         elif op == "fold_cells":
-            if os.path.isdir(cells):
-                values = [
-                    d[len("cell="):]
-                    for d in os.listdir(cells)
-                    if d.startswith("cell=")
-                ]
-                ann_index_compact_cells(spark, root, values)
-            continue
-        elif not os.path.isdir(cells):
-            continue  # already mid-swap: a second crash state is moot
-        elif op == "crash_pre_swap":
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-            shutil.copytree(cells, tmp_dir)
-        elif op == "crash_mid_swap":
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-            os.rename(cells, tmp_dir)
-        elif op == "crash_post_swap":
-            shutil.rmtree(old_dir, ignore_errors=True)
-            shutil.copytree(cells, old_dir)
-        elif op == "crash_cellfold_pre_success":
-            # a real fold heals prior windows before staging its own
-            # (compact_cells runs _recover_cells first) — injecting a
-            # second raw state over an unhealed one would simulate an
-            # impossible history (and delete the only surviving copy)
-            _recover(root)
-            name = any_cell()
-            if name is None:
+            m = ai._load_manifest(root)
+            ann_index_compact_cells(spark, root, sorted(m["cells"]))
+        elif op == "crash_fold_orphan":
+            c, d = any_live_dir()
+            if d is None:
                 continue
-            shutil.rmtree(stage_dir, ignore_errors=True)
-            shutil.rmtree(cellfold_old, ignore_errors=True)
-            os.makedirs(os.path.join(stage_dir, name))  # NO _SUCCESS
-            os.makedirs(cellfold_old)
-            os.rename(
-                os.path.join(cells, name),
-                os.path.join(cellfold_old, name),
-            )
-        elif op == "crash_cellfold_mid_swap":
-            _recover(root)
-            name = any_cell()
-            if name is None:
-                continue
-            shutil.rmtree(stage_dir, ignore_errors=True)
-            shutil.rmtree(cellfold_old, ignore_errors=True)
-            os.makedirs(stage_dir)
+            m = ai._load_manifest(root)
+            g = m["gen"] + 1
+            m["gen"] = g
+            ai._write_manifest(root, m)
             shutil.copytree(
-                os.path.join(cells, name), os.path.join(stage_dir, name)
+                d, os.path.join(cells, f"cell={c}", f"ingest_batch={-g}")
             )
-            open(os.path.join(stage_dir, "_SUCCESS"), "w").close()
-            os.makedirs(cellfold_old)
-            os.rename(
-                os.path.join(cells, name),
-                os.path.join(cellfold_old, name),
-            )
-        elif op == "crash_cellfold_post_swap":
-            _recover(root)
-            name = any_cell()
-            if name is None:
+        elif op == "crash_ingest_pre_swap":
+            c, d = any_live_dir()
+            if d is None:
                 continue
-            shutil.rmtree(cellfold_old, ignore_errors=True)
-            os.makedirs(cellfold_old)
             shutil.copytree(
-                os.path.join(cells, name),
-                os.path.join(cellfold_old, name),
+                d,
+                os.path.join(cells, f"cell={c}", "ingest_batch=999555"),
+                dirs_exist_ok=True,
             )
+        elif op == "crash_prune_window":
+            m = ai._load_manifest(root)
+            m["retired"].append(
+                ["cells/cell=999/ingest_batch=-77", 0.0]
+            )
+            ai._write_manifest(root, m)
+        # the crash state is INVISIBLE: serving equals brute force over
+        # exactly the ingested rows at every interleaving point
+        assert _key(
+            ann_search(spark, root, queries, k=K, nprobe=2)
+        ) == truth()
 
-    queries = spark.createDataFrame(
-        [(1000, vec(0)), (1001, vec(3))], SCHEMA
-    )
-    truth = _key(
-        brute_force_topk(
-            spark.createDataFrame(ingested, SCHEMA), queries, k=K
-        )
-    )
-    # full probe through whatever crash state the sequence left —
-    # _recover_cells heals it on this first touch
-    assert _key(ann_search(spark, root, queries, k=K, nprobe=2)) == truth
-    ann_index_compact(spark, root)
-    for stray in (tmp_dir, old_dir, stage_dir, cellfold_old):
-        assert not os.path.exists(stray), stray
-    assert _key(ann_search(spark, root, queries, k=K, nprobe=2)) == truth
+    # a final grace-0 full fold collects every orphan and retired dir:
+    # the physical trees equal the manifest's live sets exactly
+    ann_index_compact(spark, root, retire_grace_seconds=0)
+    m = ai._load_manifest(root)
+    assert m["retired"] == []
+    live = {
+        os.path.join(cells, f"cell={c}", f"ingest_batch={t}")
+        for c, tags in m["cells"].items()
+        for t in tags
+    }
+    physical = set(_glob.glob(os.path.join(cells, "cell=*", "ingest_batch=*")))
+    assert physical == live, (physical - live, live - physical)
+    assert _key(ann_search(spark, root, queries, k=K, nprobe=2)) == truth()
 
 
 class _Crash(RuntimeError):
@@ -893,7 +863,13 @@ INGEST_CRASH_OPS = st.lists(
     st.tuples(
         st.integers(0, 3),
         st.sampled_from(
-            ["ok", "crash_codes", "crash_marker", "crash_autocompact"]
+            [
+                "ok",
+                "crash_codes",
+                "crash_manifest",
+                "crash_marker",
+                "crash_autocompact",
+            ]
         ),
     ),
     min_size=2,
@@ -908,28 +884,32 @@ INGEST_CRASH_OPS = st.lists(
 )
 @given(ops=INGEST_CRASH_OPS)
 def test_fuzz_ann_ingest_wrapper_crash_windows(ops, tmp_path_factory):
-    """r12 VERDICT task 5: crash-inject ``ann_ingest_batch`` (the
-    streaming wrapper) at its two commit-adjacent windows and replay
-    each crashed batch the way foreachBatch's at-least-once contract
-    does —
+    """r12 VERDICT task 5, rewritten for the r14 single-swap commit:
+    crash-inject ``ann_ingest_batch`` at every commit-adjacent window
+    and replay each crashed batch the way foreachBatch's at-least-once
+    contract does —
 
-    - BETWEEN ``ann_index_add_batch`` and the codes append
-      (``crash_codes``, r13): cells landed, codes did not — the marker
-      never advanced, so the replay must re-run the batch with
-      ``_drop_batch_dirs`` removing the crashed attempt's files from
-      BOTH trees;
-    - BETWEEN the codes append and ``_write_marker``
-      (``crash_marker``): same replay contract — both trees' tagged
-      directories dropped, nothing double-inserts in either;
+    - AT the guarded codes encode (``crash_codes``): cells parquet
+      landed, codes did not, manifest never swapped — the attempt is
+      INVISIBLE; the replay rolls back its directories
+      (``_rollback_batch_tag``) and re-runs;
+    - AT the manifest swap itself (``crash_manifest``): both trees'
+      parquet landed but nothing is visible — same replay contract,
+      nothing double-inserts in either tree;
+    - BETWEEN the swap and ``_write_marker`` (``crash_marker``): the
+      batch IS visible but the marker never advanced — the replay
+      must remove the visible tagged directories, roll the manifest
+      back (fingerprints re-pinned to the pre-append content), and
+      re-append exactly once;
     - AFTER the marker but BEFORE ``_maybe_autocompact``
-      (``crash_autocompact``): the batch is durably committed, so the
-      replay must NO-OP (return 0), and the skipped maintenance is
-      picked up by a later batch's dial check;
+      (``crash_autocompact``): durably committed — the replay must
+      NO-OP (return 0), and the skipped maintenance is picked up by a
+      later batch's dial check;
 
-    with the autocompact dial at 1 throughout (real selective folds +
-    PQ refreshes interleave with the crashes), a live PQ sidecar, and
-    a final refresh+serve asserting BOTH paths equal brute force over
-    exactly the ingested rows."""
+    with the autocompact dial at 1 throughout (real selective folds
+    with inline codes refresh interleave with the crashes), a live PQ
+    sidecar, and a final serve asserting BOTH paths equal brute force
+    over exactly the ingested rows."""
     import os
 
     import polars_w_inverted_index_spark.streaming.ann_ingest as si
@@ -963,17 +943,21 @@ def test_fuzz_ann_ingest_wrapper_crash_windows(ops, tmp_path_factory):
             else spark.createDataFrame([], SCHEMA)
         )
         if mode != "ok":
+            # (owner_module, attribute) — the wrapper reaches the first
+            # two through the ann_index module (si.AI)
             target = {
-                "crash_codes": "pq_append_batch_codes",
-                "crash_marker": "_write_marker",
-                "crash_autocompact": "_maybe_autocompact",
+                "crash_codes": (si.AI, "_encode_batch_codes"),
+                "crash_manifest": (si.AI, "_write_manifest"),
+                "crash_marker": (si, "_write_marker"),
+                "crash_autocompact": (si, "_maybe_autocompact"),
             }[mode]
-            real = getattr(si, target)
+            owner, name = target
+            real = getattr(owner, name)
 
             def _boom(*a, **k):
                 raise _Crash()
 
-            setattr(si, target, _boom)
+            setattr(owner, name, _boom)
             try:
                 with pytest.raises(_Crash):
                     si.ann_ingest_batch(
@@ -981,7 +965,7 @@ def test_fuzz_ann_ingest_wrapper_crash_windows(ops, tmp_path_factory):
                         max_batch_dirs_per_cell=1,
                     )
             finally:
-                setattr(si, target, real)
+                setattr(owner, name, real)
         # the (re)play — for "ok" the only attempt
         got = si.ann_ingest_batch(
             batch, root, batch_id=batch_id, max_batch_dirs_per_cell=1
