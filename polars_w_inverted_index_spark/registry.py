@@ -204,9 +204,23 @@ def q_index_by_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_catalog=cat,
         table_name="lineitem",
     )
-    return csv_array(
-        eng.get_field_values_by_doc_ids("l_returnflag", DOC_IDS), "doc_ids"
-    )
+    pf = eng.get_field_values_by_doc_ids("l_returnflag", DOC_IDS)
+    # r13 VERDICT task 7: the driver-facing Arrow materialization
+    # (to_value_map_arrow — FieldValueResult.value_map's hot path,
+    # main.rs:265-268) is pinned IN-PATH against its pickle-collect twin
+    # on this row's bounded id-set postings, so the last untested
+    # reference-API convenience fails the driver gate if the two ever
+    # diverge (cheap: the frame is DOC_IDS-bounded at any SF).
+    from .operators.inverted_index import to_value_map, to_value_map_arrow
+
+    vm_arrow = {
+        k: [int(x) for x in v] for k, v in to_value_map_arrow(pf).items()
+    }
+    if vm_arrow != to_value_map(pf):
+        raise AssertionError(
+            "index row: to_value_map_arrow diverged from to_value_map"
+        )
+    return csv_array(pf, "doc_ids")
 
 
 SQL_INDEX_BY_DOC_IDS = f"""

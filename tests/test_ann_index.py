@@ -1788,3 +1788,72 @@ def test_rebuild_carries_generation_forward(spark, emb, tmp_path):
         {(r["query_id"], r["neighbor_id"]) for r in rows}
     ), "duplicate candidates served"
     assert _key(served) == _key(brute_force_topk(half, q, k=5))
+
+
+def test_ingest_metadata_is_o_touched_cells(spark, tmp_path, monkeypatch):
+    """r13 VERDICT task 4 done-criterion: a guarded micro-batch's
+    Python-side filesystem metadata work touches ONLY the batch's own
+    cells (plus root-level files), never an O(#cells) walk — on an
+    object store every per-cell LIST is a billable request, and at
+    ~10^5 cells the pre-r14 per-batch globs were real seconds per
+    micro-batch.  64-cell index, 1-cell batch: every directory listing
+    recorded during ann_ingest_batch must be the touched cell's (the
+    dial check itself reads the manifest, zero listings)."""
+    import glob as glob_mod
+    import os as os_mod
+
+    import polars_w_inverted_index_spark.operators.ann_index as ai
+    from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+
+    W = 4
+    rows = [
+        (i, [float(i)] * 1 + [float((i * 7 + j) % 11) for j in range(W - 1)])
+        for i in range(128)
+    ]
+    root = str(tmp_path / "otouched")
+    corpus = spark.createDataFrame(rows, _VEC_SCHEMA)
+    ai.build_ann_index(corpus, root, n_centroids=64, n_iters=0)
+    ai.pq_augment_ann_index(spark, root, m_subspaces=2, n_codes=4)
+    m = ai._load_manifest(root)
+    assert len(m["cells"]) >= 32  # genuinely many cells
+
+    # one batch of copies of a stored vector -> exactly one touched cell
+    seed = rows[5][1]
+    batch = spark.createDataFrame(
+        [(10_000 + j, seed) for j in range(3)], _VEC_SCHEMA
+    )
+    listed: list[str] = []
+    real_listdir, real_scandir, real_glob = (
+        os_mod.listdir, os_mod.scandir, glob_mod.glob,
+    )
+    monkeypatch.setattr(
+        os_mod, "listdir",
+        lambda p=".": (listed.append(str(p)), real_listdir(p))[1],
+    )
+    monkeypatch.setattr(
+        os_mod, "scandir",
+        lambda p=".": (listed.append(str(p)), real_scandir(p))[1],
+    )
+    monkeypatch.setattr(
+        glob_mod, "glob",
+        lambda pat, **kw: (listed.append(str(pat)), real_glob(pat, **kw))[1],
+    )
+    assert ann_ingest_batch(
+        batch, root, batch_id=0, max_batch_dirs_per_cell=16
+    ) == 3
+    monkeypatch.undo()
+
+    m = ai._load_manifest(root)
+    touched = [c for c, tags in m["cells"].items() if 0 in tags]
+    assert len(touched) == 1, touched
+    allowed = {f"cell={c}" for c in touched}
+    offending = []
+    for p in listed:
+        parts = [seg for seg in str(p).split(os_mod.sep) if seg]
+        cells_in_path = {s for s in parts if s.startswith("cell=")}
+        if cells_in_path and not cells_in_path <= allowed:
+            offending.append(p)
+    assert not offending, (
+        f"per-batch metadata listed untouched cells: {offending[:5]} "
+        f"({len(offending)} paths)"
+    )
