@@ -371,15 +371,23 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle stage without a hash pin — runs in-path too:
     ``mark_rebuilt`` baselines the drift monitor, the real
     ``drift_monitor_batch`` ingests a vocabulary-disjoint batch (toy
-    scale, production wiring), ``should_rebuild`` must flip True,
-    ``build_ann_index`` RETRAINS over everything ingested so far (same
-    root — new centroids, manifest reset, sidecar invalidated
-    wholesale), ``pq_augment_ann_index`` re-pins the sidecar,
-    ``mark_rebuilt`` re-baselines (``should_rebuild`` must flip back
-    False), and a further guarded batch ingests against the NEW tree
-    under the same monotone marker.  The whole
-    build→ingest→fold→rebuild→ingest cycle therefore serves into one
-    brute-force oracle every round.
+    scale, production wiring), ``should_rebuild`` must flip True, the
+    retrain runs, ``should_rebuild`` must flip back False, and a
+    further guarded batch ingests against the NEW tree under the same
+    monotone marker.  The whole build→ingest→fold→rebuild→ingest
+    cycle therefore serves into one brute-force oracle every round.
+
+    r14.2: the retrain goes through the ZERO-DOWNTIME deployment layer
+    (``operators/ann_deploy.py``): the row owns a deployment directory
+    (root-pointer indirection), ``ann_deployment_rebuild`` trains into
+    a FRESH root from the old root's LIVE rows (read via its manifest
+    — no corpus re-read), re-augments PQ with the dials recorded in
+    ``_pq_meta.json``, seeds the ingest marker (a replay of the
+    pre-flip batch 1 must still no-op on the new root — loud assert
+    AND the hash would double), re-baselines the drift monitor, and
+    flips the pointer atomically; serves resolve the pointer in-path.
+    The pointer flip, marker seeding, dial carry-over, and
+    live-corpus rebuild are thereby all under this oracle's hash.
 
     The row's corpus is the ``vec_id % 3 == 0`` THIRD of the table
     (oracle sliced identically — r13 VERDICT task 3 directs the
@@ -394,6 +402,7 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from .functions.text import unigram_lm
+    from .operators import ann_deploy as AD
     from .operators import ann_index as AI
     from .registry import scratch_dir
     from .streaming import ann_ingest_batch
@@ -401,18 +410,18 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.drift import drift_monitor_batch
 
     emb = load_table(spark, sf_dir, "embeddings")
-    root = scratch_dir("ann_auto_idx", sf_dir, wipe=True)
-    report = os.path.join(root, "_drift_reports")
-    state = os.path.join(root, "_drift_state")
+    dep = scratch_dir("ann_auto_idx", sf_dir, wipe=True)
+    report = os.path.join(dep, "_drift_reports")
+    state = os.path.join(dep, "_drift_state")
     # one Lloyd iteration / one codebook iteration: every train loop
     # still executes (≥1 full iteration each), and full-sweep serving
     # is exact REGARDLESS of centroid quality, so extra iterations only
     # add lifecycle jobs to the row without widening what the hash pins.
-    AI.build_ann_index(
-        emb.where(F.col("vec_id") % 12 == 0), root,
-        n_centroids=4, n_iters=1,
+    root = AD.ann_deployment_build(
+        emb.where(F.col("vec_id") % 12 == 0).select("vec_id", "embedding"),
+        dep, n_centroids=4, n_iters=1,
+        pq={"m_subspaces": 8, "n_codes": 16, "n_iters": 1},
     )
-    AI.pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=16, n_iters=1)
     mark_rebuilt(spark, root, report)  # baseline: no reports yet -> 0
     b0 = emb.where(F.col("vec_id") % 12 == 3)
     b1 = emb.where(F.col("vec_id") % 12 == 6)
@@ -448,14 +457,19 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep.write.mode("append").parquet(report)
     if not should_rebuild(spark, root, report):
         raise AssertionError("ann lifecycle row: drift did not trigger")
-    AI.build_ann_index(  # retrain over everything ingested so far
-        emb.where((F.col("vec_id") % 12).isin(0, 3, 6)), root,
-        n_centroids=4, n_iters=1,
-    )
-    AI.pq_augment_ann_index(spark, root, m_subspaces=8, n_codes=16, n_iters=1)
-    mark_rebuilt(spark, root, report)
+    # r14.2: zero-downtime retrain — a fresh root trained from the OLD
+    # root's live rows (its manifest names exactly the build slice +
+    # batches 0/1), PQ re-augmented with the recorded dials, marker
+    # seeded, drift re-baselined, pointer flipped atomically; the old
+    # root stays serveable behind the grace window
+    root = AD.ann_deployment_rebuild(spark, dep, report_path=report)
+    if AD.resolve_ann_root(dep) != root:
+        raise AssertionError("ann lifecycle row: pointer did not flip")
     if should_rebuild(spark, root, report):
         raise AssertionError("ann lifecycle row: rebuild did not rebase")
+    if ann_ingest_batch(b1, root, batch_id=1) != 0:
+        # the seeded marker must carry replay semantics across the flip
+        raise AssertionError("ann lifecycle row: pre-flip replay re-ran")
     # continued ingest against the NEW tree (marker ids stay monotone)
     b2 = emb.where(F.col("vec_id") % 12 == 9)
     ann_ingest_batch(b2, root, batch_id=2, max_batch_dirs_per_cell=1)

@@ -1,0 +1,188 @@
+"""Zero-downtime ANN deployments (operators/ann_deploy.py).
+
+Evidence ladder:
+- resolve→serve equals brute force (the deployment adds indirection,
+  never semantics);
+- a rebuild from the index's OWN live rows (manifest corpus) serves the
+  full base+ingested set on the new root, flips atomically, and keeps
+  micro-batch replay semantics across the flip (seeded marker);
+- snapshot isolation one level up: a serve that resolved the old root
+  before the flip still reads a complete index after it (grace window),
+  and pruning past the grace removes the retiree;
+- a rebuild that crashes before its pointer flip leaves the old root
+  serving, and the next rebuild sweeps the orphan;
+- a PQ-augmented deployment re-augments automatically on rebuild with
+  the recorded dials.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import polars_w_inverted_index_spark.operators.ann_deploy as AD
+import polars_w_inverted_index_spark.operators.ann_index as AI
+from polars_w_inverted_index_spark.operators.similarity import brute_force_topk
+from polars_w_inverted_index_spark.streaming import ann_ingest_batch
+
+_VEC_SCHEMA = "vec_id long, embedding array<float>"
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") % 50 == 0)
+
+
+def _key(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def _serve(spark, dep, queries, k=5, n_centroids=8):
+    # full probe -> exact brute force over whatever the live root holds
+    return AI.ann_search(
+        spark, AD.resolve_ann_root(dep), queries, k=k, nprobe=n_centroids
+    )
+
+
+def test_build_resolve_serve(spark, emb, queries, tmp_path):
+    dep = str(tmp_path / "dep")
+    root = AD.ann_deployment_build(emb, dep, n_centroids=8, n_iters=1)
+    assert AD.resolve_ann_root(dep) == root
+    assert _key(_serve(spark, dep, queries)) == _key(
+        brute_force_topk(emb, queries, k=5)
+    )
+    with pytest.raises(ValueError, match="already a deployment"):
+        AD.ann_deployment_build(emb, dep, n_centroids=8)
+
+
+def test_rebuild_from_live_rows_and_marker_carry(spark, emb, tmp_path):
+    """Build → guarded ingest → rebuild (no corpus argument): the new
+    root must serve base+ingested rows exactly, the flip must be
+    atomic, and a checkpoint replay of the pre-flip batch id must
+    still no-op against the NEW root (seeded marker)."""
+    dep = str(tmp_path / "dep")
+    base = emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    extra_rows = [
+        (1_000_000 + j, [float(j % 7), 1.0, float(j % 3), 2.0])
+        for j in range(6)
+    ]
+    width = int(base.select(F.size("embedding")).first()[0])
+    extra_rows = [
+        (vid, (vec * ((width // len(vec)) + 1))[:width])
+        for vid, vec in extra_rows
+    ]
+    extra = spark.createDataFrame(extra_rows, _VEC_SCHEMA)
+
+    old_root = AD.ann_deployment_build(base, dep, n_centroids=4, n_iters=1)
+    assert ann_ingest_batch(extra, old_root, batch_id=7) == 6
+    full = base.unionByName(extra)
+    q = extra.limit(2)
+
+    new_root = AD.ann_deployment_rebuild(
+        spark, dep, retire_grace_seconds=3600.0
+    )
+    assert AD.resolve_ann_root(dep) == new_root
+    assert new_root != old_root
+    # the rebuild's corpus was the old root's live rows: base + batch 7
+    assert _key(_serve(spark, dep, q, n_centroids=4)) == _key(
+        brute_force_topk(full, q, k=5, allow_full_scan=True)
+    )
+    # marker seeded: replaying the committed batch no-ops on the new root
+    assert ann_ingest_batch(extra, new_root, batch_id=7) == 0
+    # and the stream continues monotone
+    nxt = spark.createDataFrame(
+        [(2_000_000, extra_rows[0][1])], _VEC_SCHEMA
+    )
+    assert ann_ingest_batch(nxt, new_root, batch_id=8) == 1
+    # build dials reproduced from the old root's recorded meta
+    with open(os.path.join(new_root, "_ann_meta.json")) as f:
+        assert json.load(f)["n_centroids"] == 4
+
+
+def test_flip_keeps_old_root_serveable_until_pruned(
+    spark, emb, queries, tmp_path
+):
+    """Snapshot isolation across the flip: a serve that resolved
+    BEFORE the rebuild finished keeps reading a complete old root for
+    the grace window; pruning past the grace removes exactly it."""
+    dep = str(tmp_path / "dep")
+    AD.ann_deployment_build(emb, dep, n_centroids=8, n_iters=1)
+    pinned = AD.resolve_ann_root(dep)  # pre-flip resolve
+    AD.ann_deployment_rebuild(spark, dep, retire_grace_seconds=3600.0)
+    assert AD.resolve_ann_root(dep) != pinned
+    assert os.path.isdir(pinned)
+    served_old = AI.ann_search(spark, pinned, queries, k=5, nprobe=8)
+    assert _key(served_old) == _key(brute_force_topk(emb, queries, k=5))
+    # grace lapsed -> the retiree goes, the live root stays
+    removed = AD.prune_ann_roots(dep, grace_seconds=0.0)
+    assert [os.path.join(dep, r) for r in removed] == [pinned]
+    assert not os.path.isdir(pinned)
+    assert os.path.isdir(AD.resolve_ann_root(dep))
+    assert AD.prune_ann_roots(dep, grace_seconds=0.0) == []
+
+
+def test_crashed_rebuild_leaves_old_root_live_and_is_swept(
+    spark, emb, queries, tmp_path, monkeypatch
+):
+    dep = str(tmp_path / "dep")
+    AD.ann_deployment_build(emb, dep, n_centroids=8, n_iters=1)
+    live = AD.resolve_ann_root(dep)
+
+    real_build = AI.build_ann_index
+
+    def _boom(corpus, root, **kw):
+        real_build(corpus, root, **kw)  # the orphan is fully written...
+        raise RuntimeError("injected crash before pointer flip")
+
+    monkeypatch.setattr(AD.AI, "build_ann_index", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AD.ann_deployment_rebuild(spark, dep)
+    monkeypatch.undo()
+
+    # pointer untouched; serving unaffected
+    assert AD.resolve_ann_root(dep) == live
+    assert _key(_serve(spark, dep, queries)) == _key(
+        brute_force_topk(emb, queries, k=5)
+    )
+    orphans = [
+        d
+        for d in os.listdir(os.path.join(dep, "roots"))
+        if os.path.join(dep, "roots", d) != live
+    ]
+    assert len(orphans) == 1  # the crashed attempt is on disk...
+    new_root = AD.ann_deployment_rebuild(
+        spark, dep, retire_grace_seconds=3600.0
+    )
+    # ...swept by the next rebuild, which also never reuses its name
+    assert os.path.join(dep, "roots", orphans[0]) not in (live, new_root)
+    assert not os.path.isdir(os.path.join(dep, "roots", orphans[0]))
+    assert _key(_serve(spark, dep, queries)) == _key(
+        brute_force_topk(emb, queries, k=5)
+    )
+
+
+def test_rebuild_reaugments_pq_with_recorded_dials(spark, emb, tmp_path):
+    dep = str(tmp_path / "dep")
+    AD.ann_deployment_build(
+        emb, dep, n_centroids=4, n_iters=1,
+        pq={"m_subspaces": 2, "n_codes": 8, "n_iters": 1},
+    )
+    AD.ann_deployment_rebuild(spark, dep, retire_grace_seconds=3600.0)
+    root = AD.resolve_ann_root(dep)
+    with open(os.path.join(root, "_pq_meta.json")) as f:
+        pq_meta = json.load(f)
+    assert (pq_meta["m_subspaces"], pq_meta["n_codes"]) == (2, 8)
+    q = emb.limit(3)
+    got = AI.ann_search_pq(spark, root, q, k=3, nprobe=4)
+    assert got.count() == 9

@@ -245,7 +245,16 @@ def test_round4_operator_plan_shapes(spark, sf_dir, tmp_path):
     # r10: MapInArrow — the pandas bridge's per-row vector objects
     # measured ~2 s per million probed rows
     assert "MapInArrow" in plan
-    assert "PartitionFilters: [cell#" in plan, plan
+    # r14 serve pruning: the manifest resolve hands the scan the probed
+    # cells' LIVE directories as explicit paths (static pruning at
+    # listing time — stronger than a partition filter, which still
+    # lists the whole tree).  One query at nprobe=1 must scan exactly
+    # one cell directory.
+    one = ann_search(
+        spark, root, emb.where(F.col("vec_id") == 0), k=3, nprobe=1
+    )
+    oplan = _plan(one)
+    assert "InMemoryFileIndex(1 paths)" in oplan, oplan
 
     cur = curriculum_order(
         doc.select("doc_id", "n_chars"), "n_chars", n_stages=3
