@@ -6,6 +6,7 @@ from .ann_ingest import (
     mark_rebuilt,
     should_rebuild,
     start_ann_ingest,
+    start_ann_ingest_deployed,
 )
 from .drift import (
     drift_monitor_batch,
@@ -50,6 +51,7 @@ __all__ = [
     "mark_rebuilt",
     "should_rebuild",
     "start_ann_ingest",
+    "start_ann_ingest_deployed",
     "drift_monitor_batch",
     "merge_term_index_batch",
     "start_term_index_maintenance",

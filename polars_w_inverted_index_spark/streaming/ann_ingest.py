@@ -53,7 +53,10 @@ on the cadence the drift monitor (streaming/drift.py) indicates —
 standard IVF operating procedure (see :func:`should_rebuild` /
 :func:`mark_rebuilt` below).  A rebuild-in-place is stop-the-world for
 serving (the cells overwrite deletes live files); zero-downtime
-deployments rebuild into a new root and flip the pointer.
+deployments rebuild into a new root and flip the pointer
+(operators/ann_deploy.py), and :func:`start_ann_ingest_deployed` wires
+the WHOLE loop — resolve pointer, drift-gated zero-downtime rebuild,
+guarded ingest — into one stream operator.
 """
 
 from __future__ import annotations
@@ -321,6 +324,63 @@ def start_ann_ingest(
         ann_ingest_batch(
             batch_df, root, batch_id, id_col, vec_col,
             max_batch_dirs_per_cell=max_batch_dirs_per_cell,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(_proc)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def start_ann_ingest_deployed(
+    vec_stream: DataFrame,
+    deployment_dir: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_batch_dirs_per_cell: int | None = DEFAULT_MAX_BATCH_DIRS_PER_CELL,
+    report_path: str | None = None,
+    threshold_bits: float = 0.05,
+    retire_grace_seconds: float = AI.DEFAULT_RETIRE_GRACE_SECONDS,
+):
+    """The complete operating loop against a zero-downtime deployment
+    (operators/ann_deploy.py), one stream operator: per micro-batch,
+    resolve the root pointer, run a drift-gated ZERO-DOWNTIME rebuild
+    when the monitor says the frozen centroids have gone stale (serves
+    keep hitting the old root until the atomic pointer flip), then the
+    guarded ingest commit.  Returns the StreamingQuery.
+
+    ``report_path`` is the drift monitor's report table
+    (streaming/drift.start_drift_monitor); ``None`` disables the
+    rebuild gate and the loop degrades to :func:`start_ann_ingest`
+    with pointer indirection.  The rebuild happens BETWEEN ingest
+    commits by construction (foreachBatch serializes the body), which
+    is exactly the single-maintenance-writer rule; a checkpoint replay
+    after a crash re-resolves the pointer and the seeded marker makes
+    an already-committed batch no-op on the new root.
+    """
+    from ..operators.ann_deploy import (
+        ann_deployment_rebuild,
+        resolve_ann_root,
+    )
+
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = resolve_ann_root(deployment_dir)
+        if report_path is not None and should_rebuild(
+            spark, root, report_path, threshold_bits
+        ):
+            root = ann_deployment_rebuild(
+                spark,
+                deployment_dir,
+                report_path=report_path,
+                retire_grace_seconds=retire_grace_seconds,
+            )
+        ann_ingest_batch(
+            batch_df, root, batch_id, id_col, vec_col,
+            max_batch_dirs_per_cell=max_batch_dirs_per_cell,
+            retire_grace_seconds=retire_grace_seconds,
         )
 
     return (

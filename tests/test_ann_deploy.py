@@ -186,3 +186,87 @@ def test_rebuild_reaugments_pq_with_recorded_dials(spark, emb, tmp_path):
     q = emb.limit(3)
     got = AI.ann_search_pq(spark, root, q, k=3, nprobe=4)
     assert got.count() == 9
+
+
+def test_stream_loop_rebuilds_zero_downtime(spark, emb, tmp_path):
+    """start_ann_ingest_deployed — the complete operating loop as one
+    real Structured Streaming query: a file-source stream delivers two
+    micro-batches; pre-existing drift past the dial makes the FIRST
+    batch trigger a zero-downtime rebuild (pointer advances exactly
+    once — the rebuild re-baselines the monitor, so the second batch
+    must NOT rebuild again), every batch ingests guarded against the
+    then-live root, and the final full-probe serve equals brute force
+    over base + both batches."""
+    from polars_w_inverted_index_spark.functions.text import unigram_lm
+    from polars_w_inverted_index_spark.streaming import (
+        start_ann_ingest_deployed,
+    )
+    from polars_w_inverted_index_spark.streaming.drift import (
+        drift_monitor_batch,
+    )
+
+    dep = str(tmp_path / "dep")
+    report = str(tmp_path / "reports")
+    base = emb.where(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    AD.ann_deployment_build(base, dep, n_centroids=4, n_iters=1)
+    first_root = AD.resolve_ann_root(dep)
+
+    # forge drift: vocabulary-disjoint ingest vs the reference LM, no
+    # baseline ever marked -> should_rebuild is True at stream start
+    ref_lm = unigram_lm(
+        spark.createDataFrame([("alpha beta gamma",)], "text string"), "text"
+    )
+    rep = drift_monitor_batch(
+        spark.createDataFrame([("zeta eta theta",)], "text string"),
+        str(tmp_path / "drift_state"),
+        ref_lm,
+        batch_id=0,
+    )
+    rep.write.mode("append").parquet(report)
+
+    # two single-file micro-batches
+    sdir = str(tmp_path / "vec_stream")
+    s1 = emb.where(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    s2 = emb.where(F.col("vec_id") % 3 == 2).select("vec_id", "embedding")
+    s1.coalesce(1).write.mode("append").parquet(sdir)
+    s2.coalesce(1).write.mode("append").parquet(sdir)
+
+    stream = (
+        spark.readStream.schema(s1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = start_ann_ingest_deployed(
+        stream, dep, str(tmp_path / "ckpt"), report_path=report
+    )
+    # the helper runs a production (forever) stream; drain by polling
+    # the ingest marker until the second file's batch committed
+    import time
+
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            marker = os.path.join(AD.resolve_ann_root(dep), "_ANN_INGEST")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    if json.load(f).get("batch_id") == 1:
+                        break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("stream never committed batch 1")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    live = AD.resolve_ann_root(dep)
+    assert live != first_root, "stream never rebuilt"
+    assert os.path.basename(live) == "g000002", "pointer advanced != once"
+    assert os.path.isdir(first_root)  # retired behind the grace window
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id", "embedding"
+    )
+    served = AI.ann_search(spark, live, queries, k=5, nprobe=4)
+    full = base.unionByName(s1).unionByName(s2)
+    assert _key(served) == _key(
+        brute_force_topk(full, queries, k=5, allow_full_scan=True)
+    )
