@@ -389,16 +389,39 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pointer flip, marker seeding, dial carry-over, and
     live-corpus rebuild are thereby all under this oracle's hash.
 
-    The row's corpus is the ``vec_id % 3 == 0`` THIRD of the table
+    The row's corpus is the ``vec_id % 12 == 0`` TWELFTH of the table
     (oracle sliced identically — r13 VERDICT task 3 directs the
     lifecycle slice smaller and n_centroids 8→4 so the rebuild stage
     lands while the committed row returns under its budget; exactness
-    is by construction, not corpus size).  Sub-slices: %12==0 builds,
-    %12∈{3,6} arrive as guarded batches 0/1 (batch 1 crosses the
-    dial), the rebuild retrains over %12∈{0,3,6}, and %12==9 ingests
-    as batch 2 against the new tree.  Full-table serving stays pinned
-    by the sibling rows (``similarity_pq_rerank_topk`` /
-    ``similarity_ivf_topk`` / ``similarity_lsh_topk``)."""
+    is by construction, not corpus size, and r14's deployment-rebuild
+    stage added a second full build+augment cycle, so the slice
+    shrank again ⅓→¹⁄₁₂ to hold the budget).  Sub-slices: %48==0
+    builds, %48∈{12,24} arrive as guarded batches 0/1 (batch 1
+    crosses the dial), the rebuild retrains over %48∈{0,12,24}, and
+    %48==36 ingests as batch 2 against the new tree.  Full-table
+    serving stays pinned by the sibling rows
+    (``similarity_pq_rerank_topk`` / ``similarity_ivf_topk`` /
+    ``similarity_lsh_topk``).
+
+    **Budget (r14, measured): this row is JOB-count-bound, not
+    data-bound — re-budgeted at ~12 s committed.**  Instrumented at
+    sf0.1 on local[32]: the full lifecycle launches ~110 Spark jobs at
+    ~127 ms/job median (statusTracker deltas; per-leg: build+augment
+    19, guarded ingest 10–14 each, drift monitor 22, deployment
+    rebuild 22, serves 7+13), and shrinking the corpus slice 4×
+    (⅓→¹⁄₁₂) moved the row only ~−3.5 s because per-job scheduling,
+    Python↔JVM round trips, and parquet commit constants dominate at
+    this SF — the r13 task-3 levers (slice, n_centroids) are exhausted
+    below ~12 s while every leg stays pinned.  The cost is the
+    CONTRACT (two full build+augment cycles since the rebuild stage
+    landed, three guarded ingests, two dial folds with selective
+    re-encode, a replay, the drift monitor, a pointer-flip rebuild,
+    and two full-sweep serves with corpus-covering rerank), not a bad
+    plan: a production stream pays ONE leg per micro-batch, and at
+    real batch sizes the ~127 ms job constant amortizes into the
+    data.  ``row_budget`` in the bench sidecar flags the row every
+    round by design; trimming further means unpinning lifecycle legs,
+    which is the wrong trade."""
     import os
 
     from .functions.text import unigram_lm
@@ -418,13 +441,17 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is exact REGARDLESS of centroid quality, so extra iterations only
     # add lifecycle jobs to the row without widening what the hash pins.
     root = AD.ann_deployment_build(
-        emb.where(F.col("vec_id") % 12 == 0).select("vec_id", "embedding"),
+        emb.where(F.col("vec_id") % 48 == 0).select("vec_id", "embedding"),
         dep, n_centroids=4, n_iters=1,
-        pq={"m_subspaces": 8, "n_codes": 16, "n_iters": 1},
+        # n_codes=8: the ¹⁄₄₈ build slice holds only ~10 vectors at
+        # sf0.01 and pq_train needs >= n_codes samples; ADC quality is
+        # irrelevant here (the rerank covers the corpus, exactness is
+        # by construction) — the dials only need to EXERCISE the path
+        pq={"m_subspaces": 8, "n_codes": 8, "n_iters": 1},
     )
     mark_rebuilt(spark, root, report)  # baseline: no reports yet -> 0
-    b0 = emb.where(F.col("vec_id") % 12 == 3)
-    b1 = emb.where(F.col("vec_id") % 12 == 6)
+    b0 = emb.where(F.col("vec_id") % 48 == 12)
+    b1 = emb.where(F.col("vec_id") % 48 == 24)
     ann_ingest_batch(b0, root, batch_id=0, max_batch_dirs_per_cell=1)
     if ann_ingest_batch(b0, root, batch_id=0) != 0:
         # at-least-once replay of a COMMITTED batch must no-op — a
@@ -470,9 +497,12 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ann_ingest_batch(b1, root, batch_id=1) != 0:
         # the seeded marker must carry replay semantics across the flip
         raise AssertionError("ann lifecycle row: pre-flip replay re-ran")
-    # continued ingest against the NEW tree (marker ids stay monotone)
-    b2 = emb.where(F.col("vec_id") % 12 == 9)
-    ann_ingest_batch(b2, root, batch_id=2, max_batch_dirs_per_cell=1)
+    # continued ingest against the NEW tree (marker ids stay monotone);
+    # dial disabled: batches 0/1 already pin the fold + selective
+    # re-encode in-path, and a third fold is pure job-count (the row is
+    # job-bound, not data-bound — see the budget note below)
+    b2 = emb.where(F.col("vec_id") % 48 == 36)
+    ann_ingest_batch(b2, root, batch_id=2, max_batch_dirs_per_cell=None)
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
     auto = AI.ann_search_auto(spark, root, q, k=TOPK, nprobe=4)
     # rerank covers the corpus BY CONSTRUCTION: rerank_factor × k ≥
@@ -480,7 +510,7 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data, not a 200 000 literal), so the pq fuzz pin's exactness
     # precondition holds without an oversized dial.  The UNFILTERED
     # table count is the covering bound on purpose: count(*) on bare
-    # parquet resolves from footer statistics while the % 3 slice would
+    # parquet resolves from footer statistics while the % 12 slice would
     # force a scan job.
     n_rows = emb.count()
     pq = AI.ann_search_pq(
@@ -492,7 +522,7 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the lifecycle row's oracle: brute force over the SAME % 3 == 0 corpus
+# the lifecycle row's oracle: brute force over the SAME % 12 == 0 corpus
 # slice the row builds+ingests+rebuilds over (queries unsliced), × the
 # path literals
 _ANN_AUTO_SQL = f"""
@@ -500,7 +530,7 @@ _ANN_AUTO_SQL = f"""
     q AS (SELECT vec_id AS query_id, embedding AS qv
           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv
-          FROM embeddings WHERE vec_id % 3 = 0),
+          FROM embeddings WHERE vec_id % 12 = 0),
     scored AS (
       SELECT query_id, neighbor_id,
              ROUND({cosine_sql('qv', 'cv')}, 5) AS cos_sim

@@ -270,3 +270,92 @@ def test_stream_loop_rebuilds_zero_downtime(spark, emb, tmp_path):
     assert _key(served) == _key(
         brute_force_topk(full, queries, k=5, allow_full_scan=True)
     )
+
+
+def test_rebuild_crash_windows_never_break_serving(spark, tmp_path, monkeypatch):
+    """Crash-window sweep for ann_deployment_rebuild: inject a crash
+    immediately AFTER each step of the rebuild sequence (build, PQ
+    augment, marker seed, drift re-baseline, pointer flip, prune).
+    After every crash the pointer must resolve to a COMPLETE root whose
+    full-probe serve equals brute force over the corpus that root was
+    built from (old corpus before the flip, new corpus at/after it),
+    and a plain re-run of the rebuild must recover to a clean
+    deployment with no unreferenced roots left on disk."""
+    import polars_w_inverted_index_spark.streaming.ann_ingest as ING
+
+    rows = [
+        (i, [float((i * 3 + j) % 7) + 0.5 for j in range(4)])
+        for i in range(64)
+    ]
+    corpus = spark.createDataFrame(rows, _VEC_SCHEMA)
+    extra = spark.createDataFrame([(999, rows[5][1])], _VEC_SCHEMA)
+    q = corpus.limit(3)
+    # the rebuild retrains from the live rows (corpus + the ingested
+    # batch), so the expected serve is constant across every window —
+    # before or after the flip
+    want = _key(
+        brute_force_topk(
+            corpus.unionByName(extra), q, k=5, allow_full_scan=True
+        )
+    )
+
+    crash_points = [
+        (AD.AI, "build_ann_index"),
+        (AD.AI, "pq_augment_ann_index"),
+        (ING, "_write_marker"),
+        (ING, "mark_rebuilt"),
+        (AD, "_write_pointer"),
+        (AD, "prune_ann_roots"),
+    ]
+    for mod, name in crash_points:
+        dep = str(tmp_path / f"dep_{name}")
+        report = str(tmp_path / f"rep_{name}")
+        AD.ann_deployment_build(
+            corpus, dep, n_centroids=4, n_iters=0,
+            pq={"m_subspaces": 2, "n_codes": 4, "n_iters": 1},
+        )
+        # marker + drift report so the marker-seed and re-baseline
+        # steps actually execute
+        assert ann_ingest_batch(extra, AD.resolve_ann_root(dep),
+                                batch_id=0) == 1
+        spark.createDataFrame(
+            [(0, 0.5)], "batch_id long, cumulative_js_bits double"
+        ).write.mode("append").parquet(report)
+
+        real = getattr(mod, name)
+        calls = {"n": 0}
+
+        def _boom(*a, _real=real, _calls=calls, **kw):
+            out = _real(*a, **kw)
+            if _calls["n"] == 0:  # only the rebuild's FIRST call crashes
+                _calls["n"] += 1
+                raise RuntimeError("injected")
+            return out
+
+        monkeypatch.setattr(mod, name, _boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            AD.ann_deployment_rebuild(
+                spark, dep, report_path=report, retire_grace_seconds=3600.0
+            )
+        monkeypatch.undo()
+
+        # whatever the window, the pointer resolves to a complete root
+        live = AD.resolve_ann_root(dep)
+        assert os.path.isdir(live), (name, live)
+        got = AI.ann_search(spark, live, q, k=5, nprobe=4)
+        assert _key(got) == want, f"serve broken after crash at {name}"
+        # recovery: a plain re-run converges
+        AD.ann_deployment_rebuild(
+            spark, dep, report_path=report, retire_grace_seconds=3600.0
+        )
+        live = AD.resolve_ann_root(dep)
+        got = AI.ann_search(spark, live, q, k=5, nprobe=4)
+        assert _key(got) == want, f"recovery broken after crash at {name}"
+        # every root on disk is referenced (live or retired) — the
+        # recovery rebuild swept the crashed attempt's orphan
+        p = AD._load_pointer(dep)
+        referenced = {os.path.basename(p["live"])} | {
+            os.path.basename(rel) for rel, _ts in p.get("retired", [])
+        }
+        on_disk = set(os.listdir(os.path.join(dep, "roots")))
+        assert on_disk <= referenced, (name, on_disk - referenced)
