@@ -403,25 +403,27 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``similarity_pq_rerank_topk`` / ``similarity_ivf_topk`` /
     ``similarity_lsh_topk``).
 
-    **Budget (r14, measured): this row is JOB-count-bound, not
-    data-bound — re-budgeted at ~12 s committed.**  Instrumented at
-    sf0.1 on local[32]: the full lifecycle launches ~110 Spark jobs at
-    ~127 ms/job median (statusTracker deltas; per-leg: build+augment
+    **Budget (r14, measured): this row is ACTION-count-bound, not
+    data-bound — re-budgeted at the measured ~16–19 s.**  Instrumented
+    at sf0.1 on local[32]: the full lifecycle launches 118 Spark jobs
+    (88 with AQE off — same wall time, so AQE's extra jobs are cheap
+    and the constant is per-ACTION scheduling + Python↔JVM latency at
+    ~0.11–0.16 s each; statusTracker deltas, per-leg: build+augment
     19, guarded ingest 10–14 each, drift monitor 22, deployment
-    rebuild 22, serves 7+13), and shrinking the corpus slice 4×
-    (⅓→¹⁄₁₂) moved the row only ~−3.5 s because per-job scheduling,
-    Python↔JVM round trips, and parquet commit constants dominate at
-    this SF — the r13 task-3 levers (slice, n_centroids) are exhausted
-    below ~12 s while every leg stays pinned.  The cost is the
-    CONTRACT (two full build+augment cycles since the rebuild stage
-    landed, three guarded ingests, two dial folds with selective
-    re-encode, a replay, the drift monitor, a pointer-flip rebuild,
-    and two full-sweep serves with corpus-covering rerank), not a bad
-    plan: a production stream pays ONE leg per micro-batch, and at
-    real batch sizes the ~127 ms job constant amortizes into the
-    data.  ``row_budget`` in the bench sidecar flags the row every
-    round by design; trimming further means unpinning lifecycle legs,
-    which is the wrong trade."""
+    rebuild 22, serves 7+13).  The embeddings table is 2 000 rows at
+    sf0.1, so virtually NONE of the cost is data: shrinking the slice
+    4× (⅓→¹⁄₁₂) moved the standalone row only ~−3.5 s and the
+    in-bench floor not at all, and forcing shuffle.partitions=4 /
+    AQE off moved it <15% — every r13 task-3 lever is measured
+    exhausted.  The cost is the CONTRACT (two full build+augment
+    cycles since the rebuild stage landed, three guarded ingests, two
+    dial folds with selective re-encode, a replay, the real drift
+    monitor, a pointer-flip rebuild, and two full-sweep serves with
+    corpus-covering rerank ≈ 40+ queries), not a bad plan: a
+    production stream pays ONE leg per micro-batch, and at real batch
+    sizes the per-action constant amortizes into data.  Reaching the
+    old ≤6 s figure would mean unpinning lifecycle legs — the wrong
+    trade; ``row_budget`` flags the row every round by design."""
     import os
 
     from .functions.text import unigram_lm
