@@ -180,6 +180,19 @@ def ann_deployment_build(
             "ann_deployment_rebuild to retrain it."
         )
     seq = _next_seq(deployment_dir)
+    # a FIRST build that crashed before its pointer write left roots no
+    # pointer references — without a pointer every root on disk is such
+    # an orphan, and rebuild's sweep never runs here, so collect them
+    # now (after seq allocation: crashed names are still never reused)
+    try:
+        for entry in os.listdir(_roots_dir(deployment_dir)):
+            if _ROOT_RE.match(entry):
+                shutil.rmtree(
+                    os.path.join(_roots_dir(deployment_dir), entry),
+                    ignore_errors=True,
+                )
+    except OSError:
+        pass
     rel = os.path.join("roots", f"g{seq:06d}")
     root = os.path.join(deployment_dir, rel)
     AI.build_ann_index(

@@ -359,3 +359,37 @@ def test_rebuild_crash_windows_never_break_serving(spark, tmp_path, monkeypatch)
         }
         on_disk = set(os.listdir(os.path.join(dep, "roots")))
         assert on_disk <= referenced, (name, on_disk - referenced)
+
+
+def test_crashed_first_build_is_swept_on_retry(spark, tmp_path, monkeypatch):
+    """A first ann_deployment_build that crashes before its pointer
+    write leaves roots no pointer references; the retry must collect
+    them (rebuild's sweep never runs without a pointer) and must not
+    reuse the crashed attempt's directory name."""
+    rows = [(i, [float((i + j) % 5) + 1.0 for j in range(4)]) for i in range(32)]
+    corpus = spark.createDataFrame(rows, _VEC_SCHEMA)
+    dep = str(tmp_path / "dep")
+
+    real_build = AI.build_ann_index
+
+    def _boom(c, root, **kw):
+        real_build(c, root, **kw)
+        raise RuntimeError("injected crash before first pointer write")
+
+    monkeypatch.setattr(AD.AI, "build_ann_index", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AD.ann_deployment_build(corpus, dep, n_centroids=4, n_iters=0)
+    monkeypatch.undo()
+    with pytest.raises(FileNotFoundError):
+        AD.resolve_ann_root(dep)  # never published
+    orphan = os.listdir(os.path.join(dep, "roots"))
+    assert orphan == ["g000001"]
+
+    root = AD.ann_deployment_build(corpus, dep, n_centroids=4, n_iters=0)
+    assert os.path.basename(root) == "g000002"  # name not reused
+    assert os.listdir(os.path.join(dep, "roots")) == ["g000002"]  # swept
+    q = corpus.limit(2)
+    got = AI.ann_search(spark, root, q, k=3, nprobe=4)
+    assert _key(got) == _key(
+        brute_force_topk(corpus, q, k=3, allow_full_scan=True)
+    )
