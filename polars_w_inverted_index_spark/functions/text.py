@@ -371,8 +371,15 @@ def repetition_profile_df(
     the arrays land in temp columns first; CollapseProject keeps the
     boundary because they are non-cheap and multiply referenced.
     """
+    from ..plans.distribution import ensure_parallelism
+
     tmp = {k: f"_rep_g{k}" for k in {*dup_ks, top_k}}
-    out = df
+    # r14 (guide §2.5 input skew): the n-gram builders are interpreted
+    # higher-order expressions — per-row CPU-heavy — and a small
+    # single-file scan arrives as ONE input partition, serializing them
+    # onto one core.  Fan out first (no-op at scale, where scans arrive
+    # thousands-wide).
+    out = ensure_parallelism(df)
     for k, name in tmp.items():
         out = out.withColumn(name, word_ngrams(text_col, k))
     sorted_top = f"_rep_g{top_k}s"
@@ -396,9 +403,18 @@ def unigram_lm(df, text_col: str = "text"):
     """``[t, c]`` token counts of a corpus — the reusable unigram LM for
     :func:`unigram_surprisal_df`'s external-LM mode.  Vocabulary-sized
     (≪ corpus); a pure function of content, so at fleet scale it is
-    materialized once and scored against per batch."""
+    materialized once and scored against per batch.
+
+    r14 (guide §2.5): tokenize+explode is the CPU-heavy stage and runs
+    in the SCAN stage — a small single-file corpus arrives as one
+    partition and serializes it onto one core; fan out first (no-op at
+    scale and on already-wide inputs, e.g. literal micro-batch frames).
+    """
+    from ..plans.distribution import ensure_parallelism
+
     return (
-        df.select(F.explode(tokens(text_col)).alias("t"))
+        ensure_parallelism(df.select(_c(text_col).alias("_lm_text")))
+        .select(F.explode(tokens("_lm_text")).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
     )
@@ -516,9 +532,13 @@ def unigram_surprisal_df(
     vocabulary fits an executor) and one groupBy(doc).  Documents with
     zero tokens produce no output row.
     """
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
-    )
+    from ..plans.distribution import ensure_parallelism
+
+    # r14 (guide §2.5): fan the tokenize+explode stage out of a
+    # single-partition scan; no-op at scale
+    tok = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), _c(text_col).alias("_sp_text"))
+    ).select("doc_id", F.explode(tokens("_sp_text")).alias("t"))
     if lm is None:
         table = tok.groupBy("t").agg(F.count("*").alias("c"))
         total = table.agg(F.sum("c").alias("_total"))

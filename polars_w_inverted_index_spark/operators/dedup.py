@@ -105,10 +105,21 @@ def minhash_signatures(
     multiply-adds — not k md5 pipelines.  (Higher-order-function transforms
     can't CSE the shared md5 across k expressions, which made the purely
     narrow formulation ~16× slower; the shuffle is the cheaper trade.)
+
+    r14 (guide §2.5 input skew): the shingle+hash stage is CPU-bound and
+    runs in the SCAN stage — a small single-file corpus arrives as one
+    partition and serializes it onto one core no matter the cluster
+    width.  ``ensure_parallelism`` fans the projected (id, text) rows
+    out first; it is a no-op whenever the scan already supplies at least
+    cluster-parallelism partitions (the 100 TB case).
     """
-    hs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_k)).alias("s"),
+    from ..plans.distribution import ensure_parallelism
+
+    hs = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    ).select(
+        "doc_id",
+        F.explode(word_shingles("_t", shingle_k)).alias("s"),
     ).select("doc_id", uh_base(F.col("s")).alias("h"))
     sig = F.array(
         *[F.min(uh_apply(F.col("h"), j)).alias(f"m{j}")
@@ -374,12 +385,19 @@ def simhash(
     """``[doc_id, simhash: long]`` — per-bit majority vote over token
     hashes (token multiplicity counts).  Computed via explode + groupBy
     with ``bits`` conditional sums: one shuffle on doc_id, partial
-    aggregation map-side, so cost is O(tokens) regardless of doc size."""
+    aggregation map-side, so cost is O(tokens) regardless of doc size.
+
+    r14 (guide §2.5): tokenize+hash fans out of a single-partition scan
+    first (no-op at scale) — see :func:`minhash_signatures`."""
+    from ..plans.distribution import ensure_parallelism
+
     tok = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(text_col)).alias("tok"),
+        ensure_parallelism(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+            )
         )
+        .select("doc_id", F.explode(tokens("_t")).alias("tok"))
         .withColumn("h", md5_long(F.col("tok")))
     )
     votes = tok.groupBy("doc_id").agg(
@@ -503,9 +521,15 @@ def ngram_jaccard_pairs(
     # 60-bit integer shingle keys: an 8-byte join/shuffle key instead of a
     # 32-char md5 string (collision odds ~n²/2^61 — nil at any corpus size
     # where exact jaccard is still the right tool).
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+    # r14 (guide §2.5): shingle+hash fans out of a single-partition scan
+    # first (no-op at scale) — see minhash_signatures.
+    from ..plans.distribution import ensure_parallelism
+
+    sh = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    ).select(
+        "doc_id",
+        F.explode(word_shingles("_t", shingle_k)).alias("shingle"),
     ).select("doc_id", md5_long(F.col("shingle")).alias("sh"))
     persisted: list[DataFrame] = []
     if persist_intermediate:
@@ -589,10 +613,18 @@ def ngram_jaccard_pairs_against(
     reshuffled); the optional df-cut drops stop-phrase shingles on the
     CORPUS side, where the hot keys are, while denominators stay exact
     because sizes are counted before the cut."""
+    from ..plans.distribution import ensure_parallelism
+
     def _sh(df):
-        return df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+        # r14 (guide §2.5): fan shingle+hash out of a single-partition
+        # scan (no-op at scale / on already-wide micro-batch frames)
+        return ensure_parallelism(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+            )
+        ).select(
+            "doc_id",
+            F.explode(word_shingles("_t", shingle_k)).alias("shingle"),
         ).select("doc_id", md5_long(F.col("shingle")).alias("sh"))
 
     cs, bs = _sh(corpus), _sh(batch)
@@ -943,9 +975,13 @@ def embedding_cosine_pairs_gemm(
                 schema=sig_pa_schema,
             )
 
-    sig = df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
-        _bucketize, sig_ddl
-    )
+    from ..plans.distribution import ensure_parallelism
+
+    # r14 (guide §2.5): fan the signature GEMM out of a single-partition
+    # scan (no-op at scale)
+    sig = ensure_parallelism(
+        df.select(F.col(id_col), F.col(vec_col))
+    ).mapInArrow(_bucketize, sig_ddl)
 
     def _pairs(pdf):
         import numpy as np

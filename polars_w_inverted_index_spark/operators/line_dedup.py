@@ -45,7 +45,11 @@ def line_doc_frequency(
     DISTINCT documents containing it (a line repeated inside one doc
     counts once; ``line`` is one representative original spelling —
     the min — for inspection)."""
-    lines = docs.select(
+    from ..plans.distribution import ensure_parallelism
+
+    # r14 (guide §2.5): fan line-split + hash out of a single-partition
+    # scan (no-op at scale)
+    lines = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     ).where(F.trim("line") != "")

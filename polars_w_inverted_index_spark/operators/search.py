@@ -124,7 +124,11 @@ def positional_postings(
     one unbounded array — the same discipline as ``postings_chunked``.
     One explode + one shuffle on (term, doc_id), both high-cardinality.
     """
-    tok = docs.select(
+    from ..plans.distribution import ensure_parallelism
+
+    # r14 (guide §2.5): fan tokenize+posexplode out of a
+    # single-partition scan (no-op at scale)
+    tok = ensure_parallelism(docs.select(id_col, text_col)).select(
         id_col, F.posexplode(tokens(text_col)).alias("pos", "term")
     )
     return tok.groupBy("term", id_col).agg(
@@ -303,7 +307,13 @@ def bm25_search(
     one partial-aggregatable pass over token counts.
     """
     q = _norm_terms(terms)
-    tl = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    from ..plans.distribution import ensure_parallelism
+
+    # r14 (guide §2.5): fan the tokenize out of a single-partition scan
+    # (no-op at scale)
+    tl = ensure_parallelism(docs.select(id_col, text_col)).select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
 
     if n_docs is None or avgdl is None:
         stats = tl.agg(
@@ -351,7 +361,11 @@ def top_tfidf_terms(
     so tie order is identical in any engine (the similarity.py
     discipline).
     """
-    tl = docs.select(
+    from ..plans.distribution import ensure_parallelism
+
+    # r14 (guide §2.5): fan tokenize+explode out of a single-partition
+    # scan (no-op at scale)
+    tl = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
     )
     tf = tl.groupBy("_id", "term").agg(F.count("*").alias("tf"))

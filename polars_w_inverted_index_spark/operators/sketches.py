@@ -201,9 +201,13 @@ def frequent_ngrams(
     document counts once, matching the df-cut's semantics.
     """
     from ..functions.text import word_shingles
+    from ..plans.distribution import ensure_parallelism
 
+    # r14 (guide §2.5): fan shingle+explode out of a single-partition
+    # scan (no-op at scale)
     pairs = (
-        docs.select(
+        ensure_parallelism(docs.select(id_col, text_col))
+        .select(
             F.col(id_col).alias("_id"),
             F.explode(word_shingles(text_col, n)).alias("shingle"),
         )

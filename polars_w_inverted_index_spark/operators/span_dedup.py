@@ -87,6 +87,14 @@ def _window_rows(
     produce identical hot-window DECISIONS (hashes are opaque keys; a
     collision needs ~2^32 windows per 64-bit birthday pair).
     """
+    from ..plans.distribution import ensure_parallelism
+
+    # r14 (guide §2.5 input skew): tokenize + per-window hashing is the
+    # CPU-heavy stage and starts in the SCAN stage — fan a
+    # single-partition scan out first (no-op at scale)
+    docs = ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    )
     tok = tokens(text_col)
     if portable:
         # One arrays_zip of the k shifted copies + one fused
@@ -401,7 +409,13 @@ def _scrub_with_spans(
     # repetition_profile_df discipline): the lambdas index ATTRIBUTES,
     # re-deriving nothing per element.
     from ..functions.text import free_col_name
+    from ..plans.distribution import ensure_parallelism
 
+    # r14 (guide §2.5): the chunk split + gap slicing is per-row
+    # CPU-heavy and otherwise runs in the single-partition scan stage;
+    # fan the docs side out first (no-op at scale).  Rebound BEFORE any
+    # attribute reference so the join condition binds to this frame.
+    docs = ensure_parallelism(docs)
     # internal column names picked collision-free so a caller's own
     # '_spans'/'_chunks'/... columns survive (the free_col_name
     # discipline, ADVICE r7)

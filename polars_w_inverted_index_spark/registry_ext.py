@@ -843,10 +843,18 @@ _register(
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.distribution import ensure_parallelism
+
     doc = load_table(spark, sf_dir, "documents")
+    # r14 (guide §2.5 input skew): hashing every character 5-gram is the
+    # repo's most CPU-dense per-row expression, and a small single-file
+    # scan arrives as ONE partition — fan out first (no-op at scale).
+    # Measured at sf0.1: 4.68 s floored → see OPTIMIZATION_r14.md.
     # min-k sketch is already sorted ascending by construction
     return csv_array(
-        doc.select("doc_id", TX.fingerprint("text").alias("fingerprint")),
+        ensure_parallelism(doc.select("doc_id", "text")).select(
+            "doc_id", TX.fingerprint("text").alias("fingerprint")
+        ),
         "fingerprint",
         sort=False,
     )

@@ -450,8 +450,12 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the postings build minus the id lists."""
     from .functions.text import tokens
 
+    from .plans.distribution import ensure_parallelism
+
     doc = load_table(spark, sf_dir, "documents")
-    tok = doc.select(
+    # r14 (guide §2.5): fan tokenize+explode out of the single-partition
+    # scan (no-op at scale)
+    tok = ensure_parallelism(doc.select("doc_id", "text")).select(
         "doc_id", F.explode(tokens("text")).alias("term")
     )
     return tok.groupBy("term").agg(
@@ -489,8 +493,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.hashing import md5_long
     from .functions.text import word_shingles
 
+    from .plans.distribution import ensure_parallelism
+
     doc = load_table(spark, sf_dir, "documents")
-    sh = doc.select(
+    # r14 (guide §2.5): fan shingle+hash out of the single-partition
+    # scan (no-op at scale)
+    sh = ensure_parallelism(doc.select("doc_id", "text")).select(
         "doc_id",
         F.explode(word_shingles("text", CONTAM_SHINGLE_K)).alias("s"),
     ).select("doc_id", md5_long(F.col("s")).alias("sh"))
