@@ -328,11 +328,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 out, columns=[f.name for f in FEATURES_SCHEMA.fields]
             )
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5): fan the per-item decode out of a
-    # single-partition scan (no-op at scale)
-    return ensure_parallelism(media.select("media_id", "data")).mapInPandas(
+    return media.select("media_id", "data").mapInPandas(
         _batches, FEATURES_SCHEMA
     )
 
@@ -384,11 +380,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
             )
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5): fan the per-item decode out of a
-    # single-partition scan (no-op at scale)
-    return ensure_parallelism(media.select("media_id", "data")).mapInPandas(
+    return media.select("media_id", "data").mapInPandas(
         _batches, RESIZED_SCHEMA
     )
 
@@ -433,11 +425,7 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
             )
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5): fan the per-item decode out of a
-    # single-partition scan (no-op at scale)
-    return ensure_parallelism(media.select("media_id", "data")).mapInPandas(
+    return media.select("media_id", "data").mapInPandas(
         _batches, FRAMES_SCHEMA
     )
 

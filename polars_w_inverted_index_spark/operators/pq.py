@@ -268,12 +268,8 @@ def pq_encode(
                 arrays.append(rb.column(2 + i))
             yield pa.RecordBatch.from_arrays(arrays, schema=out_pa_schema)
 
-    from ..plans.distribution import ensure_parallelism
-
     sel = [F.col(id_col), F.col(vec_col)] + [F.col(n) for n in extra]
-    # r14 (guide §2.5): fan the encode GEMM out of a single-partition
-    # scan (no-op at scale and on already-wide inputs)
-    return ensure_parallelism(corpus.select(*sel)).mapInArrow(_enc, schema)
+    return corpus.select(*sel).mapInArrow(_enc, schema)
 
 
 def pq_topk(
@@ -412,13 +408,9 @@ def pq_topk(
                     schema=scan_pa_schema,
                 )
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5): fan the ADC scan out of a single-partition
-    # encoded-codes scan (no-op at scale)
-    scored = ensure_parallelism(
-        encoded.select("vec_id", "codes", "vnorm")
-    ).mapInArrow(_scan, scan_ddl)
+    scored = encoded.select("vec_id", "codes", "vnorm").mapInArrow(
+        _scan, scan_ddl
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -47,12 +47,7 @@ def weak_quality_labels(
     from pyspark.sql import functions as F
 
     from ..functions.text import free_col_name, tokens
-    from ..plans.distribution import ensure_parallelism
 
-    # r14 (guide §2.5): the tokenize + gate signals are per-row CPU work
-    # in the scan stage — fan a single-partition scan out first (no-op
-    # at scale)
-    docs = ensure_parallelism(docs)
     # shared tokenize (materialized column, kept Project boundary) —
     # two of the three gate signals consume the token array; the name is
     # picked collision-free so a caller's own '_qm_toks' column survives
@@ -114,13 +109,7 @@ def score_quality(
     """
     from pyspark.ml.functions import vector_to_array
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5): scoring = tokenize + HashingTF + LR dot product
-    # per row; fan a single-partition scan out first (no-op at scale)
-    scored = model.transform(
-        ensure_parallelism(docs).withColumn("_toks", tokens(text_col))
-    )
+    scored = model.transform(docs.withColumn("_toks", tokens(text_col)))
     return scored.withColumn(
         out_col, vector_to_array("probability")[1]
     ).drop("_toks", "features", "rawPrediction", "probability", "prediction")

@@ -373,13 +373,8 @@ def brute_force_topk_gemm(
                     schema=score_pa_schema,
                 )
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5 input skew): the GEMM runs per scan partition — a
-    # small single-file corpus arrives as ONE partition and serializes
-    # the whole score pass onto one core; fan out first (no-op at scale)
-    scored = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    scored = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")
     ).mapInArrow(_score, score_ddl)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -573,12 +568,8 @@ def _ivf_assign_gemm(
                 schema=pa_schema,
             )
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5): fan the GEMM out of a single-partition scan
-    # (no-op at scale and on already-wide inputs)
-    return ensure_parallelism(
-        df.select(F.col(id_col).alias(out_id), F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col)
     ).mapInArrow(_assign, out_ddl)
 
 
@@ -818,12 +809,8 @@ def hyperplane_signature_gemm(
                 schema=sig_pa_schema,
             )
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5): fan the signature GEMM out of a single-partition
-    # scan (no-op at scale)
-    return ensure_parallelism(
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col)
     ).mapInArrow(_sign, sig_ddl)
 
 

@@ -85,17 +85,27 @@ def drift_monitor_batch(
     batch_lm = unigram_lm(batch_df, text_col).localCheckpoint()
     prev = read_ingest_lm(spark, state_path)
     if prev is not None:
-        merged = (
+        merged_plan = (
             batch_lm.select("t", "c")
             .unionByName(prev.select("t", "c"))
             .groupBy("t")
             .agg(F.sum("c").alias("c"))
         )
     else:
-        merged = batch_lm
-    # sever lineage: the commit below prunes the state version this
-    # plan read (same discipline as near_dedup's accepted frame)
-    merged = merged.localCheckpoint()
+        merged_plan = batch_lm
+    # r14 (guide §1.2/§5): the next state version is WRITTEN first and
+    # read back for the cumulative divergence — one action where the
+    # pre-r14 form paid two (an eager localCheckpoint AND a write that
+    # recomputed nothing but still scheduled a job), and the parquet
+    # read severs lineage from the prior version by construction (same
+    # guarantee the checkpoint provided; [t string, c long] roundtrips
+    # exactly).  The directory stays invisible until the marker swap
+    # below, so a crash anywhere before it replays cleanly — the replay
+    # recomputes the same next_v and overwrites the orphan.
+    next_v = (meta or {}).get("v", -1) + 1
+    out = os.path.join(state_path, f"v={next_v}")
+    merged_plan.write.mode("overwrite").parquet(out)
+    merged = spark.read.parquet(out)
 
     b_div = corpus_divergence(batch_lm, reference_lm, alpha=alpha)
     c_div = corpus_divergence(merged, reference_lm, alpha=alpha)
@@ -119,9 +129,6 @@ def drift_monitor_batch(
         .localCheckpoint()
     )
 
-    next_v = (meta or {}).get("v", -1) + 1
-    out = os.path.join(state_path, f"v={next_v}")
-    merged.write.mode("overwrite").parquet(out)
     marker = {
         "v": next_v,
         "dir": f"v={next_v}",
