@@ -724,26 +724,32 @@ def build_ann_index(
     resolves its float-vs-PQ tie from THIS deployment's disk, not the
     dev box's literal.
     """
+    from ..plans.distribution import static_plan_when_tiny
+
     spark = corpus.sparkSession
-    dims = _uniform_width(corpus, vec_col, f"build_ann_index({root})")
-    cent = kmeans_centroids(
-        corpus, n_centroids, n_iters, id_col, vec_col
-    )
-    cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
-    cent_r = spark.read.parquet(os.path.join(root, "centroids"))
-    assigned = _assign_cells(corpus, cent_r, id_col, vec_col, keep_n=1)
-    (
-        assigned.select(
-            "cell",
-            F.lit(-1).alias("ingest_batch"),
-            F.col("_id").alias("vec_id"),
-            F.col("v").alias("cv"),
-            F.col("vn").alias("cn"),
+    # r14 (guide §1.2): the build is several small actions over one
+    # bounded corpus frame — when that frame is provably tiny, adaptive
+    # re-planning only multiplies job count (see static_plan_when_tiny)
+    with static_plan_when_tiny(spark, corpus):
+        dims = _uniform_width(corpus, vec_col, f"build_ann_index({root})")
+        cent = kmeans_centroids(
+            corpus, n_centroids, n_iters, id_col, vec_col
         )
-        .write.mode("overwrite")
-        .partitionBy("cell", "ingest_batch")
-        .parquet(os.path.join(root, "cells"))
-    )
+        cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        cent_r = spark.read.parquet(os.path.join(root, "centroids"))
+        assigned = _assign_cells(corpus, cent_r, id_col, vec_col, keep_n=1)
+        (
+            assigned.select(
+                "cell",
+                F.lit(-1).alias("ingest_batch"),
+                F.col("_id").alias("vec_id"),
+                F.col("v").alias("cv"),
+                F.col("vn").alias("cn"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(os.path.join(root, "cells"))
+        )
     _write_meta_atomic(
         os.path.join(root, "_ann_meta.json"),
         {
@@ -1477,52 +1483,59 @@ def ann_index_compact_cells(
         for p in _live_paths(root, "cells", m, todo)
         if os.path.isdir(p)
     ]
-    current = (
-        spark.read.option("basePath", cells_dir)
-        .parquet(*live)
-        .select("cell", "vec_id", "cv", "cn")
-    )
-    (
-        current.withColumn("ingest_batch", F.lit(tag))
-        .write.mode("append")
-        .partitionBy("cell", "ingest_batch")
-        .parquet(cells_dir)
-    )
-    folded_cells = [
-        c
-        for c in todo
-        if os.path.isdir(
-            os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
-        )
-    ]  # a zero-row cell (empty delta files only) keeps its old live set
-    codes_updates: dict[str, str] = {}
-    cb = _sidecar_books(root, m)
-    if cb is not None and folded_cells:
-        from .pq import pq_encode
+    from ..plans.distribution import static_plan_when_tiny
 
-        folded_paths = [
-            os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
-            for c in folded_cells
-        ]
-        folded_df = (
+    # r14 (guide §1.2): the fold is 1-2 small actions over the folded
+    # cells' bytes — when those are provably tiny, adaptive re-planning
+    # only multiplies job count (data-gated: a hot 100 GB cell fold
+    # keeps AQE)
+    with static_plan_when_tiny(spark, _live_tree_bytes(root, m, todo)):
+        current = (
             spark.read.option("basePath", cells_dir)
-            .parquet(*folded_paths)
+            .parquet(*live)
             .select("cell", "vec_id", "cv", "cn")
         )
-        cell_ddl = folded_df.schema["cell"].dataType.simpleString()
         (
-            pq_encode(
-                folded_df,
-                cb,
-                id_col="vec_id",
-                vec_col="cv",
-                extra_cols={"cell": cell_ddl},
-            )
-            .withColumn("ingest_batch", F.lit(tag))
+            current.withColumn("ingest_batch", F.lit(tag))
             .write.mode("append")
             .partitionBy("cell", "ingest_batch")
-            .parquet(codes_dir)
+            .parquet(cells_dir)
         )
+        folded_cells = [
+            c
+            for c in todo
+            if os.path.isdir(
+                os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
+            )
+        ]  # a zero-row cell (empty delta files only) keeps its old live
+        codes_updates: dict[str, str] = {}
+        cb = _sidecar_books(root, m)
+        if cb is not None and folded_cells:
+            from .pq import pq_encode
+
+            folded_paths = [
+                os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
+                for c in folded_cells
+            ]
+            folded_df = (
+                spark.read.option("basePath", cells_dir)
+                .parquet(*folded_paths)
+                .select("cell", "vec_id", "cv", "cn")
+            )
+            cell_ddl = folded_df.schema["cell"].dataType.simpleString()
+            (
+                pq_encode(
+                    folded_df,
+                    cb,
+                    id_col="vec_id",
+                    vec_col="cv",
+                    extra_cols={"cell": cell_ddl},
+                )
+                .withColumn("ingest_batch", F.lit(tag))
+                .write.mode("append")
+                .partitionBy("cell", "ingest_batch")
+                .parquet(codes_dir)
+            )
         for c in folded_cells:
             dg = _manifest_cell_digest(
                 root, {"cells": {c: [tag]}}, c, use_cache=False
@@ -1977,12 +1990,18 @@ def pq_augment_ann_index(
                 "vector width."
             )
         n_dims = int(recorded)
+    from ..plans.distribution import static_plan_when_tiny
+
     m = _load_manifest(root)
     if m is not None:
-        return _pq_augment_manifest(
-            spark, root, m, m_subspaces, n_codes, n_iters, sample_rows,
-            n_dims,
-        )
+        # r14 (guide §1.2): train-sample + encode are a handful of small
+        # actions over the live cells bytes — data-gated static planning
+        # (see static_plan_when_tiny)
+        with static_plan_when_tiny(spark, _live_tree_bytes(root, m)):
+            return _pq_augment_manifest(
+                spark, root, m, m_subspaces, n_codes, n_iters, sample_rows,
+                n_dims,
+            )
     _recover_cells(root)
     cells = spark.read.parquet(os.path.join(root, "cells"))
     cell_ddl = cells.schema["cell"].dataType.simpleString()
@@ -2254,6 +2273,8 @@ def pq_reencode_stale_cells(
     tag = -g
     encoded: list[str] = []
     if refresh:
+        from ..plans.distribution import static_plan_when_tiny
+
         live = [
             p
             for p in _live_paths(root, "cells", m, refresh)
@@ -2267,20 +2288,24 @@ def pq_reencode_stale_cells(
         cell_ddl = cells.schema["cell"].dataType.simpleString()
         # a refreshed cell's codes are rewritten WHOLE under the new
         # generation — the refresh doubles as that cell's codes
-        # defragmentation (tagged per-batch code dirs retire with it)
-        (
-            pq_encode(
-                cells,
-                cb,
-                id_col="vec_id",
-                vec_col="cv",
-                extra_cols={"cell": cell_ddl},
+        # defragmentation (tagged per-batch code dirs retire with it).
+        # r14: one small action → data-gated static planning
+        with static_plan_when_tiny(
+            spark, _live_tree_bytes(root, m, refresh)
+        ):
+            (
+                pq_encode(
+                    cells,
+                    cb,
+                    id_col="vec_id",
+                    vec_col="cv",
+                    extra_cols={"cell": cell_ddl},
+                )
+                .withColumn("ingest_batch", F.lit(tag))
+                .write.mode("append")
+                .partitionBy("cell", "ingest_batch")
+                .parquet(codes_dir)
             )
-            .withColumn("ingest_batch", F.lit(tag))
-            .write.mode("append")
-            .partitionBy("cell", "ingest_batch")
-            .parquet(codes_dir)
-        )
         encoded = [
             c
             for c in refresh

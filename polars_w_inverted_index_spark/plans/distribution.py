@@ -16,6 +16,8 @@ The brief scale levers beyond AQE's automatic handling (session.py):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +41,75 @@ def ensure_parallelism(
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# Below this many input bytes AQE has nothing to re-optimize: every
+# shuffle coalesces to ~1 partition regardless, no join can flip
+# strategy usefully, and no partition can be skewed — but AQE still
+# materializes every exchange as its OWN job, so a small multi-shuffle
+# action pays N job-scheduling round-trips instead of one.  64 MB = one
+# advisory partition (session.py): at or below it the re-planning is
+# provably a no-op.  Maintenance paths that run many small actions
+# (ANN ingest/fold/rebuild, streaming LM merges) gate on this; at
+# production sizes the same code keeps AQE on.
+TINY_PLAN_BYTES = 64 * 1024 * 1024
+
+
+def dir_bytes(path: str) -> int:
+    """On-disk bytes under ``path`` (0 if absent) — the cheap local-
+    metadata size source for gate decisions over materialized state."""
+    import os
+
+    total = 0
+    for base, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(base, f))
+            except OSError:
+                pass
+    return total
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate (metadata only — file sizes for scans,
+    exact for local relations; no job runs)."""
+    size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    return size if isinstance(size, int) else int(size.toString())
+
+
+@contextmanager
+def static_plan_when_tiny(spark, size_bytes: int | DataFrame):
+    """Disable adaptive execution for the enclosed actions when the
+    operation's input is provably tiny (``size_bytes`` — an int, or a
+    DataFrame whose optimizer estimate is read), restoring the session
+    conf afterwards.
+
+    r14 (guide §1.2 step 3, measured): the ANN lifecycle row's steady-
+    state wall dropped 20.4 s → 16.2 s with adaptive off — its actions
+    are many tiny multi-exchange plans, and each AQE stage
+    materialization is a separate job whose scheduling round-trip
+    (~0.15 s on local[32]) dwarfs any re-planning win at these sizes.
+    The gate is DATA-adaptive, not a local-mode constant: above
+    ``TINY_PLAN_BYTES`` (the session's advisory partition size — where
+    coalescing, skew splitting and join re-planning start to matter)
+    the context is a no-op and AQE stays on, so 100 TB maintenance
+    keeps its adaptive plans.
+    """
+    if not isinstance(size_bytes, int):
+        try:
+            size_bytes = plan_size_bytes(size_bytes)
+        except Exception:
+            size_bytes = 1 << 62  # unknown: fail open, keep AQE on
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    if size_bytes > TINY_PLAN_BYTES or prev != "true":
+        yield
+        return
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def write_bucketed(

@@ -47,8 +47,13 @@ def corpus_report(
     # the 4-language lang-id)
     from .functions.text import free_col_name, tokens
 
+    from .plans.distribution import ensure_parallelism
+
     tcol = free_col_name(docs, "_toks")  # don't clobber a caller's _toks
-    toked = docs.withColumn(tcol, tokens(text_col))
+    # r14 (guide §2.5): tokenize + metric expressions are per-row CPU
+    # work in the scan stage — fan a single-partition scan out first
+    # (no-op at scale)
+    toked = ensure_parallelism(docs).withColumn(tcol, tokens(text_col))
     tok = F.col(tcol)
     n_chars, n_tokens, punct_ratio, stop_ratio, mean_tok = quality_metrics(
         text_col, tok=tok

@@ -251,9 +251,13 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
     m = int(meta["max_postings_per_row"])
     next_m = meta.get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
-    compacted.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(out)
+    from ..plans.distribution import dir_bytes, static_plan_when_tiny
+
+    # r14 (guide §1.2): one rewrite action — data-gated static planning
+    with static_plan_when_tiny(spark, dir_bytes(index_path)):
+        compacted.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out)
     written = [
         d for d in os.listdir(out) if d.startswith("bucket=")
     ]
@@ -368,9 +372,13 @@ def rebucket_index(
     rebucketed = df.withColumn("bucket", _meta_bucket_col(meta, new_n))
     next_m = meta.get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
-    rebucketed.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(out)
+    from ..plans.distribution import dir_bytes, static_plan_when_tiny
+
+    # r14 (guide §1.2): one rewrite action — data-gated static planning
+    with static_plan_when_tiny(spark, dir_bytes(index_path)):
+        rebucketed.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out)
     written = [d for d in os.listdir(out) if d.startswith("bucket=")]
     new_pointers = {
         d.split("=", 1)[1]: os.path.join(f"m={next_m}", d) for d in written
@@ -490,11 +498,25 @@ def merge_postings_batch(
     new = new.withColumn("bucket", _bucket_col(n_buckets))
     # the frame feeds two actions (touched-bucket probe + the merge write)
     new = new.persist()
+    # r14 (guide §1.2): a micro-batch merge is 2 small actions; when
+    # batch + index are provably tiny, adaptive re-planning only
+    # multiplies job count (data-gated — production sizes keep AQE)
+    from ..plans.distribution import (
+        dir_bytes,
+        plan_size_bytes,
+        static_plan_when_tiny,
+    )
+
+    try:
+        _sz = plan_size_bytes(batch_df) + dir_bytes(index_path)
+    except Exception:
+        _sz = 1 << 62
     # The batch is one micro-batch — small relative to the index; the
     # touched-bucket list is at most n_buckets entries.
-    touched = sorted(
-        r["bucket"] for r in new.select("bucket").distinct().collect()
-    )
+    with static_plan_when_tiny(spark, _sz):
+        touched = sorted(
+            r["bucket"] for r in new.select("bucket").distinct().collect()
+        )
     if not touched:  # empty batch (all-null field/id rows): still commit
         new.unpersist()
         _commit(
@@ -535,9 +557,10 @@ def merge_postings_batch(
     out = os.path.join(index_path, f"m={next_m}")
     # one file-per-bucket layout: repartition on bucket so each partition
     # directory is written by one task (no tiny-file explosion)
-    merged.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(out)
+    with static_plan_when_tiny(spark, _sz):
+        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out)
     new.unpersist()
     new_pointers = {
         str(b): os.path.join(f"m={next_m}", f"bucket={b}") for b in touched
@@ -722,9 +745,22 @@ def merge_composite_postings_batch(
             )
         )
     new = new.withColumn("bucket", bucket).persist()
-    touched = sorted(
-        r["bucket"] for r in new.select("bucket").distinct().collect()
+    # r14 (guide §1.2): data-gated static planning, same as the
+    # single-field merge
+    from ..plans.distribution import (
+        dir_bytes,
+        plan_size_bytes,
+        static_plan_when_tiny,
     )
+
+    try:
+        _sz = plan_size_bytes(batch_df) + dir_bytes(index_path)
+    except Exception:
+        _sz = 1 << 62
+    with static_plan_when_tiny(spark, _sz):
+        touched = sorted(
+            r["bucket"] for r in new.select("bucket").distinct().collect()
+        )
     if not touched:
         new.unpersist()
         _commit(
@@ -761,9 +797,10 @@ def merge_composite_postings_batch(
             )
     next_m = (meta or {}).get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
-    merged.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(out)
+    with static_plan_when_tiny(spark, _sz):
+        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out)
     new.unpersist()
     new_pointers = {
         str(b): os.path.join(f"m={next_m}", f"bucket={b}") for b in touched

@@ -92,6 +92,34 @@ def near_dedup_batch(
     output write (the replayed committed batch returns EMPTY, so
     output deferred past the commit has no second chance).
     """
+    from ..plans.distribution import (
+        dir_bytes,
+        plan_size_bytes,
+        static_plan_when_tiny,
+    )
+
+    spark = batch_df.sparkSession
+    # r14 (guide §1.2): a near-dedup commit is many small actions (band
+    # probe, cluster union-find rounds, checkpoint, delta commit); when
+    # batch + state are provably tiny, adaptive re-planning only
+    # multiplies job count — data-gated, production sizes keep AQE
+    try:
+        _sz = plan_size_bytes(batch_df) + dir_bytes(state_path)
+    except Exception:
+        _sz = 1 << 62
+    with static_plan_when_tiny(spark, _sz):
+        return _near_dedup_batch_actions(
+            batch_df, state_path, text_col, id_col, min_shared_bands,
+            batch_id, num_hashes, num_bands, shingle_k, max_delta_dirs,
+            delta_partitions, max_state_files, sink,
+        )
+
+
+def _near_dedup_batch_actions(
+    batch_df, state_path, text_col, id_col, min_shared_bands, batch_id,
+    num_hashes, num_bands, shingle_k, max_delta_dirs, delta_partitions,
+    max_state_files, sink,
+):
     spark = batch_df.sparkSession
     meta = read_marker(state_path)
     if (

@@ -71,6 +71,33 @@ def span_scrub_batch(
     Sinking after this function returns would open a window where the
     state says committed but the rows never landed anywhere.
     """
+    from ..plans.distribution import (
+        dir_bytes,
+        plan_size_bytes,
+        static_plan_when_tiny,
+    )
+
+    spark = batch_df.sparkSession
+    # r14 (guide §1.2): a scrub commit is several small actions (window
+    # persist, scrub checkpoint, delta commit); when batch + state are
+    # provably tiny, adaptive re-planning only multiplies job count —
+    # data-gated, production sizes keep AQE
+    try:
+        _sz = plan_size_bytes(batch_df) + dir_bytes(state_path)
+    except Exception:
+        _sz = 1 << 62
+    with static_plan_when_tiny(spark, _sz):
+        return _span_scrub_batch_actions(
+            batch_df, state_path, k, min_count, text_col, id_col,
+            batch_id, max_delta_dirs, delta_partitions, max_state_files,
+            sink,
+        )
+
+
+def _span_scrub_batch_actions(
+    batch_df, state_path, k, min_count, text_col, id_col, batch_id,
+    max_delta_dirs, delta_partitions, max_state_files, sink,
+):
     spark = batch_df.sparkSession
     meta = read_marker(state_path)
     if meta is not None and meta.get("k") is not None and meta["k"] != k:
