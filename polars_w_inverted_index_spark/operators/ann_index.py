@@ -735,7 +735,14 @@ def build_ann_index(
         cent = kmeans_centroids(
             corpus, n_centroids, n_iters, id_col, vec_col
         )
-        cent.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        # centroids are n_centroids rows (hard-capped at 65,536 by the
+        # collect guard) — ONE file, explicitly: the frame's partition
+        # count is whatever the Lloyd join's last shuffle left (32 mostly
+        # -empty files under static planning), and every later
+        # ingest/serve re-reads this directory
+        cent.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "centroids")
+        )
         cent_r = spark.read.parquet(os.path.join(root, "centroids"))
         assigned = _assign_cells(corpus, cent_r, id_col, vec_col, keep_n=1)
         (

@@ -975,13 +975,13 @@ def embedding_cosine_pairs_gemm(
                 schema=sig_pa_schema,
             )
 
-    from ..plans.distribution import ensure_parallelism
-
-    # r14 (guide §2.5): fan the signature GEMM out of a single-partition
-    # scan (no-op at scale)
-    sig = ensure_parallelism(
-        df.select(F.col(id_col), F.col(vec_col))
-    ).mapInArrow(_bucketize, sig_ddl)
+    # r14: a scan fan-out was tried here and REVERTED — the signature
+    # GEMM is microseconds per 64-dim row, so 32-way Arrow task fan-out
+    # overhead dominated (the similarity/pq/multimodal A/B, commit
+    # 2693179); at scale the scan arrives wide anyway
+    sig = df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        _bucketize, sig_ddl
+    )
 
     def _pairs(pdf):
         import numpy as np

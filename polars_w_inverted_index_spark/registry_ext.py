@@ -470,31 +470,22 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         # see WHERE rows live, only what serves
         raise AssertionError("ann lifecycle row: dial folded nothing")
     # drift-rebuild (r14): the real monitor path at toy scale — a
-    # vocabulary-disjoint batch pushes cumulative JS far past the dial.
-    # The batches are 1-row literals (stats-less frames estimate
-    # Long.MAX, so drift_monitor_batch's own size gate fails open);
-    # this row KNOWS they are tiny, so it applies the static-planning
-    # gate itself (guide §1.2 — see plans.distribution)
-    from .plans.distribution import static_plan_when_tiny
-
-    with static_plan_when_tiny(spark, 0):
-        ref_lm = unigram_lm(
-            spark.createDataFrame(
-                [("alpha beta gamma delta",)], "text string"
-            ),
-            "text",
-        )
-        rep = drift_monitor_batch(
-            spark.createDataFrame(
-                [("zeta eta theta iota kappa",)], "text string"
-            ),
-            state,
-            ref_lm,
-            batch_id=0,
-        )
-        rep.write.mode("append").parquet(report)
-        if not should_rebuild(spark, root, report):
-            raise AssertionError("ann lifecycle row: drift did not trigger")
+    # vocabulary-disjoint batch pushes cumulative JS far past the dial
+    ref_lm = unigram_lm(
+        spark.createDataFrame([("alpha beta gamma delta",)], "text string"),
+        "text",
+    )
+    rep = drift_monitor_batch(
+        spark.createDataFrame(
+            [("zeta eta theta iota kappa",)], "text string"
+        ),
+        state,
+        ref_lm,
+        batch_id=0,
+    )
+    rep.write.mode("append").parquet(report)
+    if not should_rebuild(spark, root, report):
+        raise AssertionError("ann lifecycle row: drift did not trigger")
     # r14.2: zero-downtime retrain — a fresh root trained from the OLD
     # root's live rows (its manifest names exactly the build slice +
     # batches 0/1), PQ re-augmented with the recorded dials, marker

@@ -82,27 +82,16 @@ def drift_monitor_batch(
     ):
         return None  # committed replay: no-op
 
-    from ..plans.distribution import (
-        dir_bytes,
-        plan_size_bytes,
-        static_plan_when_tiny,
+    # r14: static_plan_when_tiny was tried here and REVERTED — with
+    # adaptive off, the merged-LM state write loses AQE's partition
+    # coalescing and lands one tiny file PER SHUFFLE PARTITION each
+    # version, and the extra listing/read cost exceeded the per-job
+    # scheduling saved (measured: ext_streaming_drift_batch 1.23 →
+    # 1.50 s gated).  The one-action commit below stays.
+    return _drift_monitor_batch_actions(
+        spark, batch_df, state_path, reference_lm, text_col,
+        batch_id, alpha, meta,
     )
-
-    # r14 (guide §1.2): a drift commit is several small actions (batch
-    # LM, state write+read, divergence report); when batch + state are
-    # provably tiny, adaptive re-planning only multiplies job count —
-    # data-gated, production-sized batches/vocabularies keep AQE.
-    # (A stats-less batch frame estimates Long.MAX and the gate fails
-    # open — conservative: AQE stays on.)
-    try:
-        _sz = plan_size_bytes(batch_df) + dir_bytes(state_path)
-    except Exception:
-        _sz = 1 << 62
-    with static_plan_when_tiny(spark, _sz):
-        return _drift_monitor_batch_actions(
-            spark, batch_df, state_path, reference_lm, text_col,
-            batch_id, alpha, meta,
-        )
 
 
 def _drift_monitor_batch_actions(
