@@ -724,39 +724,38 @@ def build_ann_index(
     resolves its float-vs-PQ tie from THIS deployment's disk, not the
     dev box's literal.
     """
-    from ..plans.distribution import static_plan_when_tiny
-
     spark = corpus.sparkSession
-    # r14 (guide §1.2): the build is several small actions over one
-    # bounded corpus frame — when that frame is provably tiny, adaptive
-    # re-planning only multiplies job count (see static_plan_when_tiny)
-    with static_plan_when_tiny(spark, corpus):
-        dims = _uniform_width(corpus, vec_col, f"build_ann_index({root})")
-        cent = kmeans_centroids(
-            corpus, n_centroids, n_iters, id_col, vec_col
+    # r14: static_plan_when_tiny was tried around the build legs and
+    # REVERTED — both A/B orders ran the lifecycle row SLOWER gated
+    # (15.2-15.9 s ungated vs 16.5-18.6 s gated): with adaptive off the
+    # Lloyd/count shuffles run 32 static partitions where AQE coalesces
+    # to ~1, and the added task scheduling + the gate's own size probes
+    # outweighed the saved per-stage jobs (guide §1.1 empirical loop).
+    dims = _uniform_width(corpus, vec_col, f"build_ann_index({root})")
+    cent = kmeans_centroids(
+        corpus, n_centroids, n_iters, id_col, vec_col
+    )
+    # centroids are n_centroids rows (hard-capped at 65,536 by the
+    # collect guard) — ONE file, explicitly: the frame's partition
+    # count is whatever the Lloyd join's last shuffle left, and every
+    # later ingest/serve re-reads this directory
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "centroids")
+    )
+    cent_r = spark.read.parquet(os.path.join(root, "centroids"))
+    assigned = _assign_cells(corpus, cent_r, id_col, vec_col, keep_n=1)
+    (
+        assigned.select(
+            "cell",
+            F.lit(-1).alias("ingest_batch"),
+            F.col("_id").alias("vec_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
         )
-        # centroids are n_centroids rows (hard-capped at 65,536 by the
-        # collect guard) — ONE file, explicitly: the frame's partition
-        # count is whatever the Lloyd join's last shuffle left (32 mostly
-        # -empty files under static planning), and every later
-        # ingest/serve re-reads this directory
-        cent.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, "centroids")
-        )
-        cent_r = spark.read.parquet(os.path.join(root, "centroids"))
-        assigned = _assign_cells(corpus, cent_r, id_col, vec_col, keep_n=1)
-        (
-            assigned.select(
-                "cell",
-                F.lit(-1).alias("ingest_batch"),
-                F.col("_id").alias("vec_id"),
-                F.col("v").alias("cv"),
-                F.col("vn").alias("cn"),
-            )
-            .write.mode("overwrite")
-            .partitionBy("cell", "ingest_batch")
-            .parquet(os.path.join(root, "cells"))
-        )
+        .write.mode("overwrite")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(os.path.join(root, "cells"))
+    )
     _write_meta_atomic(
         os.path.join(root, "_ann_meta.json"),
         {
@@ -1490,59 +1489,54 @@ def ann_index_compact_cells(
         for p in _live_paths(root, "cells", m, todo)
         if os.path.isdir(p)
     ]
-    from ..plans.distribution import static_plan_when_tiny
+    # r14: the tiny-input static-planning gate was tried here and
+    # REVERTED with the rest of the ANN family (see build_ann_index)
+    current = (
+        spark.read.option("basePath", cells_dir)
+        .parquet(*live)
+        .select("cell", "vec_id", "cv", "cn")
+    )
+    (
+        current.withColumn("ingest_batch", F.lit(tag))
+        .write.mode("append")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(cells_dir)
+    )
+    folded_cells = [
+        c
+        for c in todo
+        if os.path.isdir(
+            os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
+        )
+    ]  # a zero-row cell (empty delta files only) keeps its old live set
+    codes_updates: dict[str, str] = {}
+    cb = _sidecar_books(root, m)
+    if cb is not None and folded_cells:
+        from .pq import pq_encode
 
-    # r14 (guide §1.2): the fold is 1-2 small actions over the folded
-    # cells' bytes — when those are provably tiny, adaptive re-planning
-    # only multiplies job count (data-gated: a hot 100 GB cell fold
-    # keeps AQE)
-    with static_plan_when_tiny(spark, _live_tree_bytes(root, m, todo)):
-        current = (
+        folded_paths = [
+            os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
+            for c in folded_cells
+        ]
+        folded_df = (
             spark.read.option("basePath", cells_dir)
-            .parquet(*live)
+            .parquet(*folded_paths)
             .select("cell", "vec_id", "cv", "cn")
         )
+        cell_ddl = folded_df.schema["cell"].dataType.simpleString()
         (
-            current.withColumn("ingest_batch", F.lit(tag))
+            pq_encode(
+                folded_df,
+                cb,
+                id_col="vec_id",
+                vec_col="cv",
+                extra_cols={"cell": cell_ddl},
+            )
+            .withColumn("ingest_batch", F.lit(tag))
             .write.mode("append")
             .partitionBy("cell", "ingest_batch")
-            .parquet(cells_dir)
+            .parquet(codes_dir)
         )
-        folded_cells = [
-            c
-            for c in todo
-            if os.path.isdir(
-                os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
-            )
-        ]  # a zero-row cell (empty delta files only) keeps its old live
-        codes_updates: dict[str, str] = {}
-        cb = _sidecar_books(root, m)
-        if cb is not None and folded_cells:
-            from .pq import pq_encode
-
-            folded_paths = [
-                os.path.join(cells_dir, f"cell={c}", f"ingest_batch={tag}")
-                for c in folded_cells
-            ]
-            folded_df = (
-                spark.read.option("basePath", cells_dir)
-                .parquet(*folded_paths)
-                .select("cell", "vec_id", "cv", "cn")
-            )
-            cell_ddl = folded_df.schema["cell"].dataType.simpleString()
-            (
-                pq_encode(
-                    folded_df,
-                    cb,
-                    id_col="vec_id",
-                    vec_col="cv",
-                    extra_cols={"cell": cell_ddl},
-                )
-                .withColumn("ingest_batch", F.lit(tag))
-                .write.mode("append")
-                .partitionBy("cell", "ingest_batch")
-                .parquet(codes_dir)
-            )
         for c in folded_cells:
             dg = _manifest_cell_digest(
                 root, {"cells": {c: [tag]}}, c, use_cache=False
@@ -1997,18 +1991,12 @@ def pq_augment_ann_index(
                 "vector width."
             )
         n_dims = int(recorded)
-    from ..plans.distribution import static_plan_when_tiny
-
     m = _load_manifest(root)
     if m is not None:
-        # r14 (guide §1.2): train-sample + encode are a handful of small
-        # actions over the live cells bytes — data-gated static planning
-        # (see static_plan_when_tiny)
-        with static_plan_when_tiny(spark, _live_tree_bytes(root, m)):
-            return _pq_augment_manifest(
-                spark, root, m, m_subspaces, n_codes, n_iters, sample_rows,
-                n_dims,
-            )
+        return _pq_augment_manifest(
+            spark, root, m, m_subspaces, n_codes, n_iters, sample_rows,
+            n_dims,
+        )
     _recover_cells(root)
     cells = spark.read.parquet(os.path.join(root, "cells"))
     cell_ddl = cells.schema["cell"].dataType.simpleString()
@@ -2280,8 +2268,6 @@ def pq_reencode_stale_cells(
     tag = -g
     encoded: list[str] = []
     if refresh:
-        from ..plans.distribution import static_plan_when_tiny
-
         live = [
             p
             for p in _live_paths(root, "cells", m, refresh)
@@ -2295,24 +2281,20 @@ def pq_reencode_stale_cells(
         cell_ddl = cells.schema["cell"].dataType.simpleString()
         # a refreshed cell's codes are rewritten WHOLE under the new
         # generation — the refresh doubles as that cell's codes
-        # defragmentation (tagged per-batch code dirs retire with it).
-        # r14: one small action → data-gated static planning
-        with static_plan_when_tiny(
-            spark, _live_tree_bytes(root, m, refresh)
-        ):
-            (
-                pq_encode(
-                    cells,
-                    cb,
-                    id_col="vec_id",
-                    vec_col="cv",
-                    extra_cols={"cell": cell_ddl},
-                )
-                .withColumn("ingest_batch", F.lit(tag))
-                .write.mode("append")
-                .partitionBy("cell", "ingest_batch")
-                .parquet(codes_dir)
+        # defragmentation (tagged per-batch code dirs retire with it)
+        (
+            pq_encode(
+                cells,
+                cb,
+                id_col="vec_id",
+                vec_col="cv",
+                extra_cols={"cell": cell_ddl},
             )
+            .withColumn("ingest_batch", F.lit(tag))
+            .write.mode("append")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(codes_dir)
+        )
         encoded = [
             c
             for c in refresh

@@ -95,6 +95,11 @@ def static_plan_when_tiny(spark, size_bytes: int | DataFrame):
     the context is a no-op and AQE stays on, so 100 TB maintenance
     keeps its adaptive plans.
     """
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_TINY_GATE"):
+        yield  # A/B knob: measure the gate's own contribution
+        return
     if not isinstance(size_bytes, int):
         try:
             size_bytes = plan_size_bytes(size_bytes)

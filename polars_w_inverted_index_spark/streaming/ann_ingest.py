@@ -258,37 +258,33 @@ def ann_ingest_batch(
                 f"{meta['batch_id']}: checkpoint was reset — rebuild the "
                 f"index or replay without batch_id."
             )
-    from ..plans.distribution import static_plan_when_tiny
-
     m = AI._ensure_manifest(root)
-    # r14 (guide §1.2): a micro-batch commit is 4-5 small actions; when
-    # the batch frame is provably tiny, adaptive re-planning only
-    # multiplies job count (data-gated — production batches keep AQE)
-    with static_plan_when_tiny(spark, batch_df):
-        assigned, touched, n = AI._assign_batch_checkpoint(
-            spark, root, batch_df, id_col, vec_col
+    # r14: the tiny-input static-planning gate was tried around this
+    # commit sequence and REVERTED with the rest of the ANN family (see
+    # operators/ann_index.build_ann_index — both A/B orders ran the
+    # lifecycle row slower gated)
+    assigned, touched, n = AI._assign_batch_checkpoint(
+        spark, root, batch_df, id_col, vec_col
+    )
+    tag = int(batch_id) if batch_id is not None else -1
+    if batch_id is not None:
+        suspect = sorted(
+            set(touched)
+            | {c for c, ts in m["cells"].items() if tag in ts}
+            | {c for c, ts in m["codes"].items() if tag in ts}
         )
-        tag = int(batch_id) if batch_id is not None else -1
-        if batch_id is not None:
-            suspect = sorted(
-                set(touched)
-                | {c for c, ts in m["cells"].items() if tag in ts}
-                | {c for c, ts in m["codes"].items() if tag in ts}
-            )
-            if _rollback_batch_tag(root, m, tag, suspect):
-                AI._write_manifest(root, m)
-        AI._append_assigned(root, assigned, tag)
-        # guarded encode-at-ingest (r13): computed against the PRE-append
-        # manifest view (the tag is added below), appended invisibly, and
-        # committed in the same swap as the cells tags — ann_search_pq
-        # serves continuously through the stream, and a cell that was
-        # stale BEFORE this batch stays stale (fail-closed) until a fold
-        # or pq_reencode_stale_cells re-encodes its full content
-        codes_updates: dict[str, str] = {}
-        if batch_id is not None and AI._sidecar_books(root, m) is not None:
-            codes_updates = AI._encode_batch_codes(
-                spark, root, m, tag, touched
-            )
+        if _rollback_batch_tag(root, m, tag, suspect):
+            AI._write_manifest(root, m)
+    AI._append_assigned(root, assigned, tag)
+    # guarded encode-at-ingest (r13): computed against the PRE-append
+    # manifest view (the tag is added below), appended invisibly, and
+    # committed in the same swap as the cells tags — ann_search_pq
+    # serves continuously through the stream, and a cell that was stale
+    # BEFORE this batch stays stale (fail-closed) until a fold or
+    # pq_reencode_stale_cells re-encodes its full content
+    codes_updates: dict[str, str] = {}
+    if batch_id is not None and AI._sidecar_books(root, m) is not None:
+        codes_updates = AI._encode_batch_codes(spark, root, m, tag, touched)
     for c in touched:
         tags = m["cells"].setdefault(c, [])
         if tag not in tags:
