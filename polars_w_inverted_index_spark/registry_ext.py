@@ -404,7 +404,11 @@ def q_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity_lsh_topk``).
 
     **Budget (r14, measured): this row is ACTION-count-bound, not
-    data-bound — re-budgeted at the measured ~16–19 s.**  Instrumented
+    data-bound — re-budgeted at the measured ~14–16 s after the
+    optimization round's trims (one-file centroids, one-action drift
+    commit; the tiny-input static-planning gate was tried on every leg
+    and removed after both A/B orders ran slower — see
+    OPTIMIZATION_r14.md).**  Instrumented
     at sf0.1 on local[32]: the full lifecycle launches 118 Spark jobs
     (88 with AQE off — same wall time, so AQE's extra jobs are cheap
     and the constant is per-ACTION scheduling + Python↔JVM latency at
