@@ -966,21 +966,19 @@ def main() -> None:
     calib_end = _calibration(spark)
     calibration_s = min(calib_start, calib_end)
 
-    # Cross-run floor merge (r13 VERDICT task 5): the committed sidecar
-    # convention ("fastest complete run") was violated by hand in r13 —
-    # the last run wrote the sidecar even though an earlier same-round
-    # run was faster, so sidecar diffs read a phantom regression.  The
-    # convention is now mechanical: when this round's sidecar already
-    # exists, every entry keeps its cross-run MINIMUM (the page-cache /
-    # JIT floor the ±30% same-code swing sits above), totals are
-    # recomputed from the merged floor, and every contributing run's
-    # calibration is stamped (`calib_runs`) so the floor's machine
-    # conditions stay auditable.  Entries the current run errored on
-    # stay errored (poisoned totals are never papered over by an old
-    # success), and prior-only entries are dropped (the current
+    # Cross-run floor merge (r13 VERDICT task 5, SCOPED r15): the
+    # committed sidecar keeps each entry's cross-run MINIMUM (the
+    # page-cache / JIT floor the ±30% same-code swing sits above) so
+    # sidecar diffs never read a phantom regression from run-count
+    # asymmetry.  r15 (r14 VERDICT task 2): the merge is confined to
+    # the SIDECAR — the printed one-line JSON reports the CURRENT run,
+    # because a floor-merged headline can never show an in-round
+    # regression (the old floor keeps printing), which neuters the
+    # driver's regression detector.  Entries the current run errored
+    # on stay errored, and prior-only entries are dropped (the current
     # workload defines the entry set — registry rotations must not
     # resurrect ghosts).
-    timings, prior_calibs = _floor_merge_round_sidecar(timings)
+    floor_timings, prior_calibs = _floor_merge_round_sidecar(timings)
 
     # Per-row budget flag (r12 VERDICT task 6): the driver-row sweep's
     # cost creep must be visible IN-REPO — any registry row costing
@@ -1019,11 +1017,6 @@ def main() -> None:
         # timing against the probe of ITS phase, not the run brackets
         "calib_phase": {k: round(v, 3) for k, v in calib_phase.items()},
     }
-    if prior_calibs:
-        out["floor_merged"] = True
-        out["calib_runs"] = [
-            round(c, 4) for c in prior_calibs + [calibration_s]
-        ]
     if row_budget:
         out["row_budget"] = row_budget
     if logs:
@@ -1056,7 +1049,16 @@ def main() -> None:
             errors["logs10m_exec_peak_mb"] = f"{type(e).__name__}: {e}"[:300]
     if errors:
         out["errors"] = errors
-    for line in render_output_lines(out, timings, baseline_keys, errors):
+    sidecar_extra = {}
+    if prior_calibs:
+        sidecar_extra["floor_merged"] = True
+        sidecar_extra["calib_runs"] = [
+            round(c, 4) for c in prior_calibs + [calibration_s]
+        ]
+    for line in render_output_lines(
+        out, timings, baseline_keys, errors,
+        floor_timings=floor_timings, sidecar_extra=sidecar_extra,
+    ):
         print(line)
 
 
@@ -1139,12 +1141,26 @@ def _chunk_lines(label: str, entries: dict[str, float]) -> list[str]:
     return [json.dumps({label: c}) for c in chunks]
 
 
-def render_output_lines(out, timings, baseline_keys, errors) -> list[str]:
+def render_output_lines(
+    out, timings, baseline_keys, errors,
+    floor_timings=None, sidecar_extra=None,
+) -> list[str]:
     """Stdout lines, layered back-to-front for the driver's 2,000-byte
     tail (it parses the LAST JSON line as the record; the tail cuts
     from the HEAD): full detail first, then registry timings in bounded
     chunks, then the tracked ``ext_*`` timings in bounded chunks, then
     the compact headline line that always fits whole.
+
+    Every PRINTED number is the CURRENT run (r14 VERDICT task 2: the
+    one-line JSON is the driver's regression detector — a floor-merged
+    headline can never show an in-round regression, the old floor
+    keeps printing).  ``floor_timings`` (when given) is the cross-run
+    minimum merged against this round's committed sidecar; it goes
+    into the SIDECAR's ``queries`` only (same-round sidecar diffs stay
+    like-for-like best-of-runs, and the next run's merge composes),
+    with the current run preserved beside it as ``run_queries``.
+    ``sidecar_extra`` carries the merge provenance (``floor_merged`` /
+    ``calib_runs``) — sidecar-only for the same reason.
 
     COMPLETENESS ARITHMETIC (r9 VERDICT tasks 2/7): the full record —
     ~50 registry names + ~35 ext names + the graded headline — is
@@ -1158,10 +1174,17 @@ def render_output_lines(out, timings, baseline_keys, errors) -> list[str]:
     detail = dict(out)
     detail["queries"] = {k: round(v, 4) for k, v in sorted(timings.items())}
     lines.append(json.dumps(detail))
+    sidecar = dict(detail)
+    if floor_timings is not None and floor_timings != timings:
+        sidecar["queries"] = {
+            k: round(v, 4) for k, v in sorted(floor_timings.items())
+        }
+        sidecar["run_queries"] = detail["queries"]
+    sidecar.update(sidecar_extra or {})
     for path in (DETAIL_FILE, _round_detail_file()):
         try:
             with open(path, "w") as f:
-                json.dump(detail, f, indent=1)
+                json.dump(sidecar, f, indent=1)
         except OSError:
             pass  # read-only checkout: stdout layering carries chunks
 

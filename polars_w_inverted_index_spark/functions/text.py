@@ -457,49 +457,58 @@ def corpus_divergence(
     1-row normalizer and one global aggregate — never touches corpus
     text, so the cost is O(vocabulary) regardless of corpus size.
     test_plan_quality pins the no-SMJ shape.
+
+    r15 (guide §4, r14 VERDICT tasks 1/4): every multi-term expression
+    is ONE parsed SQL string (``selectExpr`` / ``F.expr``) — the pure
+    Column-API form cost ~0.4–0.55 s of driver-side plan construction
+    per call (~400 py4j round trips at ~1 ms), and the drift monitor
+    builds this plan TWICE per micro-batch.  Deliberately NOT a single
+    ``spark.sql`` over DataFrame args: that registers per-session temp
+    views, and foreachBatch hands frames from a CLONED session whose
+    catalog cannot see the reference LM's view (found by the streaming
+    drift test).  The parsed trees mirror the Column form term-for-term
+    — same plan, same values; only the construction path moved into
+    the JVM parser (~25 round trips).
     """
-    a = lm_a.select(
-        F.col("t"),
-        F.col("c").cast("double").alias("ca"),
-        F.lit(0.0).alias("cb"),
-    )
-    b = lm_b.select(
-        F.col("t"),
-        F.lit(0.0).alias("ca"),
-        F.col("c").cast("double").alias("cb"),
-    )
+    al = repr(float(alpha))
+    a = lm_a.selectExpr("t", "CAST(c AS DOUBLE) AS ca", "0.0D AS cb")
+    b = lm_b.selectExpr("t", "0.0D AS ca", "CAST(c AS DOUBLE) AS cb")
     joined = (
         a.unionByName(b)
         .groupBy("t")
-        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        .agg(
+            F.expr("sum(ca)").alias("ca"),
+            F.expr("sum(cb)").alias("cb"),
+        )
     )
     totals = joined.agg(
-        F.sum("ca").alias("ta"),
-        F.sum("cb").alias("tb"),
-        F.count("*").alias("v"),
-        F.sum((F.col("ca") > 0).cast("long")).alias("vocab_a"),
-        F.sum((F.col("cb") > 0).cast("long")).alias("vocab_b"),
-        F.sum(
-            ((F.col("ca") > 0) & (F.col("cb") > 0)).cast("long")
-        ).alias("vocab_shared"),
+        F.expr("sum(ca)").alias("ta"),
+        F.expr("sum(cb)").alias("tb"),
+        F.expr("count(*)").alias("v"),
+        F.expr("sum(CAST(ca > 0 AS BIGINT))").alias("vocab_a"),
+        F.expr("sum(CAST(cb > 0 AS BIGINT))").alias("vocab_b"),
+        F.expr("sum(CAST(ca > 0 AND cb > 0 AS BIGINT))").alias(
+            "vocab_shared"
+        ),
     )
-    z = joined.crossJoin(F.broadcast(totals))
-    p = (F.col("ca") + F.lit(alpha)) / (
-        F.col("ta") + F.lit(alpha) * F.col("v")
+    z = joined.crossJoin(F.broadcast(totals)).selectExpr(
+        f"(ca + {al}) / (ta + {al} * v) AS p",
+        f"(cb + {al}) / (tb + {al} * v) AS q",
+        f"((ca + {al}) / (ta + {al} * v)"
+        f" + (cb + {al}) / (tb + {al} * v)) / 2 AS m",
+        "vocab_a",
+        "vocab_b",
+        "vocab_shared",
     )
-    q = (F.col("cb") + F.lit(alpha)) / (
-        F.col("tb") + F.lit(alpha) * F.col("v")
-    )
-    m = (p + q) / 2
     return z.agg(
-        F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_a_b_bits"),
-        F.round(F.sum(q * F.log2(q / p)), 6).alias("kl_b_a_bits"),
-        F.round(
-            (F.sum(p * F.log2(p / m)) + F.sum(q * F.log2(q / m))) / 2, 6
+        F.expr("round(sum(p * log2(p / q)), 6)").alias("kl_a_b_bits"),
+        F.expr("round(sum(q * log2(q / p)), 6)").alias("kl_b_a_bits"),
+        F.expr(
+            "round((sum(p * log2(p / m)) + sum(q * log2(q / m))) / 2, 6)"
         ).alias("js_bits"),
-        F.max("vocab_a").alias("vocab_a"),
-        F.max("vocab_b").alias("vocab_b"),
-        F.max("vocab_shared").alias("vocab_shared"),
+        F.expr("max(vocab_a)").alias("vocab_a"),
+        F.expr("max(vocab_b)").alias("vocab_b"),
+        F.expr("max(vocab_shared)").alias("vocab_shared"),
     )
 
 

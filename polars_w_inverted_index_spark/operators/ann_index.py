@@ -360,6 +360,7 @@ def _assign_cells(
     vec_col: str,
     keep_n: int,
     round_digits: int = 5,
+    width_flags: bool = False,
 ) -> DataFrame:
     """``[<id>, cell, crank, v, vn]`` — each vector's ``keep_n`` best
     centroids by cosine (ties → lowest cid, rounding before ranking for
@@ -390,15 +391,28 @@ def _assign_cells(
 
     Vectors are zero-pad/truncated to the centroid width (the
     ``_pad_matrix`` contract); zero-norm rows/centroids score 0.0.
+
+    ``width_flags`` (r15, guide §4 / r14 VERDICT task 1): appends three
+    per-row columns ``_wlo int, _whi int, _bad int`` — the batch-local
+    width range over live rows and a has-NULL/NaN/±inf-element flag
+    over the FULL (untruncated) vector — so the ingest path's
+    ``_uniform_width`` gate folds into this same GEMM pass instead of
+    paying its own Spark job per batch (the lifecycle row is
+    action-count-bound).  The caller aggregates the flags in its
+    existing counts collect and raises the gate's exact errors
+    driver-side BEFORE any write.
     """
     cids, cmat, cns, n_dims = _collect_centroids(centroids)
     id_ddl = df.schema[id_col].dataType.simpleString()
     vec_ddl = df.schema[vec_col].dataType.simpleString()
     cell_ddl = centroids.schema["cid"].dataType.simpleString()
     kn, rd = int(keep_n), int(round_digits)
+    wf = bool(width_flags)
     out_ddl = (
         f"_id {id_ddl}, cell {cell_ddl}, crank int, v {vec_ddl}, vn double"
     )
+    if wf:
+        out_ddl += ", _wlo int, _whi int, _bad int"
     out_pa_schema = _arrow_schema(out_ddl)
     dec = by_value(decode_list_matrix)  # the canonical list→matrix
     # decode (functions/arrow_batches, r12 consolidation — this closure
@@ -437,6 +451,23 @@ def _assign_cells(
             cos[~(vn > 0), :] = 0.0
             cos[:, ~(cn > 0)] = 0.0
             cos = hup(cos, rd)
+            extra = []
+            if wf:
+                # batch-local width-gate flags over the FULL vectors:
+                # lens are untruncated lengths; flatten() skips NULL
+                # rows, and NULL ELEMENTS arrive as NaN in numpy, so
+                # one isfinite sweep covers NULL/NaN/±inf alike
+                ll = _lens[_live]
+                wlo = int(ll.min()) if ll.size else None
+                whi = int(ll.max()) if ll.size else None
+                flat = v_arr.flatten().to_numpy(zero_copy_only=False)
+                bad = int(flat.size and not np.isfinite(flat).all())
+                i32 = out_pa_schema.field(-1).type
+                extra = [
+                    pa.array([wlo] * n, type=i32),
+                    pa.array([whi] * n, type=i32),
+                    pa.array([bad] * n, type=i32),
+                ]
             if kn == 1:
                 best = cos.argmax(axis=1)  # first max == lowest cid
                 yield pa.RecordBatch.from_arrays(
@@ -449,7 +480,7 @@ def _assign_cells(
                         ),
                         v_arr,
                         pa.array(vn, type=out_pa_schema.field(4).type),
-                    ],
+                    ] + extra,
                     schema=out_pa_schema,
                 )
                 continue
@@ -471,7 +502,7 @@ def _assign_cells(
                     pa.array(
                         np.repeat(vn, k), type=out_pa_schema.field(4).type
                     ),
-                ],
+                ] + [a.take(take) for a in extra],
                 schema=out_pa_schema,
             )
 
@@ -543,7 +574,21 @@ def _uniform_width(
     )
     if row is None or row["lo"] is None:
         return want
-    if row["bad_elem"]:
+    return _width_gate_verdict(
+        where, vec_col, int(row["lo"]), int(row["hi"]),
+        bool(row["bad_elem"]), want,
+    )
+
+
+def _width_gate_verdict(
+    where: str, vec_col: str, lo: int, hi: int, bad_elem: bool,
+    want: int | None,
+) -> int:
+    """The width-gate refusal rules over ALREADY-aggregated stats —
+    shared verbatim by the standalone :func:`_uniform_width` aggregate
+    and the fold into the ingest assign GEMM (r15), so both paths
+    refuse with identical errors."""
+    if bad_elem:
         raise ValueError(
             f"{where}: vector column {vec_col!r} contains NULL, NaN or "
             "infinite elements inside vectors — cosine over them is "
@@ -553,7 +598,6 @@ def _uniform_width(
             "above every double in Spark). Filter those rows (or impute "
             "the elements) before build/ingest."
         )
-    lo, hi = int(row["lo"]), int(row["hi"])
     if lo != hi:
         raise ValueError(
             f"{where}: vector column {vec_col!r} has mixed widths "
@@ -835,14 +879,32 @@ def _assign_batch_checkpoint(
         # crash must not block ingest forever (r12 ADVICE) — the dims
         # gate simply has no recorded width to check against
         pass
-    _uniform_width(
-        batch, vec_col, f"ann_index_add_batch({root})", want=recorded
-    )
     cent = spark.read.parquet(os.path.join(root, "centroids"))
+    # r15 (guide §4 / r14 VERDICT task 1): the _uniform_width gate rides
+    # the assign GEMM as per-batch flag columns instead of paying its
+    # own Spark job — the ingest leg is action-count-bound.  The gate's
+    # verdict is raised HERE, after the checkpoint materializes but
+    # before any parquet/manifest write, with the exact standalone
+    # errors (_width_gate_verdict); a refused batch writes nothing.
     assigned = _assign_cells(
-        batch, cent, id_col, vec_col, keep_n=1
+        batch, cent, id_col, vec_col, keep_n=1, width_flags=True
     ).localCheckpoint(eager=True)
-    rows = assigned.groupBy("cell").count().collect()
+    rows = assigned.groupBy("cell").agg(
+        F.count("*").alias("count"),
+        F.min("_wlo").alias("lo"),
+        F.max("_whi").alias("hi"),
+        F.max("_bad").alias("bad"),
+    ).collect()
+    los = [r["lo"] for r in rows if r["lo"] is not None]
+    his = [r["hi"] for r in rows if r["hi"] is not None]
+    if los:
+        _width_gate_verdict(
+            f"ann_index_add_batch({root})", vec_col,
+            min(los), max(his),
+            any(r["bad"] for r in rows),
+            recorded,
+        )
+    assigned = assigned.drop("_wlo", "_whi", "_bad")
     touched = sorted(str(r["cell"]) for r in rows)
     n = int(sum(r["count"] for r in rows))
     return assigned, touched, n

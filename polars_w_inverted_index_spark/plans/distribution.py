@@ -52,6 +52,15 @@ def ensure_parallelism(
 # provably a no-op.  Maintenance paths that run many small actions
 # (ANN ingest/fold/rebuild, streaming LM merges) gate on this; at
 # production sizes the same code keeps AQE on.
+#
+# NOTE (r14 ADVICE): for parquet-scan-backed frames the optimizer's
+# sizeInBytes is COMPRESSED on-disk bytes; text near the threshold can
+# be several times larger decompressed/in-shuffle.  The consequence is
+# perf-only (AQE off on a shuffle a few times bigger than 64 MB — its
+# coalescing would still barely fire at one advisory partition per
+# ~couple of those), and every gated write is explicitly partitioned,
+# so the layout cannot degrade; the margin is priced into the
+# deliberately small threshold rather than a decompression factor.
 TINY_PLAN_BYTES = 64 * 1024 * 1024
 
 
@@ -77,12 +86,31 @@ def plan_size_bytes(df: DataFrame) -> int:
     return size if isinstance(size, int) else int(size.toString())
 
 
+# Serializes static_plan_when_tiny windows: two concurrent gated
+# actions must not interleave their get/set/restore sequences (the
+# second would read "false" as the restore target).  The residual,
+# DOCUMENTED exposure is a concurrent NON-gated query in the same
+# session planning non-adaptively during the window — AQE enablement
+# is session-global and read per-query (r14 ADVICE).  Every gated
+# call site is a state-MAINTENANCE action under the repo's
+# single-writer contract (streaming/ann_ingest.py module docstring);
+# serving concurrent with maintenance loses at most AQE on one query
+# over a < 64 MB state — perf-only, layout unaffected (gated writes
+# are explicitly partitioned).
+import threading as _threading
+
+_TINY_GATE_LOCK = _threading.RLock()
+
+
 @contextmanager
 def static_plan_when_tiny(spark, size_bytes: int | DataFrame):
     """Disable adaptive execution for the enclosed actions when the
     operation's input is provably tiny (``size_bytes`` — an int, or a
     DataFrame whose optimizer estimate is read), restoring the session
-    conf afterwards.
+    conf afterwards.  Yields True when the gate is ACTIVE (AQE off for
+    the window) so callers can compensate for the one thing static
+    planning does not do — coalesce small shuffle outputs before a
+    file write (the r14 file-count trap).
 
     r14 (guide §1.2 step 3, measured): the ANN lifecycle row's steady-
     state wall dropped 20.4 s → 16.2 s with adaptive off — its actions
@@ -94,11 +122,15 @@ def static_plan_when_tiny(spark, size_bytes: int | DataFrame):
     coalescing, skew splitting and join re-planning start to matter)
     the context is a no-op and AQE stays on, so 100 TB maintenance
     keeps its adaptive plans.
+
+    Concurrency (r14 ADVICE): the conf flip is session-global; windows
+    serialize on a lock, and the call sites are single-writer
+    maintenance actions by contract — see ``_TINY_GATE_LOCK``.
     """
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_NO_TINY_GATE"):
-        yield  # A/B knob: measure the gate's own contribution
+        yield False  # A/B knob: measure the gate's own contribution
         return
     if not isinstance(size_bytes, int):
         try:
@@ -106,15 +138,21 @@ def static_plan_when_tiny(spark, size_bytes: int | DataFrame):
         except Exception:
             size_bytes = 1 << 62  # unknown: fail open, keep AQE on
     key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key, "true")
-    if size_bytes > TINY_PLAN_BYTES or prev != "true":
-        yield
+    if size_bytes > TINY_PLAN_BYTES:
+        yield False  # no conf touch: ungated windows never lock
         return
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+    with _TINY_GATE_LOCK:
+        prev = spark.conf.get(key, "true")
+        if prev != "true":
+            # an enclosing window already flipped it (or AQE is off
+            # session-wide): nested windows must not restore over it
+            yield False
+            return
+        spark.conf.set(key, "false")
+        try:
+            yield True
+        finally:
+            spark.conf.set(key, prev)
 
 
 def write_bucketed(

@@ -98,7 +98,12 @@ def _drift_monitor_batch_actions(
     spark, batch_df, state_path, reference_lm, text_col, batch_id, alpha,
     meta,
 ):
-    batch_lm = unigram_lm(batch_df, text_col).localCheckpoint()
+    # r15 (guide §1.2/§5): persist, NOT localCheckpoint — the eager
+    # checkpoint was its own Spark job; a lazy cache is populated by the
+    # state write below and reused by the batch divergence + token
+    # count, zero extra actions.  No lineage hazard: batch_lm reads
+    # only the micro-batch frame, never a prunable state version.
+    batch_lm = unigram_lm(batch_df, text_col).persist()
     prev = read_ingest_lm(spark, state_path)
     if prev is not None:
         merged_plan = (
@@ -161,6 +166,7 @@ def _drift_monitor_batch_actions(
             shutil.rmtree(
                 os.path.join(state_path, name), ignore_errors=True
             )
+    batch_lm.unpersist()
     return report
 
 

@@ -107,18 +107,18 @@ def near_dedup_batch(
         _sz = plan_size_bytes(batch_df) + dir_bytes(state_path)
     except Exception:
         _sz = 1 << 62
-    with static_plan_when_tiny(spark, _sz):
+    with static_plan_when_tiny(spark, _sz) as gated:
         return _near_dedup_batch_actions(
             batch_df, state_path, text_col, id_col, min_shared_bands,
             batch_id, num_hashes, num_bands, shingle_k, max_delta_dirs,
-            delta_partitions, max_state_files, sink,
+            delta_partitions, max_state_files, sink, gated,
         )
 
 
 def _near_dedup_batch_actions(
     batch_df, state_path, text_col, id_col, min_shared_bands, batch_id,
     num_hashes, num_bands, shingle_k, max_delta_dirs, delta_partitions,
-    max_state_files, sink,
+    max_state_files, sink, gated=False,
 ):
     spark = batch_df.sparkSession
     meta = read_marker(state_path)
@@ -188,7 +188,16 @@ def _near_dedup_batch_actions(
     # recomputing a merely-persisted frame (cache eviction, unpersist)
     # would chase deleted files.  The returned frame must be
     # self-contained.
-    accepted = survivors.localCheckpoint()
+    # r14 ADVICE: under the ACTIVE gate the anti-join's shuffle output
+    # is never AQE-coalesced, so a sink write of ``accepted`` would land
+    # one tiny file per static shuffle partition — the drift-monitor
+    # file-count trap.  The gate only fires on provably-tiny batches,
+    # where coalescing to the delta width is free; ungated (production)
+    # batches keep their adaptive partitioning untouched.
+    accepted = survivors
+    if gated:
+        accepted = accepted.coalesce(max(1, delta_partitions))
+    accepted = accepted.localCheckpoint()
     if sink is not None:
         sink(accepted)  # idempotent output BEFORE the commit (see above)
 

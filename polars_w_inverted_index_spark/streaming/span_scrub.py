@@ -86,17 +86,17 @@ def span_scrub_batch(
         _sz = plan_size_bytes(batch_df) + dir_bytes(state_path)
     except Exception:
         _sz = 1 << 62
-    with static_plan_when_tiny(spark, _sz):
+    with static_plan_when_tiny(spark, _sz) as gated:
         return _span_scrub_batch_actions(
             batch_df, state_path, k, min_count, text_col, id_col,
             batch_id, max_delta_dirs, delta_partitions, max_state_files,
-            sink,
+            sink, gated,
         )
 
 
 def _span_scrub_batch_actions(
     batch_df, state_path, k, min_count, text_col, id_col, batch_id,
-    max_delta_dirs, delta_partitions, max_state_files, sink,
+    max_delta_dirs, delta_partitions, max_state_files, sink, gated=False,
 ):
     spark = batch_df.sparkSession
     meta = read_marker(state_path)
@@ -169,7 +169,14 @@ def _span_scrub_batch_actions(
     scrubbed = scrub_repeated_spans_against(
         corpus, batch_df, k, min_count, text_col, id_col,
         _precomputed_windows=win,
-    ).localCheckpoint()
+    )
+    # r14 ADVICE: an ACTIVE gate loses AQE's output coalescing, so a
+    # sink write would land one tiny file per static shuffle partition;
+    # the gate only fires on provably-tiny batches, where coalescing to
+    # the delta width is free (ungated production batches untouched).
+    if gated:
+        scrubbed = scrubbed.coalesce(max(1, delta_partitions))
+    scrubbed = scrubbed.localCheckpoint()
     if sink is not None:
         sink(scrubbed)  # idempotent output BEFORE the commit (see above)
 

@@ -163,3 +163,45 @@ def test_round_detail_sidecar_naming(bench, universe, tmp_path):
     per_round = json.loads(round_file.read_text())
     assert per_round == stable
     assert set(per_round["queries"]) == set(timings)
+
+
+def test_printed_lines_are_current_run_floor_confined_to_sidecar(
+    bench, universe, tmp_path
+):
+    """r14 VERDICT task 2: the printed one-line JSON must report the
+    CURRENT run (so an in-round regression is visible to the driver);
+    the cross-run floor merge lives in the sidecar only, with the
+    current run preserved beside it as ``run_queries``."""
+    headline, reg, ext, logs = universe
+    all_names = headline + reg + ext + logs
+    timings = {n: 2.0 for n in all_names}          # slow current run
+    floors = {n: 1.0 for n in all_names}           # prior-run floor
+    baseline_keys = set(headline) | set(logs)
+    out = {
+        "metric": "reference_workload_total",
+        "value": round(sum(timings[n] for n in headline), 4),
+        "unit": "sec",
+        "sf": 0.1,
+    }
+    bench.DETAIL_FILE = str(tmp_path / "BENCH_DETAIL.json")
+    lines = bench.render_output_lines(
+        out, timings, baseline_keys, {},
+        floor_timings=floors,
+        sidecar_extra={"floor_merged": True, "calib_runs": [0.3, 0.31]},
+    )
+    parsed = json.loads(lines[-1])
+    # printed per-query numbers are the slow CURRENT run, not the floor
+    assert all(v == 2.0 for v in parsed["queries"].values())
+    assert "floor_merged" not in parsed and "calib_runs" not in parsed
+    # every printed chunk is current-run too
+    for ln in lines[1:-1]:
+        obj = json.loads(ln)
+        for entries in obj.values():
+            assert all(v == 2.0 for v in entries.values())
+    # the sidecar keeps the floor (merge composes across runs) AND the
+    # current run, with provenance
+    with open(bench.DETAIL_FILE) as f:
+        sidecar = json.load(f)
+    assert all(v == 1.0 for v in sidecar["queries"].values())
+    assert all(v == 2.0 for v in sidecar["run_queries"].values())
+    assert sidecar["floor_merged"] is True
