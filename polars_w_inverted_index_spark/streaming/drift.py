@@ -130,7 +130,7 @@ def _drift_monitor_batch_actions(
 
     b_div = corpus_divergence(batch_lm, reference_lm, alpha=alpha)
     c_div = corpus_divergence(merged, reference_lm, alpha=alpha)
-    report = (
+    report_plan = (
         b_div.select(
             F.col("js_bits").alias("batch_js_bits"),
         )
@@ -147,8 +147,24 @@ def _drift_monitor_batch_actions(
             "batch_js_bits",
             "cumulative_js_bits",
         )
-        .localCheckpoint()
     )
+    # r15 (guide §1.2; the r14 drift-gate revert REVISITED at finer
+    # grain): the report is a ~10-exchange plan over two
+    # vocabulary-sized LMs collapsing to ONE row — with AQE on, every
+    # exchange materializes as its own job (~0.15 s scheduling each).
+    # r14's gate around the WHOLE batch lost to the merged-LM write's
+    # file-count trap; this gate wraps ONLY the report action (the
+    # write above stays adaptive), and sizes on the REAL bytes of the
+    # just-written merged LM + standing state — known even for literal
+    # micro-batch frames, scale-adaptive by construction (a 100 TB
+    # ingest's vocabulary LM exceeds the threshold and keeps AQE).
+    from ..plans.distribution import dir_bytes, static_plan_when_tiny
+
+    with static_plan_when_tiny(
+        spark, dir_bytes(out) + dir_bytes(state_path),
+        shuffle_partitions=2,
+    ):
+        report = report_plan.localCheckpoint()
 
     marker = {
         "v": next_v,

@@ -496,9 +496,7 @@ def merge_postings_batch(
             )
         )
     new = new.withColumn("bucket", _bucket_col(n_buckets))
-    # the frame feeds two actions (touched-bucket probe + the merge write)
-    new = new.persist()
-    # r14 (guide §1.2): a micro-batch merge is 2 small actions; when
+    # r14 (guide §1.2): a micro-batch merge is few small actions; when
     # batch + index are provably tiny, adaptive re-planning only
     # multiplies job count (data-gated — production sizes keep AQE)
     from ..plans.distribution import (
@@ -511,8 +509,49 @@ def merge_postings_batch(
         _sz = plan_size_bytes(batch_df) + dir_bytes(index_path)
     except Exception:
         _sz = 1 << 62
-    # The batch is one micro-batch — small relative to the index; the
-    # touched-bucket list is at most n_buckets entries.
+    next_m = (meta or {}).get("merge", -1) + 1
+    out = os.path.join(index_path, f"m={next_m}")
+    if max_postings_per_row is not None:
+        # SEGMENT APPEND (LSM): only the batch's own chunk rows are
+        # written; committed segments are never re-read or re-written,
+        # so per-merge bytes track the batch, not the index.  r15
+        # (guide §1.2/§5): the write is the merge's ONLY action — the
+        # touched-bucket list is read off the written partition tree
+        # afterwards (the compact/rebucket convention), replacing the
+        # r14 probe collect + persist pair.  One file per bucket via
+        # repartition("bucket") as before.
+        with static_plan_when_tiny(spark, _sz):
+            new.select(
+                "bucket", "value", "chunk", "doc_ids"
+            ).repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(out)
+        touched = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("bucket=")
+        )
+        if not touched:  # empty batch: still commit the batch_id; the
+            # empty m= directory is collected by the commit's prune
+            _commit(
+                index_path, meta, {}, batch_id, n_buckets,
+                max_rows=max_postings_per_row,
+            )
+            return
+        new_pointers = {
+            str(b): os.path.join(f"m={next_m}", f"bucket={b}")
+            for b in touched
+        }
+        _commit(
+            index_path, meta, new_pointers, batch_id, n_buckets, next_m,
+            max_rows=max_postings_per_row, append=True,
+        )
+        _maybe_autocompact(spark, index_path, max_segments_per_bucket)
+        return
+
+    # plain-row mode: the touched probe must run BEFORE the write (it
+    # decides which committed buckets to read and re-write whole)
+    new = new.persist()
     with static_plan_when_tiny(spark, _sz):
         touched = sorted(
             r["bucket"] for r in new.select("bucket").distinct().collect()
@@ -523,38 +562,29 @@ def merge_postings_batch(
             index_path, meta, {}, batch_id, n_buckets, max_rows=max_postings_per_row
         )
         return
-
-    if max_postings_per_row is not None:
-        # SEGMENT APPEND (LSM): only the batch's own chunk rows are
-        # written; committed segments are never re-read or re-written,
-        # so per-merge bytes track the batch, not the index
-        merged = new.select("bucket", "value", "chunk", "doc_ids")
-    else:
-        old_buckets = (meta or {}).get("buckets", {})
-        old_paths = [
-            os.path.join(index_path, rel)
-            for b in touched
-            for rel in old_buckets.get(str(b), [])
-        ]
-        if old_paths:
-            old = spark.read.parquet(*old_paths).withColumn(
-                "bucket", _bucket_col(n_buckets)
-            )
-            merged = (
-                old.unionByName(new)
-                .groupBy("bucket", "value")
-                .agg(
-                    F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
-                        "doc_ids"
-                    )
+    old_buckets = (meta or {}).get("buckets", {})
+    old_paths = [
+        os.path.join(index_path, rel)
+        for b in touched
+        for rel in old_buckets.get(str(b), [])
+    ]
+    if old_paths:
+        old = spark.read.parquet(*old_paths).withColumn(
+            "bucket", _bucket_col(n_buckets)
+        )
+        merged = (
+            old.unionByName(new)
+            .groupBy("bucket", "value")
+            .agg(
+                F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
+                    "doc_ids"
                 )
             )
-        else:
-            merged = new.select(
-                "bucket", "value", F.sort_array("doc_ids").alias("doc_ids")
-            )
-    next_m = (meta or {}).get("merge", -1) + 1
-    out = os.path.join(index_path, f"m={next_m}")
+        )
+    else:
+        merged = new.select(
+            "bucket", "value", F.sort_array("doc_ids").alias("doc_ids")
+        )
     # one file-per-bucket layout: repartition on bucket so each partition
     # directory is written by one task (no tiny-file explosion)
     with static_plan_when_tiny(spark, _sz):
@@ -573,10 +603,7 @@ def merge_postings_batch(
         n_buckets,
         next_m,
         max_rows=max_postings_per_row,
-        append=max_postings_per_row is not None,
     )
-    if max_postings_per_row is not None:
-        _maybe_autocompact(spark, index_path, max_segments_per_bucket)
 
 
 def _commit(
@@ -744,7 +771,7 @@ def merge_composite_postings_batch(
                 ).alias("doc_ids"),
             )
         )
-    new = new.withColumn("bucket", bucket).persist()
+    new = new.withColumn("bucket", bucket)
     # r14 (guide §1.2): data-gated static planning, same as the
     # single-field merge
     from ..plans.distribution import (
@@ -757,6 +784,45 @@ def merge_composite_postings_batch(
         _sz = plan_size_bytes(batch_df) + dir_bytes(index_path)
     except Exception:
         _sz = 1 << 62
+    next_m = (meta or {}).get("merge", -1) + 1
+    out = os.path.join(index_path, f"m={next_m}")
+    if max_postings_per_row is not None:
+        # SEGMENT APPEND (LSM): only the batch's own chunk rows are
+        # written; committed segments are never re-read or re-written.
+        # r15: write-only action, touched buckets read off the written
+        # tree (see the single-field merge).
+        with static_plan_when_tiny(spark, _sz):
+            new.select(
+                "bucket", *vcols, "chunk", "doc_ids"
+            ).repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(out)
+        touched = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("bucket=")
+        )
+        if not touched:
+            _commit(
+                index_path, meta, {}, batch_id, n_buckets,
+                max_rows=max_postings_per_row, composite_fields=norm,
+            )
+            return
+        new_pointers = {
+            str(b): os.path.join(f"m={next_m}", f"bucket={b}")
+            for b in touched
+        }
+        _commit(
+            index_path, meta, new_pointers, batch_id, n_buckets, next_m,
+            max_rows=max_postings_per_row, composite_fields=norm,
+            append=True,
+        )
+        _maybe_autocompact(spark, index_path, max_segments_per_bucket)
+        return
+
+    # plain-row mode: probe BEFORE the write (decides which committed
+    # buckets to read and re-write whole)
+    new = new.persist()
     with static_plan_when_tiny(spark, _sz):
         touched = sorted(
             r["bucket"] for r in new.select("bucket").distinct().collect()
@@ -768,35 +834,28 @@ def merge_composite_postings_batch(
             max_rows=max_postings_per_row, composite_fields=norm,
         )
         return
-    if max_postings_per_row is not None:
-        # SEGMENT APPEND (LSM): only the batch's own chunk rows are
-        # written; committed segments are never re-read or re-written
-        merged = new.select("bucket", *vcols, "chunk", "doc_ids")
-    else:
-        old_buckets = (meta or {}).get("buckets", {})
-        old_paths = [
-            os.path.join(index_path, rel)
-            for b in touched
-            for rel in old_buckets.get(str(b), [])
-        ]
-        if old_paths:
-            old = spark.read.parquet(*old_paths).withColumn("bucket", bucket)
-            merged = (
-                old.select("bucket", *vcols, "doc_ids")
-                .unionByName(new.select("bucket", *vcols, "doc_ids"))
-                .groupBy("bucket", *vcols)
-                .agg(
-                    F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
-                        "doc_ids"
-                    )
+    old_buckets = (meta or {}).get("buckets", {})
+    old_paths = [
+        os.path.join(index_path, rel)
+        for b in touched
+        for rel in old_buckets.get(str(b), [])
+    ]
+    if old_paths:
+        old = spark.read.parquet(*old_paths).withColumn("bucket", bucket)
+        merged = (
+            old.select("bucket", *vcols, "doc_ids")
+            .unionByName(new.select("bucket", *vcols, "doc_ids"))
+            .groupBy("bucket", *vcols)
+            .agg(
+                F.sort_array(F.flatten(F.collect_list("doc_ids"))).alias(
+                    "doc_ids"
                 )
             )
-        else:
-            merged = new.select(
-                "bucket", *vcols, F.sort_array("doc_ids").alias("doc_ids")
-            )
-    next_m = (meta or {}).get("merge", -1) + 1
-    out = os.path.join(index_path, f"m={next_m}")
+        )
+    else:
+        merged = new.select(
+            "bucket", *vcols, F.sort_array("doc_ids").alias("doc_ids")
+        )
     with static_plan_when_tiny(spark, _sz):
         merged.repartition("bucket").write.mode("overwrite").partitionBy(
             "bucket"
@@ -814,10 +873,7 @@ def merge_composite_postings_batch(
         next_m,
         max_rows=max_postings_per_row,
         composite_fields=norm,
-        append=max_postings_per_row is not None,
     )
-    if max_postings_per_row is not None:
-        _maybe_autocompact(spark, index_path, max_segments_per_bucket)
 
 
 def read_composite_index(

@@ -1,10 +1,11 @@
-"""Capture `.explain("formatted")` for registry queries into plans/r14/.
+"""Capture `.explain("formatted")` for registry queries into plans/r<N>/.
 
 Usage:
     python tools/save_plans.py before name1 name2 ...   # suffix + names
     python tools/save_plans.py after  all               # every registry row
 
-Writes plans/r14/<name>_<suffix>.txt (planning only — no execution).
+Writes plans/<SPARK_GRAFT_PLANS_DIR:-r14>/<name>_<suffix>.txt
+(planning only — no execution).
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
