@@ -251,13 +251,16 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
     m = int(meta["max_postings_per_row"])
     next_m = meta.get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
-    from ..plans.distribution import dir_bytes, static_plan_when_tiny
-
-    # r14 (guide §1.2): one rewrite action — data-gated static planning
-    with static_plan_when_tiny(spark, dir_bytes(index_path)):
-        compacted.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(out)
+    # r15 (r14 VERDICT task 8 re-A/B): the r14 static-planning gate was
+    # REMOVED from every index_maintenance site — after the write-only
+    # merge restructure the gate LOST in both A/B orders (composite row
+    # 4.0/5.2 s gated vs 3.1/3.2 s ungated; incremental index 2.5/2.3
+    # vs 2.0/2.0): AQE now coalesces the lone repartition("bucket")
+    # write shuffle to few tasks, which beats the gate's static width,
+    # and the probe jobs the gate used to save no longer exist.
+    compacted.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out)
     written = [
         d for d in os.listdir(out) if d.startswith("bucket=")
     ]
@@ -372,13 +375,10 @@ def rebucket_index(
     rebucketed = df.withColumn("bucket", _meta_bucket_col(meta, new_n))
     next_m = meta.get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
-    from ..plans.distribution import dir_bytes, static_plan_when_tiny
-
-    # r14 (guide §1.2): one rewrite action — data-gated static planning
-    with static_plan_when_tiny(spark, dir_bytes(index_path)):
-        rebucketed.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(out)
+    # r15: gate removed (see compact_index — lost both A/B orders)
+    rebucketed.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out)
     written = [d for d in os.listdir(out) if d.startswith("bucket=")]
     new_pointers = {
         d.split("=", 1)[1]: os.path.join(f"m={next_m}", d) for d in written
@@ -496,19 +496,9 @@ def merge_postings_batch(
             )
         )
     new = new.withColumn("bucket", _bucket_col(n_buckets))
-    # r14 (guide §1.2): a micro-batch merge is few small actions; when
-    # batch + index are provably tiny, adaptive re-planning only
-    # multiplies job count (data-gated — production sizes keep AQE)
-    from ..plans.distribution import (
-        dir_bytes,
-        plan_size_bytes,
-        static_plan_when_tiny,
-    )
-
-    try:
-        _sz = plan_size_bytes(batch_df) + dir_bytes(index_path)
-    except Exception:
-        _sz = 1 << 62
+    # r15: the r14 tiny-input static-planning gate is gone from the
+    # merge paths (lost both A/B orders after the write-only
+    # restructure — see compact_index)
     next_m = (meta or {}).get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
     if max_postings_per_row is not None:
@@ -520,12 +510,11 @@ def merge_postings_batch(
         # afterwards (the compact/rebucket convention), replacing the
         # r14 probe collect + persist pair.  One file per bucket via
         # repartition("bucket") as before.
-        with static_plan_when_tiny(spark, _sz):
-            new.select(
-                "bucket", "value", "chunk", "doc_ids"
-            ).repartition("bucket").write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(out)
+        new.select(
+            "bucket", "value", "chunk", "doc_ids"
+        ).repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out)
         touched = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(out)
@@ -552,10 +541,9 @@ def merge_postings_batch(
     # plain-row mode: the touched probe must run BEFORE the write (it
     # decides which committed buckets to read and re-write whole)
     new = new.persist()
-    with static_plan_when_tiny(spark, _sz):
-        touched = sorted(
-            r["bucket"] for r in new.select("bucket").distinct().collect()
-        )
+    touched = sorted(
+        r["bucket"] for r in new.select("bucket").distinct().collect()
+    )
     if not touched:  # empty batch (all-null field/id rows): still commit
         new.unpersist()
         _commit(
@@ -587,10 +575,9 @@ def merge_postings_batch(
         )
     # one file-per-bucket layout: repartition on bucket so each partition
     # directory is written by one task (no tiny-file explosion)
-    with static_plan_when_tiny(spark, _sz):
-        merged.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(out)
+    merged.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out)
     new.unpersist()
     new_pointers = {
         str(b): os.path.join(f"m={next_m}", f"bucket={b}") for b in touched
@@ -772,18 +759,7 @@ def merge_composite_postings_batch(
             )
         )
     new = new.withColumn("bucket", bucket)
-    # r14 (guide §1.2): data-gated static planning, same as the
-    # single-field merge
-    from ..plans.distribution import (
-        dir_bytes,
-        plan_size_bytes,
-        static_plan_when_tiny,
-    )
-
-    try:
-        _sz = plan_size_bytes(batch_df) + dir_bytes(index_path)
-    except Exception:
-        _sz = 1 << 62
+    # r15: gate removed (see the single-field merge)
     next_m = (meta or {}).get("merge", -1) + 1
     out = os.path.join(index_path, f"m={next_m}")
     if max_postings_per_row is not None:
@@ -791,12 +767,11 @@ def merge_composite_postings_batch(
         # written; committed segments are never re-read or re-written.
         # r15: write-only action, touched buckets read off the written
         # tree (see the single-field merge).
-        with static_plan_when_tiny(spark, _sz):
-            new.select(
-                "bucket", *vcols, "chunk", "doc_ids"
-            ).repartition("bucket").write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(out)
+        new.select(
+            "bucket", *vcols, "chunk", "doc_ids"
+        ).repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out)
         touched = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(out)
@@ -823,10 +798,9 @@ def merge_composite_postings_batch(
     # plain-row mode: probe BEFORE the write (decides which committed
     # buckets to read and re-write whole)
     new = new.persist()
-    with static_plan_when_tiny(spark, _sz):
-        touched = sorted(
-            r["bucket"] for r in new.select("bucket").distinct().collect()
-        )
+    touched = sorted(
+        r["bucket"] for r in new.select("bucket").distinct().collect()
+    )
     if not touched:
         new.unpersist()
         _commit(
@@ -856,10 +830,9 @@ def merge_composite_postings_batch(
         merged = new.select(
             "bucket", *vcols, F.sort_array("doc_ids").alias("doc_ids")
         )
-    with static_plan_when_tiny(spark, _sz):
-        merged.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(out)
+    merged.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out)
     new.unpersist()
     new_pointers = {
         str(b): os.path.join(f"m={next_m}", f"bucket={b}") for b in touched
